@@ -1,0 +1,27 @@
+"""spark-fulltext: a PySpark-native inverted-index build + BM25 query engine.
+
+Brand-new engine with the data-processing and query capabilities of
+companieshouse/elasticsearch-data-loader (reference at /root/reference,
+read-only): that loader's own dataflow (scan -> validate -> enrich ->
+transform -> sink with reject side-channels) plus the full-text semantics its
+Elasticsearch index DDL declares (analyzers, BM25, sharding) -- re-expressed
+Spark-first, not ported.
+
+Modules
+-------
+session    SparkSession builder (Arrow on, UTC, tuned shuffle partitions)
+synth      deterministic synthetic `pages` corpus + frozen query set
+extract    html -> text extractor (byte-identical per url invariant)
+textnorm   frozen analyzers L1-L10, alphakey, company-name-ending splitter
+transform  Layer-A parity pipeline (validate/enrich/transform/reject-log)
+postings   delta + StreamVByte posting codec + block-max metadata (numpy)
+index_build  doc-sharded, term-bucketed index build w/ lineage + resume
+query      BM25 top-k: block-max WAND engine + brute-force DataFrame path
+oracle     pure-Python brute-force BM25 (the rank-identity judge)
+dedup      exact / minhash-LSH / simhash / n-gram-jaccard dedup
+simsearch  embedding cosine top-k (brute force + LSH-bucketed ANN)
+textstats  lang-id, quality scoring, token counting, fingerprinting
+multimodal binary-column (image/audio) plumbing with stubbed decoders
+"""
+
+__version__ = "0.1.0"
