@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are declarative DataFrame plans (shuffle-aware, no driver-side
+loops); the similarity hashes are computed with cross-engine-reproducible
+arithmetic (md5-derived 64-bit integers) so the DuckDB oracle can replicate
+them bit-for-bit where SQL-expressible.
+
+Operators:
+- exact_dedup: hash-groupBy canonical-representative dedup (one shuffle on
+  the content hash; map-side combine keeps head duplicates cheap).
+- ngram_shingles / jaccard_pairs: token n-gram shingling + exact Jaccard
+  over candidate pairs that share >=1 shingle (the shingle join IS the
+  candidate pruning — no O(n^2) cross join).
+- minhash_signatures / minhash_lsh_pairs: MinHash (k permutations via
+  (a*h+b) mod p over the md5-derived shingle hash) + banded LSH bucketing;
+  candidate pairs verified with exact Jaccard.
+- simhash64: 64-bit SimHash over token hashes, weighted by tf; hamming-
+  distance near-dup buckets via 4x16-bit band blocking.
+
+Scale notes: every join here is an equi-join on a hash/bucket column —
+AQE-skew-splittable; signatures are fixed-width arrays (no giant rows);
+band-bucket join keys are (band_idx, band_hash) so a hot bucket splits
+across reducers by band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.textnorm import standard_tokenize_col
+
+# Mersenne prime 2^61-1: classic universal-hash modulus, exact in int64/
+# DuckDB HUGEINT arithmetic (products of two <2^61 values overflow int64 —
+# we keep a,b < 2^31 and h < 2^32 so a*h+b < 2^63, exact in BIGINT).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def _h32(col):
+    """Cross-engine 32-bit content hash: first 8 hex chars of md5 -> BIGINT.
+    Identical in Spark (conv) and DuckDB (from_hex)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens_col(text_col):
+    return standard_tokenize_col(F.lower(text_col))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: keeper = min id, plus duplicate count."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def ngram_shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle)."""
+    toks = docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    # shingle i = toks[i..i+n-1] joined by space; array_distinct for set
+    # semantics; JVM-side transform over sequence — no UDF
+    sh = toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("shingles"),
+    )
+    return sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >=1 shingle.
+
+    (a, b, inter, union_sz, jaccard) with a < b, jaccard >= threshold.
+    """
+    sh = ngram_shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_sz", "jaccard")
+    )
+    return out
+
+
+def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k permutations — reproducible in SQL."""
+    params = []
+    a, b = 1103515245, 12345  # LCG-stepped, bounded < 2^31
+    x = seed
+    for _ in range(k):
+        x = (a * x + b) % MERSENNE_31
+        pa = x | 1  # odd a
+        x = (a * x + b) % MERSENNE_31
+        params.append((pa, x))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array<long>[k]) — min over shingles of (a*h+b) mod p,
+    h = md5-derived 32-bit shingle hash. Pure column ops: k aggregate
+    expressions over the exploded shingle table (map-side partial min)."""
+    sh = ngram_shingles(docs, n, id_col, text_col).withColumn("h", _h32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs + exact-Jaccard verification.
+
+    k/bands rows per band hashed together; pairs sharing any band bucket
+    are candidates; verified against exact n-gram Jaccard >= threshold.
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(docs, k, n, id_col, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(",", *[F.col("sig")[i] for i in range(bnd * rows, (bnd + 1) * rows)]))
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, n, threshold, id_col, text_col).select("a", "b", "jaccard")
+    return cand.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — 64-bit SimHash over token md5-hashes with
+    tf weights: bit j of the fingerprint = sign of sum over tokens of
+    tf * (bit_j(h) ? +1 : -1). Pure column ops: 64 conditional sums."""
+    toks = docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # 64-bit token hash from md5 hex (first 16 hex chars -> signed-safe via
+    # two 32-bit halves)
+    tf = tf.withColumn("h_hi", _h32(F.col("tok"))).withColumn(
+        "h_lo", F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+    )
+    bit_sums = []
+    for j in range(32):
+        bit_sums.append(
+            F.sum(F.when(F.shiftright(F.col("h_lo"), j).bitwiseAND(1) == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{j}")
+        )
+    for j in range(32):
+        bit_sums.append(
+            F.sum(F.when(F.shiftright(F.col("h_hi"), j).bitwiseAND(1) == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{32 + j}")
+        )
+    wide = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for j in range(63):  # top bit left 0: keeps the value non-negative
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return wide.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup candidates via 4x16-bit band blocking (any identical band ->
+    candidate; guaranteed to catch all pairs with hamming <= 3), verified by
+    exact popcount of the XOR."""
+    sh = simhash64(docs, **kw)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1) for i in range(4)])
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    ham = sum(F.shiftright(xor, j).bitwiseAND(1) for j in range(64))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs to a keep-set: drop any doc that appears as
+    the 'b' of a pair with a smaller keeper (greedy min-id union: b>a always
+    here, so dropping all b's keeps exactly the min-id representative of
+    every connected component's star; chained components resolve over the
+    min window)."""
+    drop = pairs.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(drop, id_col, "left_anti")

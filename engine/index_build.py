@@ -1,0 +1,391 @@
+"""Inverted-index build: doc-sharded, term-bucketed, resumable.
+
+Architecture (scale rationale, SURVEY.md sections 3-4):
+
+- **Doc sharding** (`shard = pmod(xxhash64(url), n_shards)`) is the outer
+  partitioning — the Spark-native form of the reference's 3-shard hash
+  routing (config/search_scheme.json:5). Doc-at-a-time block-max WAND needs
+  every query term's postings co-located per doc subset; doc shards make
+  that true at 10^12 docs and bound the largest head-term posting by the
+  shard size. Shard count scales with the corpus (10^5 at full scale);
+  the hash also acts as the head-term salt: a stopword's postings split
+  across all shards, so no single reducer ever sees a full head-term list
+  (north_rule skew requirement).
+- **Doc ids** are global dense ordinals, contiguous per shard: rank of url
+  within its shard plus the shard's cumulative offset. Deterministic across
+  runs and parallelism levels (no sampling-based range partitioner), which
+  freezes the rank tiebreak and makes resume byte-stable.
+- **Term buckets** (`bucket = pmod(xxhash64(term), n_buckets)`) are the
+  storage partitioning of the postings table (parquet `partitionBy`), the
+  plain-parquet stand-in for Iceberg `PARTITIONED BY (bucket(term))`: a
+  query's terms touch at most |q| bucket directories (partition pruning).
+- **Posting encode** is a generator-based mapInPandas over rows sorted by
+  (shard, term, local_id), carrying groups that straddle Arrow-batch
+  boundaries; numpy StreamVByte inside (engine/postings.py), no per-row
+  Python.
+- **Resume** (north_rule): the tf table and postings are materialized
+  per-bucket; a checkpoint table records completed stages and buckets, a
+  lineage table records per (bucket, shard) doc counts and bytes. A resumed
+  build deletes un-checkpointed partial bucket dirs and rebuilds only
+  missing buckets. (On a real cluster these would be Iceberg snapshot
+  commits; plain parquet + atomic dir renames here.)
+
+Reference parity: replaces the loader pipeline main.go:105-313 (scan ->
+validate -> enrich -> transform -> bulk sink, reject side-files
+write/write.go:8-16, metrics ticker main.go:283-313) with
+scan -> reject-log -> tokenize -> shard -> encode -> segment write ->
+lineage/metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from engine import postings as P
+from engine.textnorm import standard_tokenize_col
+
+DEFAULT_SHARDS = 8
+DEFAULT_BUCKETS = 16
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("df_local", T.IntegerType()),
+        T.StructField("cf_local", T.LongType()),
+        T.StructField("docs_bin", T.BinaryType()),
+        T.StructField("tfs_bin", T.BinaryType()),
+        T.StructField("dls_bin", T.BinaryType()),
+        T.StructField(
+            "blocks",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("first_doc", T.LongType()),
+                        T.StructField("last_doc", T.LongType()),
+                        T.StructField("n", T.IntegerType()),
+                        T.StructField("doc_off", T.IntegerType()),
+                        T.StructField("tf_off", T.IntegerType()),
+                        T.StructField("dl_off", T.IntegerType()),
+                        T.StructField("max_impact", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# reject filter (P2/P3: transform/transform.go:37-45 analog)
+# ---------------------------------------------------------------------------
+
+
+def split_rejects(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """valid docs + reject_log(url, reason, detail) side-output — the single-
+    table replacement for the reference's five error files (write.go:8-16)."""
+    rejects = pages.select(
+        "url",
+        F.when(F.col("text").isNull(), F.lit("missing_text"))
+        .when(F.col("text") == "", F.lit("empty_text"))
+        .alias("reason"),
+        F.lit("").alias("detail"),
+    ).filter(F.col("reason").isNotNull())
+    valid = pages.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return valid, rejects
+
+
+# ---------------------------------------------------------------------------
+# doc-id assignment (deterministic, dense, shard-contiguous)
+# ---------------------------------------------------------------------------
+
+
+def assign_doc_ids(valid: DataFrame, n_shards: int) -> DataFrame:
+    """Adds shard, local_id, doc_id. One shuffle (window by shard); offsets
+    are a tiny driver-side cumulative sum broadcast back — the scalable
+    zipWithIndex pattern, deterministic because shard is a pure hash (no
+    sampled range boundaries)."""
+    spark = valid.sparkSession
+    df = valid.withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int"))
+    counts = {r["shard"]: r["cnt"] for r in df.groupBy("shard").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for s in range(n_shards):
+        offsets[s] = acc
+        acc += counts.get(s, 0)
+    off_df = spark.createDataFrame(
+        [(s, offsets[s]) for s in range(n_shards)], "shard int, shard_offset long"
+    )
+    w = Window.partitionBy("shard").orderBy("url")
+    return (
+        df.join(F.broadcast(off_df), "shard")
+        .withColumn("local_id", F.row_number().over(w).cast("long") - 1)
+        .withColumn("doc_id", F.col("shard_offset") + F.col("local_id"))
+        .drop("shard_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# posting encoder (mapInPandas, group-carry across Arrow batches)
+# ---------------------------------------------------------------------------
+
+
+def _make_encoder(avgdl: float, k1: float, b: float):
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(group: pd.DataFrame, out: list) -> None:
+            locals_ = group["local_id"].to_numpy(np.int64)
+            order = np.argsort(locals_, kind="stable")
+            enc = P.encode_term_postings(
+                locals_[order],
+                group["tf"].to_numpy(np.uint32)[order],
+                group["dl"].to_numpy(np.uint32)[order],
+                avgdl,
+                k1,
+                b,
+            )
+            out.append(
+                (
+                    int(group["bucket"].iloc[0]),
+                    int(group["shard"].iloc[0]),
+                    group["term"].iloc[0],
+                    enc["df"],
+                    enc["cf"],
+                    enc["docs_bin"],
+                    enc["tfs_bin"],
+                    enc["dls_bin"],
+                    enc["blocks"],
+                )
+            )
+
+        cols = list(POSTING_SCHEMA.fieldNames())
+
+        def to_pdf(rows: list) -> pd.DataFrame:
+            return pd.DataFrame(rows, columns=cols)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # group boundaries on (shard, term); rows arrive sorted
+            key = pdf["shard"].astype(str) + "\x00" + pdf["term"]
+            change = np.flatnonzero(key.to_numpy()[1:] != key.to_numpy()[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            out: list = []
+            # last group may straddle into the next batch — carry it
+            for i in range(len(bounds) - 2):
+                flush(pdf.iloc[bounds[i] : bounds[i + 1]], out)
+            carry = pdf.iloc[bounds[-2] : bounds[-1]].copy()
+            if out:
+                yield to_pdf(out)
+        if carry is not None and len(carry):
+            out = []
+            flush(carry, out)
+            yield to_pdf(out)
+
+    return encode
+
+
+# ---------------------------------------------------------------------------
+# checkpoint helpers (plain-parquet stand-ins for Iceberg snapshot commits)
+# ---------------------------------------------------------------------------
+
+
+def _ckpt_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "checkpoint")
+
+
+def _read_ckpt(spark: SparkSession, out_dir: str) -> set[str]:
+    p = _ckpt_path(out_dir)
+    if not os.path.exists(p):
+        return set()
+    return {r["stage"] for r in spark.read.parquet(p).select("stage").distinct().collect()}
+
+
+def _mark_ckpt(spark: SparkSession, out_dir: str, job_id: str, stages: list[str], seq: int) -> None:
+    spark.createDataFrame(
+        [(job_id, s, "done", seq) for s in stages], "job_id string, stage string, status string, seq long"
+    ).coalesce(1).write.mode("append").parquet(_ckpt_path(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# the build
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame | str,
+    out_dir: str,
+    n_shards: int = DEFAULT_SHARDS,
+    n_buckets: int = DEFAULT_BUCKETS,
+    k1: float = P.K1,
+    b: float = P.B,
+    job_id: str = "build-1",
+    resume: bool = False,
+    bucket_chunk: int = 4,
+) -> dict:
+    """Build the full index under out_dir. Returns the manifest dict.
+
+    Layout: stats/ term_stats/ docmap/ tf_table/ postings/ lineage/
+    checkpoint/ reject_log/ metrics/ + MANIFEST.json.
+    """
+    if isinstance(pages, str):
+        pages = spark.read.parquet(pages)
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    done = _read_ckpt(spark, out_dir) if resume else set()
+    seq = len(done)
+
+    def path(name: str) -> str:
+        return os.path.join(out_dir, name)
+
+    # ---- stage: rejects + tokenized docs + doc ids -------------------------
+    valid, rejects = split_rejects(pages)
+    docs = assign_doc_ids(valid, n_shards)
+    docs = docs.select(
+        "url",
+        "shard",
+        "local_id",
+        "doc_id",
+        standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
+    ).withColumn("dl", F.size("tokens"))
+
+    if "docmap" not in done:
+        rejects.write.mode("overwrite").parquet(path("reject_log"))
+        (
+            docs.select("shard", "local_id", "doc_id", "url", "dl")
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("local_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path("docmap"))
+        )
+        _mark_ckpt(spark, out_dir, job_id, ["docmap"], seq)
+        done.add("docmap")
+        seq += 1
+
+    docmap = spark.read.parquet(path("docmap"))
+    n_docs = docmap.count()
+    agg = docmap.agg(F.sum("dl").alias("sum_dl")).collect()[0]
+    sum_dl = int(agg["sum_dl"]) if agg["sum_dl"] is not None else 0
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    if "stats" not in done:
+        n_rejects = spark.read.parquet(path("reject_log")).count()
+        spark.createDataFrame(
+            [(n_docs, float(avgdl), sum_dl, n_rejects)],
+            "n_docs long, avgdl double, sum_dl long, n_rejects long",
+        ).coalesce(1).write.mode("overwrite").parquet(path("stats"))
+        # S8 metrics analog (main.go:283-313): totals written once per job
+        spark.createDataFrame(
+            [
+                (job_id, "docs_read", n_docs + n_rejects),
+                (job_id, "docs_rejected", n_rejects),
+                (job_id, "docs_indexed", n_docs),
+            ],
+            "job_id string, metric string, value long",
+        ).coalesce(1).write.mode("append").parquet(path("metrics"))
+        _mark_ckpt(spark, out_dir, job_id, ["stats"], seq)
+        done.add("stats")
+        seq += 1
+
+    # ---- stage: tf table (materialized intermediate, per-bucket layout) ----
+    if "tf_table" not in done:
+        tf = (
+            docs.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("shard", "term", "local_id", "dl")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        )
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(path("tf_table"))
+        _mark_ckpt(spark, out_dir, job_id, ["tf_table"], seq)
+        done.add("tf_table")
+        seq += 1
+
+    # ---- stage: postings, chunked by bucket with per-bucket checkpoints ----
+    all_buckets = list(range(n_buckets))
+    done_buckets = {int(s.split("=")[1]) for s in done if s.startswith("postings:bucket=")}
+    missing = [bkt for bkt in all_buckets if bkt not in done_buckets]
+    # clean partial (un-checkpointed) bucket dirs from a crashed run
+    post_dir = path("postings")
+    if os.path.exists(post_dir):
+        for d in os.listdir(post_dir):
+            if d.startswith("bucket=") and int(d.split("=")[1]) not in done_buckets:
+                shutil.rmtree(os.path.join(post_dir, d))
+
+    encoder = _make_encoder(avgdl, k1, b)
+    tf_table = spark.read.parquet(path("tf_table"))
+    for i in range(0, len(missing), bucket_chunk):
+        chunk = missing[i : i + bucket_chunk]
+        (
+            tf_table.filter(F.col("bucket").isin(chunk))
+            .repartition(len(chunk) * max(1, n_shards // 2), "bucket", "shard")
+            .sortWithinPartitions("shard", "term", "local_id")
+            .mapInPandas(encoder, POSTING_SCHEMA)
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(post_dir)
+        )
+        _mark_ckpt(spark, out_dir, job_id, [f"postings:bucket={bkt}" for bkt in chunk], seq)
+        seq += 1
+
+    # ---- stage: global term stats + lineage (from the written postings) ----
+    if "term_stats" not in done:
+        post = spark.read.parquet(post_dir)
+        (
+            post.groupBy("bucket", "term")
+            .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+            .repartition(max(1, n_buckets // 2), "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path("term_stats"))
+        )
+        (
+            post.groupBy("bucket", "shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df_local").alias("n_postings"),
+                F.sum(F.length("docs_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+                F.min("term").alias("term_range_lo"),
+                F.max("term").alias("term_range_hi"),
+            )
+            .withColumn("job_id", F.lit(job_id))
+            .withColumn("input_snapshot", F.lit(int(n_docs)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path("lineage"))
+        )
+        _mark_ckpt(spark, out_dir, job_id, ["term_stats"], seq)
+        done.add("term_stats")
+        seq += 1
+
+    manifest = {
+        "n_shards": n_shards,
+        "n_buckets": n_buckets,
+        "k1": k1,
+        "b": b,
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "sum_dl": sum_dl,
+        "analyzer": "standard_lower_v1",
+        "codec": "svb_delta_block128_v1",
+        "job_id": job_id,
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

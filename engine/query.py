@@ -1,0 +1,404 @@
+"""BM25 top-k query engine over the built index.
+
+Execution (SURVEY.md 3.3): analyze the query with the SAME frozen analyzer
+used at index time -> look up per-term global df from term_stats (bucket-
+pruned parquet read, tiny) -> compute Lucene idf on the driver -> read only
+the query terms' posting rows (bucket directory pruning + term pushdown) ->
+groupBy(shard).applyInPandas: per doc-shard top-k with block-max WAND (or
+vectorized TAAT), bounded heap -> broadcast-join the tiny per-shard heaps
+back to docmap for urls -> global orderBy(score desc, doc_id asc).limit(k).
+
+Two physical algorithms, both rank-identical to the oracle:
+- algo="wand": Block-Max WAND (Ding & Suel, public) — list-level upper
+  bounds pick the pivot, block-level max_impact skips blocks without
+  decoding them. The 10^12-doc scale path: work is bounded by the number of
+  blocks whose upper bound beats the running threshold theta.
+- algo="taat": term-at-a-time vectorized numpy accumulation — decodes the
+  query terms' postings fully; fastest at small scale, the brute-force
+  cross-check at any scale.
+
+Scoring spec is frozen (SURVEY.md 5.4): exact dl, idf = ln(1+(N-df+0.5)/
+(df+0.5)), score = sum idf * tf/(tf+k1*(1-b+b*dl/avgdl)), ties doc_id asc.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine import postings as P
+from engine.oracle import analyze_query_py
+
+
+class IndexReader:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["n_docs"]
+        self.avgdl = self.manifest["avgdl"]
+        self.k1 = self.manifest["k1"]
+        self.b = self.manifest["b"]
+        self.n_buckets = self.manifest["n_buckets"]
+
+    def _bucket_of(self, terms: list[str]) -> list[int]:
+        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        rows = df.select(
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+        return [r["b"] for r in rows]
+
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term — bucket-pruned + term-pushdown parquet read."""
+        if not terms:
+            return {}
+        buckets = self._bucket_of(terms)
+        ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+        rows = (
+            ts.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Prefix rewrite against the term dictionary (scoring_boolean)."""
+        ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+        return [
+            r["term"]
+            for r in ts.filter(F.col("term").startswith(prefix)).select("term").collect()
+        ]
+
+    def postings(self, terms: list[str]) -> DataFrame:
+        buckets = self._bucket_of(terms)
+        post = self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        return post.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docmap"))
+
+
+# ---------------------------------------------------------------------------
+# per-shard kernels (run inside applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+_BLOCK_KEYS = ("first_doc", "last_doc", "n", "doc_off", "tf_off", "dl_off", "max_impact")
+
+
+def _norm_blocks(blocks) -> list[tuple]:
+    """Arrow list<struct> arrives as dicts in pandas; the codec indexes
+    positionally — normalize once per list."""
+    return [
+        tuple(blk[k] for k in _BLOCK_KEYS) if isinstance(blk, dict) else tuple(blk)
+        for blk in blocks
+    ]
+
+
+class _Cursor:
+    """Lazy block-decoding cursor over one term's posting list."""
+
+    __slots__ = ("docs_bin", "tfs_bin", "dls_bin", "blocks", "idf",
+                 "blk", "pos", "d", "t", "l", "ub")
+
+    def __init__(self, row, idf: float):
+        self.docs_bin = row.docs_bin
+        self.tfs_bin = row.tfs_bin
+        self.dls_bin = row.dls_bin
+        self.blocks = _norm_blocks(row.blocks)
+        self.idf = idf
+        self.ub = idf * max(blk[6] for blk in self.blocks)  # list-level UB
+        self.blk = -1
+        self.d = self.t = self.l = None
+        self.pos = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.blk = i
+        self.d, self.t, self.l = P.decode_block(
+            self.docs_bin, self.tfs_bin, self.dls_bin, self.blocks, i
+        )
+        self.pos = 0
+
+    def exhausted(self) -> bool:
+        return self.blk >= len(self.blocks)
+
+    def cur_doc(self) -> int:
+        return int(self.d[self.pos])
+
+    def advance_to(self, target: int) -> None:
+        """Position at the first doc >= target (block skip + searchsorted)."""
+        if self.exhausted():
+            return
+        if target <= self.cur_doc():
+            return
+        # skip whole blocks by last_doc metadata — no decode
+        i = self.blk
+        while i < len(self.blocks) and self.blocks[i][1] < target:
+            i += 1
+        if i >= len(self.blocks):
+            self.blk = len(self.blocks)
+            return
+        if i != self.blk:
+            self._load(i)
+        self.pos = int(np.searchsorted(self.d, target, side="left"))
+
+    def block_ub_at(self, target: int) -> tuple[float, int]:
+        """(idf * max_impact, last_doc) of the block that would contain the
+        first posting >= target — metadata only, no decode. (0, +inf) when
+        the list has nothing at or after target."""
+        i = self.blk
+        while i < len(self.blocks) and self.blocks[i][1] < target:
+            i += 1
+        if i >= len(self.blocks):
+            return 0.0, np.iinfo(np.int64).max
+        return self.idf * self.blocks[i][6], self.blocks[i][1]
+
+    def next_doc(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.d):
+            if self.blk + 1 < len(self.blocks):
+                self._load(self.blk + 1)
+            else:
+                self.blk = len(self.blocks)
+
+    def score_cur(self, k1: float, b: float, avgdl: float) -> float:
+        tf = float(self.t[self.pos])
+        dl = float(self.l[self.pos])
+        return self.idf * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _wand_shard_topk(
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float
+) -> list[tuple[int, float]]:
+    """Block-Max WAND over one shard. Returns [(local_id, score)] top-k.
+
+    Heap keys are (score, -local_id) so the weakest entry is the lowest
+    score with the HIGHEST doc id — exact tiebreak doc_id asc. Pruning is
+    strict (skip only when upper bound < theta) so score==theta candidates
+    still get evaluated and can win ties.
+    """
+    cursors = [_Cursor(r, idfs[r.term]) for r in rows if idfs.get(r.term)]
+    heap: list[tuple[float, int]] = []  # (score, -local)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    while True:
+        cursors = [c for c in cursors if not c.exhausted()]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc())
+        # pivot: first prefix whose summed list UBs reach theta
+        th = theta()
+        acc, pivot = 0.0, -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc >= th:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all lists together can't reach theta
+        pivot_doc = cursors[pivot].cur_doc()
+        # lists beyond the pivot sitting on the SAME doc contribute to it —
+        # fold them into the prefix so the aligned bound counts them
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].cur_doc() == pivot_doc:
+            pivot += 1
+        # block-max refinement ALIGNED at the pivot doc (Ding & Suel):
+        # for each prefix list, the max impact of the block that would
+        # contain pivot_doc — metadata only, no decode.
+        aligned = [c.block_ub_at(pivot_doc) for c in cursors[: pivot + 1]]
+        block_acc = sum(ub for ub, _ in aligned)
+        if block_acc < th:
+            # no doc in [pivot_doc, d') can beat theta, where d' is bounded
+            # by the soonest aligned-block boundary AND by the next list's
+            # current doc (lists beyond the pivot weren't counted).
+            boundary = min(last for _, last in aligned) + 1
+            if pivot + 1 < len(cursors):
+                boundary = min(boundary, cursors[pivot + 1].cur_doc())
+            boundary = max(boundary, pivot_doc + 1)
+            for c in cursors[: pivot + 1]:
+                if c.cur_doc() < boundary:
+                    c.advance_to(boundary)
+            continue
+        if cursors[0].cur_doc() == pivot_doc:
+            # all lists before the pivot sit on pivot_doc -> fully score it
+            s = 0.0
+            for c in cursors:
+                if not c.exhausted() and c.cur_doc() == pivot_doc:
+                    s += c.score_cur(k1, b, avgdl)
+            cand = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            for c in cursors:
+                if not c.exhausted() and c.cur_doc() == pivot_doc:
+                    c.next_doc()
+        else:
+            # advance the leading lists up to the pivot doc
+            for c in cursors[:pivot]:
+                if c.cur_doc() < pivot_doc:
+                    c.advance_to(pivot_doc)
+    return [(-nl, s) for s, nl in heap]
+
+
+def _taat_shard_topk(
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time accumulation over one shard."""
+    locals_parts, contrib_parts = [], []
+    n_terms = 0
+    for r in rows:
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        n_terms += 1
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks))
+        contrib = idf * P.bm25_impact(t, l, avgdl, k1, b)
+        locals_parts.append(d)
+        contrib_parts.append(contrib)
+    if not locals_parts:
+        return []
+    locs = np.concatenate(locals_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(locs, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, contribs)
+    if mode == "and":
+        hits = np.bincount(inv, minlength=uniq.size)
+        keep = hits == n_terms
+        uniq, scores = uniq[keep], scores[keep]
+    if uniq.size == 0:
+        return []
+    kk = min(k, uniq.size)
+    order = np.lexsort((uniq, -scores))[:kk]
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+# ---------------------------------------------------------------------------
+# the distributed query
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    reader: IndexReader,
+    query: str | list[str],
+    k: int = 10,
+    mode: str = "or",
+    algo: str = "wand",
+) -> DataFrame:
+    """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
+
+    mode: "or" (ranked union), "and" (conjunctive), "prefix" (dictionary
+    expansion of a single prefix, then ranked union).
+    """
+    spark = reader.spark
+    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    if mode == "prefix":
+        assert len(terms) == 1
+        terms = reader.expand_prefix(terms[0])
+        mode = "or"
+    stats = reader.term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    empty = spark.createDataFrame([], "url string, doc_id long, score double")
+    if not terms:
+        return empty
+    if mode == "and" and algo == "wand":
+        algo = "taat"  # conjunctive path is the vectorized intersection
+
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    n_terms = len(terms)
+
+    def shard_topk(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples())
+        if mode == "and" and len({r.term for r in rows}) < n_terms:
+            return pd.DataFrame({"shard": [], "local_id": [], "score": []}).astype(
+                {"shard": "int32", "local_id": "int64", "score": "float64"}
+            )
+        if algo == "wand" and mode == "or":
+            top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
+        else:
+            top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode)
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    per_shard = (
+        reader.postings(terms)
+        .groupBy("shard")
+        .applyInPandas(shard_topk, "shard int, local_id long, score double")
+    )
+    out = (
+        reader.docmap()
+        .join(F.broadcast(per_shard), ["shard", "local_id"])
+        .select("url", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pure-DataFrame BM25 (no index) — the relational cross-check path
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_dataframe(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = P.K1,
+    b: float = P.B,
+) -> DataFrame:
+    """Brute-force BM25 as a single declarative DataFrame plan (tokenize ->
+    stats -> tf -> score -> top-k). SQL-expressible, used for the DuckDB
+    oracle contract; Catalyst broadcasts the 1-row stats and tiny df table
+    automatically."""
+    from engine.textnorm import standard_tokenize_col
+
+    terms = list(dict.fromkeys(terms))
+    toks = docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("doc_id"),
+        standard_tokenize_col(F.lower(F.col(text_col))).alias("tokens"),
+    )
+    toks = toks.withColumn("dl", F.size("tokens"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return scored

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute-force top-k neighbors for a set of probe
+  vectors — the correctness baseline. Probes broadcast (tiny), corpus
+  scanned once, JVM-side F.aggregate/zip_with arithmetic (SQL-expressible
+  for the DuckDB oracle).
+- lsh_ann_topk: the scale path — random-hyperplane LSH bucketing
+  (deterministic seed); candidates = corpus vectors sharing a bucket with
+  the probe in any of `tables` hash tables; exact cosine re-rank of
+  candidates only. At 100 TB the bucket join replaces the full scan; recall
+  is tested against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Exact cosine top-k per probe: (probe_id, neighbor_id, cos) with
+    rank by cos desc, neighbor_id asc. Excludes self-matches."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    p = probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("cvec"), F.col("pvec")) / (_norm(F.col("cvec")) * _norm(F.col("pvec"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, n_bits, dim))
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket) — sign pattern of `n_bits` random hyperplane
+    dot products per table. Hyperplanes are literal columns (deterministic,
+    shipped in the plan; fine for n_bits*dim in the hundreds)."""
+    out_rows = []
+    planes = _hyperplanes(dim, n_bits, tables, seed)
+    v = F.col(vec_col)
+    for t in range(tables):
+        bucket = F.lit(0)
+        for j in range(n_bits):
+            coeffs = F.array(*[F.lit(float(x)) for x in planes[t, j]])
+            proj = F.aggregate(
+                F.zip_with(v, coeffs, lambda x, c: x * c), F.lit(0.0), lambda acc, x: acc + x
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out_rows.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return df.select(
+        F.col(id_col).alias("vid"), F.explode(F.array(*out_rows)).alias("tb")
+    ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed ANN: bucket-join candidates, exact cosine re-rank."""
+    cb = lsh_buckets(corpus, dim, n_bits, tables, id_col, vec_col, seed)
+    pb = lsh_buckets(probes, dim, n_bits, tables, probe_id_col, vec_col, seed)
+    cand = (
+        cb.join(pb.withColumnRenamed("vid", "probe_id"), ["table", "bucket"])
+        .filter(F.col("vid") != F.col("probe_id"))
+        .select(F.col("probe_id"), F.col("vid").alias("neighbor_id"))
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    p = probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(p), "probe_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("cvec"), F.col("pvec")) / (_norm(F.col("cvec")) * _norm(F.col("pvec"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )

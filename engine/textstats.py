@@ -1,0 +1,119 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column ops (JVM-side, SQL-expressible for
+the DuckDB oracle); deterministic, frozen heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.textnorm import standard_tokenize_col
+
+# Frozen stopword list for the language heuristic + quality scoring.
+EN_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "you", "that", "he",
+    "was", "for", "on", "are", "as", "with", "his", "they", "at", "be",
+    "this", "have", "from", "or", "one", "had", "by", "but", "not", "what",
+    "all", "were", "we", "when", "your", "can", "said", "there",
+)
+CY_STOPWORDS = (
+    "y", "yr", "a", "ac", "i", "o", "yn", "ar", "am", "gan", "mae", "bod",
+    "wedi", "ei", "eu", "un", "dau", "tri", "hi", "fe",
+)
+
+
+def _stopword_hits(tokens_col, words: tuple[str, ...]):
+    return F.size(F.array_intersect(tokens_col, F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language heuristic: distinct-token overlap with the
+    en/cy profiles; 'und' when neither profile hits."""
+    toks = F.array_distinct(standard_tokenize_col(F.lower(F.col(text_col))))
+    d = docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    d = d.withColumn("en_hits", _stopword_hits(F.col("toks"), EN_STOPWORDS)).withColumn(
+        "cy_hits", _stopword_hits(F.col("toks"), CY_STOPWORDS)
+    )
+    return d.select(
+        "doc_id",
+        "en_hits",
+        "cy_hits",
+        F.when((F.col("en_hits") == 0) & (F.col("cy_hits") == 0), F.lit("und"))
+        .when(F.col("en_hits") >= F.col("cy_hits"), F.lit("en"))
+        .otherwise(F.lit("cy"))
+        .alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Frozen quality features + score in [0,1]:
+    - len_score: min(1, n_tokens/100)
+    - punct_ratio: punctuation chars / total chars (lower better)
+    - stopword_ratio: stopword tokens / tokens (mid-range better)
+    - mean_token_len clipped into [2, 12]
+    score = 0.4*len_score + 0.3*(1-min(1,4*punct_ratio))
+          + 0.3*(1 - abs(stopword_ratio - 0.4))"""
+    t = F.col(text_col)
+    toks = standard_tokenize_col(F.lower(t))
+    d = docs.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        toks.alias("toks"),
+    )
+    n_tok = F.size("toks")
+    punct = F.length(F.regexp_replace(F.col("_t"), r"[^!-/:-@\[-`{-~]", ""))
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin([w for w in EN_STOPWORDS]))
+    )
+    d = (
+        d.withColumn("n_tokens", n_tok)
+        .withColumn("len_score", F.least(F.lit(1.0), n_tok / F.lit(100.0)))
+        .withColumn("punct_ratio", punct / F.greatest(F.length("_t"), F.lit(1)))
+        .withColumn("stopword_ratio", stop_hits / F.greatest(n_tok, F.lit(1)))
+    )
+    score = (
+        0.4 * F.col("len_score")
+        + 0.3 * (1.0 - F.least(F.lit(1.0), 4.0 * F.col("punct_ratio")))
+        + 0.3 * (1.0 - F.abs(F.col("stopword_ratio") - 0.4))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round("len_score", 6).alias("len_score"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token accounting: whitespace tokens, word tokens (frozen standard
+    analyzer = the ES token_count field semantics, SURVEY A7), and a BPE-ish
+    subword estimate (word pieces of <=4 chars: ceil(len/4) summed)."""
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    words = standard_tokenize_col(F.lower(t))
+    return docs.filter(t.isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("ws_tokens"),
+        F.size(words).alias("word_tokens"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long")
+        ).alias("bpe_est_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing-style fingerprint: md5 of every token n-gram shingle, keep
+    the lexicographic min — a deterministic 1-value sketch per doc (same
+    answer in any engine with md5)."""
+    from engine.dedup import ngram_shingles
+
+    sh = ngram_shingles(docs, n, id_col, text_col)
+    return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))

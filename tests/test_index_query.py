@@ -1,0 +1,156 @@
+"""End-to-end: index build + BM25 top-k vs the pure-Python oracle
+(SURVEY.md 5.3 items 2 and 4 — rank identity and resume idempotency)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from engine import synth
+from engine.index_build import build_index
+from engine.oracle import Bm25Oracle
+from engine.query import IndexReader, bm25_topk, bm25_topk_dataframe
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "pages.parquet"
+    synth.write_pages(str(p), N_DOCS)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    t = pq.read_table(corpus, columns=["url", "text"])
+    urls = t.column("url").to_pylist()
+    texts = t.column("text").to_pylist()
+    # oracle doc ids must mirror the engine's frozen assignment: dense rank
+    # by (shard, url); recompute shard with the same xxhash64 — via Spark is
+    # circular, so the oracle keys on url and we map via the docmap instead.
+    return urls, texts
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "idx")
+    # tiny Arrow batches force encoder group-carry across batch boundaries
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        manifest = build_index(spark, corpus, out, n_shards=4, n_buckets=8, bucket_chunk=3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    return out, manifest
+
+
+def _oracle_from_docmap(spark, index_dir, corpus):
+    """Build the oracle over (engine doc_id, text) so both sides share ids."""
+    t = pq.read_table(corpus, columns=["url", "text"])
+    text_by_url = dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select("doc_id", "url").collect()
+    docs = [(r["doc_id"], text_by_url[r["url"]]) for r in dm]
+    return Bm25Oracle(sorted(docs))
+
+
+def test_build_outputs(spark, index):
+    out, manifest = index
+    assert manifest["n_docs"] > N_DOCS * 0.95
+    stats = spark.read.parquet(os.path.join(out, "stats")).collect()[0]
+    assert stats["n_docs"] == manifest["n_docs"]
+    assert stats["n_rejects"] > 0  # synthetic nulls/empties flowed to rejects
+    rl = spark.read.parquet(os.path.join(out, "reject_log"))
+    reasons = {r["reason"] for r in rl.select("reason").distinct().collect()}
+    assert reasons == {"missing_text", "empty_text"}
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.count() > 0
+    # lineage covers every (bucket, shard) posting group
+    post = spark.read.parquet(os.path.join(out, "postings"))
+    assert lineage.count() == post.select("bucket", "shard").distinct().count()
+
+
+def test_docmap_deterministic(spark, index, corpus, tmp_path_factory):
+    """Same corpus, different parallelism -> identical doc ids."""
+    out, _ = index
+    out2 = str(tmp_path_factory.mktemp("index2") / "idx")
+    build_index(spark, corpus, out2, n_shards=4, n_buckets=8, bucket_chunk=8)
+    a = spark.read.parquet(os.path.join(out, "docmap")).select("url", "doc_id", "shard", "local_id")
+    b = spark.read.parquet(os.path.join(out2, "docmap")).select("url", "doc_id", "shard", "local_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    shutil.rmtree(out2)
+
+
+@pytest.mark.parametrize("algo", ["wand", "taat"])
+def test_rank_identity_frozen_queries(spark, index, corpus, algo):
+    out, _ = index
+    reader = IndexReader(spark, out)
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    assert oracle.n_docs == reader.n_docs
+    assert oracle.avgdl == pytest.approx(reader.avgdl, rel=1e-12)
+    for q in synth.frozen_queries():
+        mode = {"single": "or", "and": "and", "or": "or", "prefix": "prefix", "absent": "or"}[q["kind"]]
+        got = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, algo=algo).collect()
+        if mode == "prefix":
+            exp_terms = oracle.expand_prefix(q["terms"][0])
+            expected = oracle.topk(exp_terms, k=q["k"], mode="or")
+        else:
+            expected = oracle.topk(q["terms"], k=q["k"], mode=mode)
+        got_ids = [r["doc_id"] for r in got]
+        exp_ids = [d for d, _ in expected]
+        assert got_ids == exp_ids, (q, algo, got_ids, exp_ids)
+        for r, (_, s) in zip(got, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-6), (q, algo)
+        if q["kind"] == "absent":
+            assert got == []
+
+
+def test_dataframe_bm25_matches_oracle(spark, index, corpus):
+    """The declarative no-index scorer agrees with the oracle too."""
+    out, _ = index
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    dm = spark.read.parquet(os.path.join(out, "docmap")).select("doc_id", "url")
+    docs = spark.read.parquet(corpus).join(dm, "url").select("doc_id", "text")
+    q = synth.frozen_queries()[0]
+    got = bm25_topk_dataframe(docs, q["terms"], k=10).collect()
+    expected = oracle.topk(q["terms"], k=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-6)
+
+
+def test_resume_idempotent(spark, corpus, tmp_path_factory, index):
+    """Kill-after-partial-buckets -> resume -> logically identical index,
+    no duplicate lineage, untouched buckets byte-stable."""
+    out, _ = index
+    out2 = str(tmp_path_factory.mktemp("index3") / "idx")
+    build_index(spark, corpus, out2, n_shards=4, n_buckets=8, bucket_chunk=3, job_id="j1")
+
+    # simulate a crash: drop two checkpointed buckets' dirs AND their
+    # checkpoint rows, plus one un-checkpointed partial dir
+    ckpt = spark.read.parquet(os.path.join(out2, "checkpoint"))
+    keep = ckpt.filter(~ckpt.stage.isin(["postings:bucket=2", "postings:bucket=5", "term_stats"]))
+    keep_rows = keep.collect()
+    shutil.rmtree(os.path.join(out2, "checkpoint"))
+    spark.createDataFrame(keep_rows, ckpt.schema).write.parquet(os.path.join(out2, "checkpoint"))
+    shutil.rmtree(os.path.join(out2, "postings", "bucket=2"))
+    # bucket=5 left on disk but NOT checkpointed -> must be wiped + rebuilt
+
+    build_index(spark, corpus, out2, n_shards=4, n_buckets=8, bucket_chunk=3, job_id="j2", resume=True)
+
+    for sub in ["postings", "docmap", "term_stats"]:
+        a = spark.read.parquet(os.path.join(out, sub))
+        b = spark.read.parquet(os.path.join(out2, sub))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, sub
+    # lineage: one row per (bucket, shard), no duplicates after resume
+    lin = spark.read.parquet(os.path.join(out2, "lineage"))
+    assert lin.count() == lin.select("bucket", "shard").distinct().count()
+    # and the resumed index answers queries identically
+    reader = IndexReader(spark, out2)
+    oracle = _oracle_from_docmap(spark, out2, corpus)
+    q = synth.frozen_queries()[5]
+    got = [r["doc_id"] for r in bm25_topk(reader, q["terms"], k=10, mode="and").collect()]
+    assert got == [d for d, _ in oracle.topk(q["terms"], k=10, mode="and")]
+    shutil.rmtree(out2)
