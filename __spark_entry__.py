@@ -1,38 +1,715 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (index build + block-max WAND
+BM25 top-k) on sf0.001. `queries()` exposes one DataFrame callable per
+implemented operator from SURVEY.md section 2 (plus the training-data ops:
+dedup, similarity search, text stats, multimodal plumbing); `oracle_sql()`
+gives the DuckDB-runnable ANSI-SQL twin for every SQL-expressible one.
+
+Column-name + type discipline: every computed column is aliased identically
+on both sides; integral outputs are cast to BIGINT/long on both sides;
+floating outputs are rounded to 6 decimals AFTER any ordering/limiting so
+both engines select the same rows and hash the same values.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.dedup import (
+    MERSENNE_31,
+    _minhash_params,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash64,
+)
+from engine.query import bm25_topk_dataframe
+from engine.textnorm import (
+    COMPANY_NAME_ENDINGS,
+    alphakey_col,
+    analyzer_keyword_token_sort_col,
+    analyzer_limit_first_col,
+    analyzer_startswith_col,
+    analyzer_unique_tf_col,
+    edge_ngram_ascii_col,
+    split_company_name_endings_col,
+    standard_tokenize_col,
+    startswith_no_ws_punc_col,
+)
+from engine.textstats import (
+    CY_STOPWORDS,
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from engine.simsearch import cosine_topk, lsh_ann_topk
+
+K1, B = 1.2, 0.75
+BM25_TERMS = ["hash", "join", "table"]
+WAND_TERMS = ["dup", "key", "fast"]
+JACCARD_N, JACCARD_T = 3, 0.2
+MINHASH_K = 16
+LSH_K, LSH_BANDS, LSH_T = 16, 4, 0.2
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect; ASCII corpus => Java/RE2 regex agree)
+# ---------------------------------------------------------------------------
+
+TOK = r"list_filter(regexp_split_to_array(lower({c}), '\W+'), t -> t != '')"
+H32 = "('0x' || substr(md5({c}), 1, 8))::BIGINT"
+
+# deterministic synthetic company-style name over the documents table — the
+# T1 / alphakey / Layer-A transform inputs (suffix mix incl. the LIMITED
+# quirk and a trailing-punctuation case)
+def NAME_SPARK():
+    return F.concat(
+        F.upper(F.col("source")),
+        F.element_at(
+            F.array(
+                F.lit(" LIMITED"),
+                F.lit(" LLP."),
+                F.lit(" UNLIMITED"),
+                F.lit(""),
+                F.lit(" L.T.D..."),
+            ),
+            (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+        ),
+    )
+NAME_SQL = (
+    "upper(source) || CASE (doc_id % 5) WHEN 0 THEN ' LIMITED' WHEN 1 THEN ' LLP.'"
+    " WHEN 2 THEN ' UNLIMITED' WHEN 3 THEN '' ELSE ' L.T.D...' END"
+)
+
+
+def _t1_case_sql() -> str:
+    """The 71-suffix first-match-wins splitter as one CASE expression
+    (format/format.go:99-118 semantics; see engine.textnorm)."""
+    branches = []
+    for cne in COMPANY_NAME_ENDINGS:
+        esc = cne.replace("'", "''")
+        branches.append(
+            f"WHEN ends_with(stripped, '{esc}') THEN "
+            f"(CASE WHEN ends_with(stripped, ' {esc}') "
+            f"THEN substr(stripped, 1, len(stripped) - {len(cne) + 1}) "
+            f"ELSE stripped END)"
+        )
+    return "CASE " + " ".join(branches) + " ELSE name END"
+
+
+T1_BASE_SQL = f"""
+WITH named AS (
+  SELECT doc_id, {NAME_SQL} AS name FROM documents
+), strip AS (
+  SELECT doc_id, name, regexp_replace(name, '[^A-Za-z0-9_]+$', '') AS stripped FROM named
+), split AS (
+  SELECT doc_id, name, {_t1_case_sql()} AS name_start FROM strip
+), t1 AS (
+  SELECT doc_id, name, name_start,
+         substr(name, len(name_start) + 1) AS name_ending
+  FROM split
+)
+"""
+
+ALPHA_SQL = r"""
+, alpha AS (
+  SELECT doc_id, name, name_start, name_ending,
+         upper(regexp_replace(name_start, '[^A-Za-z0-9]', '', 'g')) AS same_as_alpha_key,
+         array_to_string(list_sort(list_filter(
+           [upper(regexp_replace(w, '[^A-Za-z0-9]', '', 'g'))
+            for w in regexp_split_to_array(name_start, '\s+')], t -> t != '')), ''
+         ) AS ordered_alpha_key
+  FROM t1
+)
+"""
+
+
+def _toks_cte(extra_filter: str = "text IS NOT NULL AND text != ''") -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, {TOK.format(c='text')} AS toks "
+        f"FROM documents WHERE {extra_filter})"
+    )
+
+
+def _shingle_cte(n: int = JACCARD_N) -> str:
+    """Distinct token n-gram shingles per doc (DuckDB slices are inclusive)."""
+    return (
+        _toks_cte()
+        + f""",
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(toks[i:i + {n - 1}], ' ')
+                 for i in range(1, len(toks) - {n} + 2)]) AS shingle
+  FROM toks WHERE len(toks) >= {n}
+)"""
+    )
+
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _minhash_wide_sql(k: int) -> str:
+    params = _minhash_params(k)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_31})::BIGINT AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+{_shingle_cte()},
+h AS (SELECT doc_id, {H32.format(c='shingle')} AS h FROM sh)
+SELECT doc_id, {mins} FROM h GROUP BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    sums = []
+    for j in range(32):
+        sums.append(
+            f"sum(CASE WHEN ((h_lo >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{j}"
+        )
+    for j in range(32):
+        sums.append(
+            f"sum(CASE WHEN ((h_hi >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{32 + j}"
+        )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+    return f"""
+{_toks_cte()},
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok
+),
+hh AS (
+  SELECT doc_id, tf,
+         {H32.format(c='tok')} AS h_hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+  FROM tf
+),
+s AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM s
+"""
+
+
+JACCARD_SQL = f"""
+{_shingle_cte()},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, (sa.sz + sb.sz - inter)::BIGINT AS union_sz,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    rows = LSH_K // LSH_BANDS
+    params = _minhash_params(LSH_K)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_31})::BIGINT AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    bands = ", ".join(
+        "md5(concat_ws(','"
+        + "".join(f", m{i}" for i in range(bnd * rows, (bnd + 1) * rows))
+        + f")) AS b{bnd}"
+        for bnd in range(LSH_BANDS)
+    )
+    band_array = "[" + ", ".join(f"b{i}" for i in range(LSH_BANDS)) + "]"
+    return f"""
+{_shingle_cte()},
+h AS (SELECT doc_id, {H32.format(c='shingle')} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest(range({LSH_BANDS})) AS band,
+         unnest({band_array}) AS bucket
+  FROM (SELECT doc_id, {bands} FROM sig)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE inter / (sa.sz + sb.sz - inter) >= {LSH_T}
+)
+SELECT a, b, jaccard FROM cand JOIN jac USING (a, b)
+"""
+
+
+STOP_EN = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+STOP_CY = "[" + ", ".join(f"'{w}'" for w in CY_STOPWORDS) + "]"
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def q_reject_filter(spark, sf_dir):
+    """P2/P3: null/empty text reject filter (transform.go:37-45 analog)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_keyword_ignore_above(spark, sf_dir):
+    """P5/M4: ignore_above=256 keyword guard (search_scheme.json:105)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") <= 256, F.col("text")).alias("kw"),
+    )
+
+
+def q_t1_split_alphakey(spark, sf_dir):
+    """T1 + alphakey (format.go:99-118; SURVEY 7.3) over synthetic names."""
+    d = _docs(spark, sf_dir).select("doc_id", NAME_SPARK().alias("name"))
+    d = d.withColumn("sp", split_company_name_endings_col(F.col("name")))
+    d = d.withColumn("ak", alphakey_col(F.col("name")))
+    return d.select(
+        "doc_id",
+        "name",
+        F.col("sp.name_start").alias("name_start"),
+        F.col("sp.name_ending").alias("name_ending"),
+        F.col("ak.same_as_alpha_key").alias("same_as_alpha_key"),
+        F.col("ak.ordered_alpha_key").alias("ordered_alpha_key"),
+    )
+
+
+def q_es_document(spark, sf_dir):
+    """T2-T6: Layer-A document assembly (transform.go:36-73) flattened."""
+    d = _docs(spark, sf_dir).select("doc_id", NAME_SPARK().alias("name"))
+    d = d.withColumn("ak", alphakey_col(F.col("name")))
+    return d.select(
+        "doc_id",
+        F.lit("searchresults#company").alias("kind"),
+        F.format_string("/company/%s", F.col("doc_id").cast("string")).alias("links_self"),
+        F.lit("companies").alias("record_type"),
+        F.concat_ws(":", F.col("ak.ordered_alpha_key"), F.col("doc_id").cast("string")).alias(
+            "ordered_alpha_key_with_id"
+        ),
+    )
+
+
+def q_l1_startswith(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", analyzer_startswith_col(F.col("source")).alias("sw_key"))
+
+
+def q_l2_no_ws_punc(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", NAME_SPARK().alias("name"))
+    return d.select("doc_id", startswith_no_ws_punc_col(F.col("name")).alias("sw_key"))
+
+
+def q_l4_limit_first(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", analyzer_limit_first_col(F.col("text")).alias("first_tok"))
+
+
+def q_l7_keyword_sort(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("source"), F.lit(" & "), F.col("lang")).alias("name")
+    )
+    return d.select("doc_id", analyzer_keyword_token_sort_col(F.col("name")).alias("sort_key"))
+
+
+def q_l8_edge_ngrams(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.filter(F.length("source") >= 2).select(
+        "doc_id", F.explode(edge_ngram_ascii_col(F.col("source"))).alias("gram")
+    )
+
+
+def q_l9_simple_tokens(spark, sf_dir):
+    from engine.textnorm import simple_tokenize_col
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return d.select("doc_id", F.explode(simple_tokenize_col(F.col("text"))).alias("term"))
+
+
+def q_term_tf(spark, sf_dir):
+    """A3: per (doc_id, term) frequency."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    toks = d.select("doc_id", standard_tokenize_col(F.lower(F.col("text"))).alias("toks"))
+    return (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def q_term_df(spark, sf_dir):
+    """A4: document frequency per term (exact countDistinct)."""
+    return (
+        q_term_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """A5: corpus size + average doc length (BM25 idf inputs)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    toks = d.select(F.size(standard_tokenize_col(F.lower(F.col("text")))).cast("long").alias("dl"))
+    return toks.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("dl"), 6).alias("avgdl")
+    )
+
+
+def q_unique_tf(spark, sf_dir):
+    """A6/L3: distinct-token stream (tf capped at 1, analyzer_unique_tf)."""
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return d.select("doc_id", F.explode(analyzer_unique_tf_col(F.col("text"))).alias("term"))
+
+
+def q_token_counts(spark, sf_dir):
+    """A7: token_count field semantics + whitespace/BPE-ish accounting."""
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_bm25_relational(spark, sf_dir):
+    """O3 (oracle path): declarative BM25 top-10, no index."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bm25_topk_dataframe(d, BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_bm25_wand(spark, sf_dir):
+    """O3 (engine path): full index build + block-max WAND top-10.
+
+    Builds the real on-disk index (posting codec, block-max metadata,
+    doc shards) from the documents table, then queries it; the oracle is
+    the same relational BM25 SQL — rank- and score-identity between the
+    physical WAND engine and the declarative definition.
+    """
+    from engine.index_build import build_index
+    from engine.query import IndexReader, bm25_topk
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkft_wand_{abs(hash(os.path.abspath(sf_dir)))}"
+    )
+    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+        build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
+    reader = IndexReader(spark, out_dir)
+    top = bm25_topk(reader, WAND_TERMS, k=10, mode="or", algo="wand")
+    return top.select(
+        F.col("url").cast("long").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return exact_dedup(d).select(
+        "text_hash", "keeper_id", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    sig = minhash_signatures(_docs(spark, sf_dir), k=MINHASH_K, n=JACCARD_N)
+    cols = [F.col("sig")[i].cast("long").alias(f"m{i}") for i in range(MINHASH_K)]
+    return sig.select("doc_id", *cols)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    out = jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_T)
+    return out.select(
+        "a", "b", F.col("inter").cast("long").alias("inter"),
+        F.col("union_sz").cast("long").alias("union_sz"), "jaccard",
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_dedup_lsh(spark, sf_dir):
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def q_lang_id(spark, sf_dir):
+    out = lang_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("cy_hits").cast("long").alias("cy_hits"),
+        "pred_lang",
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "len_score", "punct_ratio", "stopword_ratio", "quality",
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_docs(spark, sf_dir), n=JACCARD_N)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    out = cosine_topk(emb, probes, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_lsh_ann(spark, sf_dir):
+    """ANN scale path — recall checked in tests; rows-only driver check."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    out = lsh_ann_topk(emb, probes, dim=64, k=5, n_bits=8, tables=4)
+    return out.select(
+        "probe_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal binary-column plumbing (deterministic fake decoder)."""
+    from engine.multimodal import extract_features, fake_decoder, synth_media
+
+    media = synth_media(spark, n=60)
+    return extract_features(media, decoder=fake_decoder)
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + block-max WAND BM25 top-10 on sf0.001."""
+    return q_bm25_wand(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "p_reject_filter": q_reject_filter,
+        "p_keyword_ignore_above": q_keyword_ignore_above,
+        "t_name_split_alphakey": q_t1_split_alphakey,
+        "t_es_document": q_es_document,
+        "l1_startswith_key": q_l1_startswith,
+        "l2_no_ws_punc_key": q_l2_no_ws_punc,
+        "l4_limit_first": q_l4_limit_first,
+        "l7_keyword_sort_key": q_l7_keyword_sort,
+        "l8_edge_ngrams": q_l8_edge_ngrams,
+        "l9_simple_tokens": q_l9_simple_tokens,
+        "a3_term_tf": q_term_tf,
+        "a4_term_df": q_term_df,
+        "a5_doc_stats": q_doc_stats,
+        "a6_unique_tf": q_unique_tf,
+        "a7_token_counts": q_token_counts,
+        "bm25_relational_topk": q_bm25_relational,
+        "bm25_wand_topk": q_bm25_wand,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_lsh_pairs": q_dedup_lsh,
+        "stats_lang_id": q_lang_id,
+        "stats_quality_score": q_quality_score,
+        "stats_doc_fingerprint": q_doc_fingerprint,
+        "sim_cosine_topk": q_cosine_topk,
+        "sim_lsh_ann_topk": q_lsh_ann,
+        "mm_media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok_text = TOK.format(c="text")
+    return {
+        "p_reject_filter": (
+            "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "
+            "WHERE text IS NOT NULL AND text != ''"
+        ),
+        "p_keyword_ignore_above": (
+            "SELECT doc_id, CASE WHEN len(text) <= 256 THEN text END AS kw FROM documents"
+        ),
+        "t_name_split_alphakey": T1_BASE_SQL + ALPHA_SQL + (
+            "SELECT doc_id, name, name_start, name_ending, "
+            "same_as_alpha_key, ordered_alpha_key FROM alpha"
+        ),
+        "t_es_document": T1_BASE_SQL + ALPHA_SQL + (
+            "SELECT doc_id, 'searchresults#company' AS kind, "
+            "'/company/' || doc_id::VARCHAR AS links_self, "
+            "'companies' AS record_type, "
+            "ordered_alpha_key || ':' || doc_id::VARCHAR AS ordered_alpha_key_with_id "
+            "FROM alpha"
+        ),
+        "l1_startswith_key": (
+            r"SELECT doc_id, regexp_replace(lower(source), '\s+', '', 'g') AS sw_key "
+            "FROM documents"
+        ),
+        "l2_no_ws_punc_key": (
+            "SELECT doc_id, regexp_replace(lower(" + NAME_SQL + "), "
+            r"'[\s+|!-/:-@\[-`{-~]', '', 'g') AS sw_key FROM documents"
+        ),
+        "l4_limit_first": (
+            f"SELECT doc_id, ({tok_text})[1] AS first_tok FROM documents"
+        ),
+        "l7_keyword_sort_key": (
+            "SELECT doc_id, lower(regexp_replace(replace(source || ' & ' || lang, "
+            "'&', 'and'), '[^a-zA-Z0-9]', '', 'g')) AS sort_key FROM documents"
+        ),
+        "l8_edge_ngrams": (
+            "SELECT doc_id, unnest([substr(lower(source), 1, i) "
+            "for i in range(2, least(20, len(source)) + 1)]) AS gram "
+            "FROM documents WHERE len(source) >= 2"
+        ),
+        "l9_simple_tokens": (
+            r"SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            r"'[^\p{L}]+'), t -> t != '')) AS term FROM documents "
+            "WHERE text IS NOT NULL AND text != ''"
+        ),
+        "a3_term_tf": (
+            _toks_cte()
+            + " SELECT doc_id, term, count(*)::BIGINT AS tf FROM "
+            "(SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY doc_id, term"
+        ),
+        "a4_term_df": (
+            _toks_cte()
+            + ", tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM "
+            "(SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY doc_id, term) "
+            "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"
+        ),
+        "a5_doc_stats": (
+            _toks_cte()
+            + " SELECT count(*)::BIGINT AS n_docs, round(avg(len(toks)::BIGINT), 6) AS avgdl "
+            "FROM toks"
+        ),
+        "a6_unique_tf": (
+            _toks_cte()
+            + " SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks"
+        ),
+        "a7_token_counts": (
+            r"SELECT doc_id, "
+            r"len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != ''))::BIGINT AS ws_tokens, "
+            f"len({tok_text})::BIGINT AS word_tokens, "
+            f"coalesce(list_sum([ceil(len(w) / 4.0)::BIGINT for w in {tok_text}]), 0)::BIGINT AS bpe_est_tokens, "
+            "len(text)::BIGINT AS n_chars FROM documents WHERE text IS NOT NULL"
+        ),
+        "bm25_relational_topk": _bm25_sql(BM25_TERMS),
+        "bm25_wand_topk": _bm25_sql(WAND_TERMS),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
+            "count(*)::BIGINT AS n_dups FROM documents WHERE text IS NOT NULL "
+            "GROUP BY md5(text)"
+        ),
+        "dedup_minhash_sig": _minhash_wide_sql(MINHASH_K),
+        "dedup_jaccard_pairs": JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_lsh_pairs": _lsh_pairs_sql(),
+        "stats_lang_id": (
+            _toks_cte()
+            + f""",
+d AS (SELECT doc_id, list_distinct(toks) AS toks FROM toks),
+h AS (SELECT doc_id,
+        len(list_intersect(toks, {STOP_EN}))::BIGINT AS en_hits,
+        len(list_intersect(toks, {STOP_CY}))::BIGINT AS cy_hits
+      FROM d)
+SELECT doc_id, en_hits, cy_hits,
+       CASE WHEN en_hits = 0 AND cy_hits = 0 THEN 'und'
+            WHEN en_hits >= cy_hits THEN 'en' ELSE 'cy' END AS pred_lang
+FROM h"""
+        ),
+        "stats_quality_score": (
+            f"""
+WITH d AS (
+  SELECT doc_id, text AS _t, {tok_text} AS toks FROM documents
+  WHERE text IS NOT NULL AND text != ''
+), f AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         least(1.0, len(toks) / 100.0) AS len_score,
+         len(regexp_replace(_t, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+           / greatest(len(_t), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in EN_STOPWORDS)})))
+           / greatest(len(toks), 1) AS stopword_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, round(len_score, 6) AS len_score,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.4 * len_score + 0.3 * (1.0 - least(1.0, 4.0 * punct_ratio))
+             + 0.3 * (1.0 - abs(stopword_ratio - 0.4)), 6) AS quality
+FROM f"""
+        ),
+        "stats_doc_fingerprint": (
+            _shingle_cte()
+            + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
+        ),
+        "sim_cosine_topk": """
+WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT probe_id, neighbor_id,
+         round(list_dot_product(cvec, pvec)
+               / (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(pvec, pvec))), 6) AS cos
+  FROM c CROSS JOIN p WHERE neighbor_id != probe_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
+SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 5
+""",
+        # sim_lsh_ann_topk: rows-only (hyperplane literals impractical in SQL)
+        # mm_media_features: rows-only (binary decode plumbing, no SQL analog)
+    }

@@ -1,0 +1,134 @@
+"""Benchmark harness — the driver runs this per round and records the JSON.
+
+Measures the engine's headline paths at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- index_build: full inverted-index build (tokenize -> shard -> tf ->
+  posting encode -> segment write -> stats/lineage) over a deterministic
+  synthetic web corpus sized to the sf (n_docs = SF * 1.2M => 120k docs,
+  ~30M tokens at sf0.1) — the corpus the north_rule targets; the sf-dir
+  documents table (500 rows/sf0.01) is far too small to measure a build.
+- bm25_wand_p50 / bm25_taat_p50: the frozen 20-query set over that index,
+  p50 per-query latency for each algorithm.
+- relational ops at the sf dir: BM25 top-10 (no index), minhash dedup
+  signatures, cosine top-k over embeddings.
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "aux": {...}}
+
+Scaling evidence (north_rule N vs 4N): scripts/run_scaling.sh runs THIS
+file twice via spark-submit at local[8] and local[32] and computes the
+efficiency; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    from engine.session import get_spark
+    from engine import synth
+    from engine.index_build import build_index
+    from engine.query import IndexReader, bm25_topk, bm25_topk_dataframe
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.environ.get("SPARK_GRAFT_SF", "0.1"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(sf * 1_200_000))))
+    out_json = os.environ.get("SPARK_GRAFT_BENCH_OUT", "")
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    queries: dict[str, float] = {}
+    aux: dict[str, float] = {}
+    t_total = time.time()
+
+    work = tempfile.mkdtemp(prefix="sparkft_bench_")
+    corpus = os.path.join(work, "pages.parquet")
+    t0 = time.time()
+    synth.write_pages(corpus, n_docs)
+    aux["synth_sec"] = round(time.time() - t0, 3)
+
+    # ---- index build throughput --------------------------------------------
+    idx = os.path.join(work, "idx")
+    n_shards = max(8, int(cpus))
+    t0 = time.time()
+    manifest = build_index(
+        spark, corpus, idx, n_shards=n_shards, n_buckets=32, bucket_chunk=32
+    )
+    dt = time.time() - t0
+    queries["index_build"] = round(dt, 3)
+    aux["index_docs"] = manifest["n_docs"]
+    aux["index_docs_per_sec"] = round(manifest["n_docs"] / dt, 1)
+
+    # ---- BM25 top-10 latency over the built index --------------------------
+    reader = IndexReader(spark, idx)
+    frozen = synth.frozen_queries()
+    # warm-up (untimed): python-worker spin-up + dictionary/docmap cache fill
+    # — a query server pays this once at startup, not per query
+    bm25_topk(reader, frozen[0]["terms"], k=10, algo="wand").collect()
+    bm25_topk(reader, frozen[0]["terms"], k=10, algo="taat").collect()
+    for algo in ("wand", "taat"):
+        lat = []
+        for q in frozen:
+            mode = {"single": "or", "and": "and", "or": "or",
+                    "prefix": "prefix", "absent": "or"}[q["kind"]]
+            t0 = time.time()
+            bm25_topk(reader, q["terms"], k=q["k"], mode=mode, algo=algo).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        queries[f"bm25_{algo}_p50"] = round(lat[len(lat) // 2], 3)
+        aux[f"bm25_{algo}_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
+    # ---- relational paths on the driver's sf tables ------------------------
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    bm25_topk_dataframe(docs.select("doc_id", "text"), ["hash", "join", "table"], k=10).collect()
+    queries["bm25_relational"] = round(time.time() - t0, 3)
+
+    from engine.dedup import minhash_signatures
+
+    t0 = time.time()
+    minhash_signatures(docs, k=32).count()
+    queries["dedup_minhash"] = round(time.time() - t0, 3)
+
+    from pyspark.sql import functions as F
+    from engine.simsearch import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    t0 = time.time()
+    cosine_topk(emb, probes, k=5).collect()
+    queries["sim_cosine_topk"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+    result = {
+        "metric": "index_build_plus_query_total",
+        "value": round(time.time() - t_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "aux": aux,
+        "cpus": int(cpus),
+        "bench_docs": n_docs,
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

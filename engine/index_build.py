@@ -87,6 +87,19 @@ POSTING_SCHEMA = T.StructType(
 
 
 # ---------------------------------------------------------------------------
+# driver-side small tables: ALWAYS pandas-backed (Arrow -> LocalRelation).
+# A list-backed createDataFrame becomes a Python RDD whose every action
+# respawns pyspark workers (~7s/job measured) — never use it for metadata.
+# ---------------------------------------------------------------------------
+
+
+def _local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    cols = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=[c.strip() for c in cols])
+    return spark.createDataFrame(pdf, schema)
+
+
+# ---------------------------------------------------------------------------
 # reject filter (P2/P3: transform/transform.go:37-45 analog)
 # ---------------------------------------------------------------------------
 
@@ -122,8 +135,8 @@ def assign_doc_ids(valid: DataFrame, n_shards: int) -> DataFrame:
     for s in range(n_shards):
         offsets[s] = acc
         acc += counts.get(s, 0)
-    off_df = spark.createDataFrame(
-        [(s, offsets[s]) for s in range(n_shards)], "shard int, shard_offset long"
+    off_df = _local_df(
+        spark, [(s, offsets[s]) for s in range(n_shards)], "shard int, shard_offset long"
     )
     w = Window.partitionBy("shard").orderBy("url")
     return (
@@ -140,60 +153,67 @@ def assign_doc_ids(valid: DataFrame, n_shards: int) -> DataFrame:
 
 
 def _make_encoder(avgdl: float, k1: float, b: float):
+    """Generator-based mapInPandas encoder: numpy columns end-to-end, all
+    groups of a batch encoded in ONE vectorized pass (postings.encode_groups)
+    — no per-group pandas slicing. Rows arrive sorted by (shard, term,
+    local_id) from sortWithinPartitions; a group straddling an Arrow batch
+    boundary is carried into the next batch as numpy slices."""
+
+    _COLS = ("bucket", "shard", "term", "local_id", "tf", "dl")
+
+    def _grab(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+        return {
+            "bucket": pdf["bucket"].to_numpy(np.int64),
+            "shard": pdf["shard"].to_numpy(np.int64),
+            "term": pdf["term"].to_numpy(object),
+            "local_id": pdf["local_id"].to_numpy(np.int64),
+            "tf": pdf["tf"].to_numpy(np.int64),
+            "dl": pdf["dl"].to_numpy(np.int64),
+        }
+
+    def _emit(arrs: dict[str, np.ndarray], starts: np.ndarray) -> pd.DataFrame:
+        outs = P.encode_groups(
+            arrs["local_id"], arrs["tf"], arrs["dl"], starts, avgdl, k1, b
+        )
+        return pd.DataFrame(
+            {
+                "bucket": arrs["bucket"][starts],
+                "shard": arrs["shard"][starts],
+                "term": arrs["term"][starts],
+                "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
+                "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
+                "docs_bin": [o["docs_bin"] for o in outs],
+                "tfs_bin": [o["tfs_bin"] for o in outs],
+                "dls_bin": [o["dls_bin"] for o in outs],
+                "blocks": [o["blocks"] for o in outs],
+            }
+        )
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-
-        def flush(group: pd.DataFrame, out: list) -> None:
-            locals_ = group["local_id"].to_numpy(np.int64)
-            order = np.argsort(locals_, kind="stable")
-            enc = P.encode_term_postings(
-                locals_[order],
-                group["tf"].to_numpy(np.uint32)[order],
-                group["dl"].to_numpy(np.uint32)[order],
-                avgdl,
-                k1,
-                b,
-            )
-            out.append(
-                (
-                    int(group["bucket"].iloc[0]),
-                    int(group["shard"].iloc[0]),
-                    group["term"].iloc[0],
-                    enc["df"],
-                    enc["cf"],
-                    enc["docs_bin"],
-                    enc["tfs_bin"],
-                    enc["dls_bin"],
-                    enc["blocks"],
-                )
-            )
-
-        cols = list(POSTING_SCHEMA.fieldNames())
-
-        def to_pdf(rows: list) -> pd.DataFrame:
-            return pd.DataFrame(rows, columns=cols)
-
+        carry: dict[str, np.ndarray] | None = None
         for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
             if pdf.empty:
                 continue
-            # group boundaries on (shard, term); rows arrive sorted
-            key = pdf["shard"].astype(str) + "\x00" + pdf["term"]
-            change = np.flatnonzero(key.to_numpy()[1:] != key.to_numpy()[:-1]) + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            out: list = []
-            # last group may straddle into the next batch — carry it
-            for i in range(len(bounds) - 2):
-                flush(pdf.iloc[bounds[i] : bounds[i + 1]], out)
-            carry = pdf.iloc[bounds[-2] : bounds[-1]].copy()
-            if out:
-                yield to_pdf(out)
-        if carry is not None and len(carry):
-            out = []
-            flush(carry, out)
-            yield to_pdf(out)
+            arrs = _grab(pdf)
+            if carry is not None:
+                arrs = {k: np.concatenate([carry[k], arrs[k]]) for k in _COLS}
+                carry = None
+            change = (
+                np.flatnonzero(
+                    (arrs["shard"][1:] != arrs["shard"][:-1])
+                    | (arrs["term"][1:] != arrs["term"][:-1])
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], change))
+            # last group may straddle into the next batch — carry it whole
+            last_start = int(starts[-1])
+            carry = {k: arrs[k][last_start:] for k in _COLS}
+            if len(starts) > 1:
+                head = {k: arrs[k][:last_start] for k in _COLS}
+                yield _emit(head, starts[:-1])
+        if carry is not None and carry["term"].size:
+            yield _emit(carry, np.array([0], dtype=np.int64))
 
     return encode
 
@@ -204,20 +224,27 @@ def _make_encoder(avgdl: float, k1: float, b: float):
 
 
 def _ckpt_path(out_dir: str) -> str:
-    return os.path.join(out_dir, "checkpoint")
+    return os.path.join(out_dir, "checkpoint.jsonl")
 
 
 def _read_ckpt(spark: SparkSession, out_dir: str) -> set[str]:
+    """Completed stages from the checkpoint log. The log is a driver-side
+    append-only JSONL metadata file — the same commit shape as an Iceberg
+    metadata.json chain; stage data itself is always written by executors
+    first, then the stage is committed here (write-then-commit ordering)."""
     p = _ckpt_path(out_dir)
     if not os.path.exists(p):
         return set()
-    return {r["stage"] for r in spark.read.parquet(p).select("stage").distinct().collect()}
+    with open(p) as f:
+        return {json.loads(line)["stage"] for line in f if line.strip()}
 
 
 def _mark_ckpt(spark: SparkSession, out_dir: str, job_id: str, stages: list[str], seq: int) -> None:
-    spark.createDataFrame(
-        [(job_id, s, "done", seq) for s in stages], "job_id string, stage string, status string, seq long"
-    ).coalesce(1).write.mode("append").parquet(_ckpt_path(out_dir))
+    with open(_ckpt_path(out_dir), "a") as f:
+        for s in stages:
+            f.write(json.dumps({"job_id": job_id, "stage": s, "status": "done", "seq": seq}) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
 
 
 # ---------------------------------------------------------------------------
@@ -286,12 +313,14 @@ def build_index(
 
     if "stats" not in done:
         n_rejects = spark.read.parquet(path("reject_log")).count()
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [(n_docs, float(avgdl), sum_dl, n_rejects)],
             "n_docs long, avgdl double, sum_dl long, n_rejects long",
         ).coalesce(1).write.mode("overwrite").parquet(path("stats"))
         # S8 metrics analog (main.go:283-313): totals written once per job
-        spark.createDataFrame(
+        _local_df(
+            spark,
             [
                 (job_id, "docs_read", n_docs + n_rejects),
                 (job_id, "docs_rejected", n_rejects),
@@ -303,20 +332,28 @@ def build_index(
         done.add("stats")
         seq += 1
 
-    # ---- stage: tf table (materialized intermediate, per-bucket layout) ----
-    if "tf_table" not in done:
-        tf = (
-            docs.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
-            .groupBy("shard", "term", "local_id", "dl")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        )
+    # ---- stage: postings ---------------------------------------------------
+    # tf = per (shard, term, doc) frequency with the term's storage bucket.
+    # Two physical strategies, identical output:
+    #  - fused (bucket_chunk >= n_buckets): tokenize -> explode -> partial-agg
+    #    -> ONE shuffle onto (bucket, shard) -> sort -> encode -> write. No
+    #    intermediate materialization; checkpoint unit = the whole stage.
+    #  - chunked: materialize the tf table partitioned by bucket once, then
+    #    encode bucket chunks with per-bucket checkpoints — the resumable
+    #    path for very large corpora (re-tokenization would dwarf the IO).
+    tf = (
+        docs.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("shard", "term", "local_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    chunked = bucket_chunk < n_buckets
+    if chunked and "tf_table" not in done:
         tf.write.mode("overwrite").partitionBy("bucket").parquet(path("tf_table"))
         _mark_ckpt(spark, out_dir, job_id, ["tf_table"], seq)
         done.add("tf_table")
         seq += 1
 
-    # ---- stage: postings, chunked by bucket with per-bucket checkpoints ----
     all_buckets = list(range(n_buckets))
     done_buckets = {int(s.split("=")[1]) for s in done if s.startswith("postings:bucket=")}
     missing = [bkt for bkt in all_buckets if bkt not in done_buckets]
@@ -328,12 +365,16 @@ def build_index(
                 shutil.rmtree(os.path.join(post_dir, d))
 
     encoder = _make_encoder(avgdl, k1, b)
-    tf_table = spark.read.parquet(path("tf_table"))
+    tf_src = spark.read.parquet(path("tf_table")) if chunked else tf
+    default_par = spark.sparkContext.defaultParallelism
     for i in range(0, len(missing), bucket_chunk):
         chunk = missing[i : i + bucket_chunk]
+        # one task per (bucket, shard) cell, capped at ~4x the cores: tasks
+        # scale with the cluster, not with the bucket x shard product
+        n_parts = max(1, min(len(chunk) * n_shards, 4 * default_par))
+        src = tf_src if len(chunk) == n_buckets else tf_src.filter(F.col("bucket").isin(chunk))
         (
-            tf_table.filter(F.col("bucket").isin(chunk))
-            .repartition(len(chunk) * max(1, n_shards // 2), "bucket", "shard")
+            src.repartition(n_parts, "bucket", "shard")
             .sortWithinPartitions("shard", "term", "local_id")
             .mapInPandas(encoder, POSTING_SCHEMA)
             .write.mode("append")

@@ -105,20 +105,46 @@ def extract_features(
 
 
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table exercising the binary plumbing."""
+    """Deterministic fake media table exercising the binary plumbing.
+
+    Built as a pyarrow Table (Arrow -> LocalRelation): list-backed
+    createDataFrame would make every downstream action re-evaluate a
+    Python RDD (slow worker spin-up per job)."""
+    import pyarrow as pa
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
-    rows = []
+    ids, ks, payloads, metas = [], [], [], []
     for i in range(n):
         kind = kinds[i % 3]
         size = int(rng.integers(64, 4096))
-        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
-        meta = {
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-            "width": 64 if kind != "audio" else None,
-            "height": 64 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 30 if kind == "video" else None,
+        ids.append(i)
+        ks.append(kind)
+        payloads.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+        metas.append(
+            {
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "width": 64 if kind != "audio" else None,
+                "height": 64 if kind != "audio" else None,
+                "sample_rate": 16000 if kind == "audio" else None,
+                "n_frames": 30 if kind == "video" else None,
+            }
+        )
+    meta_type = pa.struct(
+        [
+            ("mime", pa.string()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("n_frames", pa.int32()),
+        ]
+    )
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(ks, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, meta_type),
         }
-        rows.append((i, kind, payload, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    )
+    return spark.createDataFrame(table)

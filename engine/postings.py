@@ -142,6 +142,158 @@ def encode_term_postings(
     }
 
 
+def _svb_streams(values: np.ndarray, block_start: np.ndarray, block_n: np.ndarray,
+                 pos_in_block: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized StreamVByte over MANY blocks at once.
+
+    values: uint32 array (all blocks concatenated, block-contiguous).
+    block_start: start index of each block; block_n: values per block;
+    pos_in_block: per-value position within its block.
+    Returns (ctrl_buf, data_buf, ctrl_off, data_off): global control/data
+    byte buffers plus per-block offsets into them. Block i's stream is
+    ctrl_buf[ctrl_off[i]:ctrl_off[i+1]] ++ data_buf[data_off[i]:data_off[i+1]]
+    — byte-identical to svb_encode() run per block.
+    """
+    a = np.ascontiguousarray(values, dtype="<u4")
+    n = a.size
+    lens = np.ones(n, dtype=np.int64)
+    lens[a > 0xFF] = 2
+    lens[a > 0xFFFF] = 3
+    lens[a > 0xFFFFFF] = 4
+    codes = (lens - 1).astype(np.uint8)
+    # data bytes: per-value little-endian prefix bytes, in value order — the
+    # concatenation of every block's data stream already
+    byte_mat = a.view(np.uint8).reshape(n, 4)
+    mask = np.arange(4, dtype=np.int64) < lens[:, None]
+    data_buf = byte_mat[mask]
+    val_data_off = np.concatenate(([0], np.cumsum(lens)))
+    data_off = np.empty(block_start.size + 1, dtype=np.int64)
+    data_off[:-1] = val_data_off[block_start]
+    data_off[-1] = val_data_off[-1]
+    # control bytes: ceil(block_n/4) per block, value j of a block occupies
+    # bits 2*(j%4) of ctrl byte j//4
+    n_ctrl = (block_n + 3) // 4
+    ctrl_off = np.concatenate(([0], np.cumsum(n_ctrl)))
+    block_of_value = np.repeat(np.arange(block_n.size), block_n)
+    ctrl_idx = ctrl_off[block_of_value] + (pos_in_block >> 2)
+    contrib = codes.astype(np.int64) << (2 * (pos_in_block & 3))
+    ctrl_buf = np.bincount(ctrl_idx, weights=contrib, minlength=int(ctrl_off[-1]))
+    ctrl_buf = ctrl_buf.astype(np.uint8)
+    return ctrl_buf, data_buf, ctrl_off, data_off
+
+
+def encode_groups(
+    local_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_start: np.ndarray,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> list[dict]:
+    """Vectorized encode of MANY doc-sorted (shard, term) groups at once —
+    the hot loop of the index build (SURVEY.md 7.4: no per-row Python).
+
+    local_ids/tfs/dls: concatenated postings, sorted by doc id within each
+    group. group_start: start index of each group (ascending, no sentinel).
+    Returns one dict per group with the same keys as encode_term_postings;
+    outputs are byte-identical to calling it per group.
+    """
+    n = local_ids.size
+    if n == 0:
+        return []
+    local_ids = np.ascontiguousarray(local_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
+    dls = np.ascontiguousarray(dls, dtype=np.uint32)
+    group_start = np.ascontiguousarray(group_start, dtype=np.int64)
+    g = group_start.size
+    group_end = np.empty(g, dtype=np.int64)
+    group_end[:-1] = group_start[1:]
+    group_end[-1] = n
+    group_len = group_end - group_start
+
+    # deltas: diff within group; first value of a group = local_id + 1
+    # (relative to the virtual previous doc -1)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = local_ids[1:] - local_ids[:-1]
+    deltas[group_start] = local_ids[group_start] + 1
+    deltas_u32 = deltas.astype(np.uint32)
+
+    # block segmentation: blocks of BLOCK values, aligned to group starts
+    n_blocks_per_group = (group_len + BLOCK - 1) // BLOCK
+    total_blocks = int(n_blocks_per_group.sum())
+    block_group = np.repeat(np.arange(g), n_blocks_per_group)
+    first_block_of_group = np.concatenate(([0], np.cumsum(n_blocks_per_group)))
+    within = np.arange(total_blocks) - first_block_of_group[block_group]
+    block_start = group_start[block_group] + within * BLOCK
+    block_end = np.minimum(block_start + BLOCK, group_end[block_group])
+    block_n = block_end - block_start
+    value_block = np.repeat(np.arange(total_blocks), block_n)
+    pos_in_block = np.arange(n) - block_start[value_block]
+
+    d_ctrl, d_data, d_coff, d_doff = _svb_streams(deltas_u32, block_start, block_n, pos_in_block)
+    t_ctrl, t_data, t_coff, t_doff = _svb_streams(tfs, block_start, block_n, pos_in_block)
+    l_ctrl, l_data, l_coff, l_doff = _svb_streams(dls, block_start, block_n, pos_in_block)
+
+    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    block_max = np.maximum.reduceat(impacts, block_start)
+    first_docs = local_ids[block_start]
+    last_docs = local_ids[block_end - 1]
+    cfs = np.add.reduceat(tfs.astype(np.int64), group_start)
+
+    # Assemble group-contiguous output buffers (blocks laid out ctrl||data,
+    # in block order) with two vectorized scatter-copies per stream; each
+    # group's binary is then ONE slice — no per-block Python.
+    def _assemble(ctrl: np.ndarray, data: np.ndarray, coff: np.ndarray, doff: np.ndarray):
+        clen = coff[1:] - coff[:-1]
+        dlen = doff[1:] - doff[:-1]
+        blk_len = clen + dlen
+        out_off = np.concatenate(([0], np.cumsum(blk_len)))
+        buf = np.empty(int(out_off[-1]), dtype=np.uint8)
+        # ctrl bytes: dest = out_off[blk] + intra
+        intra_c = np.arange(int(clen.sum())) - np.repeat(coff[:-1], clen)
+        buf[np.repeat(out_off[:-1], clen) + intra_c] = ctrl
+        # data bytes: dest = out_off[blk] + clen[blk] + intra
+        intra_d = np.arange(int(dlen.sum())) - np.repeat(doff[:-1], dlen)
+        buf[np.repeat(out_off[:-1] + clen, dlen) + intra_d] = data
+        # per-block offsets WITHIN the owning group's binary
+        rel = out_off[:-1] - out_off[first_block_of_group[block_group]]
+        # per-group byte ranges in buf
+        gro = out_off[first_block_of_group]
+        return buf.tobytes(), rel, gro
+
+    d_buf, doc_off, d_gro = _assemble(d_ctrl, d_data, d_coff, d_doff)
+    t_buf, tf_off, t_gro = _assemble(t_ctrl, t_data, t_coff, t_doff)
+    l_buf, dl_off, l_gro = _assemble(l_ctrl, l_data, l_coff, l_doff)
+
+    fd = first_docs.tolist()
+    ld = last_docs.tolist()
+    bn = block_n.tolist()
+    do_, to_, lo_ = doc_off.tolist(), tf_off.tolist(), dl_off.tolist()
+    bm = block_max.tolist()
+    fbg = first_block_of_group.tolist()
+    dg, tg, lg = d_gro.tolist(), t_gro.tolist(), l_gro.tolist()
+    gl = group_len.tolist()
+    cfl = cfs.tolist()
+    out: list[dict] = []
+    for gi in range(g):
+        b0, b1 = fbg[gi], fbg[gi + 1]
+        out.append(
+            {
+                "docs_bin": d_buf[dg[gi]:dg[gi + 1]],
+                "tfs_bin": t_buf[tg[gi]:tg[gi + 1]],
+                "dls_bin": l_buf[lg[gi]:lg[gi + 1]],
+                "blocks": [
+                    (fd[i], ld[i], bn[i], do_[i], to_[i], lo_[i], bm[i])
+                    for i in range(b0, b1)
+                ],
+                "df": gl[gi],
+                "cf": cfl[gi],
+            }
+        )
+    return out
+
+
 def _block_bounds(blocks: list, i: int, which: int, total_len: int) -> tuple[int, int]:
     off = blocks[i][which]
     end = blocks[i + 1][which] if i + 1 < len(blocks) else total_len

@@ -37,6 +37,10 @@ from engine.oracle import analyze_query_py
 
 
 class IndexReader:
+    # cache the term dictionary / docmap only when comfortably in-memory;
+    # above this the parquet scans (bucket-pruned) are the scale path
+    CACHE_MAX_DOCS = 5_000_000
+
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.dir = index_dir
@@ -47,9 +51,20 @@ class IndexReader:
         self.k1 = self.manifest["k1"]
         self.b = self.manifest["b"]
         self.n_buckets = self.manifest["n_buckets"]
+        self._ts_df: DataFrame | None = None
+        self._dm_df: DataFrame | None = None
+
+    def _term_stats_df(self) -> DataFrame:
+        if self._ts_df is None:
+            ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+            if self.n_docs <= self.CACHE_MAX_DOCS:
+                ts = ts.persist()
+            self._ts_df = ts
+        return self._ts_df
 
     def _bucket_of(self, terms: list[str]) -> list[int]:
-        df = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        # pandas-backed local relation: evaluated JVM-side, no Python RDD
+        df = self.spark.createDataFrame(pd.DataFrame({"term": terms}), "term string")
         rows = df.select(
             F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")
         ).distinct().collect()
@@ -60,7 +75,7 @@ class IndexReader:
         if not terms:
             return {}
         buckets = self._bucket_of(terms)
-        ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+        ts = self._term_stats_df()
         rows = (
             ts.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
             .select("term", "df")
@@ -70,7 +85,7 @@ class IndexReader:
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Prefix rewrite against the term dictionary (scoring_boolean)."""
-        ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+        ts = self._term_stats_df()
         return [
             r["term"]
             for r in ts.filter(F.col("term").startswith(prefix)).select("term").collect()
@@ -82,7 +97,12 @@ class IndexReader:
         return post.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docmap"))
+        if self._dm_df is None:
+            dm = self.spark.read.parquet(os.path.join(self.dir, "docmap"))
+            if self.n_docs <= self.CACHE_MAX_DOCS:
+                dm = dm.persist()
+            self._dm_df = dm
+        return self._dm_df
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +328,11 @@ def bm25_topk(
         mode = "or"
     stats = reader.term_stats(terms)
     terms = [t for t in terms if t in stats]
-    empty = spark.createDataFrame([], "url string, doc_id long, score double")
+    empty = spark.createDataFrame(
+        pd.DataFrame({"url": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64"),
+                      "score": pd.Series(dtype="float64")}),
+        "url string, doc_id long, score double",
+    )
     if not terms:
         return empty
     if mode == "and" and algo == "wand":

@@ -130,11 +130,16 @@ def test_resume_idempotent(spark, corpus, tmp_path_factory, index):
 
     # simulate a crash: drop two checkpointed buckets' dirs AND their
     # checkpoint rows, plus one un-checkpointed partial dir
-    ckpt = spark.read.parquet(os.path.join(out2, "checkpoint"))
-    keep = ckpt.filter(~ckpt.stage.isin(["postings:bucket=2", "postings:bucket=5", "term_stats"]))
-    keep_rows = keep.collect()
-    shutil.rmtree(os.path.join(out2, "checkpoint"))
-    spark.createDataFrame(keep_rows, ckpt.schema).write.parquet(os.path.join(out2, "checkpoint"))
+    import json as _json
+
+    ckpt_path = os.path.join(out2, "checkpoint.jsonl")
+    with open(ckpt_path) as f:
+        lines = [ln for ln in f if ln.strip()]
+    dropped = {"postings:bucket=2", "postings:bucket=5", "term_stats"}
+    with open(ckpt_path, "w") as f:
+        for ln in lines:
+            if _json.loads(ln)["stage"] not in dropped:
+                f.write(ln)
     shutil.rmtree(os.path.join(out2, "postings", "bucket=2"))
     # bucket=5 left on disk but NOT checkpointed -> must be wiped + rebuilt
 
