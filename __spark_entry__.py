@@ -105,6 +105,22 @@ def _t1_case_sql() -> str:
     return "CASE " + " ".join(branches) + " ELSE name END"
 
 
+def _t1_cte(where: str = "TRUE") -> str:
+    return f"""
+WITH named AS (
+  SELECT doc_id, {NAME_SQL} AS name FROM documents WHERE {where}
+), strip AS (
+  SELECT doc_id, name, regexp_replace(name, '[^A-Za-z0-9_]+$', '') AS stripped FROM named
+), split AS (
+  SELECT doc_id, name, {_t1_case_sql()} AS name_start FROM strip
+), t1 AS (
+  SELECT doc_id, name, name_start,
+         substr(name, len(name_start) + 1) AS name_ending
+  FROM split
+)
+"""
+
+
 T1_BASE_SQL = f"""
 WITH named AS (
   SELECT doc_id, {NAME_SQL} AS name FROM documents
@@ -524,6 +540,38 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_validate_rejects(spark, sf_dir):
+    """Layer-A validation side-channel (transform.go:37-45, write.go:8-16)."""
+    from engine.transform import companies_from_documents, validate_companies
+
+    comp = companies_from_documents(_docs(spark, sf_dir))
+    _, rejects = validate_companies(comp)
+    return rejects
+
+
+def q_transform_company(spark, sf_dir):
+    """Layer-A full pipeline (main.go:128-279) — EsCompany doc, flattened."""
+    from engine.transform import companies_from_documents, transform_companies
+
+    comp = companies_from_documents(_docs(spark, sf_dir))
+    out = transform_companies(comp)
+    return out.select(
+        F.col("ID").alias("id"),
+        "company_type",
+        "kind",
+        F.col("links.self").alias("links_self"),
+        "ordered_alpha_key_with_id",
+        F.col("items.company_number").alias("company_number"),
+        F.col("items.company_status").alias("company_status"),
+        F.col("items.corporate_name").alias("corporate_name"),
+        F.col("items.corporate_name_start").alias("corporate_name_start"),
+        F.col("items.corporate_name_ending").alias("corporate_name_ending"),
+        F.col("items.record_type").alias("record_type"),
+        F.col("items.alpha_key").alias("alpha_key"),
+        F.col("items.ordered_alpha_key").alias("ordered_alpha_key"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal binary-column plumbing (deterministic fake decoder)."""
     from engine.multimodal import extract_features, fake_decoder, synth_media
@@ -566,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_lsh_pairs": q_dedup_lsh,
+        "t_validate_rejects": q_validate_rejects,
+        "t_transform_company": q_transform_company,
         "stats_lang_id": q_lang_id,
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
@@ -659,6 +709,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_lsh_pairs": _lsh_pairs_sql(),
+        "t_validate_rejects": (
+            "SELECT doc_id::VARCHAR AS id, "
+            "CASE WHEN doc_id % 97 = 0 THEN 'missing_data' "
+            "WHEN doc_id % 89 = 0 THEN 'missing_name' END AS reason "
+            "FROM documents WHERE doc_id % 97 = 0 OR doc_id % 89 = 0"
+        ),
+        "t_transform_company": _t1_cte("doc_id % 97 != 0 AND doc_id % 89 != 0") + ALPHA_SQL + (
+            "SELECT doc_id::VARCHAR AS id, 'ltd' AS company_type, "
+            "'searchresults#company' AS kind, "
+            "'/company/' || doc_id::VARCHAR AS links_self, "
+            "ordered_alpha_key || ':' || doc_id::VARCHAR AS ordered_alpha_key_with_id, "
+            "printf('%08d', doc_id) AS company_number, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'dissolved' ELSE 'active' END AS company_status, "
+            "name AS corporate_name, name_start AS corporate_name_start, "
+            "name_ending AS corporate_name_ending, 'companies' AS record_type, "
+            "same_as_alpha_key AS alpha_key, ordered_alpha_key FROM alpha"
+        ),
         "stats_lang_id": (
             _toks_cte()
             + f""",

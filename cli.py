@@ -1,0 +1,138 @@
+"""spark-submit entry point for the spark-fulltext engine.
+
+The north-rule deployment shape: `spark-submit --py-files dist/engine.zip
+cli.py <command> ...` — the driver script imports the engine from the
+shipped zip, so the same invocation works on a multi-executor cluster
+(--master yarn/k8s) as on local[N].
+
+Commands:
+  build-index  --input <pages.parquet> --output <dir> [--shards N]
+               [--buckets N] [--chunk N] [--resume] [--job-id ID]
+  query        --index <dir> --terms "w1 w2" [--mode or|and|prefix]
+               [--k 10] [--algo wand|taat]
+  bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
+
+Reference parity: replaces run-elastic-search.sh:84-133 (index lifecycle
+driver: delete index -> create from DDL -> exec loader).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="spark-fulltext")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--chunk", type=int, default=0, help="bucket chunk size; 0 = fused single pass")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--job-id", default="build-1")
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", required=True)
+    q.add_argument("--mode", default="or", choices=["or", "and", "prefix"])
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--algo", default="wand", choices=["wand", "taat"])
+
+    s = sub.add_parser("bench-build")
+    s.add_argument("--docs", type=int, default=60000)
+    s.add_argument("--output", default="")
+    s.add_argument("--shards", type=int, default=32)
+    s.add_argument("--buckets", type=int, default=32)
+    s.add_argument("--queries", type=int, default=20, help="frozen queries to time after the build")
+
+    args = ap.parse_args()
+
+    from engine.session import get_spark
+
+    spark = get_spark(f"spark-fulltext-{args.cmd}")
+
+    if args.cmd == "build-index":
+        from engine.index_build import build_index
+
+        chunk = args.chunk if args.chunk > 0 else args.buckets
+        t0 = time.time()
+        manifest = build_index(
+            spark, args.input, args.output, n_shards=args.shards,
+            n_buckets=args.buckets, bucket_chunk=chunk,
+            job_id=args.job_id, resume=args.resume,
+        )
+        print(json.dumps({"built": manifest, "sec": round(time.time() - t0, 2)}))
+
+    elif args.cmd == "query":
+        from engine.query import IndexReader, bm25_topk
+
+        reader = IndexReader(spark, args.index)
+        t0 = time.time()
+        rows = bm25_topk(reader, args.terms, k=args.k, mode=args.mode, algo=args.algo).collect()
+        print(json.dumps({
+            "hits": [{"url": r["url"], "doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+            "sec": round(time.time() - t0, 3),
+        }))
+
+    elif args.cmd == "bench-build":
+        from engine import synth
+        from engine.index_build import build_index
+        from engine.query import IndexReader, bm25_topk
+
+        work = tempfile.mkdtemp(prefix="sparkft_scale_")
+        corpus = os.path.join(work, "pages.parquet")
+        synth.write_pages(corpus, args.docs)
+        idx = os.path.join(work, "idx")
+        # untimed warm-up build: faults in JVM heap + python-worker memory
+        # (first-touch pages are pathologically slow in this sandbox; a real
+        # cluster pays this once at executor start, not per job)
+        warm = os.path.join(work, "warm.parquet")
+        synth.write_pages(warm, 2000)
+        build_index(spark, warm, os.path.join(work, "warm_idx"),
+                    n_shards=args.shards, n_buckets=args.buckets,
+                    bucket_chunk=args.buckets)
+        t0 = time.time()
+        manifest = build_index(
+            spark, corpus, idx, n_shards=args.shards, n_buckets=args.buckets,
+            bucket_chunk=args.buckets,
+        )
+        build_sec = time.time() - t0
+        reader = IndexReader(spark, idx)
+        frozen = synth.frozen_queries()[: args.queries]
+        bm25_topk(reader, frozen[0]["terms"], k=10).collect()  # warm-up
+        lat = []
+        for fq in frozen:
+            mode = {"single": "or", "and": "and", "or": "or",
+                    "prefix": "prefix", "absent": "or"}[fq["kind"]]
+            t0 = time.time()
+            bm25_topk(reader, fq["terms"], k=fq["k"], mode=mode).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        out = {
+            "cores": spark.sparkContext.defaultParallelism,
+            "docs": manifest["n_docs"],
+            "build_sec": round(build_sec, 2),
+            "docs_per_sec": round(manifest["n_docs"] / build_sec, 1),
+            "query_p50_sec": round(lat[len(lat) // 2], 3),
+            "query_p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+        }
+        line = json.dumps(out)
+        print(line)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(line + "\n")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -18,6 +18,8 @@ postings   delta + StreamVByte posting codec + block-max metadata (numpy)
 index_build  doc-sharded, term-bucketed index build w/ lineage + resume
 query      BM25 top-k: block-max WAND engine + brute-force DataFrame path
 oracle     pure-Python brute-force BM25 (the rank-identity judge)
+streaming  incremental segment ingest (Structured Streaming) + Lucene-style
+           segment merge into the standard index layout
 dedup      exact / minhash-LSH / simhash / n-gram-jaccard dedup
 simsearch  embedding cosine top-k (brute force + LSH-bucketed ANN)
 textstats  lang-id, quality scoring, token counting, fingerprinting

@@ -369,9 +369,9 @@ def build_index(
     default_par = spark.sparkContext.defaultParallelism
     for i in range(0, len(missing), bucket_chunk):
         chunk = missing[i : i + bucket_chunk]
-        # one task per (bucket, shard) cell, capped at ~4x the cores: tasks
+        # one task per (bucket, shard) cell, capped at ~2x the cores: tasks
         # scale with the cluster, not with the bucket x shard product
-        n_parts = max(1, min(len(chunk) * n_shards, 4 * default_par))
+        n_parts = max(1, min(len(chunk) * n_shards, 2 * default_par))
         src = tf_src if len(chunk) == n_buckets else tf_src.filter(F.col("bucket").isin(chunk))
         (
             src.repartition(n_parts, "bucket", "shard")

@@ -60,3 +60,50 @@ def test_term_postings_roundtrip(doc_ids, tf_cap):
 def test_idf_matches_lucene_formula():
     assert P.bm25_idf(1, 2) == pytest.approx(np.log(1 + (2 - 1 + 0.5) / 1.5))
     assert P.bm25_idf(10, 10) == pytest.approx(np.log(1 + 0.5 / 10.5))
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_encode_groups_identical_to_per_group(sizes, seed):
+    """The vectorized multi-group encoder is byte-identical to running
+    encode_term_postings per group (incl. >BLOCK groups and 4-pad edges)."""
+    rng = np.random.default_rng(seed)
+    groups, starts, off = [], [], 0
+    for s in sizes:
+        ids = np.sort(rng.choice(100_000, size=s, replace=False))
+        groups.append(
+            (ids, rng.integers(1, 300, size=s).astype(np.uint32),
+             rng.integers(1, 70_000, size=s).astype(np.uint32))
+        )
+        starts.append(off)
+        off += s
+    L = np.concatenate([g[0] for g in groups])
+    T = np.concatenate([g[1] for g in groups])
+    D = np.concatenate([g[2] for g in groups])
+    avgdl = 321.5
+    out = P.encode_groups(L, T, D, np.array(starts), avgdl)
+    assert len(out) == len(groups)
+    for got, (ids, tfs, dls) in zip(out, groups):
+        ref = P.encode_term_postings(ids, tfs, dls, avgdl)
+        for k in ("docs_bin", "tfs_bin", "dls_bin", "df", "cf"):
+            assert got[k] == ref[k]
+        assert [tuple(b) for b in got["blocks"]] == [tuple(b) for b in ref["blocks"]]
+        d, t, l = P.decode_term_postings(
+            got["docs_bin"], got["tfs_bin"], got["dls_bin"], got["blocks"]
+        )
+        assert np.array_equal(d, ids) and np.array_equal(t, tfs) and np.array_equal(l, dls)
+
+
+def test_encode_groups_block_boundaries():
+    """Exact-BLOCK-multiple groups and singleton groups encode correctly."""
+    for n in (1, 4, P.BLOCK - 1, P.BLOCK, P.BLOCK + 1, 2 * P.BLOCK, 2 * P.BLOCK + 3):
+        ids = np.arange(n, dtype=np.int64) * 3
+        tfs = np.full(n, 2, dtype=np.uint32)
+        dls = np.full(n, 50, dtype=np.uint32)
+        got = P.encode_groups(ids, tfs, dls, np.array([0]), 100.0)[0]
+        ref = P.encode_term_postings(ids, tfs, dls, 100.0)
+        assert got["docs_bin"] == ref["docs_bin"]
+        assert [tuple(b) for b in got["blocks"]] == [tuple(b) for b in ref["blocks"]]
