@@ -455,9 +455,10 @@ def q_bm25_wand(spark, sf_dir):
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"sparkft_wand_{abs(hash(os.path.abspath(sf_dir)))}"
-    )
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_wand_{key}")
     if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
         build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
     reader = IndexReader(spark, out_dir)

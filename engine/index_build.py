@@ -19,10 +19,12 @@ Architecture (scale rationale, SURVEY.md sections 3-4):
   storage partitioning of the postings table (parquet `partitionBy`), the
   plain-parquet stand-in for Iceberg `PARTITIONED BY (bucket(term))`: a
   query's terms touch at most |q| bucket directories (partition pruning).
-- **Posting encode** is a generator-based mapInPandas over rows sorted by
-  (shard, term, local_id), carrying groups that straddle Arrow-batch
-  boundaries; numpy StreamVByte inside (engine/postings.py), no per-row
-  Python.
+- **Posting encode** is an Arrow-native mapInArrow over RAW exploded token
+  rows sorted by (shard, term, local_id): tf recovered as run lengths after
+  the sort (a map-side hash agg over the nearly-unique key measured slower
+  than shuffling the extra rows), groups straddling Arrow-batch boundaries
+  carried, numpy StreamVByte encode (engine/postings.py), Arrow buffers in
+  and out — zero Python objects on the hot path.
 - **Resume** (north_rule): the tf table and postings are materialized
   per-bucket; a checkpoint table records completed stages and buckets, a
   lineage table records per (bucket, shard) doc counts and bytes. A resumed
@@ -148,72 +150,122 @@ def assign_doc_ids(valid: DataFrame, n_shards: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# posting encoder (mapInPandas, group-carry across Arrow batches)
+# posting encoder (mapInArrow, group-carry across Arrow batches)
 # ---------------------------------------------------------------------------
 
 
 def _make_encoder(avgdl: float, k1: float, b: float):
-    """Generator-based mapInPandas encoder: numpy columns end-to-end, all
-    groups of a batch encoded in ONE vectorized pass (postings.encode_groups)
-    — no per-group pandas slicing. Rows arrive sorted by (shard, term,
-    local_id) from sortWithinPartitions; a group straddling an Arrow batch
-    boundary is carried into the next batch as numpy slices."""
+    """Arrow-native (mapInArrow) posting encoder: ZERO Python objects on the
+    hot path. Input rows are RAW exploded tokens (one row per occurrence,
+    no tf column) sorted by (shard, term, local_id):
 
-    _COLS = ("bucket", "shard", "term", "local_id", "tf", "dl")
+    - a map-side hash aggregation over the nearly-unique (shard, term,
+      local_id) key costs more than it saves (measured), and the reduce
+      side sorts anyway — tf is recovered here as run lengths, vectorized;
+    - term strings never become Python objects: group boundaries come from
+      pyarrow.compute.not_equal on adjacent slices, group keys from
+      Array.take, output binaries from Array.from_buffers over the
+      encoder's contiguous buffers, and blocks from ListArray.from_arrays
+      — all C++-side.
 
-    def _grab(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
-        return {
-            "bucket": pdf["bucket"].to_numpy(np.int64),
-            "shard": pdf["shard"].to_numpy(np.int64),
-            "term": pdf["term"].to_numpy(object),
-            "local_id": pdf["local_id"].to_numpy(np.int64),
-            "tf": pdf["tf"].to_numpy(np.int64),
-            "dl": pdf["dl"].to_numpy(np.int64),
-        }
+    A group straddling an Arrow batch boundary is carried into the next
+    batch (term as an Arrow slice, numerics as numpy slices).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def _emit(arrs: dict[str, np.ndarray], starts: np.ndarray) -> pd.DataFrame:
-        outs = P.encode_groups(
-            arrs["local_id"], arrs["tf"], arrs["dl"], starts, avgdl, k1, b
+    block_struct = pa.struct(
+        [
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("n", pa.int32()),
+            ("doc_off", pa.int32()),
+            ("tf_off", pa.int32()),
+            ("dl_off", pa.int32()),
+            ("max_impact", pa.float64()),
+        ]
+    )
+
+    def _bin_array(buf: bytes, off: np.ndarray) -> "pa.Array":
+        offsets = off.astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), offsets.size - 1,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)],
         )
-        return pd.DataFrame(
-            {
-                "bucket": arrs["bucket"][starts],
-                "shard": arrs["shard"][starts],
-                "term": arrs["term"][starts],
-                "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
-                "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
-                "docs_bin": [o["docs_bin"] for o in outs],
-                "tfs_bin": [o["tfs_bin"] for o in outs],
-                "dls_bin": [o["dls_bin"] for o in outs],
-                "blocks": [o["blocks"] for o in outs],
-            }
+
+    def _emit(term: "pa.Array", arrs: dict, starts: np.ndarray) -> "pa.RecordBatch":
+        local = arrs["local_id"]
+        n = local.size
+        is_new_group = np.zeros(n, dtype=bool)
+        is_new_group[starts] = True
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (local[1:] != local[:-1]) | is_new_group[1:]
+        run_start = np.flatnonzero(change)
+        tf = np.diff(np.append(run_start, n))
+        dedup_starts = np.flatnonzero(is_new_group[run_start])
+        c = P.encode_groups_columnar(
+            local[run_start], tf, arrs["dl"][run_start], dedup_starts, avgdl, k1, b
+        )
+        idx = pa.array(starts)
+        blocks_flat = pa.StructArray.from_arrays(
+            [
+                pa.array(c["blk_first"]),
+                pa.array(c["blk_last"]),
+                pa.array(c["blk_n"]),
+                pa.array(c["blk_doc_off"]),
+                pa.array(c["blk_tf_off"]),
+                pa.array(c["blk_dl_off"]),
+                pa.array(c["blk_max"]),
+            ],
+            fields=list(block_struct),
+        )
+        blocks = pa.ListArray.from_arrays(
+            pa.array(c["blk_group_off"].astype(np.int32)), blocks_flat
+        )
+        return pa.record_batch(
+            [
+                pa.array(arrs["bucket"][starts].astype(np.int32)),
+                pa.array(arrs["shard"][starts].astype(np.int32)),
+                term.take(idx),
+                pa.array(c["df"].astype(np.int32)),
+                pa.array(c["cf"]),
+                _bin_array(c["docs_buf"], c["docs_off"]),
+                _bin_array(c["tfs_buf"], c["tfs_off"]),
+                _bin_array(c["dls_buf"], c["dls_off"]),
+                blocks,
+            ],
+            names=["bucket", "shard", "term", "df_local", "cf_local",
+                   "docs_bin", "tfs_bin", "dls_bin", "blocks"],
         )
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: dict[str, np.ndarray] | None = None
-        for pdf in batches:
-            if pdf.empty:
+    _NUM = ("bucket", "shard", "local_id", "dl")
+
+    def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        carry_term: "pa.Array | None" = None
+        carry: dict | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            arrs = _grab(pdf)
+            term = rb.column("term")
+            arrs = {k: rb.column(k).to_numpy(zero_copy_only=False) for k in _NUM}
             if carry is not None:
-                arrs = {k: np.concatenate([carry[k], arrs[k]]) for k in _COLS}
-                carry = None
-            change = (
-                np.flatnonzero(
-                    (arrs["shard"][1:] != arrs["shard"][:-1])
-                    | (arrs["term"][1:] != arrs["term"][:-1])
-                )
-                + 1
+                term = pa.concat_arrays([carry_term, term])
+                arrs = {k: np.concatenate([carry[k], arrs[k]]) for k in _NUM}
+            n = len(term)
+            tchange = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
             )
+            change = np.flatnonzero(tchange | (arrs["shard"][1:] != arrs["shard"][:-1])) + 1
             starts = np.concatenate(([0], change))
-            # last group may straddle into the next batch — carry it whole
             last_start = int(starts[-1])
-            carry = {k: arrs[k][last_start:] for k in _COLS}
+            carry_term = term.slice(last_start)
+            carry = {k: arrs[k][last_start:] for k in _NUM}
             if len(starts) > 1:
-                head = {k: arrs[k][:last_start] for k in _COLS}
-                yield _emit(head, starts[:-1])
-        if carry is not None and carry["term"].size:
-            yield _emit(carry, np.array([0], dtype=np.int64))
+                head = {k: arrs[k][:last_start] for k in _NUM}
+                yield _emit(term.slice(0, last_start), head, starts[:-1])
+        if carry is not None and carry["local_id"].size:
+            yield _emit(carry_term, carry, np.array([0], dtype=np.int64))
 
     return encode
 
@@ -343,8 +395,6 @@ def build_index(
     #    path for very large corpora (re-tokenization would dwarf the IO).
     tf = (
         docs.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("shard", "term", "local_id", "dl")
-        .agg(F.count("*").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     chunked = bucket_chunk < n_buckets
@@ -376,7 +426,7 @@ def build_index(
         (
             src.repartition(n_parts, "bucket", "shard")
             .sortWithinPartitions("shard", "term", "local_id")
-            .mapInPandas(encoder, POSTING_SCHEMA)
+            .mapInArrow(encoder, POSTING_SCHEMA)
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(post_dir)

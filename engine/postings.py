@@ -182,7 +182,7 @@ def _svb_streams(values: np.ndarray, block_start: np.ndarray, block_n: np.ndarra
     return ctrl_buf, data_buf, ctrl_off, data_off
 
 
-def encode_groups(
+def encode_groups_columnar(
     local_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
@@ -190,14 +190,24 @@ def encode_groups(
     avgdl: float,
     k1: float = K1,
     b: float = B,
-) -> list[dict]:
+) -> dict:
     """Vectorized encode of MANY doc-sorted (shard, term) groups at once —
     the hot loop of the index build (SURVEY.md 7.4: no per-row Python).
 
     local_ids/tfs/dls: concatenated postings, sorted by doc id within each
     group. group_start: start index of each group (ascending, no sentinel).
-    Returns one dict per group with the same keys as encode_term_postings;
-    outputs are byte-identical to calling it per group.
+
+    Returns a fully COLUMNAR result (no per-group Python objects) ready to
+    be wrapped zero-copy into Arrow arrays:
+      df, cf                      int64[g]
+      docs_buf/tfs_buf/dls_buf    bytes (all groups' binaries concatenated)
+      docs_off/tfs_off/dls_off    int64[g+1] group offsets into the bufs
+      blk_first, blk_last         int64[B]   (B = total blocks)
+      blk_n                       int32[B]
+      blk_doc_off/blk_tf_off/blk_dl_off  int32[B] offsets WITHIN the group
+      blk_max                     float64[B]
+      blk_group_off               int64[g+1] block range per group
+    Byte-identical to encode_term_postings run per group.
     """
     n = local_ids.size
     if n == 0:
@@ -266,29 +276,61 @@ def encode_groups(
     t_buf, tf_off, t_gro = _assemble(t_ctrl, t_data, t_coff, t_doff)
     l_buf, dl_off, l_gro = _assemble(l_ctrl, l_data, l_coff, l_doff)
 
-    fd = first_docs.tolist()
-    ld = last_docs.tolist()
-    bn = block_n.tolist()
-    do_, to_, lo_ = doc_off.tolist(), tf_off.tolist(), dl_off.tolist()
-    bm = block_max.tolist()
-    fbg = first_block_of_group.tolist()
-    dg, tg, lg = d_gro.tolist(), t_gro.tolist(), l_gro.tolist()
-    gl = group_len.tolist()
-    cfl = cfs.tolist()
+    return {
+        "df": group_len.astype(np.int64),
+        "cf": cfs.astype(np.int64),
+        "docs_buf": d_buf,
+        "tfs_buf": t_buf,
+        "dls_buf": l_buf,
+        "docs_off": d_gro.astype(np.int64),
+        "tfs_off": t_gro.astype(np.int64),
+        "dls_off": l_gro.astype(np.int64),
+        "blk_first": first_docs.astype(np.int64),
+        "blk_last": last_docs.astype(np.int64),
+        "blk_n": block_n.astype(np.int32),
+        "blk_doc_off": doc_off.astype(np.int32),
+        "blk_tf_off": tf_off.astype(np.int32),
+        "blk_dl_off": dl_off.astype(np.int32),
+        "blk_max": block_max.astype(np.float64),
+        "blk_group_off": first_block_of_group.astype(np.int64),
+    }
+
+
+def encode_groups(
+    local_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_start: np.ndarray,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> list[dict]:
+    """Row-oriented wrapper over encode_groups_columnar: one dict per group
+    with the same keys as encode_term_postings (used by the segment merger
+    and tests; the index-build hot path consumes the columnar form)."""
+    if np.asarray(local_ids).size == 0:
+        return []
+    c = encode_groups_columnar(local_ids, tfs, dls, group_start, avgdl, k1, b)
+    g = c["df"].size
+    fbg = c["blk_group_off"].tolist()
+    fd, ld, bn = c["blk_first"].tolist(), c["blk_last"].tolist(), c["blk_n"].tolist()
+    do_, to_, lo_ = c["blk_doc_off"].tolist(), c["blk_tf_off"].tolist(), c["blk_dl_off"].tolist()
+    bm = c["blk_max"].tolist()
+    dg, tg, lg = c["docs_off"].tolist(), c["tfs_off"].tolist(), c["dls_off"].tolist()
     out: list[dict] = []
     for gi in range(g):
         b0, b1 = fbg[gi], fbg[gi + 1]
         out.append(
             {
-                "docs_bin": d_buf[dg[gi]:dg[gi + 1]],
-                "tfs_bin": t_buf[tg[gi]:tg[gi + 1]],
-                "dls_bin": l_buf[lg[gi]:lg[gi + 1]],
+                "docs_bin": c["docs_buf"][dg[gi]:dg[gi + 1]],
+                "tfs_bin": c["tfs_buf"][tg[gi]:tg[gi + 1]],
+                "dls_bin": c["dls_buf"][lg[gi]:lg[gi + 1]],
                 "blocks": [
                     (fd[i], ld[i], bn[i], do_[i], to_[i], lo_[i], bm[i])
                     for i in range(b0, b1)
                 ],
-                "df": gl[gi],
-                "cf": cfl[gi],
+                "df": int(c["df"][gi]),
+                "cf": int(c["cf"][gi]),
             }
         )
     return out

@@ -29,7 +29,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engine import postings as P
@@ -290,8 +290,7 @@ def _taat_shard_topk(
     locs = np.concatenate(locals_parts)
     contribs = np.concatenate(contrib_parts)
     uniq, inv = np.unique(locs, return_inverse=True)
-    scores = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(scores, inv, contribs)
+    scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
     if mode == "and":
         hits = np.bincount(inv, minlength=uniq.size)
         keep = hits == n_terms
@@ -299,8 +298,23 @@ def _taat_shard_topk(
     if uniq.size == 0:
         return []
     kk = min(k, uniq.size)
-    order = np.lexsort((uniq, -scores))[:kk]
+    order = _topk_order(uniq, scores, kk)
     return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def _topk_order(uniq: np.ndarray, scores: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-kk by (score desc, doc asc): argpartition prune
+    then exact lexsort of the survivors — O(n + k log k), not O(n log n).
+    The partition boundary is widened to include every score tied with the
+    k-th so the doc-id tiebreak stays exact."""
+    n = uniq.size
+    if kk >= n:
+        return np.lexsort((uniq, -scores))
+    part = np.argpartition(-scores, kk - 1)
+    thresh = scores[part[kk - 1]]
+    cand = np.flatnonzero(scores >= thresh)
+    order = cand[np.lexsort((uniq[cand], -scores[cand]))][:kk]
+    return order
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +356,7 @@ def bm25_topk(
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     n_terms = len(terms)
 
-    def shard_topk(pdf_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = list(pdf.itertuples())
         if mode == "and" and len({r.term for r in rows}) < n_terms:
             return pd.DataFrame({"shard": [], "local_id": [], "score": []}).astype(
@@ -373,6 +387,92 @@ def bm25_topk(
         .limit(k)
     )
     return out
+
+
+def bm25_topk_batch(
+    reader: IndexReader,
+    queries: dict[int, list[str]],
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """Evaluate MANY queries in ONE distributed pass (the reference query
+    set is a batch — this is the throughput path, vs bm25_topk's latency
+    path). One postings read covers the union of all query terms (bucket-
+    pruned); per shard, a vectorized TAAT kernel scores every query against
+    the decoded postings; per-shard top-k heaps are unioned and reduced to
+    global top-k per query with a window. Returns (query_id, url, doc_id,
+    score, rank). Compute scales with shards x queries; shuffle is only the
+    tiny per-shard heap output."""
+    spark = reader.spark
+    queries = {int(q): [t for t in dict.fromkeys(ts)] for q, ts in queries.items()}
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    stats = reader.term_stats(all_terms)
+    live_terms = [t for t in all_terms if t in stats]
+    empty = spark.createDataFrame(
+        pd.DataFrame({"query_id": pd.Series(dtype="int64"), "url": pd.Series(dtype=object),
+                      "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64"),
+                      "rank": pd.Series(dtype="int32")}),
+        "query_id long, url string, doc_id long, score double, rank int",
+    )
+    if not live_terms:
+        return empty
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in live_terms}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    qitems = [(qid, [t for t in ts if t in idfs], len(ts)) for qid, ts in queries.items()]
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.itertuples())
+        decoded: dict[str, tuple] = {}
+        for r in rows:
+            d, t, l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            decoded[r.term] = (d, idfs[r.term] * P.bm25_impact(t, l, avgdl, k1, b))
+        out_q, out_l, out_s = [], [], []
+        for qid, terms, n_q in qitems:
+            hit = [decoded[t] for t in terms if t in decoded]
+            if not hit or (mode == "and" and len(hit) != n_q):
+                continue
+            locs = np.concatenate([h[0] for h in hit])
+            contribs = np.concatenate([h[1] for h in hit])
+            uniq, inv = np.unique(locs, return_inverse=True)
+            scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+            if mode == "and":
+                keep = np.bincount(inv, minlength=uniq.size) == len(hit)
+                uniq, scores = uniq[keep], scores[keep]
+            if uniq.size == 0:
+                continue
+            kk = min(k, uniq.size)
+            order = _topk_order(uniq, scores, kk)
+            out_q.append(np.full(kk, qid, dtype=np.int64))
+            out_l.append(uniq[order])
+            out_s.append(scores[order])
+        if not out_q:
+            return pd.DataFrame({"shard": [], "query_id": [], "local_id": [], "score": []}).astype(
+                {"shard": "int32", "query_id": "int64", "local_id": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "shard": np.full(sum(len(x) for x in out_q), pdf_key[0], dtype=np.int32),
+                "query_id": np.concatenate(out_q),
+                "local_id": np.concatenate(out_l),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    per_shard = (
+        reader.postings(live_terms)
+        .groupBy("shard")
+        .applyInPandas(shard_topk, "shard int, query_id long, local_id long, score double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        reader.docmap()
+        .join(F.broadcast(per_shard), ["shard", "local_id"])
+        .select("query_id", "url", "doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 # ---------------------------------------------------------------------------

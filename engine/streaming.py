@@ -112,8 +112,6 @@ def ingest_batch(
 
     tf = (
         d.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("shard", "term", "local_id", "dl")
-        .agg(F.count("*").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     encoder = _make_encoder(run_avgdl, k1, b)
@@ -121,7 +119,7 @@ def ingest_batch(
     (
         tf.repartition(n_parts, "bucket", "shard")
         .sortWithinPartitions("shard", "term", "local_id")
-        .mapInPandas(encoder, POSTING_SCHEMA)
+        .mapInArrow(encoder, POSTING_SCHEMA)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(seg_dir, "postings"))

@@ -113,10 +113,12 @@ def generate_pages(n_docs: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def write_pages(path: str, n_docs: int, seed: int = SEED) -> None:
+def write_pages(path: str, n_docs: int, seed: int = SEED, row_group_size: int = 8192) -> None:
     import pyarrow.parquet as pq
 
-    pq.write_table(generate_pages(n_docs, seed), path)
+    # small row groups => the scan is splittable => the tokenize/explode map
+    # side parallelizes (a single row group would serialize it on one task)
+    pq.write_table(generate_pages(n_docs, seed), path, row_group_size=row_group_size)
 
 
 def frozen_queries(seed: int = SEED) -> list[dict]:

@@ -17,7 +17,8 @@ for CORES in 8 32; do
   echo "=== local[$CORES] ==="
   SPARK_GRAFT_MASTER="local[$CORES]" \
   SPARK_GRAFT_SHUFFLE="$((CORES * 2))" \
-  spark-submit --master "local[$CORES]" \
+  SPARK_GRAFT_DRIVER_MEM=4g \
+  spark-submit --master "local[$CORES]" --driver-memory 4g \
     --conf spark.sql.shuffle.partitions=$((CORES * 2)) \
     --py-files dist/engine.zip \
     cli.py bench-build --docs "$DOCS" --output "/tmp/scale_${CORES}.json" \

@@ -159,3 +159,38 @@ def test_resume_idempotent(spark, corpus, tmp_path_factory, index):
     got = [r["doc_id"] for r in bm25_topk(reader, q["terms"], k=10, mode="and").collect()]
     assert got == [d for d, _ in oracle.topk(q["terms"], k=10, mode="and")]
     shutil.rmtree(out2)
+
+
+def test_batch_query_matches_per_query(spark, index, corpus):
+    """bm25_topk_batch (one distributed pass over many queries) returns the
+    same top-k as the per-query path for every frozen OR/AND query."""
+    from engine.query import bm25_topk_batch
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    frozen = [q for q in synth.frozen_queries() if q["kind"] in ("single", "and", "or", "absent")]
+    queries = {q["query_id"]: q["terms"] for q in frozen if q["kind"] != "and"}
+    got = bm25_topk_batch(reader, queries, k=10, mode="or").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in frozen:
+        if q["kind"] == "and":
+            continue
+        exp = bm25_topk(reader, q["terms"], k=10, mode="or").collect()
+        rows = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in rows] == [r["doc_id"] for r in exp], q
+        for (_, _, s), r in zip(rows, exp):
+            assert s == pytest.approx(r["score"], abs=1e-9)
+    # AND kind via its own batch
+    and_qs = {q["query_id"]: q["terms"] for q in frozen if q["kind"] == "and"}
+    got_and = bm25_topk_batch(reader, and_qs, k=10, mode="and").collect()
+    by_q = {}
+    for r in got_and:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for q in frozen:
+        if q["kind"] != "and":
+            continue
+        exp = bm25_topk(reader, q["terms"], k=10, mode="and").collect()
+        rows = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d in rows] == [r["doc_id"] for r in exp], q
