@@ -541,6 +541,45 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_l6_whitespace_tokens(spark, sf_dir):
+    """L6 analyzer: whitespace tokenize -> lowercase -> asciifold with
+    preserve_original (fold is identity on this ASCII corpus, so the
+    emitted stream is the folded tokens only)."""
+    from engine.textnorm import analyzer_whitespace_token_col
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return d.select("doc_id", F.explode(analyzer_whitespace_token_col(F.col("text"))).alias("tok"))
+
+
+def q_alpha_paging(spark, sf_dir):
+    """O1: alphabetical browse page — global order by the unique
+    ordered_alpha_key_with_id sort key (transform.go:70), first 50."""
+    d = _docs(spark, sf_dir).select("doc_id", NAME_SPARK().alias("name"))
+    d = d.withColumn("ak", alphakey_col(F.col("name")))
+    return (
+        d.select(
+            "doc_id",
+            F.concat_ws(":", F.col("ak.ordered_alpha_key"), F.col("doc_id").cast("string")).alias(
+                "ordered_alpha_key_with_id"
+            ),
+        )
+        .orderBy("ordered_alpha_key_with_id")
+        .limit(50)
+    )
+
+
+def q_metrics_totals(spark, sf_dir):
+    """A1/S8: the run-totals the reference's status ticker reports
+    (main.go:283-313) as one aggregation."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("docs_read"),
+        F.sum((F.col("text").isNotNull() & (F.col("text") != "")).cast("long")).alias("docs_valid"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(standard_tokenize_col(F.lower(F.coalesce("text", F.lit("")))))).cast("long").alias("total_tokens"),
+    )
+
+
 def q_validate_rejects(spark, sf_dir):
     """Layer-A validation side-channel (transform.go:37-45, write.go:8-16)."""
     from engine.transform import companies_from_documents, validate_companies
@@ -600,7 +639,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_startswith_key": q_l1_startswith,
         "l2_no_ws_punc_key": q_l2_no_ws_punc,
         "l4_limit_first": q_l4_limit_first,
+        "l6_whitespace_tokens": q_l6_whitespace_tokens,
         "l7_keyword_sort_key": q_l7_keyword_sort,
+        "o1_alpha_paging": q_alpha_paging,
+        "a1_metrics_totals": q_metrics_totals,
         "l8_edge_ngrams": q_l8_edge_ngrams,
         "l9_simple_tokens": q_l9_simple_tokens,
         "a3_term_tf": q_term_tf,
@@ -657,6 +699,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "l4_limit_first": (
             f"SELECT doc_id, ({tok_text})[1] AS first_tok FROM documents"
+        ),
+        "l6_whitespace_tokens": (
+            r"SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            r"'\s+'), x -> x != '')) AS tok FROM documents "
+            "WHERE text IS NOT NULL AND text != ''"
+        ),
+        "o1_alpha_paging": T1_BASE_SQL + ALPHA_SQL + (
+            "SELECT doc_id, ordered_alpha_key || ':' || doc_id::VARCHAR AS "
+            "ordered_alpha_key_with_id FROM alpha "
+            "ORDER BY ordered_alpha_key_with_id LIMIT 50"
+        ),
+        "a1_metrics_totals": (
+            "SELECT count(*)::BIGINT AS docs_read, "
+            "sum(CASE WHEN text IS NOT NULL AND text != '' THEN 1 ELSE 0 END)::BIGINT AS docs_valid, "
+            "sum(n_chars)::BIGINT AS total_chars, "
+            "sum(len(" + TOK.format(c="coalesce(text, '')") + "))::BIGINT AS total_tokens "
+            "FROM documents"
         ),
         "l7_keyword_sort_key": (
             "SELECT doc_id, lower(regexp_replace(replace(source || ' & ' || lang, "
