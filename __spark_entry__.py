@@ -169,8 +169,14 @@ sh AS (
     )
 
 
-def _bm25_sql(terms: list[str], k: int = 10) -> str:
+def _bm25_sql(terms: list[str], k: int = 10, field_opts: str = "default") -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
+    if field_opts == "nonorms":   # M1: norms off -> b = 0
+        impact = f"tf / (tf + {K1})"
+    elif field_opts == "doconly":  # M2: membership only -> tf = 1
+        impact = f"1.0 / (1.0 + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    else:
+        impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     return f"""
 {_toks_cte()},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -184,13 +190,12 @@ tf AS (
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
 scored AS (
   SELECT doc_id,
-         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf
-             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS score_raw
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY doc_id
 )
 SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY score_raw DESC, doc_id ASC LIMIT {k}
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -434,11 +439,39 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+def _round_rerank(df, k: int = 10):
+    """Deterministic top-k under float-sum noise: both engines' aggregate
+    SUM order is nondeterministic (parallel hash agg), so raw near-ties at
+    the k-boundary can flip between runs/engines. Rank on the 6-dp ROUNDED
+    score with doc_id tiebreak — the caller over-fetches (k+15 raw) so the
+    rounded boundary region is fully present."""
+    return (
+        df.withColumn("score", F.round("score", 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def q_bm25_relational(spark, sf_dir):
     """O3 (oracle path): declarative BM25 top-10, no index."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    out = bm25_topk_dataframe(d, BM25_TERMS, k=10)
-    return out.select("doc_id", F.round("score", 6).alias("score"))
+    out = bm25_topk_dataframe(d, BM25_TERMS, k=25)
+    return _round_rerank(out.select("doc_id", "score"))
+
+
+def _wand_index_dir(spark, sf_dir):
+    """Build (once per sf_dir) the real on-disk index over the documents
+    table; shared by every index-backed driver query."""
+    import hashlib
+
+    from engine.index_build import build_index
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_wand_{key}")
+    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+        d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
+        build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
+    return out_dir
 
 
 def q_bm25_wand(spark, sf_dir):
@@ -449,23 +482,30 @@ def q_bm25_wand(spark, sf_dir):
     the same relational BM25 SQL — rank- and score-identity between the
     physical WAND engine and the declarative definition.
     """
-    from engine.index_build import build_index
     from engine.query import IndexReader, bm25_topk
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"), "text"
-    )
-    import hashlib
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WAND_TERMS, k=25, mode="or", algo="wand")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_wand_{key}")
-    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
-        build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
-    reader = IndexReader(spark, out_dir)
-    top = bm25_topk(reader, WAND_TERMS, k=10, mode="or", algo="wand")
-    return top.select(
-        F.col("url").cast("long").alias("doc_id"), F.round("score", 6).alias("score")
-    )
+
+def q_bm25_nonorms(spark, sf_dir):
+    """M1 (norms: false): BM25 with length normalization off — the
+    'nonorms' field variant of search_scheme.json:163-166."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = bm25_topk_dataframe(d, BM25_TERMS, k=25, field_opts="nonorms")
+    return _round_rerank(out.select("doc_id", "score"))
+
+
+def q_bm25_doconly(spark, sf_dir):
+    """M2 (index_options: docs): membership-only scoring (tf=1), evaluated
+    on the REAL index via the TAAT kernel — the 'doconly' field variant of
+    search_scheme.json:167-170."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WAND_TERMS, k=25, mode="or", algo="taat", field_opts="doconly")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -652,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_token_counts": q_token_counts,
         "bm25_relational_topk": q_bm25_relational,
         "bm25_wand_topk": q_bm25_wand,
+        "bm25_nonorms_topk": q_bm25_nonorms,
+        "bm25_doconly_topk": q_bm25_doconly,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash,
         "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -760,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_relational_topk": _bm25_sql(BM25_TERMS),
         "bm25_wand_topk": _bm25_sql(WAND_TERMS),
+        "bm25_nonorms_topk": _bm25_sql(BM25_TERMS, field_opts="nonorms"),
+        "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
             "count(*)::BIGINT AS n_dups FROM documents WHERE text IS NOT NULL "

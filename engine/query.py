@@ -271,18 +271,29 @@ def _wand_shard_topk(
 
 
 def _taat_shard_topk(
-    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
+    field_opts: str = "default",
 ) -> list[tuple[int, float]]:
-    """Vectorized term-at-a-time accumulation over one shard."""
+    """Vectorized term-at-a-time accumulation over one shard.
+
+    field_opts implements the reference's per-field index options
+    (search_scheme.json, SURVEY 2.6 M1/M2) as scoring variants:
+    - "nonorms" (norms: false): length normalization off -> b = 0
+    - "doconly" (index_options: docs): postings carry membership only ->
+      tf scored as 1
+    """
     locals_parts, contrib_parts = [], []
     n_terms = 0
+    b_eff = 0.0 if field_opts == "nonorms" else b
     for r in rows:
         idf = idfs.get(r.term)
         if not idf:
             continue
         n_terms += 1
         d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks))
-        contrib = idf * P.bm25_impact(t, l, avgdl, k1, b)
+        if field_opts == "doconly":
+            t = np.ones_like(t)
+        contrib = idf * P.bm25_impact(t, l, avgdl, k1, b_eff)
         locals_parts.append(d)
         contrib_parts.append(contrib)
     if not locals_parts:
@@ -328,11 +339,14 @@ def bm25_topk(
     k: int = 10,
     mode: str = "or",
     algo: str = "wand",
+    field_opts: str = "default",
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
     mode: "or" (ranked union), "and" (conjunctive), "prefix" (dictionary
     expansion of a single prefix, then ranked union).
+    field_opts: "default" | "nonorms" (M1) | "doconly" (M2) scoring
+    variants per the reference's per-field index options.
     """
     spark = reader.spark
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
@@ -351,6 +365,14 @@ def bm25_topk(
         return empty
     if mode == "and" and algo == "wand":
         algo = "taat"  # conjunctive path is the vectorized intersection
+    if field_opts != "default" and algo == "wand":
+        # stored block-max impacts bound DEFAULT scoring only; variant
+        # scoring can exceed them (e.g. nonorms on long docs) -> exact TAAT
+        algo = "taat"
+    if algo == "wand" and len(terms) > 8:
+        # many-term queries (prefix expansions): the doc-at-a-time cursor
+        # loop degenerates; vectorized TAAT is both exact and faster
+        algo = "taat"
 
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
@@ -365,7 +387,7 @@ def bm25_topk(
         if algo == "wand" and mode == "or":
             top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
         else:
-            top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode)
+            top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -488,6 +510,7 @@ def bm25_topk_dataframe(
     text_col: str = "text",
     k1: float = P.K1,
     b: float = P.B,
+    field_opts: str = "default",
 ) -> DataFrame:
     """Brute-force BM25 as a single declarative DataFrame plan (tokenize ->
     stats -> tf -> score -> top-k). SQL-expressible, used for the DuckDB
@@ -511,14 +534,18 @@ def bm25_topk_dataframe(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # M1/M2 index-option variants (SURVEY 2.6): nonorms -> b=0;
+    # doconly -> tf scored as 1
+    b_eff = 0.0 if field_opts == "nonorms" else b
+    tf_expr = F.lit(1.0) if field_opts == "doconly" else F.col("tf")
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf")
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            * tf_expr
+            / (tf_expr + k1 * (1.0 - b_eff + b_eff * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
