@@ -51,7 +51,7 @@ from engine.textstats import (
     quality_score,
     token_counts,
 )
-from engine.simsearch import cosine_topk, lsh_ann_topk
+from engine.simsearch import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
 
 K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
@@ -571,6 +571,13 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH variant is the
+    scale path, recall-tested in tests/)."""
+    emb = _emb(spark, sf_dir)
+    return embedding_near_dup_pairs(emb, threshold=0.4, method="exact")
+
+
 def q_lsh_ann(spark, sf_dir):
     """ANN scale path — recall checked in tests; rows-only driver check."""
     emb = _emb(spark, sf_dir)
@@ -705,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
         "sim_cosine_topk": q_cosine_topk,
+        "dedup_embedding_pairs": q_embedding_near_dup,
         "sim_lsh_ann_topk": q_lsh_ann,
         "mm_media_features": q_media_features,
     }
@@ -880,6 +888,15 @@ s AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
 SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 5
+""",
+        "dedup_embedding_pairs": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
         # sim_lsh_ann_topk: rows-only (hyperplane literals impractical in SQL)
         # mm_media_features: rows-only (binary decode plumbing, no SQL analog)

@@ -93,6 +93,58 @@ def lsh_buckets(
     ).select("vid", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int | None = None,
+    n_bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cos >= threshold (cos rounded to 6 for cross-engine determinism).
+
+    method="exact": all-pairs — the correctness baseline (SQL-expressible).
+    method="lsh": random-hyperplane bucket join prunes candidates before
+    the exact cosine verify — the 100TB path (candidates ~ bucket
+    collisions, not n^2); recall vs exact is tested.
+    """
+    c = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
+    d = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    if method == "exact":
+        pairs = c.join(d, F.col("a") < F.col("b"))
+    else:
+        assert dim is not None
+        bk = lsh_buckets(corpus, dim, n_bits, tables, id_col, vec_col, seed)
+        cand = (
+            bk.alias("x")
+            .join(
+                bk.alias("y"),
+                (F.col("x.table") == F.col("y.table"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vid") < F.col("y.vid")),
+            )
+            .select(F.col("x.vid").alias("a"), F.col("y.vid").alias("b"))
+            .distinct()
+        )
+        pairs = cand.join(c, "a").join(d, "b")
+    return (
+        pairs.withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("avec"), F.col("bvec"))
+                / (_norm(F.col("avec")) * _norm(F.col("bvec"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     probes: DataFrame,
