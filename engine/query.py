@@ -63,12 +63,11 @@ class IndexReader:
         return self._ts_df
 
     def _bucket_of(self, terms: list[str]) -> list[int]:
-        # pandas-backed local relation: evaluated JVM-side, no Python RDD
-        df = self.spark.createDataFrame(pd.DataFrame({"term": terms}), "term string")
-        rows = df.select(
-            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int").alias("b")
-        ).distinct().collect()
-        return [r["b"] for r in rows]
+        # driver-side XXH64 (bit-identical to Spark's xxhash64, tested) —
+        # no Spark job just to route terms to buckets
+        from engine.hashing import term_bucket
+
+        return sorted({term_bucket(t, self.n_buckets) for t in terms})
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term — bucket-pruned + term-pushdown parquet read."""
