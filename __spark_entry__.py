@@ -460,13 +460,26 @@ def q_bm25_relational(spark, sf_dir):
 
 
 def _wand_index_dir(spark, sf_dir):
-    """Build (once per sf_dir) the real on-disk index over the documents
-    table; shared by every index-backed driver query."""
+    """Build (once per documents.parquet CONTENT) the real on-disk index
+    over the documents table; shared by every index-backed driver query.
+    The cache key fingerprints the parquet files (path+size+mtime), so a
+    regenerated documents.parquet triggers a rebuild instead of silently
+    serving a stale index."""
     import hashlib
 
     from engine.index_build import build_index
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    h = hashlib.md5(src.encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, fn) for r, _, fns in os.walk(src) for fn in fns
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    key = h.hexdigest()[:16]
     out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_wand_{key}")
     if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
         d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
@@ -660,11 +673,20 @@ def q_transform_company(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal binary-column plumbing (deterministic fake decoder)."""
-    from engine.multimodal import extract_features, fake_decoder, synth_media
+    """Multimodal binary-column plumbing, oracle-checked end-to-end: the
+    documents table becomes opaque binary payloads (media_from_documents),
+    mapInPandas decodes them with the deterministic fake decoder (byte
+    high-nibble histogram — engine/multimodal.py), and the float feature
+    vector is exploded to exact integer counts for the driver compare."""
+    from engine.multimodal import (
+        extract_features,
+        fake_decoder,
+        feature_histogram_counts,
+        media_from_documents,
+    )
 
-    media = synth_media(spark, n=60)
-    return extract_features(media, decoder=fake_decoder)
+    media = media_from_documents(_docs(spark, sf_dir))
+    return feature_histogram_counts(extract_features(media, decoder=fake_decoder))
 
 
 # ---------------------------------------------------------------------------
@@ -898,6 +920,24 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
-        # sim_lsh_ann_topk: rows-only (hyperplane literals impractical in SQL)
-        # mm_media_features: rows-only (binary decode plumbing, no SQL analog)
+        # mm_media_features: the fake decoder is a byte high-nibble histogram;
+        # payload = UTF-8 bytes of text (ASCII corpus: byte i == char i, so
+        # ascii(ch) // 16 == byte >> 4) — fully SQL-expressible.
+        "mm_media_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, len(text)::BIGINT AS n_bytes
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+nib AS (
+  SELECT media_id, ascii(substr(text, i, 1)) // 16 AS dim
+  FROM m, unnest(range(1, len(text) + 1)) AS t(i)
+),
+hist AS (SELECT media_id, dim, count(*)::BIGINT AS cnt FROM nib GROUP BY 1, 2),
+dims AS (SELECT media_id, kind, n_bytes, unnest(range(16)) AS dim FROM m)
+SELECT d.media_id, d.kind, d.n_bytes, d.dim::BIGINT AS dim,
+       coalesce(h.cnt, 0)::BIGINT AS cnt
+FROM dims d LEFT JOIN hist h ON h.media_id = d.media_id AND h.dim = d.dim
+""",
     }

@@ -283,12 +283,25 @@ def _read_ckpt(spark: SparkSession, out_dir: str) -> set[str]:
     """Completed stages from the checkpoint log. The log is a driver-side
     append-only JSONL metadata file — the same commit shape as an Iceberg
     metadata.json chain; stage data itself is always written by executors
-    first, then the stage is committed here (write-then-commit ordering)."""
+    first, then the stage is committed here (write-then-commit ordering).
+
+    Falls back to the legacy `checkpoint/` parquet dir (pre-JSONL format)
+    so resume on an old index does not silently rebuild everything; legacy
+    stages are re-logged to the JSONL on the next _mark_ckpt."""
     p = _ckpt_path(out_dir)
-    if not os.path.exists(p):
-        return set()
-    with open(p) as f:
-        return {json.loads(line)["stage"] for line in f if line.strip()}
+    if os.path.exists(p):
+        with open(p) as f:
+            return {json.loads(line)["stage"] for line in f if line.strip()}
+    legacy = os.path.join(out_dir, "checkpoint")
+    if os.path.isdir(legacy):
+        try:
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(legacy, columns=["stage"])
+            return set(t.column("stage").to_pylist())
+        except Exception:
+            return set()
+    return set()
 
 
 def _mark_ckpt(spark: SparkSession, out_dir: str, job_id: str, stages: list[str], seq: int) -> None:
@@ -319,7 +332,8 @@ def build_index(
     """Build the full index under out_dir. Returns the manifest dict.
 
     Layout: stats/ term_stats/ docmap/ tf_table/ postings/ lineage/
-    checkpoint/ reject_log/ metrics/ + MANIFEST.json.
+    reject_log/ metrics/ + checkpoint.jsonl + MANIFEST.json
+    (legacy checkpoint/ parquet dirs are still readable on resume).
     """
     if isinstance(pages, str):
         pages = spark.read.parquet(pages)

@@ -104,6 +104,59 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table DERIVED from a text corpus: payload =
+    UTF-8 bytes of the text, kind round-robins image/audio/video. Gives the
+    binary-column plumbing an oracle-checkable input (the byte histogram of
+    an ASCII payload is SQL-expressible over the source text), unlike the
+    random synth_media payloads."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    is_audio = F.pmod(F.col(id_col), F.lit(3)) == 1
+    is_video = F.pmod(F.col(id_col), F.lit(3)) == 2
+    return docs.filter(F.col(text_col).isNotNull() & (F.col(text_col) != "")).select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.when(~is_audio, F.lit(64)).cast("int").alias("width"),
+            F.when(~is_audio, F.lit(64)).cast("int").alias("height"),
+            F.when(is_audio, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(is_video, F.lit(30)).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def feature_histogram_counts(features: DataFrame) -> DataFrame:
+    """Driver-gate projection of extract_features output: explode the
+    float feature vector to (media_id, kind, n_bytes, dim, cnt) rows with
+    cnt recovered as the EXACT integer histogram count (value * n_bytes
+    rounds exactly — counts <= n_bytes are far inside float32 precision).
+    List cells crash the driver's row canonicalizer; integer rows also
+    dodge cross-engine float32-rounding flake."""
+    return features.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feature").alias("dim", "value"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("value") * F.col("n_bytes")).cast("long").alias("cnt"),
+    )
+
+
 def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fake media table exercising the binary plumbing.
 

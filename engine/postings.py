@@ -211,7 +211,18 @@ def encode_groups_columnar(
     """
     n = local_ids.size
     if n == 0:
-        return []
+        # properly-shaped empty result (same keys/dtypes as the non-empty
+        # path) so callers indexing by key never see a bare list
+        i64, i32 = np.empty(0, np.int64), np.empty(0, np.int32)
+        zero_off = np.zeros(1, np.int64)
+        return {
+            "df": i64, "cf": i64,
+            "docs_buf": b"", "tfs_buf": b"", "dls_buf": b"",
+            "docs_off": zero_off, "tfs_off": zero_off, "dls_off": zero_off,
+            "blk_first": i64, "blk_last": i64, "blk_n": i32,
+            "blk_doc_off": i32, "blk_tf_off": i32, "blk_dl_off": i32,
+            "blk_max": np.empty(0, np.float64), "blk_group_off": zero_off,
+        }
     local_ids = np.ascontiguousarray(local_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     dls = np.ascontiguousarray(dls, dtype=np.uint32)

@@ -82,12 +82,20 @@ class IndexReader:
         )
         return {r["term"]: r["df"] for r in rows}
 
-    def expand_prefix(self, prefix: str) -> list[str]:
-        """Prefix rewrite against the term dictionary (scoring_boolean)."""
+    def expand_prefix(self, prefix: str, max_expansions: int = 128) -> list[str]:
+        """Prefix rewrite against the term dictionary (scoring_boolean).
+
+        Bounded like Lucene's top_terms_N rewrite: at most max_expansions
+        terms, highest-df first (a 1-char prefix over a web-scale vocabulary
+        must not collect the whole dictionary to the driver)."""
         ts = self._term_stats_df()
         return [
             r["term"]
-            for r in ts.filter(F.col("term").startswith(prefix)).select("term").collect()
+            for r in ts.filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
         ]
 
     def postings(self, terms: list[str]) -> DataFrame:
@@ -354,13 +362,17 @@ def bm25_topk(
         terms = reader.expand_prefix(terms[0])
         mode = "or"
     stats = reader.term_stats(terms)
-    terms = [t for t in terms if t in stats]
+    live_terms = [t for t in terms if t in stats]
+    # conjunctive semantics: a required term absent from the index means no
+    # document can match (aligned with bm25_topk_batch; frozen by test)
+    all_terms_live = len(live_terms) == len(terms)
+    terms = live_terms
     empty = spark.createDataFrame(
         pd.DataFrame({"url": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64"),
                       "score": pd.Series(dtype="float64")}),
         "url string, doc_id long, score double",
     )
-    if not terms:
+    if not terms or (mode == "and" and not all_terms_live):
         return empty
     if mode == "and" and algo == "wand":
         algo = "taat"  # conjunctive path is the vectorized intersection

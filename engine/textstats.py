@@ -94,7 +94,9 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     analyzer = the ES token_count field semantics, SURVEY A7), and a BPE-ish
     subword estimate (word pieces of <=4 chars: ceil(len/4) summed)."""
     t = F.col(text_col)
-    ws = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    # (?U): Java \s matches Unicode whitespace, same as the L1/L6 analyzers
+    # (Python-side split() twin is Unicode-default)
+    ws = F.filter(F.split(t, r"(?U)\s+"), lambda x: x != F.lit(""))
     words = standard_tokenize_col(F.lower(t))
     return docs.filter(t.isNotNull()).select(
         F.col(id_col).alias("doc_id"),

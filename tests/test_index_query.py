@@ -161,6 +161,36 @@ def test_resume_idempotent(spark, corpus, tmp_path_factory, index):
     shutil.rmtree(out2)
 
 
+def test_and_with_absent_term_is_empty(spark, index):
+    """Frozen conjunctive semantics: a required term absent from the index
+    means NO document matches — identical in the single-query and batch
+    paths (and in the pure-Python oracle, oracle.py:73)."""
+    from engine.query import bm25_topk_batch
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    # 'the' is guaranteed present in the synthetic corpus; the other is not
+    terms = ["the", "zzzzabsentterm"]
+    assert bm25_topk(reader, terms, k=10, mode="and").collect() == []
+    assert bm25_topk_batch(reader, {0: terms}, k=10, mode="and").collect() == []
+    # OR mode still ranks on the remaining live term
+    assert len(bm25_topk(reader, terms, k=10, mode="or").collect()) > 0
+
+
+def test_expand_prefix_capped(spark, index):
+    """Prefix expansion is bounded (driver-OOM guard) and df-ordered."""
+    out, _ = index
+    reader = IndexReader(spark, out)
+    capped = reader.expand_prefix("t", max_expansions=3)
+    assert len(capped) <= 3
+    full = reader.expand_prefix("t", max_expansions=100000)
+    if len(full) > 3:
+        stats = reader.term_stats(full)
+        kept_min_df = min(stats[t] for t in capped)
+        dropped_max_df = max(stats[t] for t in full if t not in capped)
+        assert kept_min_df >= dropped_max_df  # highest-df first
+
+
 def test_batch_query_matches_per_query(spark, index, corpus):
     """bm25_topk_batch (one distributed pass over many queries) returns the
     same top-k as the per-query path for every frozen OR/AND query."""

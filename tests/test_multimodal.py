@@ -1,0 +1,102 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape, byte-budget
+partitioning, fake-decoder end-to-end, and the driver-gate integer
+projection (feature_histogram_counts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.multimodal import (
+    default_decoder,
+    extract_features,
+    fake_decoder,
+    feature_histogram_counts,
+    media_from_documents,
+    media_repartition,
+    synth_media,
+)
+
+
+def test_default_decoder_is_honest_stub():
+    with pytest.raises(NotImplementedError):
+        default_decoder(b"\x00\x01", "image")
+
+
+def test_fake_decoder_histogram():
+    payload = bytes([0x00, 0x10, 0x10, 0xFF])
+    hist = fake_decoder(payload, "image")
+    assert hist.shape == (16,)
+    assert hist[0] == pytest.approx(0.25)
+    assert hist[1] == pytest.approx(0.5)
+    assert hist[15] == pytest.approx(0.25)
+    assert hist.sum() == pytest.approx(1.0)
+
+
+def test_extract_features_synth_media(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, decoder=fake_decoder).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+        assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_extract_features_null_payload(spark):
+    pdf = pd.DataFrame(
+        {"media_id": [1, 2], "kind": ["image", "audio"], "payload": [b"abc", None]}
+    )
+    media = spark.createDataFrame(pdf, "media_id long, kind string, payload binary")
+    rows = {r["media_id"]: r for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[1]["feature"] is not None
+    assert rows[2]["n_bytes"] == 0 and rows[2]["feature"] is None
+
+
+def test_media_repartition_byte_budget(spark):
+    media = synth_media(spark, n=50)
+    total = media.agg(F.sum(F.length("payload"))).collect()[0][0]
+    out = media_repartition(media, target_bytes=max(1, total // 4))
+    assert 4 <= out.rdd.getNumPartitions() <= 6
+    assert out.count() == 50
+
+
+def test_media_from_documents_histogram_counts(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["AB ab", "0123456789", None, ""]}
+    )
+    docs = spark.createDataFrame(pdf, "doc_id long, text string")
+    media = media_from_documents(docs)
+    rows = media.collect()
+    # null/empty text filtered; kind round-robins by doc_id
+    assert {r["media_id"] for r in rows} == {0, 1}
+    assert {r["media_id"]: r["kind"] for r in rows} == {0: "image", 1: "audio"}
+    assert bytes(next(r for r in rows if r["media_id"] == 0)["payload"]) == b"AB ab"
+
+    out = feature_histogram_counts(extract_features(media, decoder=fake_decoder))
+    got = {(r["media_id"], r["dim"]): r["cnt"] for r in out.collect()}
+    # 'AB ab': nibbles 4,4,2,6,6 -> dim2:1, dim4:2, dim6:2
+    assert got[(0, 2)] == 1 and got[(0, 4)] == 2 and got[(0, 6)] == 2
+    assert got[(0, 0)] == 0
+    # digits are 0x30-0x39 -> all in dim 3
+    assert got[(1, 3)] == 10
+    # per-media counts sum to n_bytes; 16 dims per media
+    sums = (
+        out.groupBy("media_id")
+        .agg(F.sum("cnt").alias("s"), F.count("*").alias("n"), F.first("n_bytes").alias("b"))
+        .collect()
+    )
+    for r in sums:
+        assert r["s"] == r["b"] and r["n"] == 16
+
+
+def test_feature_counts_exact_under_float32(spark):
+    """cnt = round(float32(cnt/n)*n) must be exact for realistic sizes."""
+    rng = np.random.default_rng(0)
+    for n in (7, 100, 4096):
+        counts = rng.multinomial(n, np.ones(16) / 16)
+        f32 = (counts / counts.sum()).astype(np.float32)
+        back = np.round(f32.astype(np.float64) * n).astype(np.int64)
+        assert (back == counts).all()
