@@ -24,11 +24,13 @@ from pyspark.sql import functions as F
 from engine.dedup import (
     MERSENNE_31,
     _minhash_params,
+    dedup_keep_first,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     simhash64,
+    simhash_near_dup_pairs,
 )
 from engine.query import bm25_topk_dataframe
 from engine.textnorm import (
@@ -57,8 +59,10 @@ K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
 WAND_TERMS = ["dup", "key", "fast"]
 JACCARD_N, JACCARD_T = 3, 0.2
+JACCARD_CAP = 5  # boilerplate-shingle df cap for the capped variant
 MINHASH_K = 16
 LSH_K, LSH_BANDS, LSH_T = 16, 4, 0.2
+SIMHASH_MAXHAM = 40  # wide radius so the band-blocked verify emits rows
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect; ASCII corpus => Java/RE2 regex agree)
@@ -255,7 +259,10 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
 """
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_ctes() -> str:
+    """WITH-block computing `lshp(a, b, jaccard)` — the minhash-banded LSH
+    pairs — reusable by both dedup_lsh_pairs and dedup_keep_first (DuckDB
+    rejects nested WITH, so compose at the CTE level)."""
     rows = LSH_K // LSH_BANDS
     params = _minhash_params(LSH_K)
     mins = ", ".join(
@@ -293,8 +300,73 @@ jac AS (
   SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
   WHERE inter / (sa.sz + sb.sz - inter) >= {LSH_T}
+),
+lshp AS (SELECT a, b, jaccard FROM cand JOIN jac USING (a, b))
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    return _lsh_pairs_ctes() + "SELECT a, b, jaccard FROM lshp"
+
+
+def _jaccard_capped_sql() -> str:
+    """Exact Jaccard over the df-capped shingle universe (cap_shingle_df):
+    shingles with df > JACCARD_CAP removed before the self-join, per-doc
+    sizes computed over the capped set."""
+    return f"""
+{_shingle_cte()},
+sdf AS (SELECT shingle, count(*) AS d FROM sh GROUP BY 1),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE d <= {JACCARD_CAP}),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM shc x JOIN shc y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
 )
-SELECT a, b, jaccard FROM cand JOIN jac USING (a, b)
+SELECT a, b, inter, (sa.sz + sb.sz - inter)::BIGINT AS union_sz,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_T}
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    """4x16-bit band-blocked simhash near-dup pairs with exact XOR-popcount
+    hamming verify (engine/dedup.py simhash_near_dup_pairs twin)."""
+    band_exprs = ", ".join(f"(simhash >> {16 * i}) & 65535" for i in range(4))
+    sums = []
+    for j in range(32):
+        sums.append(f"sum(CASE WHEN ((h_lo >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{j}")
+    for j in range(32):
+        sums.append(f"sum(CASE WHEN ((h_hi >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{32 + j}")
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
+    return f"""
+{_toks_cte()},
+tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok
+),
+hh AS (
+  SELECT doc_id, tf,
+         {H32.format(c='tok')} AS h_hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+  FROM tf
+),
+s AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM s),
+bands AS (
+  SELECT doc_id, simhash, unnest(range(4)) AS band,
+         unnest([{band_exprs}]) AS key
+  FROM fp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAXHAM}
 """
 
 
@@ -542,8 +614,39 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """jaccard_pairs with the boilerplate-shingle df cap ON — the scale
+    guard (cap_shingle_df) oracle-checked."""
+    out = jaccard_pairs(
+        _docs(spark, sf_dir), n=JACCARD_N, threshold=JACCARD_T,
+        max_shingle_df=JACCARD_CAP,
+    )
+    return out.select(
+        "a", "b", F.col("inter").cast("long").alias("inter"),
+        F.col("union_sz").cast("long").alias("union_sz"), "jaccard",
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """simhash near-dup resolver: 4x16-bit band blocking + exact hamming."""
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """keep-first resolver over the LSH near-dup pairs: every doc that is
+    the b-side of a pair is dropped; min-id representative survives."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        d, k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+    )
+    return dedup_keep_first(d, pairs).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
 
 
 def q_dedup_lsh(spark, sf_dir):
@@ -726,8 +829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash,
         "dedup_jaccard_pairs": q_dedup_jaccard,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_lsh_pairs": q_dedup_lsh,
+        "dedup_keep_first": q_dedup_keep_first,
         "t_validate_rejects": q_validate_rejects,
         "t_transform_company": q_transform_company,
         "stats_lang_id": q_lang_id,
@@ -841,8 +947,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_minhash_sig": _minhash_wide_sql(MINHASH_K),
         "dedup_jaccard_pairs": JACCARD_SQL,
+        "dedup_jaccard_capped": _jaccard_capped_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "dedup_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_keep_first": _lsh_pairs_ctes() + (
+            "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT b FROM lshp)"
+        ),
         "t_validate_rejects": (
             "SELECT doc_id::VARCHAR AS id, "
             "CASE WHEN doc_id % 97 = 0 THEN 'missing_data' "

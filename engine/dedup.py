@@ -25,10 +25,14 @@ across reducers by band.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from engine.textnorm import standard_tokenize_col
+
+log = logging.getLogger(__name__)
 
 # Mersenne prime 2^61-1: classic universal-hash modulus, exact in int64/
 # DuckDB HUGEINT arithmetic (products of two <2^61 values overflow int64 —
@@ -80,18 +84,67 @@ def ngram_shingles(
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
+def cap_shingle_df(sh: DataFrame, max_shingle_df: int) -> tuple[DataFrame, int]:
+    """Drop boilerplate shingles with document frequency > max_shingle_df
+    before any shingle self-join (standard near-dup practice): one head
+    shingle shared by m docs would otherwise make m^2 candidate rows — at
+    web scale that's the same explosion head terms cause in the index.
+    Returns (capped shingle table, number of shingles dropped); the drop
+    count is also logged so bounded coverage is never silent."""
+    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
+    n_dropped = hot.count()
+    log.info(
+        "cap_shingle_df: dropping %d boilerplate shingles with df > %d",
+        n_dropped,
+        max_shingle_df,
+    )
+    return sh.join(hot, "shingle", "left_anti"), n_dropped
+
+
+def _jaccard_over_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard restricted to the given (a, b) candidate pairs: join
+    the pairs to the shingle table on BOTH sides, so verification cost is
+    O(candidates x shingles-per-doc) — never the full shingle self-join."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sz_b"), "b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "union_sz", "jaccard")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >=1 shingle.
 
     (a, b, inter, union_sz, jaccard) with a < b, jaccard >= threshold.
+
+    max_shingle_df: when set, shingles with df above it are dropped BEFORE
+    the self-join (cap_shingle_df) and per-doc sizes are computed over the
+    capped shingle universe — the scale guard against boilerplate-shingle
+    m^2 blowup. None keeps exact semantics (the oracle baseline).
     """
     sh = ngram_shingles(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        sh, _ = cap_shingle_df(sh, max_shingle_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,24 +192,9 @@ def minhash_signatures(
     return wide.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    k: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Banded-LSH candidate pairs + exact-Jaccard verification.
-
-    k/bands rows per band hashed together; pairs sharing any band bucket
-    are candidates; verified against exact n-gram Jaccard >= threshold.
-    """
-    assert k % bands == 0
+def _minhash_banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
     rows = k // bands
-    sig = minhash_signatures(docs, k, n, id_col, text_col)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -167,7 +205,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate generation only: distinct (a, b), a < b, that
+    share at least one band bucket. Join keys are (band, bucket) so a hot
+    bucket splits across reducers by band."""
+    assert k % bands == 0
+    sig = minhash_signatures(docs, k, n, id_col, text_col)
+    banded = _minhash_banded(sig, k, bands)
+    return (
         banded.alias("x")
         .join(
             banded.alias("y"),
@@ -178,8 +232,33 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, n, threshold, id_col, text_col).select("a", "b", "jaccard")
-    return cand.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs + candidates-ONLY exact-Jaccard verify.
+
+    k/bands signature rows per band are hashed together; pairs sharing any
+    band bucket are candidates; each candidate is verified by joining the
+    pair list back to the shingle table on both ids (_jaccard_over_pairs),
+    so verification cost is O(candidates), NOT the full shingle self-join
+    — the whole point of LSH pruning at 100 TB. Output (a, b, jaccard)
+    with jaccard >= threshold, identical to exact Jaccard restricted to
+    the candidate set.
+    """
+    cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col)
+    sh = ngram_shingles(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        sh, _ = cap_shingle_df(sh, max_shingle_df)
+    return _jaccard_over_pairs(cand, sh, threshold).select("a", "b", "jaccard")
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1,0 +1,128 @@
+"""Dedup operators: LSH candidates-only verification (the 100 TB scale
+property), shingle-df capping, simhash near-dup pairs, keep-first resolver."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.dedup import (
+    cap_shingle_df,
+    dedup_keep_first,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_pairs,
+    ngram_shingles,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+BOILER = "this boilerplate footer appears on every single page of the site"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 docs: 50 distinct bodies + 10 near-clones of the first 10 (one
+    token changed), ALL sharing a boilerplate sentence (hot shingles with
+    df == 60)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    bodies = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(50)
+    ]
+    rows = [(i, f"{b} {BOILER}") for i, b in enumerate(bodies)]
+    for j in range(10):
+        toks = bodies[j].split()
+        toks[5] = "mutated"
+        rows.append((100 + j, " ".join(toks) + " " + BOILER))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf, "doc_id long, text string")
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+def test_lsh_finds_near_clones(spark, docs):
+    got = minhash_lsh_pairs(docs, k=32, bands=16, n=3, threshold=0.5)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    # every near-clone pair recovered (j, 100+j), jaccard ~ .75 over shingles
+    assert {(j, 100 + j) for j in range(10)} <= pairs
+
+
+def test_lsh_verification_is_candidates_only(spark, docs):
+    """The boilerplate shingle makes EVERY pair (60*59/2 = 1770) collide in
+    shingle space, but LSH candidates stay small — and the verify join must
+    run over candidates, not shingle collisions."""
+    cand = lsh_candidate_pairs(docs, k=32, bands=16, n=3)
+    n_cand = cand.count()
+    assert n_cand < 200  # << 1770 shingle-collision pairs
+    out = minhash_lsh_pairs(docs, k=32, bands=16, n=3, threshold=0.5)
+    # plan-level: no join condition pairs shingle equality with a doc_id
+    # inequality (the signature of the old full shingle self-join)
+    plan = _explain(out)
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert not re.search(r"doc_id#\d+L? <", line), line
+    # semantic: output == exact jaccard restricted to the candidate set
+    exact = jaccard_pairs(docs, n=3, threshold=0.5).select("a", "b", "jaccard")
+    expected = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in cand.join(exact, ["a", "b"]).collect()
+    }
+    got = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in out.collect()}
+    assert got == expected
+
+
+def test_cap_shingle_df(spark, docs):
+    sh = ngram_shingles(docs, n=3)
+    capped, n_dropped = cap_shingle_df(sh, max_shingle_df=30)
+    assert n_dropped > 0  # the boilerplate shingles are hotter than 30
+    max_df = (
+        capped.groupBy("shingle").agg(F.count("*").alias("d"))
+        .agg(F.max("d")).collect()[0][0]
+    )
+    assert max_df <= 30
+    # capped jaccard: near-clone pairs survive (their overlap is body text),
+    # and pure-boilerplate overlap no longer creates pairs at threshold
+    got = jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=30)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    assert {(j, 100 + j) for j in range(10)} <= pairs
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    got = simhash_near_dup_pairs(docs, max_hamming=12)
+    rows = {(r["a"], r["b"]): r["hamming"] for r in got.collect()}
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    # hamming values are the exact popcount of the fingerprint XOR
+    for (a, b), ham in rows.items():
+        assert ham == bin(fp[a] ^ fp[b]).count("1")
+        assert ham <= 12
+    # near-clones (1 of ~50 tokens changed) are within the radius and are
+    # caught by the 4x16-bit band blocking
+    near = [(j, 100 + j) for j in range(10) if bin(fp[j] ^ fp[100 + j]).count("1") <= 3]
+    assert near, "at least one clone pair within guaranteed-recall radius"
+    for p in near:
+        assert p in rows
+
+
+def test_dedup_keep_first(spark, docs):
+    pairs = minhash_lsh_pairs(docs, k=32, bands=16, n=3, threshold=0.5)
+    kept = dedup_keep_first(docs, pairs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    dropped = {r["b"] for r in pairs.select("b").collect()}
+    assert kept_ids == {r["doc_id"] for r in docs.collect()} - dropped
+    # the min-id representative of every pair survives
+    for r in pairs.collect():
+        assert r["a"] in kept_ids or any(
+            p["b"] == r["a"] for p in pairs.collect()
+        )
