@@ -373,6 +373,57 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAXHAM}
 STOP_EN = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 STOP_CY = "[" + ", ".join(f"'{w}'" for w in CY_STOPWORDS) + "]"
 
+# deterministic non-ASCII prefix so the asciifold pandas-UDF analyzer paths
+# (L6/L8 fold variants) get driver-level oracle checks on this ASCII corpus;
+# chars chosen to fold identically under NFKD-strip (Spark) and DuckDB
+# strip_accents: é->e, Ü->U, ï->i, ü->u
+NONASCII_PREFIX = "Café Ünïcode Zürich "
+
+COS_EXPR = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _lsh_ann_sql(dim: int = 64, n_bits: int = 8, tables: int = 4, k: int = 5) -> str:
+    """Hyperplane-LSH ANN as SQL: the random hyperplanes are deterministic
+    (seeded rng) so their coefficients are emitted as literal DOUBLE arrays,
+    the same way _minhash_wide_sql inlines the permutation params. Sign
+    decisions agree across engines (|proj| ~ O(1) vs fp noise ~1e-16)."""
+    from engine.simsearch import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, tables, seed=42)
+    bucket_exprs = []
+    for t in range(tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[t, j])
+            + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_bits)
+        )
+        bucket_exprs.append(f"({bits}) AS b{t}")
+    band_array = "[" + ", ".join(f"b{t}" for t in range(tables)) + "]"
+    cos = COS_EXPR.format(a="c.v", b="p.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT vec_id AS vid, unnest(range({tables})) AS tbl,
+         unnest({band_array}) AS bucket
+  FROM (SELECT vec_id, {', '.join(bucket_exprs)} FROM e)
+),
+cand AS (
+  SELECT DISTINCT pb.vid AS probe_id, cb.vid AS neighbor_id
+  FROM cb JOIN cb pb ON cb.tbl = pb.tbl AND cb.bucket = pb.bucket
+  WHERE pb.vid < 5 AND cb.vid != pb.vid
+),
+s AS (
+  SELECT probe_id, neighbor_id, {cos} AS cos
+  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN e p ON p.vec_id = probe_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
+SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= {k}
+"""
+
 # ---------------------------------------------------------------------------
 # query callables
 # ---------------------------------------------------------------------------
@@ -704,6 +755,37 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_l5_elastic_tokens(spark, sf_dir):
+    """L5 analyzer_elastic: standard tokenizer only, case PRESERVED."""
+    from engine.textnorm import analyzer_elastic_col
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return d.select("doc_id", F.explode(analyzer_elastic_col(F.col("text"))).alias("tok"))
+
+
+def q_l6_fold_tokens(spark, sf_dir):
+    """L6 fold path on a NON-ASCII input: whitespace tokenize -> lowercase
+    -> asciifold with preserve_original (folded token first, original kept
+    when it differs) — the pandas-UDF variant, driver-oracled."""
+    from engine.textnorm import analyzer_whitespace_token_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit(NONASCII_PREFIX), F.col("source")).alias("nm")
+    )
+    return d.select("doc_id", F.explode(analyzer_whitespace_token_col(F.col("nm"))).alias("tok"))
+
+
+def q_l8_edge_ngrams_fold(spark, sf_dir):
+    """L8 fold path on a NON-ASCII input: edge_ngram 2..20 over the whole
+    string, lowercase + fold with preserve_original per gram."""
+    from engine.textnorm import analyzer_edge_ngram_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit(NONASCII_PREFIX), F.col("source")).alias("nm")
+    )
+    return d.select("doc_id", F.explode(analyzer_edge_ngram_col(F.col("nm"))).alias("gram"))
+
+
 def q_l6_whitespace_tokens(spark, sf_dir):
     """L6 analyzer: whitespace tokenize -> lowercase -> asciifold with
     preserve_original (fold is identity on this ASCII corpus, so the
@@ -811,7 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_startswith_key": q_l1_startswith,
         "l2_no_ws_punc_key": q_l2_no_ws_punc,
         "l4_limit_first": q_l4_limit_first,
+        "l5_elastic_tokens": q_l5_elastic_tokens,
         "l6_whitespace_tokens": q_l6_whitespace_tokens,
+        "l6_fold_tokens": q_l6_fold_tokens,
+        "l8_edge_ngrams_fold": q_l8_edge_ngrams_fold,
         "l7_keyword_sort_key": q_l7_keyword_sort,
         "o1_alpha_paging": q_alpha_paging,
         "a1_metrics_totals": q_metrics_totals,
@@ -883,6 +968,34 @@ def oracle_sql() -> dict[str, str]:
             r"'\s+'), x -> x != '')) AS tok FROM documents "
             "WHERE text IS NOT NULL AND text != ''"
         ),
+        "l5_elastic_tokens": (
+            r"SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, "
+            r"'\W+'), t -> t != '')) AS tok FROM documents "
+            "WHERE text IS NOT NULL AND text != ''"
+        ),
+        "l6_fold_tokens": f"""
+WITH named AS (SELECT doc_id, '{NONASCII_PREFIX}' || source AS nm FROM documents),
+tok AS (
+  SELECT doc_id, lower(unnest(list_filter(regexp_split_to_array(nm, '\\s+'),
+         x -> x != ''))) AS t
+  FROM named
+)
+SELECT doc_id,
+       unnest(CASE WHEN strip_accents(t) != t THEN [strip_accents(t), t]
+                   ELSE [strip_accents(t)] END) AS tok
+FROM tok
+""",
+        "l8_edge_ngrams_fold": f"""
+WITH named AS (SELECT doc_id, '{NONASCII_PREFIX}' || source AS nm FROM documents),
+grams AS (
+  SELECT doc_id, lower(substr(nm, 1, i)) AS g
+  FROM named, unnest(range(2, least(20, len(nm)) + 1)) AS t(i)
+)
+SELECT doc_id,
+       unnest(CASE WHEN strip_accents(g) != g THEN [strip_accents(g), g]
+                   ELSE [strip_accents(g)] END) AS gram
+FROM grams
+""",
         "o1_alpha_paging": T1_BASE_SQL + ALPHA_SQL + (
             "SELECT doc_id, ordered_alpha_key || ':' || doc_id::VARCHAR AS "
             "ordered_alpha_key_with_id FROM alpha "
@@ -1032,6 +1145,7 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
+        "sim_lsh_ann_topk": _lsh_ann_sql(),
         # mm_media_features: the fake decoder is a byte high-nibble histogram;
         # payload = UTF-8 bytes of text (ASCII corpus: byte i == char i, so
         # ascii(ch) // 16 == byte >> 4) — fully SQL-expressible.

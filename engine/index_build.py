@@ -44,11 +44,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -99,6 +100,19 @@ def _local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     cols = [f.split()[0] for f in schema.split(",")]
     pdf = pd.DataFrame(rows, columns=[c.strip() for c in cols])
     return spark.createDataFrame(pdf, schema)
+
+
+def _append_metrics(spark: SparkSession, out_dir: str, job_id: str, rows: list[tuple[str, int]]) -> None:
+    """Append (job_id, metric, value) rows to the metrics table — the S8/ST1
+    progress-sink analog of the reference's status ticker (main.go:283-313):
+    instead of a 1 s stderr print loop, every build stage commits its row
+    counts, wall time, and throughput, observed in-flight via df.observe
+    (CollectMetricsExec — no extra pass over the data)."""
+    _local_df(
+        spark,
+        [(job_id, m, int(v)) for m, v in rows],
+        "job_id string, metric string, value long",
+    ).coalesce(1).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
 
 
 # ---------------------------------------------------------------------------
@@ -359,23 +373,45 @@ def build_index(
 
     if "docmap" not in done:
         rejects.write.mode("overwrite").parquet(path("reject_log"))
+        obs = Observation("load_docmap")
+        t0 = time.monotonic()
         (
             docs.select("shard", "local_id", "doc_id", "url", "dl")
+            .observe(obs, F.count(F.lit(1)).alias("docs"), F.sum("dl").alias("tokens"))
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_id")
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(path("docmap"))
         )
+        el = max(time.monotonic() - t0, 1e-9)
+        got = obs.get
+        _append_metrics(
+            spark, out_dir, job_id,
+            [
+                ("stage:docmap:docs_read", got["docs"]),
+                ("stage:docmap:tokens", got["tokens"] or 0),
+                ("stage:docmap:elapsed_ms", el * 1000),
+                ("stage:docmap:docs_per_sec", got["docs"] / el),
+            ],
+        )
         _mark_ckpt(spark, out_dir, job_id, ["docmap"], seq)
         done.add("docmap")
         seq += 1
 
     docmap = spark.read.parquet(path("docmap"))
-    n_docs = docmap.count()
-    agg = docmap.agg(F.sum("dl").alias("sum_dl")).collect()[0]
-    sum_dl = int(agg["sum_dl"]) if agg["sum_dl"] is not None else 0
+    shard_agg = {
+        r["shard"]: (r["cnt"], r["sdl"], r["off"])
+        for r in docmap.groupBy("shard")
+        .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"), F.min("doc_id").alias("off"))
+        .collect()
+    }
+    n_docs = sum(c for c, _, _ in shard_agg.values())
+    sum_dl = int(sum(s for _, s, _ in shard_agg.values()))
     avgdl = sum_dl / n_docs if n_docs else 0.0
+    # doc_id = shard_offsets[shard] + local_id — lets the query path compute
+    # global ids driver-side and prune the docmap read to the winners only
+    shard_offsets = [int(shard_agg[s][2]) if s in shard_agg else -1 for s in range(n_shards)]
 
     if "stats" not in done:
         n_rejects = spark.read.parquet(path("reject_log")).count()
@@ -437,13 +473,27 @@ def build_index(
         # scale with the cluster, not with the bucket x shard product
         n_parts = max(1, min(len(chunk) * n_shards, 2 * default_par))
         src = tf_src if len(chunk) == n_buckets else tf_src.filter(F.col("bucket").isin(chunk))
+        obs = Observation(f"postings_chunk_{chunk[0]}")
+        t0 = time.monotonic()
         (
-            src.repartition(n_parts, "bucket", "shard")
+            src.observe(obs, F.count(F.lit(1)).alias("postings"))
+            .repartition(n_parts, "bucket", "shard")
             .sortWithinPartitions("shard", "term", "local_id")
             .mapInArrow(encoder, POSTING_SCHEMA)
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(post_dir)
+        )
+        el = max(time.monotonic() - t0, 1e-9)
+        n_post = obs.get["postings"]
+        tag = f"buckets={chunk[0]}..{chunk[-1]}"
+        _append_metrics(
+            spark, out_dir, job_id,
+            [
+                (f"stage:postings:{tag}:postings_in", n_post),
+                (f"stage:postings:{tag}:elapsed_ms", el * 1000),
+                (f"stage:postings:{tag}:postings_per_sec", n_post / el),
+            ],
         )
         _mark_ckpt(spark, out_dir, job_id, [f"postings:bucket={bkt}" for bkt in chunk], seq)
         seq += 1
@@ -489,6 +539,7 @@ def build_index(
         "sum_dl": sum_dl,
         "analyzer": "standard_lower_v1",
         "codec": "svb_delta_block128_v1",
+        "shard_offsets": shard_offsets,
         "job_id": job_id,
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:

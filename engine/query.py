@@ -29,7 +29,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine import postings as P
@@ -110,6 +110,34 @@ class IndexReader:
                 dm = dm.persist()
             self._dm_df = dm
         return self._dm_df
+
+    def docmap_pruned(self, shards: list[int], local_ids: list[int]) -> DataFrame:
+        """Docmap read restricted to the winner rows: shard isin -> parquet
+        PartitionFilters (shard is the partition key, directory pruning);
+        local_id isin -> row-group pruning (docmap is local_id-sorted within
+        each shard, so min/max stats skip non-matching groups). At 10^12
+        docs this touches <= |shards| directories instead of the table."""
+        return self.docmap().filter(
+            F.col("shard").isin([int(s) for s in shards])
+            & F.col("local_id").isin([int(l) for l in local_ids])
+        )
+
+    def shard_offsets(self) -> list[int]:
+        """Global doc_id offset per shard (doc_id = offset + local_id).
+        From the manifest when present; derived from the docmap otherwise
+        (legacy indexes / merged segment dirs)."""
+        offs = self.manifest.get("shard_offsets")
+        if offs is None:
+            rows = (
+                self.docmap()
+                .groupBy("shard")
+                .agg(F.min("doc_id").alias("off"))
+                .collect()
+            )
+            by_shard = {r["shard"]: int(r["off"]) for r in rows}
+            offs = [by_shard.get(s, -1) for s in range(self.manifest["n_shards"])]
+            self.manifest["shard_offsets"] = offs
+        return offs
 
 
 # ---------------------------------------------------------------------------
@@ -412,14 +440,36 @@ def bm25_topk(
         .groupBy("shard")
         .applyInPandas(shard_topk, "shard int, local_id long, score double")
     )
-    out = (
-        reader.docmap()
-        .join(F.broadcast(per_shard), ["shard", "local_id"])
+    # The per-shard heaps are tiny (<= k x n_shards rows) by construction:
+    # collect them, pick the global top-k driver-side (doc_id = shard
+    # offset + local_id, no docmap needed for ranking), then look up urls
+    # with a PRUNED docmap read — shard/local_id predicates push down to
+    # partition directories + row groups, instead of broadcast-joining the
+    # heap against every docmap row (the 10^12-doc scan this replaces).
+    heap = per_shard.collect()
+    if not heap:
+        return empty
+    offsets = reader.shard_offsets()
+    winners = sorted(
+        (
+            (r["shard"], r["local_id"], offsets[r["shard"]] + r["local_id"], r["score"])
+            for r in heap
+        ),
+        key=lambda t: (-t[3], t[2]),
+    )[:k]
+    win_df = spark.createDataFrame(
+        pd.DataFrame(winners, columns=["shard", "local_id", "doc_id", "score"]),
+        "shard int, local_id long, doc_id long, score double",
+    )
+    dm = reader.docmap_pruned(
+        sorted({t[0] for t in winners}), sorted({t[1] for t in winners})
+    )
+    return (
+        dm.select("shard", "local_id", "url")
+        .join(F.broadcast(win_df), ["shard", "local_id"])
         .select("url", "doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
     )
-    return out
 
 
 def bm25_topk_batch(
@@ -498,13 +548,35 @@ def bm25_topk_batch(
         .groupBy("shard")
         .applyInPandas(shard_topk, "shard int, query_id long, local_id long, score double")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # Same pruned-docmap pattern as bm25_topk: the heap union is <= shards
+    # x queries x k rows — global per-query top-k is a driver-side pandas
+    # groupby, and only the winning (shard, local_id) rows are read back
+    # from the docmap (partition + row-group pruning).
+    heap = per_shard.collect()
+    if not heap:
+        return empty
+    offsets = reader.shard_offsets()
+    hp = pd.DataFrame(
+        [(r["shard"], r["query_id"], r["local_id"], r["score"]) for r in heap],
+        columns=["shard", "query_id", "local_id", "score"],
+    )
+    hp["doc_id"] = hp["shard"].map(offsets.__getitem__) + hp["local_id"]
+    hp = hp.sort_values(
+        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    )
+    hp["rank"] = (hp.groupby("query_id").cumcount() + 1).astype("int32")
+    win = hp[hp["rank"] <= k]
+    win_df = spark.createDataFrame(
+        win[["shard", "query_id", "local_id", "doc_id", "score", "rank"]],
+        "shard int, query_id long, local_id long, doc_id long, score double, rank int",
+    )
+    dm = reader.docmap_pruned(
+        sorted(win["shard"].unique().tolist()), sorted(win["local_id"].unique().tolist())
+    )
     return (
-        reader.docmap()
-        .join(F.broadcast(per_shard), ["shard", "local_id"])
-        .select("query_id", "url", "doc_id", "score")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        dm.select("shard", "local_id", "url")
+        .join(F.broadcast(win_df), ["shard", "local_id"])
+        .select("query_id", "url", "doc_id", "score", "rank")
     )
 
 

@@ -8,6 +8,7 @@ import shutil
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from engine import synth
 from engine.index_build import build_index
@@ -67,6 +68,21 @@ def test_build_outputs(spark, index):
     assert reasons == {"missing_text", "empty_text"}
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     assert lineage.count() > 0
+    # S8/ST1 telemetry: per-stage observed metrics (rows, wall, rate)
+    metrics = {
+        r["metric"]: r["value"]
+        for r in spark.read.parquet(os.path.join(out, "metrics")).collect()
+    }
+    assert metrics["stage:docmap:docs_read"] == manifest["n_docs"]
+    assert metrics["stage:docmap:tokens"] == manifest["sum_dl"]
+    assert metrics["stage:docmap:docs_per_sec"] > 0
+    post_stages = [m for m in metrics if m.startswith("stage:postings:")]
+    assert any(m.endswith(":postings_in") for m in post_stages)
+    assert any(m.endswith(":postings_per_sec") for m in post_stages)
+    total_postings = sum(
+        v for m, v in metrics.items() if m.endswith(":postings_in")
+    )
+    assert total_postings == manifest["sum_dl"]  # every token observed
     # lineage covers every (bucket, shard) posting group
     post = spark.read.parquet(os.path.join(out, "postings"))
     assert lineage.count() == post.select("bucket", "shard").distinct().count()
@@ -159,6 +175,52 @@ def test_resume_idempotent(spark, corpus, tmp_path_factory, index):
     got = [r["doc_id"] for r in bm25_topk(reader, q["terms"], k=10, mode="and").collect()]
     assert got == [d for d, _ in oracle.topk(q["terms"], k=10, mode="and")]
     shutil.rmtree(out2)
+
+
+def test_docmap_lookup_is_pruned(spark, index, corpus):
+    """The url lookup must NOT scan the docmap: shard predicates reach the
+    parquet PartitionFilters (directory pruning) and local_id predicates
+    the PushedFilters (row-group pruning via the local_id sort), on the
+    uncached path a 10^12-doc index would take."""
+    import io
+    from contextlib import redirect_stdout
+
+    out, _ = index
+    # other tests' readers persist the same docmap plan; the cache manager
+    # would substitute InMemoryRelation for our scan — clear it so the
+    # parquet-scan path (what a huge index uses) is actually exercised
+    spark.catalog.clearCache()
+    reader = IndexReader(spark, out)
+    reader.CACHE_MAX_DOCS = 0  # force the scan path (no persist)
+    q = synth.frozen_queries()[0]
+    res = bm25_topk(reader, q["terms"], k=10, mode="or")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("shard" in ln and "IN (" in ln.upper() for ln in pf), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("local_id" in ln for ln in pushed), plan
+    # and the pruned path is rank-identical to the oracle
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    got = [(r["doc_id"], r["score"]) for r in res.collect()]
+    exp = oracle.topk(q["terms"], k=10)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_shard_offsets_match_docmap(spark, index):
+    out, manifest = index
+    reader = IndexReader(spark, out)
+    offs = reader.shard_offsets()
+    assert offs == manifest["shard_offsets"]
+    dm = spark.read.parquet(os.path.join(out, "docmap"))
+    by_shard = {
+        r["shard"]: r["off"]
+        for r in dm.groupBy("shard").agg(F.min("doc_id").alias("off")).collect()
+    }
+    for s, off in by_shard.items():
+        assert offs[s] == off
 
 
 def test_and_with_absent_term_is_empty(spark, index):
