@@ -293,6 +293,50 @@ def _ckpt_path(out_dir: str) -> str:
     return os.path.join(out_dir, "checkpoint.jsonl")
 
 
+LOCK_NAME = "_BUILD_LOCK"
+
+
+def _acquire_build_lock(out_dir: str, job_id: str) -> str:
+    """Single-writer guard (DURABILITY.md contract #3): O_EXCL-create a
+    lock file naming the holder. A second concurrent build is REJECTED; a
+    lock whose pid is dead (crashed builder) is stolen. The Iceberg analog
+    is optimistic metadata-swap conflict detection — single-writer-per-
+    table is the stricter, simpler local contract."""
+    lock = os.path.join(out_dir, LOCK_NAME)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"job_id": job_id, "pid": os.getpid()}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            return lock
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    holder = json.load(f)
+                os.kill(int(holder["pid"]), 0)  # raises if dead
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                try:
+                    os.unlink(lock)  # stale lock from a crashed build
+                except FileNotFoundError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"concurrent build rejected: {out_dir} is locked by "
+                f"job {holder.get('job_id')!r} (pid {holder['pid']})"
+            )
+
+
+def _wipe_contents(out_dir: str) -> None:
+    """Fresh (non-resume) build: clear prior outputs but keep OUR lock."""
+    for name in os.listdir(out_dir):
+        if name == LOCK_NAME:
+            continue
+        p = os.path.join(out_dir, name)
+        shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+
+
 def _read_ckpt(spark: SparkSession, out_dir: str) -> set[str]:
     """Completed stages from the checkpoint log. The log is a driver-side
     append-only JSONL metadata file — the same commit shape as an Iceberg
@@ -346,14 +390,42 @@ def build_index(
     """Build the full index under out_dir. Returns the manifest dict.
 
     Layout: stats/ term_stats/ docmap/ tf_table/ postings/ lineage/
-    reject_log/ metrics/ + checkpoint.jsonl + MANIFEST.json
-    (legacy checkpoint/ parquet dirs are still readable on resume).
+    reject_log/ metrics/ + checkpoint.jsonl + MANIFEST.json + _BUILD_LOCK
+    while running (legacy checkpoint/ parquet dirs still readable on
+    resume). Durability semantics — write-then-commit ordering, crash
+    windows, single-writer locking — are the frozen contract in
+    DURABILITY.md, tested by tests/test_durability.py.
     """
+    os.makedirs(out_dir, exist_ok=True)
+    lock = _acquire_build_lock(out_dir, job_id)
+    try:
+        if not resume:
+            _wipe_contents(out_dir)
+        return _build_index_locked(
+            spark, pages, out_dir, n_shards, n_buckets, k1, b, job_id,
+            resume, bucket_chunk,
+        )
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _build_index_locked(
+    spark: SparkSession,
+    pages: DataFrame | str,
+    out_dir: str,
+    n_shards: int,
+    n_buckets: int,
+    k1: float,
+    b: float,
+    job_id: str,
+    resume: bool,
+    bucket_chunk: int,
+) -> dict:
     if isinstance(pages, str):
         pages = spark.read.parquet(pages)
-    if not resume and os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
     done = _read_ckpt(spark, out_dir) if resume else set()
     seq = len(done)
 
