@@ -8,14 +8,17 @@ groupBy(shard).applyInPandas: per doc-shard top-k with block-max WAND (or
 vectorized TAAT), bounded heap -> broadcast-join the tiny per-shard heaps
 back to docmap for urls -> global orderBy(score desc, doc_id asc).limit(k).
 
-Two physical algorithms, both rank-identical to the oracle:
-- algo="wand": Block-Max WAND (Ding & Suel, public) — list-level upper
-  bounds pick the pivot, block-level max_impact skips blocks without
-  decoding them. The 10^12-doc scale path: work is bounded by the number of
-  blocks whose upper bound beats the running threshold theta.
+Three physical algorithms, all rank-identical to the oracle:
+- algo="wand": vectorized block-max pruning — doc space is cut at posting-
+  block boundaries into disjoint intervals, processed in descending
+  upper-bound order; intervals whose block-max sum can't beat theta are
+  skipped without decoding, survivors are scored with numpy accumulation.
+  The 10^12-doc scale path: work is bounded by the blocks whose upper
+  bound beats theta, with zero per-posting Python.
+- algo="wand_daat": classic doc-at-a-time Block-Max WAND (Ding & Suel,
+  public) with lazy cursors — the literature-faithful cross-check.
 - algo="taat": term-at-a-time vectorized numpy accumulation — decodes the
-  query terms' postings fully; fastest at small scale, the brute-force
-  cross-check at any scale.
+  query terms' postings fully; the brute-force cross-check at any scale.
 
 Scoring spec is frozen (SURVEY.md 5.4): exact dl, idf = ln(1+(N-df+0.5)/
 (df+0.5)), score = sum idf * tf/(tf+k1*(1-b+b*dl/avgdl)), ties doc_id asc.
@@ -305,6 +308,95 @@ def _wand_shard_topk(
     return [(-nl, s) for s, nl in heap]
 
 
+def _bmw_shard_topk(
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float
+) -> list[tuple[int, float]]:
+    """Vectorized Block-Max pruning ("wand" algo): the scale kernel.
+
+    The doc-id axis is cut at every posting-block boundary into disjoint
+    intervals; within an interval each term contributes at most one block,
+    so the interval's upper bound is a plain sum of block max_impacts.
+    Intervals are processed in DESCENDING upper-bound order (fast theta
+    ramp, MaxScore-style); an interval with ub < theta is skipped without
+    decoding, and a surviving interval is scored with the same vectorized
+    unique/bincount accumulation as TAAT — zero per-posting Python, unlike
+    the classic cursor loop (kept as algo="wand_daat" for cross-checking).
+    Exact: intervals partition doc space, so every doc is fully scored in
+    exactly one interval; skipping is strict (ub < theta), preserving
+    score==theta candidates for the doc-id tiebreak."""
+    terms = []
+    for r in rows:
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        blocks = _norm_blocks(r.blocks)
+        terms.append(
+            {
+                "row": r,
+                "blocks": blocks,
+                "firsts": np.array([bl[0] for bl in blocks], dtype=np.int64),
+                "lasts": np.array([bl[1] for bl in blocks], dtype=np.int64),
+                "maxes": np.array([bl[6] for bl in blocks]) * idf,
+                "idf": idf,
+                "decoded": {},
+            }
+        )
+    if not terms:
+        return []
+    bounds = np.unique(
+        np.concatenate([np.concatenate([t["firsts"], t["lasts"] + 1]) for t in terms])
+    )
+    lo, hi = bounds[:-1], bounds[1:]  # hi exclusive
+    n_iv = lo.size
+    ub = np.zeros(n_iv)
+    active = []  # per term: (block_idx[n_iv], overlaps[n_iv])
+    for t in terms:
+        j = np.searchsorted(t["lasts"], lo, side="left")
+        jj = np.minimum(j, t["firsts"].size - 1)
+        # boundaries guarantee: block j overlaps interval i iff it covers it
+        ov = (j < t["firsts"].size) & (t["firsts"][jj] <= lo)
+        ub += np.where(ov, t["maxes"][jj], 0.0)
+        active.append((jj, ov))
+
+    heap: list[tuple[float, int]] = []  # (score, -doc)
+
+    def _decode(t: dict, j: int):
+        got = t["decoded"].get(j)
+        if got is None:
+            r = t["row"]
+            d, tf, dl = P.decode_block(r.docs_bin, r.tfs_bin, r.dls_bin, t["blocks"], j)
+            got = (d, t["idf"] * P.bm25_impact(tf, dl, avgdl, k1, b))
+            t["decoded"][j] = got
+        return got
+
+    for i in np.argsort(-ub, kind="stable"):
+        if len(heap) >= k and ub[i] < heap[0][0]:
+            continue  # strict skip: score==theta docs still get evaluated
+        locs_parts, contrib_parts = [], []
+        for t, (jj, ov) in zip(terms, active):
+            if not ov[i]:
+                continue
+            d, imp = _decode(t, int(jj[i]))
+            a = int(np.searchsorted(d, lo[i], side="left"))
+            z = int(np.searchsorted(d, hi[i], side="left"))
+            if a < z:
+                locs_parts.append(d[a:z])
+                contrib_parts.append(imp[a:z])
+        if not locs_parts:
+            continue
+        locs = np.concatenate(locs_parts)
+        contribs = np.concatenate(contrib_parts)
+        uniq, inv = np.unique(locs, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+        for doc, s in zip(uniq.tolist(), scores.tolist()):
+            cand = (s, -doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+    return [(-nl, s) for s, nl in heap]
+
+
 def _taat_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
     field_opts: str = "default",
@@ -402,15 +494,15 @@ def bm25_topk(
     )
     if not terms or (mode == "and" and not all_terms_live):
         return empty
-    if mode == "and" and algo == "wand":
+    if mode == "and" and algo in ("wand", "wand_daat"):
         algo = "taat"  # conjunctive path is the vectorized intersection
-    if field_opts != "default" and algo == "wand":
+    if field_opts != "default" and algo in ("wand", "wand_daat"):
         # stored block-max impacts bound DEFAULT scoring only; variant
         # scoring can exceed them (e.g. nonorms on long docs) -> exact TAAT
         algo = "taat"
-    if algo == "wand" and len(terms) > 8:
-        # many-term queries (prefix expansions): the doc-at-a-time cursor
-        # loop degenerates; vectorized TAAT is both exact and faster
+    if algo in ("wand", "wand_daat") and len(terms) > 8:
+        # many-term queries (prefix expansions): block pruning degenerates
+        # (interval/cursor overhead); vectorized TAAT is exact and faster
         algo = "taat"
 
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
@@ -424,6 +516,8 @@ def bm25_topk(
                 {"shard": "int32", "local_id": "int64", "score": "float64"}
             )
         if algo == "wand" and mode == "or":
+            top = _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
+        elif algo == "wand_daat" and mode == "or":
             top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
         else:
             top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)

@@ -99,7 +99,7 @@ def test_docmap_deterministic(spark, index, corpus, tmp_path_factory):
     shutil.rmtree(out2)
 
 
-@pytest.mark.parametrize("algo", ["wand", "taat"])
+@pytest.mark.parametrize("algo", ["wand", "wand_daat", "taat"])
 def test_rank_identity_frozen_queries(spark, index, corpus, algo):
     out, _ = index
     reader = IndexReader(spark, out)
