@@ -857,6 +857,19 @@ def q_transform_company(spark, sf_dir):
     )
 
 
+def q_t7_export_json(spark, sf_dir):
+    """T7: ES bulk-NDJSON export serialization (main.go:263-270) — action
+    line + EsCompany source doc, byte-exact vs the DuckDB oracle."""
+    from engine.transform import (
+        companies_from_documents,
+        export_es_bulk,
+        transform_companies,
+    )
+
+    comp = companies_from_documents(_docs(spark, sf_dir))
+    return export_es_bulk(transform_companies(comp))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal binary-column plumbing, oracle-checked end-to-end: the
     documents table becomes opaque binary payloads (media_from_documents),
@@ -921,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "t_validate_rejects": q_validate_rejects,
         "t_transform_company": q_transform_company,
+        "t7_export_json": q_t7_export_json,
         "stats_lang_id": q_lang_id,
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
@@ -1084,6 +1098,26 @@ FROM grams
             "name AS corporate_name, name_start AS corporate_name_start, "
             "name_ending AS corporate_name_ending, 'companies' AS record_type, "
             "same_as_alpha_key AS alpha_key, ordered_alpha_key FROM alpha"
+        ),
+        "t7_export_json": _t1_cte("doc_id % 97 != 0 AND doc_id % 89 != 0") + ALPHA_SQL + (
+            "SELECT doc_id::VARCHAR AS id, "
+            "to_json(struct_pack(index := struct_pack(_id := doc_id::VARCHAR))) AS action_json, "
+            "to_json(struct_pack("
+            "ID := doc_id::VARCHAR, "
+            "company_type := 'ltd', "
+            "kind := 'searchresults#company', "
+            "links := struct_pack(self := '/company/' || doc_id::VARCHAR), "
+            "ordered_alpha_key_with_id := ordered_alpha_key || ':' || doc_id::VARCHAR, "
+            "items := struct_pack("
+            "company_number := printf('%08d', doc_id), "
+            "company_status := CASE WHEN doc_id % 7 = 0 THEN 'dissolved' ELSE 'active' END, "
+            "corporate_name := name, "
+            "corporate_name_start := name_start, "
+            "corporate_name_ending := name_ending, "
+            "record_type := 'companies', "
+            "alpha_key := same_as_alpha_key, "
+            "ordered_alpha_key := ordered_alpha_key"
+            "))) AS doc_json FROM alpha"
         ),
         "stats_lang_id": (
             _toks_cte()

@@ -114,6 +114,34 @@ class IndexReader:
             self._dm_df = dm
         return self._dm_df
 
+    def docmap_lookup_local(
+        self, shards: list[int], local_ids: list[int]
+    ) -> "dict[tuple[int, int], str] | None":
+        """Driver-side url lookup for a handful of winner rows: a pyarrow
+        dataset read with shard (hive partition) + local_id filters — the
+        same directory/row-group pruning as docmap_pruned, WITHOUT paying a
+        Spark job launch for k rows. Returns None when the docmap isn't a
+        local directory (caller falls back to the Spark path)."""
+        p = os.path.join(self.dir, "docmap")
+        if not os.path.isdir(p):
+            return None
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(p, format="parquet", partitioning="hive")
+        tbl = dset.to_table(
+            filter=ds.field("shard").isin([int(s) for s in shards])
+            & ds.field("local_id").isin([int(l) for l in local_ids]),
+            columns=["shard", "local_id", "url"],
+        )
+        return {
+            (int(s), int(l)): u
+            for s, l, u in zip(
+                tbl.column("shard").to_pylist(),
+                tbl.column("local_id").to_pylist(),
+                tbl.column("url").to_pylist(),
+            )
+        }
+
     def docmap_pruned(self, shards: list[int], local_ids: list[int]) -> DataFrame:
         """Docmap read restricted to the winner rows: shard isin -> parquet
         PartitionFilters (shard is the partition key, directory pruning);
@@ -467,6 +495,7 @@ def bm25_topk(
     mode: str = "or",
     algo: str = "wand",
     field_opts: str = "default",
+    lookup: str = "auto",
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -474,6 +503,10 @@ def bm25_topk(
     expansion of a single prefix, then ranked union).
     field_opts: "default" | "nonorms" (M1) | "doconly" (M2) scoring
     variants per the reference's per-field index options.
+    lookup: how the k winner urls are fetched from the docmap — "local"
+    (driver-side pyarrow filtered read, zero extra Spark jobs; the latency
+    path), "spark" (pruned distributed scan; the plan-auditable path the
+    batch API also uses), "auto" = local when the docmap dir is local.
     """
     spark = reader.spark
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
@@ -551,13 +584,27 @@ def bm25_topk(
         ),
         key=lambda t: (-t[3], t[2]),
     )[:k]
+    shards = sorted({t[0] for t in winners})
+    locals_ = sorted({t[1] for t in winners})
+    urls = (
+        reader.docmap_lookup_local(shards, locals_) if lookup in ("auto", "local") else None
+    )
+    if urls is not None:
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "url": [urls[(s, l)] for s, l, _, _ in winners],
+                    "doc_id": [d for _, _, d, _ in winners],
+                    "score": [sc for _, _, _, sc in winners],
+                }
+            ),
+            "url string, doc_id long, score double",
+        )
     win_df = spark.createDataFrame(
         pd.DataFrame(winners, columns=["shard", "local_id", "doc_id", "score"]),
         "shard int, local_id long, doc_id long, score double",
     )
-    dm = reader.docmap_pruned(
-        sorted({t[0] for t in winners}), sorted({t[1] for t in winners})
-    )
+    dm = reader.docmap_pruned(shards, locals_)
     return (
         dm.select("shard", "local_id", "url")
         .join(F.broadcast(win_df), ["shard", "local_id"])

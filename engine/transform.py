@@ -73,6 +73,29 @@ def transform_companies(companies: DataFrame) -> DataFrame:
     )
 
 
+def export_es_bulk(transformed: DataFrame) -> DataFrame:
+    """T7 parity (companybindex/main.go:263-270): the ES bulk-NDJSON
+    serialization — per company an action line {"index":{"_id":...}} and
+    the EsCompany source doc as compact JSON. SURVEY 2.3 declares the JSON
+    wire format obsolete for the columnar sink; this closes the export
+    path anyway (write with .write.text for literal bulk files). Spark's
+    to_json and DuckDB's to_json(struct_pack(...)) are byte-identical on
+    these docs (no nulls, field order preserved), so the driver oracle
+    hash-matches the exact serialized bytes."""
+    return transformed.select(
+        F.col("ID").alias("id"),
+        F.to_json(
+            F.struct(F.struct(F.col("ID").alias("_id")).alias("index"))
+        ).alias("action_json"),
+        F.to_json(
+            F.struct(
+                "ID", "company_type", "kind", "links",
+                "ordered_alpha_key_with_id", "items",
+            )
+        ).alias("doc_json"),
+    )
+
+
 def companies_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic company-shaped table derived from the driver's
     documents parquet (same name synthesis as __spark_entry__): exercises

@@ -193,7 +193,7 @@ def test_docmap_lookup_is_pruned(spark, index, corpus):
     reader = IndexReader(spark, out)
     reader.CACHE_MAX_DOCS = 0  # force the scan path (no persist)
     q = synth.frozen_queries()[0]
-    res = bm25_topk(reader, q["terms"], k=10, mode="or")
+    res = bm25_topk(reader, q["terms"], k=10, mode="or", lookup="spark")
     buf = io.StringIO()
     with redirect_stdout(buf):
         res.explain("formatted")
@@ -207,6 +207,12 @@ def test_docmap_lookup_is_pruned(spark, index, corpus):
     got = [(r["doc_id"], r["score"]) for r in res.collect()]
     exp = oracle.topk(q["terms"], k=10)
     assert [d for d, _ in got] == [d for d, _ in exp]
+    # the driver-side pyarrow lookup (latency path) agrees with the
+    # Spark pruned-scan path row for row
+    local = bm25_topk(reader, q["terms"], k=10, mode="or", lookup="local").collect()
+    assert [(r["url"], r["doc_id"], r["score"]) for r in local] == [
+        (r["url"], r["doc_id"], r["score"]) for r in res.collect()
+    ]
 
 
 def test_shard_offsets_match_docmap(spark, index):

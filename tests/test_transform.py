@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from engine.transform import (
     companies_from_documents,
+    export_es_bulk,
     transform_companies,
     validate_companies,
 )
@@ -59,6 +60,30 @@ def test_transform_golden(spark):
     # char-filter belongs to the L7 analyzer only); tokens sorted+joined
     assert r5["items"]["alpha_key"] == "ACMESONS"
     assert r5["items"]["ordered_alpha_key"] == "ACMESONS"
+
+
+def test_export_es_bulk_roundtrip(spark):
+    """T7 (main.go:263-270): bulk NDJSON lines parse back to the EsCompany
+    doc — action line carries _id, source doc carries the full struct."""
+    import json
+
+    out = {r["id"]: r for r in export_es_bulk(transform_companies(_companies(spark))).collect()}
+    assert set(out) == {"1", "4", "5"}
+    act = json.loads(out["1"]["action_json"])
+    assert act == {"index": {"_id": "1"}}
+    doc = json.loads(out["1"]["doc_json"])
+    assert doc["ID"] == "1"
+    assert doc["kind"] == "searchresults#company"
+    assert doc["links"] == {"self": "/company/1"}
+    assert doc["items"]["corporate_name"] == "TEST LIMITED"
+    assert doc["items"]["corporate_name_start"] == "TEST"
+    assert doc["items"]["record_type"] == "companies"
+    # compact serialization, no nulls dropped surprises (all fields present)
+    assert set(doc["items"]) == {
+        "company_number", "company_status", "corporate_name",
+        "corporate_name_start", "corporate_name_ending", "record_type",
+        "alpha_key", "ordered_alpha_key",
+    }
 
 
 def test_companies_from_documents_deterministic(spark):
