@@ -36,8 +36,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import time
+
 from engine import postings as P
-from engine.index_build import POSTING_SCHEMA, _local_df, _make_encoder, split_rejects
+from engine.index_build import (
+    POSTING_SCHEMA,
+    _append_metrics,
+    _local_df,
+    _make_encoder,
+    split_rejects,
+)
 from engine.textnorm import standard_tokenize_col
 
 
@@ -77,6 +85,7 @@ def ingest_batch(
     state = _read_state(out_dir, n_shards)
     if seg_id in [s["seg_id"] for s in state["segments"]]:
         return state  # idempotent re-delivery (foreachBatch replays)
+    t_seg = time.monotonic()
 
     valid, _rejects = split_rejects(batch_df)
     d = valid.withColumn("shard", F.pmod(F.xxhash64("url"), F.lit(n_shards)).cast("int"))
@@ -131,6 +140,18 @@ def ingest_batch(
     state["sum_dl"] = state["sum_dl"] + int(seg_sum_dl)
     state["segments"].append({"seg_id": seg_id, "n_docs": seg_docs, "avgdl_at": run_avgdl})
     _write_state(out_dir, state)
+    # ST1 telemetry: per-micro-batch progress rows (the streaming analog of
+    # the reference's 1 s reads/inserts ticker, main.go:283-313)
+    el = max(time.monotonic() - t_seg, 1e-9)
+    _append_metrics(
+        spark, out_dir, f"seg-{seg_id}",
+        [
+            ("stage:segment:docs", seg_docs),
+            ("stage:segment:tokens", int(seg_sum_dl)),
+            ("stage:segment:elapsed_ms", el * 1000),
+            ("stage:segment:docs_per_sec", seg_docs / el),
+        ],
+    )
     return state
 
 
@@ -338,6 +359,7 @@ def merge_segments(
         "sum_dl": int(state["sum_dl"]),
         "analyzer": "standard_lower_v1",
         "codec": "svb_delta_block128_v1",
+        "shard_offsets": [offsets[s] for s in range(n_shards)],
         "job_id": f"merge-of-{len(seg_dirs)}-segments",
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:

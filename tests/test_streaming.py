@@ -41,6 +41,15 @@ def test_stream_ingest_then_merge_matches_batch(spark, split_corpus, tmp_path_fa
     segs = [d for d in os.listdir(seg_root) if d.startswith("seg=")]
     assert len(segs) == N_FILES  # maxFilesPerTrigger=1 -> one segment per file
 
+    # ST1 telemetry: one progress-row set per committed segment
+    m = spark.read.parquet(os.path.join(out, "metrics"))
+    seg_jobs = {
+        r["job_id"]
+        for r in m.filter(m.metric == "stage:segment:docs").select("job_id").collect()
+    }
+    assert seg_jobs == {f"seg-{i}" for i in range(N_FILES)}
+    assert m.filter(m.metric == "stage:segment:docs_per_sec").count() == N_FILES
+
     manifest = merge_segments(spark, out, n_shards=4, n_buckets=8)
 
     batch_out = str(tmp_path_factory.mktemp("batch_idx") / "idx")
