@@ -73,10 +73,26 @@ class IndexReader:
         return sorted({term_bucket(t, self.n_buckets) for t in terms})
 
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        """Global df per term — bucket-pruned + term-pushdown parquet read."""
+        """Global df per term — bucket-pruned + term-pushdown read.
+
+        On a local index dir this is a driver-side pyarrow dataset read
+        (|q| bucket directories, term predicate into row groups) — no
+        Spark job for a handful of dictionary rows; the Spark scan remains
+        the fallback for remote dirs."""
         if not terms:
             return {}
         buckets = self._bucket_of(terms)
+        p = os.path.join(self.dir, "term_stats")
+        if os.path.isdir(p):
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+                filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
+                columns=["term", "df"],
+            )
+            return dict(
+                zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+            )
         ts = self._term_stats_df()
         rows = (
             ts.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
