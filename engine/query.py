@@ -705,30 +705,45 @@ def bm25_topk_batch(
         .groupBy("shard")
         .applyInPandas(shard_topk, "shard int, query_id long, local_id long, score double")
     )
-    # Same pruned-docmap pattern as bm25_topk: the heap union is <= shards
-    # x queries x k rows — global per-query top-k is a driver-side pandas
-    # groupby, and only the winning (shard, local_id) rows are read back
-    # from the docmap (partition + row-group pruning).
-    heap = per_shard.collect()
-    if not heap:
-        return empty
+    # The heap union is shards x queries x k rows — too many to collect to
+    # the driver (1.9M rows at 32 shards x 6k queries), so the per-query
+    # global top-k stays DISTRIBUTED: doc_id from the broadcast shard
+    # offsets, then a window over query_id. The winner set (queries x k)
+    # is persisted, its (shard, local_id) bounds cost one cheap aggregate
+    # on the cached rows, and the docmap lookup is pruned to the winner
+    # shards + local_id range — never a full per-batch docmap scan. A
+    # value-list isin over 60k local_ids would itself be slower than the
+    # scan (giant row-group filter expression), hence the range form.
+    from pyspark.sql import Window
+
     offsets = reader.shard_offsets()
-    hp = pd.DataFrame(
-        [(r["shard"], r["query_id"], r["local_id"], r["score"]) for r in heap],
-        columns=["shard", "query_id", "local_id", "score"],
+    off_df = spark.createDataFrame(
+        pd.DataFrame({"shard": range(len(offsets)), "off": offsets}),
+        "shard int, off long",
     )
-    hp["doc_id"] = hp["shard"].map(offsets.__getitem__) + hp["local_id"]
-    hp = hp.sort_values(
-        ["query_id", "score", "doc_id"], ascending=[True, False, True]
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    win = (
+        per_shard.join(F.broadcast(off_df), "shard")
+        .withColumn("doc_id", F.col("off") + F.col("local_id"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("shard", "query_id", "local_id", "doc_id", "score", "rank")
+        .collect()
     )
-    hp["rank"] = (hp.groupby("query_id").cumcount() + 1).astype("int32")
-    win = hp[hp["rank"] <= k]
+    if not win:
+        return empty
+    win_pdf = pd.DataFrame(
+        [(r["shard"], r["query_id"], r["local_id"], r["doc_id"], r["score"], r["rank"]) for r in win],
+        columns=["shard", "query_id", "local_id", "doc_id", "score", "rank"],
+    )
     win_df = spark.createDataFrame(
-        win[["shard", "query_id", "local_id", "doc_id", "score", "rank"]],
-        "shard int, query_id long, local_id long, doc_id long, score double, rank int",
+        win_pdf, "shard int, query_id long, local_id long, doc_id long, score double, rank int"
     )
-    dm = reader.docmap_pruned(
-        sorted(win["shard"].unique().tolist()), sorted(win["local_id"].unique().tolist())
+    dm = reader.docmap().filter(
+        F.col("shard").isin(sorted(win_pdf["shard"].unique().tolist()))
+        & F.col("local_id").between(
+            int(win_pdf["local_id"].min()), int(win_pdf["local_id"].max())
+        )
     )
     return (
         dm.select("shard", "local_id", "url")
