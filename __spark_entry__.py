@@ -688,6 +688,20 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Exact connected components over the LSH near-dup pairs — resolves
+    CHAINED duplicate clusters (a~b~c) to one min-id component."""
+    from engine.dedup import dedup_components
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+    )
+    return dedup_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """keep-first resolver over the LSH near-dup pairs: every doc that is
     the b-side of a pair is dropped; min-id representative survives."""
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_lsh_pairs": q_dedup_lsh,
         "dedup_keep_first": q_dedup_keep_first,
+        "dedup_components": q_dedup_components,
         "t_validate_rejects": q_validate_rejects,
         "t_transform_company": q_transform_company,
         "t7_export_json": q_t7_export_json,
@@ -1082,6 +1097,20 @@ FROM grams
             "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT b FROM lshp)"
         ),
+        # exact connected components via recursive transitive closure:
+        # component(node) = min doc id reachable through the pair graph
+        "dedup_components": _lsh_pairs_ctes().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        ) + """,
+edges AS (SELECT a, b FROM lshp UNION ALL SELECT b AS a, a AS b FROM lshp),
+cnodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, reach) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+)
+SELECT node, min(reach)::BIGINT AS component FROM walk GROUP BY node
+""",
         "t_validate_rejects": (
             "SELECT doc_id::VARCHAR AS id, "
             "CASE WHEN doc_id % 97 = 0 THEN 'missing_data' "

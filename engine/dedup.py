@@ -327,6 +327,66 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataF
     )
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Exact connected components over near-dup pairs: (node, component)
+    with component = the minimum doc id reachable through the pair graph —
+    the resolver for CHAINED duplicate clusters (a~b, b~c => one cluster),
+    which the star-shaped dedup_keep_first cannot collapse exactly.
+
+    Iterative min-label propagation as pure DataFrame rounds (the
+    hash-join formulation of large-star/small-star): each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(graph diameter) rounds — near-dup clusters are shallow, so a
+    handful of shuffles at any scale. Lineage is truncated per round
+    (localCheckpoint) so plans don't snowball."""
+    edges = pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("cand"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keep_first_exact(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one doc (the min id) per CONNECTED near-dup cluster:
+    drop every node whose component label differs from itself."""
+    drop = (
+        dedup_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
 def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup pairs to a keep-set: drop any doc that appears as
     the 'b' of a pair with a smaller keeper (greedy min-id union: b>a always

@@ -115,6 +115,44 @@ def test_simhash_near_dup_pairs(spark, docs):
         assert p in rows
 
 
+def test_components_resolve_chained_clusters(spark):
+    """The star resolver's documented failure: pairs (1,5),(2,5) put 1 and
+    2 in one component via 5, but keep-first (drop b-sides) keeps BOTH 1
+    and 2. dedup_components collapses the chain exactly."""
+    import pandas as pd
+
+    from engine.dedup import dedup_components, dedup_keep_first_exact
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 7], "b": [5, 5, 9]}), "a long, b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 5: 1, 7: 7, 9: 7}
+    all_docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 5, 7, 9, 42]}), "doc_id long"
+    )
+    kept = {r["doc_id"] for r in dedup_keep_first_exact(all_docs, pairs).collect()}
+    assert kept == {1, 7, 42}  # exactly one per cluster + untouched docs
+    # star resolver over the same pairs wrongly keeps 2 as well
+    star = {r["doc_id"] for r in dedup_keep_first(all_docs, pairs).collect()}
+    assert 2 in star
+
+
+def test_components_long_chain(spark):
+    """Convergence over a path graph (diameter > 1 round)."""
+    import pandas as pd
+
+    from engine.dedup import dedup_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(n - 1)), "b": list(range(1, n))}),
+        "a long, b long",
+    )
+    comp = {r["node"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_dedup_keep_first(spark, docs):
     pairs = minhash_lsh_pairs(docs, k=32, bands=16, n=3, threshold=0.5)
     kept = dedup_keep_first(docs, pairs)
