@@ -89,17 +89,34 @@ def main() -> None:
         queries[f"bm25_{algo}_p50"] = round(lat[len(lat) // 2], 3)
         aux[f"bm25_{algo}_p95"] = round(lat[int(len(lat) * 0.95)], 3)
 
+    # ---- batch-query throughput (one distributed pass, 6000 queries) -------
+    from engine.query import bm25_topk_batch
+
+    or_q = [q["terms"] for q in frozen if q["kind"] in ("single", "or")]
+    batch = {i: or_q[i % len(or_q)] for i in range(6000)}
+    bm25_topk_batch(reader, {0: or_q[0]}, k=10).collect()  # warm
+    t0 = time.time()
+    bm25_topk_batch(reader, batch, k=10).collect()
+    dt = time.time() - t0
+    queries["bm25_batch_6000"] = round(dt, 3)
+    aux["batch_qps"] = round(len(batch) / dt, 1)
+
     # ---- relational paths on the driver's sf tables ------------------------
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     t0 = time.time()
     bm25_topk_dataframe(docs.select("doc_id", "text"), ["hash", "join", "table"], k=10).collect()
     queries["bm25_relational"] = round(time.time() - t0, 3)
 
-    from engine.dedup import minhash_signatures
+    from engine.dedup import minhash_lsh_pairs, minhash_signatures
 
     t0 = time.time()
     minhash_signatures(docs, k=32).count()
     queries["dedup_minhash"] = round(time.time() - t0, 3)
+
+    # the candidates-only LSH verify path (the 100 TB dedup plan)
+    t0 = time.time()
+    minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.2, max_shingle_df=1000).count()
+    queries["dedup_lsh"] = round(time.time() - t0, 3)
 
     from pyspark.sql import functions as F
     from engine.simsearch import cosine_topk

@@ -215,6 +215,27 @@ def test_docmap_lookup_is_pruned(spark, index, corpus):
     ]
 
 
+def test_postings_read_is_bucket_pruned(spark, index):
+    """A query's postings scan must touch only the query terms' bucket
+    directories (PartitionFilters) and push the term predicate into row
+    groups (PushedFilters) — the plan a 10^12-doc index needs."""
+    import io
+    from contextlib import redirect_stdout
+
+    out, _ = index
+    spark.catalog.clearCache()
+    reader = IndexReader(spark, out)
+    post = reader.postings(["the", "data"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        post.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "IN (" in ln.upper() for ln in pf), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("term" in ln for ln in pushed), plan
+
+
 def test_shard_offsets_match_docmap(spark, index):
     out, manifest = index
     reader = IndexReader(spark, out)
