@@ -84,21 +84,29 @@ def ngram_shingles(
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
-def cap_shingle_df(sh: DataFrame, max_shingle_df: int) -> tuple[DataFrame, int]:
+def cap_shingle_df(
+    sh: DataFrame, max_shingle_df: int, count_dropped: bool | None = None
+) -> tuple[DataFrame, int | None]:
     """Drop boilerplate shingles with document frequency > max_shingle_df
     before any shingle self-join (standard near-dup practice): one head
     shingle shared by m docs would otherwise make m^2 candidate rows — at
     web scale that's the same explosion head terms cause in the index.
     Returns (capped shingle table, number of shingles dropped); the drop
-    count is also logged so bounded coverage is never silent."""
+    count is logged so bounded coverage is never silent — counting costs
+    one extra aggregate pass, so it runs only when INFO logging is on (or
+    count_dropped=True is forced, e.g. in tests)."""
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
-    n_dropped = hot.count()
-    log.info(
-        "cap_shingle_df: dropping %d boilerplate shingles with df > %d",
-        n_dropped,
-        max_shingle_df,
-    )
+    if count_dropped is None:
+        count_dropped = log.isEnabledFor(logging.INFO)
+    n_dropped = None
+    if count_dropped:
+        n_dropped = hot.count()
+        log.info(
+            "cap_shingle_df: dropping %d boilerplate shingles with df > %d",
+            n_dropped,
+            max_shingle_df,
+        )
     return sh.join(hot, "shingle", "left_anti"), n_dropped
 
 
@@ -177,19 +185,26 @@ def _minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """MinHash signatures over a prebuilt (doc_id, shingle) table — lets
+    pipelines reuse ONE shingle materialization across signature build,
+    banding, and verification instead of re-tokenizing per stage."""
+    h = sh.withColumn("h", _h32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_params(k))
+    ]
+    wide = h.groupBy("doc_id").agg(*aggs)
+    return wide.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 32, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, sig: array<long>[k]) — min over shingles of (a*h+b) mod p,
     h = md5-derived 32-bit shingle hash. Pure column ops: k aggregate
     expressions over the exploded shingle table (map-side partial min)."""
-    sh = ngram_shingles(docs, n, id_col, text_col).withColumn("h", _h32(F.col("shingle")))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_minhash_params(k))
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
-    return wide.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig"))
+    return _signatures_from_shingles(ngram_shingles(docs, n, id_col, text_col), k)
 
 
 def _minhash_banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
@@ -214,12 +229,15 @@ def lsh_candidate_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation only: distinct (a, b), a < b, that
     share at least one band bucket. Join keys are (band, bucket) so a hot
-    bucket splits across reducers by band."""
+    bucket splits across reducers by band. `_shingles` reuses a prebuilt
+    (cached) shingle table instead of re-tokenizing."""
     assert k % bands == 0
-    sig = minhash_signatures(docs, k, n, id_col, text_col)
+    sh = _shingles if _shingles is not None else ngram_shingles(docs, n, id_col, text_col)
+    sig = _signatures_from_shingles(sh, k)
     banded = _minhash_banded(sig, k, bands)
     return (
         banded.alias("x")
@@ -254,11 +272,15 @@ def minhash_lsh_pairs(
     with jaccard >= threshold, identical to exact Jaccard restricted to
     the candidate set.
     """
-    cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col)
-    sh = ngram_shingles(docs, n, id_col, text_col)
+    # ONE shingle materialization feeds signatures, banding, and the
+    # verify join (tokenize+shingle dominates at small candidate counts;
+    # without the persist each stage would recompute it from the corpus)
+    sh = ngram_shingles(docs, n, id_col, text_col).persist()
+    cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col, _shingles=sh)
+    vsh = sh
     if max_shingle_df is not None:
-        sh, _ = cap_shingle_df(sh, max_shingle_df)
-    return _jaccard_over_pairs(cand, sh, threshold).select("a", "b", "jaccard")
+        vsh, _ = cap_shingle_df(sh, max_shingle_df)
+    return _jaccard_over_pairs(cand, vsh, threshold).select("a", "b", "jaccard")
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -85,7 +85,7 @@ def test_lsh_verification_is_candidates_only(spark, docs):
 
 def test_cap_shingle_df(spark, docs):
     sh = ngram_shingles(docs, n=3)
-    capped, n_dropped = cap_shingle_df(sh, max_shingle_df=30)
+    capped, n_dropped = cap_shingle_df(sh, max_shingle_df=30, count_dropped=True)
     assert n_dropped > 0  # the boilerplate shingles are hotter than 30
     max_df = (
         capped.groupBy("shingle").agg(F.count("*").alias("d"))
