@@ -8,8 +8,10 @@ shipped zip, so the same invocation works on a multi-executor cluster
 Commands:
   build-index  --input <pages.parquet> --output <dir> [--shards N]
                [--buckets N] [--chunk N] [--resume] [--job-id ID]
+               [--progress]
   query        --index <dir> --terms "w1 w2" [--mode or|and|prefix]
-               [--k 10] [--algo wand|taat]
+               [--k 10] [--algo wand|wand_daat|taat]
+  export-json  --input <documents.parquet> --output <dir>  (T7 bulk NDJSON)
   bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
 
 Reference parity: replaces run-elastic-search.sh:84-133 (index lifecycle
@@ -38,13 +40,19 @@ def main() -> None:
     b.add_argument("--chunk", type=int, default=0, help="bucket chunk size; 0 = fused single pass")
     b.add_argument("--resume", action="store_true")
     b.add_argument("--job-id", default="build-1")
+    b.add_argument("--progress", action="store_true",
+                   help="1s live ticker (stages/tasks/rate) on stderr")
+
+    e = sub.add_parser("export-json", help="T7: ES bulk-NDJSON export")
+    e.add_argument("--input", required=True, help="documents parquet")
+    e.add_argument("--output", required=True, help="output dir (NDJSON text parts)")
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--terms", required=True)
     q.add_argument("--mode", default="or", choices=["or", "and", "prefix"])
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--algo", default="wand", choices=["wand", "taat"])
+    q.add_argument("--algo", default="wand", choices=["wand", "wand_daat", "taat"])
 
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
@@ -60,16 +68,39 @@ def main() -> None:
     spark = get_spark(f"spark-fulltext-{args.cmd}")
 
     if args.cmd == "build-index":
+        from contextlib import nullcontext
+
         from engine.index_build import build_index
+        from engine.progress import ticker
 
         chunk = args.chunk if args.chunk > 0 else args.buckets
         t0 = time.time()
-        manifest = build_index(
-            spark, args.input, args.output, n_shards=args.shards,
-            n_buckets=args.buckets, bucket_chunk=chunk,
-            job_id=args.job_id, resume=args.resume,
-        )
+        with ticker(spark) if args.progress else nullcontext():
+            manifest = build_index(
+                spark, args.input, args.output, n_shards=args.shards,
+                n_buckets=args.buckets, bucket_chunk=chunk,
+                job_id=args.job_id, resume=args.resume,
+            )
         print(json.dumps({"built": manifest, "sec": round(time.time() - t0, 2)}))
+
+    elif args.cmd == "export-json":
+        from pyspark.sql import functions as F
+
+        from engine.transform import (
+            companies_from_documents,
+            export_es_bulk,
+            transform_companies,
+        )
+
+        docs = spark.read.parquet(args.input)
+        bulk = export_es_bulk(transform_companies(companies_from_documents(docs)))
+        # alternate action/doc lines, pairs stay adjacent (ES bulk format)
+        (
+            bulk.select(F.explode(F.array("action_json", "doc_json")).alias("value"))
+            .write.mode("overwrite")
+            .text(args.output)
+        )
+        print(json.dumps({"exported": args.output}))
 
     elif args.cmd == "query":
         from engine.query import IndexReader, bm25_topk
