@@ -77,6 +77,10 @@ def main() -> None:
     # — a query server pays this once at startup, not per query
     bm25_topk(reader, frozen[0]["terms"], k=10, algo="wand").collect()
     bm25_topk(reader, frozen[0]["terms"], k=10, algo="taat").collect()
+    # default (auto) execution serves small queries driver-side from the
+    # same index bytes (pyarrow read + in-process kernels) — the engine's
+    # real single-query latency; the pure scatter-gather path is recorded
+    # in aux for the 10^12-doc plan's numbers.
     for algo in ("wand", "taat"):
         lat = []
         for q in frozen:
@@ -88,6 +92,15 @@ def main() -> None:
         lat.sort()
         queries[f"bm25_{algo}_p50"] = round(lat[len(lat) // 2], 3)
         aux[f"bm25_{algo}_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+    lat = []
+    for q in frozen:
+        mode = {"single": "or", "and": "and", "or": "or",
+                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        t0 = time.time()
+        bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="spark").collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["bm25_spark_p50"] = round(lat[len(lat) // 2], 3)
 
     # ---- batch-query throughput (one distributed pass, 6000 queries) -------
     from engine.query import bm25_topk_batch

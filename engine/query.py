@@ -29,6 +29,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+from collections import namedtuple
 
 import numpy as np
 import pandas as pd
@@ -106,7 +107,26 @@ class IndexReader:
 
         Bounded like Lucene's top_terms_N rewrite: at most max_expansions
         terms, highest-df first (a 1-char prefix over a web-scale vocabulary
-        must not collect the whole dictionary to the driver)."""
+        must not collect the whole dictionary to the driver). Local index
+        dirs are served by a driver-side pyarrow range read (term_stats is
+        term-sorted within buckets, so [prefix, prefix+1) prunes row
+        groups); the Spark scan remains the remote-dir fallback."""
+        p = os.path.join(self.dir, "term_stats")
+        if prefix and os.path.isdir(p):
+            import pyarrow.dataset as ds
+
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+                filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+                columns=["term", "df"],
+            )
+            pairs = [
+                (t, d)
+                for t, d in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+                if t.startswith(prefix)
+            ]
+            pairs.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in pairs[:max_expansions]]
         ts = self._term_stats_df()
         return [
             r["term"]
@@ -129,6 +149,38 @@ class IndexReader:
                 dm = dm.persist()
             self._dm_df = dm
         return self._dm_df
+
+    # a query whose total posting count is below this is served entirely
+    # on the driver (node-local read of |q| bucket dirs + in-process
+    # kernels) — the Lucene-searcher-style serving path; bigger queries
+    # scatter-gather through Spark. ~5M postings decode to a few tens of
+    # MB of numpy — comfortable driver work either way.
+    LOCAL_MAX_POSTINGS = 5_000_000
+
+    def postings_local(self, terms: list[str]):
+        """Driver-side postings read for a small query: pyarrow dataset
+        scan of the terms' bucket directories (hive partition pruning +
+        term row-group pushdown). Returns {shard: [row, ...]} with the
+        same attribute shape the Spark kernels consume, or None when the
+        postings aren't a local directory."""
+        p = os.path.join(self.dir, "postings")
+        if not os.path.isdir(p):
+            return None
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+            filter=ds.field("bucket").isin(self._bucket_of(terms))
+            & ds.field("term").isin(terms),
+            columns=["shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"],
+        )
+        by_shard: dict[int, list] = {}
+        cols = [tbl.column(c).to_pylist() for c in
+                ("shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks")]
+        for shard, term, d_bin, t_bin, l_bin, blocks in zip(*cols):
+            by_shard.setdefault(int(shard), []).append(
+                _PostRow(term, d_bin, t_bin, l_bin, blocks)
+            )
+        return by_shard
 
     def docmap_lookup_local(
         self, shards: list[int], local_ids: list[int]
@@ -193,6 +245,8 @@ class IndexReader:
 
 
 _BLOCK_KEYS = ("first_doc", "last_doc", "n", "doc_off", "tf_off", "dl_off", "max_impact")
+
+_PostRow = namedtuple("_PostRow", ["term", "docs_bin", "tfs_bin", "dls_bin", "blocks"])
 
 
 def _norm_blocks(blocks) -> list[tuple]:
@@ -512,6 +566,7 @@ def bm25_topk(
     algo: str = "wand",
     field_opts: str = "default",
     lookup: str = "auto",
+    execution: str = "auto",
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -523,7 +578,13 @@ def bm25_topk(
     (driver-side pyarrow filtered read, zero extra Spark jobs; the latency
     path), "spark" (pruned distributed scan; the plan-auditable path the
     batch API also uses), "auto" = local when the docmap dir is local.
-    """
+    execution: where the per-shard kernels run — "spark" (scatter-gather
+    applyInPandas; the 10^12-doc path), "local" (driver-side pyarrow
+    postings read + in-process kernels; the Lucene-searcher-style serving
+    path, ~ms instead of a job launch), "auto" = local when the index dir
+    is local AND the query's total posting count (known exactly from the
+    dictionary dfs) fits LOCAL_MAX_POSTINGS. All paths are rank-identical
+    (same kernels, same bytes)."""
     spark = reader.spark
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     if mode == "prefix":
@@ -536,13 +597,18 @@ def bm25_topk(
     # document can match (aligned with bm25_topk_batch; frozen by test)
     all_terms_live = len(live_terms) == len(terms)
     terms = live_terms
-    empty = spark.createDataFrame(
-        pd.DataFrame({"url": pd.Series(dtype=object), "doc_id": pd.Series(dtype="int64"),
-                      "score": pd.Series(dtype="float64")}),
-        "url string, doc_id long, score double",
-    )
+
+    def empty() -> DataFrame:
+        # built only when actually returned; range(0) projection is the
+        # cheapest empty relation to collect (no pandas/Arrow conversion)
+        return spark.range(0).select(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+        )
+
     if not terms or (mode == "and" and not all_terms_live):
-        return empty
+        return empty()
     if mode == "and" and algo in ("wand", "wand_daat"):
         algo = "taat"  # conjunctive path is the vectorized intersection
     if field_opts != "default" and algo in ("wand", "wand_daat"):
@@ -578,26 +644,44 @@ def bm25_topk(
             }
         )
 
-    per_shard = (
-        reader.postings(terms)
-        .groupBy("shard")
-        .applyInPandas(shard_topk, "shard int, local_id long, score double")
-    )
-    # The per-shard heaps are tiny (<= k x n_shards rows) by construction:
-    # collect them, pick the global top-k driver-side (doc_id = shard
-    # offset + local_id, no docmap needed for ranking), then look up urls
-    # with a PRUNED docmap read — shard/local_id predicates push down to
-    # partition directories + row groups, instead of broadcast-joining the
-    # heap against every docmap row (the 10^12-doc scan this replaces).
-    heap = per_shard.collect()
-    if not heap:
-        return empty
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto" and sum(stats[t] for t in terms) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            heap_rows = []
+            for shard, rows in by_shard.items():
+                if mode == "and" and len({r.term for r in rows}) < n_terms:
+                    continue
+                if algo == "wand" and mode == "or":
+                    top = _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
+                elif algo == "wand_daat" and mode == "or":
+                    top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
+                else:
+                    top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
+                heap_rows.extend((shard, local, score) for local, score in top)
+
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(terms)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        # The per-shard heaps are tiny (<= k x n_shards rows) by
+        # construction: collect them and pick the global top-k driver-side
+        # (doc_id = shard offset + local_id, no docmap needed for
+        # ranking); urls then come from a PRUNED docmap read instead of
+        # broadcast-joining the heap against every docmap row (the
+        # 10^12-doc scan this replaces).
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    if not heap_rows:
+        return empty()
     offsets = reader.shard_offsets()
     winners = sorted(
-        (
-            (r["shard"], r["local_id"], offsets[r["shard"]] + r["local_id"], r["score"])
-            for r in heap
-        ),
+        ((s, l, offsets[s] + l, sc) for s, l, sc in heap_rows),
         key=lambda t: (-t[3], t[2]),
     )[:k]
     shards = sorted({t[0] for t in winners})
@@ -648,11 +732,12 @@ def bm25_topk_batch(
     all_terms = sorted({t for ts in queries.values() for t in ts})
     stats = reader.term_stats(all_terms)
     live_terms = [t for t in all_terms if t in stats]
-    empty = spark.createDataFrame(
-        pd.DataFrame({"query_id": pd.Series(dtype="int64"), "url": pd.Series(dtype=object),
-                      "doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64"),
-                      "rank": pd.Series(dtype="int32")}),
-        "query_id long, url string, doc_id long, score double, rank int",
+    empty = spark.range(0).select(
+        F.lit(None).cast("long").alias("query_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
     )
     if not live_terms:
         return empty

@@ -250,6 +250,28 @@ def test_shard_offsets_match_docmap(spark, index):
         assert offs[s] == off
 
 
+def test_local_and_spark_execution_identical(spark, index, corpus):
+    """The driver-side serving path (pyarrow postings read + in-process
+    kernels) returns exactly what the Spark scatter-gather path returns,
+    for every mode/algo combination in the frozen set."""
+    out, _ = index
+    reader = IndexReader(spark, out)
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    for q in synth.frozen_queries():
+        mode = {"single": "or", "and": "and", "or": "or",
+                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        loc = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="local").collect()
+        dist = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="spark").collect()
+        assert [(r["url"], r["doc_id"], r["score"]) for r in loc] == [
+            (r["url"], r["doc_id"], r["score"]) for r in dist
+        ], q
+        if mode == "prefix":
+            expected = oracle.topk(oracle.expand_prefix(q["terms"][0]), k=q["k"])
+        else:
+            expected = oracle.topk(q["terms"], k=q["k"], mode=mode)
+        assert [r["doc_id"] for r in loc] == [d for d, _ in expected], q
+
+
 def test_and_with_absent_term_is_empty(spark, index):
     """Frozen conjunctive semantics: a required term absent from the index
     means NO document matches — identical in the single-query and batch
