@@ -216,7 +216,10 @@ SELECT doc_id, {mins} FROM h GROUP BY doc_id
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
+    """WITH-block computing `fp(doc_id, simhash)` — the 63-bit tf-weighted
+    SimHash — shared by dedup_simhash and dedup_simhash_pairs so the bit
+    derivation exists exactly once."""
     sums = []
     for j in range(32):
         sums.append(
@@ -239,9 +242,13 @@ hh AS (
          ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
   FROM tf
 ),
-s AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id)
-SELECT doc_id, ({fp})::BIGINT AS simhash FROM s
+s AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM s)
 """
+
+
+def _simhash_sql() -> str:
+    return _simhash_ctes() + "SELECT doc_id, simhash FROM fp"
 
 
 JACCARD_SQL = f"""
@@ -334,26 +341,7 @@ def _simhash_pairs_sql() -> str:
     """4x16-bit band-blocked simhash near-dup pairs with exact XOR-popcount
     hamming verify (engine/dedup.py simhash_near_dup_pairs twin)."""
     band_exprs = ", ".join(f"(simhash >> {16 * i}) & 65535" for i in range(4))
-    sums = []
-    for j in range(32):
-        sums.append(f"sum(CASE WHEN ((h_lo >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{j}")
-    for j in range(32):
-        sums.append(f"sum(CASE WHEN ((h_hi >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{32 + j}")
-    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(63))
-    return f"""
-{_toks_cte()},
-tf AS (
-  SELECT doc_id, tok, count(*)::BIGINT AS tf
-  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok
-),
-hh AS (
-  SELECT doc_id, tf,
-         {H32.format(c='tok')} AS h_hi,
-         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
-  FROM tf
-),
-s AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id),
-fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM s),
+    return _simhash_ctes() + f""",
 bands AS (
   SELECT doc_id, simhash, unnest(range(4)) AS band,
          unnest([{band_exprs}]) AS key
@@ -607,6 +595,20 @@ def _wand_index_dir(spark, sf_dir):
     if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
         d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
         build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
+        os.utime(out_dir)
+        # bound the cache: every corpus regeneration mints a new key, so
+        # old sparkft_wand_* trees would accumulate until the disk fills.
+        # Keep the newest 4 (several sf dirs in flight), drop the rest.
+        import glob
+        import shutil
+
+        sibs = sorted(
+            glob.glob(os.path.join(tempfile.gettempdir(), "sparkft_wand_*")),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in sibs[4:]:
+            shutil.rmtree(stale, ignore_errors=True)
     return out_dir
 
 

@@ -274,13 +274,24 @@ def minhash_lsh_pairs(
     """
     # ONE shingle materialization feeds signatures, banding, and the
     # verify join (tokenize+shingle dominates at small candidate counts;
-    # without the persist each stage would recompute it from the corpus)
+    # without the persist each stage would recompute it from the corpus).
+    # The small result is localCheckpoint-ed eagerly so the shingle cache
+    # can be RELEASED before returning — repeated calls in a long-lived
+    # session must not each pin a corpus-sized table in storage memory.
     sh = ngram_shingles(docs, n, id_col, text_col).persist()
-    cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col, _shingles=sh)
-    vsh = sh
-    if max_shingle_df is not None:
-        vsh, _ = cap_shingle_df(sh, max_shingle_df)
-    return _jaccard_over_pairs(cand, vsh, threshold).select("a", "b", "jaccard")
+    try:
+        cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col, _shingles=sh)
+        vsh = sh
+        if max_shingle_df is not None:
+            vsh, _ = cap_shingle_df(sh, max_shingle_df)
+        out = (
+            _jaccard_over_pairs(cand, vsh, threshold)
+            .select("a", "b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
+    return out
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -366,6 +377,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -392,7 +404,15 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would report one chained cluster as
+        # several components — refuse rather than return wrong labels
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} "
+            "rounds (pair-graph diameter exceeds it); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

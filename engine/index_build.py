@@ -296,36 +296,44 @@ def _ckpt_path(out_dir: str) -> str:
 LOCK_NAME = "_BUILD_LOCK"
 
 
-def _acquire_build_lock(out_dir: str, job_id: str) -> str:
-    """Single-writer guard (DURABILITY.md contract #3): O_EXCL-create a
-    lock file naming the holder. A second concurrent build is REJECTED; a
-    lock whose pid is dead (crashed builder) is stolen. The Iceberg analog
-    is optimistic metadata-swap conflict detection — single-writer-per-
-    table is the stricter, simpler local contract."""
+def _acquire_build_lock(out_dir: str, job_id: str) -> tuple[int, str]:
+    """Single-writer guard (DURABILITY.md contract #3): take an exclusive
+    flock on the lock file, held open for the build's lifetime. A second
+    concurrent build fails the non-blocking flock and is REJECTED; a
+    crashed builder's lock is released by the KERNEL when its fd closes,
+    so staleness needs no pid probing — no dead-pid race between two
+    stealers, no EPERM misread of a live foreign-uid holder. The Iceberg
+    analog is optimistic metadata-swap conflict detection — single-
+    writer-per-table is the stricter, simpler local contract."""
+    import fcntl
+
     lock = os.path.join(out_dir, LOCK_NAME)
-    while True:
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        holder = "unknown"
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                json.dump({"job_id": job_id, "pid": os.getpid()}, f)
-                f.flush()
-                os.fsync(f.fileno())
-            return lock
-        except FileExistsError:
-            try:
-                with open(lock) as f:
-                    holder = json.load(f)
-                os.kill(int(holder["pid"]), 0)  # raises if dead
-            except (OSError, ValueError, KeyError, json.JSONDecodeError):
-                try:
-                    os.unlink(lock)  # stale lock from a crashed build
-                except FileNotFoundError:
-                    pass
-                continue
-            raise RuntimeError(
-                f"concurrent build rejected: {out_dir} is locked by "
-                f"job {holder.get('job_id')!r} (pid {holder['pid']})"
-            )
+            with open(lock) as f:
+                holder = json.load(f)
+        except Exception:
+            pass
+        os.close(fd)
+        raise RuntimeError(
+            f"concurrent build rejected: {out_dir} is locked by {holder!r}"
+        )
+    os.ftruncate(fd, 0)
+    os.write(fd, json.dumps({"job_id": job_id, "pid": os.getpid()}).encode())
+    os.fsync(fd)
+    return fd, lock
+
+
+def _release_build_lock(fd: int, lock: str) -> None:
+    try:
+        os.unlink(lock)
+    except FileNotFoundError:
+        pass
+    os.close(fd)  # releases the flock
 
 
 def _wipe_contents(out_dir: str) -> None:
@@ -397,7 +405,7 @@ def build_index(
     DURABILITY.md, tested by tests/test_durability.py.
     """
     os.makedirs(out_dir, exist_ok=True)
-    lock = _acquire_build_lock(out_dir, job_id)
+    fd, lock = _acquire_build_lock(out_dir, job_id)
     try:
         if not resume:
             _wipe_contents(out_dir)
@@ -406,10 +414,7 @@ def build_index(
             resume, bucket_chunk,
         )
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        _release_build_lock(fd, lock)
 
 
 def _build_index_locked(

@@ -624,18 +624,19 @@ def bm25_topk(
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     n_terms = len(terms)
 
-    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf.itertuples())
+    def run_kernel(rows) -> list[tuple[int, float]]:
+        # ONE dispatch shared by the local and Spark paths — their rank
+        # identity (tested) depends on running the exact same kernel code
         if mode == "and" and len({r.term for r in rows}) < n_terms:
-            return pd.DataFrame({"shard": [], "local_id": [], "score": []}).astype(
-                {"shard": "int32", "local_id": "int64", "score": "float64"}
-            )
+            return []
         if algo == "wand" and mode == "or":
-            top = _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
-        elif algo == "wand_daat" and mode == "or":
-            top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
-        else:
-            top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
+            return _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
+        if algo == "wand_daat" and mode == "or":
+            return _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
+        return _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(list(pdf.itertuples()))
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -650,17 +651,11 @@ def bm25_topk(
     ):
         by_shard = reader.postings_local(terms)
         if by_shard is not None:
-            heap_rows = []
-            for shard, rows in by_shard.items():
-                if mode == "and" and len({r.term for r in rows}) < n_terms:
-                    continue
-                if algo == "wand" and mode == "or":
-                    top = _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
-                elif algo == "wand_daat" and mode == "or":
-                    top = _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
-                else:
-                    top = _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
-                heap_rows.extend((shard, local, score) for local, score in top)
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(rows)
+            ]
 
     if heap_rows is None:
         per_shard = (

@@ -21,21 +21,32 @@ def corpus(tmp_path_factory):
 
 
 def test_concurrent_build_rejected(spark, corpus, tmp_path_factory):
+    """While another process HOLDS the flock, a second build is rejected."""
+    import fcntl
+
     out = str(tmp_path_factory.mktemp("dur1") / "idx")
     os.makedirs(out)
-    with open(os.path.join(out, LOCK_NAME), "w") as f:
-        json.dump({"job_id": "other-build", "pid": os.getpid()}, f)  # alive
-    with pytest.raises(RuntimeError, match="concurrent build rejected"):
-        build_index(spark, corpus, out, n_shards=2, n_buckets=4)
-    # the holder's lock is untouched by the rejected attempt
-    assert os.path.exists(os.path.join(out, LOCK_NAME))
+    lock = os.path.join(out, LOCK_NAME)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    os.write(fd, json.dumps({"job_id": "other-build", "pid": os.getpid()}).encode())
+    try:
+        with pytest.raises(RuntimeError, match="concurrent build rejected"):
+            build_index(spark, corpus, out, n_shards=2, n_buckets=4)
+        # the holder's lock is untouched by the rejected attempt
+        assert os.path.exists(lock)
+    finally:
+        os.close(fd)
 
 
-def test_stale_lock_stolen(spark, corpus, tmp_path_factory):
+def test_stale_lock_from_crashed_build_released(spark, corpus, tmp_path_factory):
+    """A lock FILE without a held flock (crashed builder: the kernel
+    released its flock when the process died) does not block a new build
+    — no pid probing, no steal race."""
     out = str(tmp_path_factory.mktemp("dur2") / "idx")
     os.makedirs(out)
     with open(os.path.join(out, LOCK_NAME), "w") as f:
-        json.dump({"job_id": "crashed-build", "pid": 99999999}, f)  # dead pid
+        json.dump({"job_id": "crashed-build", "pid": 99999999}, f)
     manifest = build_index(spark, corpus, out, n_shards=2, n_buckets=4)
     assert manifest["n_docs"] > 0
     assert not os.path.exists(os.path.join(out, LOCK_NAME))  # released
