@@ -53,7 +53,18 @@ from engine.textstats import (
     quality_score,
     token_counts,
 )
-from engine.simsearch import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
+from engine.simsearch import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from engine.events import (
+    extract_prop,
+    session_stats,
+    sessionize,
+    windowed_event_stats,
+)
 
 K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
@@ -410,6 +421,63 @@ s AS (
 ),
 r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
 SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= {k}
+"""
+
+def _ivf_ann_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """IVF ANN as SQL: deterministic min-id centroids, nearest-centroid
+    corpus assignment, nprobe-list probe, exact cosine re-rank — the same
+    plan ivf_ann_topk declares, in ANSI window-function form."""
+    # unrounded for the argmax (matches _nearest_centroids' raw ccos)
+    assign_cos = (
+        "list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    cos = COS_EXPR.format(a="c.v", b="p.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+ca AS (
+  SELECT vec_id AS neighbor_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_cos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+pa AS (
+  SELECT vec_id AS probe_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_cos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT pa.probe_id, ca.neighbor_id
+  FROM pa JOIN ca USING (list_id) WHERE ca.neighbor_id != pa.probe_id
+),
+s AS (
+  SELECT probe_id, neighbor_id, {cos} AS cos
+  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN e p ON p.vec_id = probe_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
+SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= {k}
+"""
+
+
+EV_WINDOW_S = 21600
+EV_GAP_S = 14400
+
+EV_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_epoch
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (
+  SELECT *, CASE WHEN lag(ts_epoch) OVER w IS NULL
+                  OR ts_epoch - lag(ts_epoch) OVER w > {EV_GAP_S}
+             THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+)
+SELECT event_id, user_id, ts_epoch,
+       (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id))::BIGINT AS session_seq
+FROM f
 """
 
 # ---------------------------------------------------------------------------
@@ -771,6 +839,44 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN scale path: min-id coarse quantizer (deterministic, see
+    ivf_centroids), nearest-list assignment, nprobe-list search, exact
+    re-rank — fully oracle-checked, recall-tested vs brute force."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    out = ivf_ann_topk(emb, probes, n_centroids=16, nprobe=4, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _events_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_ev_windowed_stats(spark, sf_dir):
+    """Tumbling-window event stats (the ST1 metrics tick generalized;
+    streaming twin with watermark in engine.events.stream_windowed_stats)."""
+    return windowed_event_stats(_events_df(spark, sf_dir), window_s=EV_WINDOW_S)
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """Gap-based session assignment via window functions (one shuffle on
+    user_id; applyInPandasWithState streaming twin tested equivalent)."""
+    return sessionize(_events_df(spark, sf_dir), gap_s=EV_GAP_S)
+
+
+def q_ev_session_stats(spark, sf_dir):
+    """Per-session rollup over the sessionized events."""
+    return session_stats(_events_df(spark, sf_dir), gap_s=EV_GAP_S)
+
+
+def q_ev_props_extract(spark, sf_dir):
+    """JSON property extraction (get_json_object; SURVEY 2.9 JSON surface)."""
+    return extract_prop(_events_df(spark, sf_dir), key="k")
+
+
 def q_l5_elastic_tokens(spark, sf_dir):
     """L5 analyzer_elastic: standard tokenizer only, case PRESERVED."""
     from engine.textnorm import analyzer_elastic_col
@@ -958,6 +1064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_cosine_topk,
         "dedup_embedding_pairs": q_embedding_near_dup,
         "sim_lsh_ann_topk": q_lsh_ann,
+        "sim_ivf_ann_topk": q_ivf_ann,
+        "ev_windowed_stats": q_ev_windowed_stats,
+        "ev_sessionize": q_ev_sessionize,
+        "ev_session_stats": q_ev_session_stats,
+        "ev_props_extract": q_ev_props_extract,
         "mm_media_features": q_media_features,
     }
 
@@ -1211,6 +1322,26 @@ WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
 """,
         "sim_lsh_ann_topk": _lsh_ann_sql(),
+        "sim_ivf_ann_topk": _ivf_ann_sql(),
+        "ev_windowed_stats": f"""
+SELECT (floor(epoch(ts)/{EV_WINDOW_S})*{EV_WINDOW_S})::BIGINT AS ws, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+""",
+        "ev_sessionize": EV_SESSIONIZE_SQL,
+        "ev_session_stats": f"""
+WITH s AS ({EV_SESSIONIZE_SQL}),
+j AS (SELECT s.*, e.value FROM s JOIN events e USING (event_id))
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_epoch) AS start_epoch, max(ts_epoch) AS end_epoch,
+       (max(ts_epoch) - min(ts_epoch)) AS duration_s,
+       round(sum(value), 6) AS sum_value
+FROM j GROUP BY user_id, session_seq
+""",
+        "ev_props_extract": """
+SELECT event_id, event_type, (props->>'$.k')::BIGINT AS prop FROM events
+""",
         # mm_media_features: the fake decoder is a byte high-nibble histogram;
         # payload = UTF-8 bytes of text (ASCII corpus: byte i == char i, so
         # ascii(ch) // 16 == byte >> 4) — fully SQL-expressible.

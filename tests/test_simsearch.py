@@ -5,7 +5,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from engine.simsearch import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
+from engine.simsearch import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -25,6 +30,35 @@ def test_lsh_ann_recall_vs_exact(spark, emb):
     a = {(r["probe_id"], r["neighbor_id"]) for r in ann.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, recall  # 4-bit x 8-table LSH on random vectors
+
+
+def test_ivf_ann_recall_vs_exact(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "probe_id")
+    exact = cosine_topk(emb, probes, k=5)
+    ivf = ivf_ann_topk(emb, probes, n_centroids=16, nprobe=6, k=5)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # nprobe=6/16 lists on random vectors
+
+
+def test_ivf_ann_candidates_are_pruned(spark, emb):
+    """IVF must score strictly fewer candidate pairs than brute force:
+    nprobe/n_centroids of the corpus per probe in expectation."""
+    probes = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "probe_id")
+    from engine.simsearch import _nearest_centroids, ivf_centroids
+
+    cents = ivf_centroids(emb, 16)
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    p = probes.select("probe_id", F.col("embedding").alias("pvec"))
+    n_cand = (
+        _nearest_centroids(p, cents, 4, "probe_id", "pvec")
+        .select("probe_id", "list_id")
+        .join(_nearest_centroids(c, cents, 1, "neighbor_id", "cvec").select("neighbor_id", "list_id"), "list_id")
+        .count()
+    )
+    n_total = emb.count() * 10
+    assert n_cand < 0.6 * n_total, (n_cand, n_total)
 
 
 def test_embedding_near_dup_lsh_recall(spark, emb):
