@@ -61,6 +61,22 @@ def main() -> None:
     # ---- index build throughput --------------------------------------------
     idx = os.path.join(work, "idx")
     n_shards = max(8, int(cpus))
+    # Untimed warm-up build (same pipeline, quarter-size corpus): python
+    # workers spin up, codegen JITs, and glibc heap pages get touched once —
+    # the costs a long-lived executor pays at startup, not per job. Cold
+    # first builds on this VM run 2-5x slower than steady state (BENCH.md
+    # section 3); the timed number should measure the engine, not the fork.
+    warm_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", str(max(1, n_docs // 4))))
+    if warm_docs:
+        warm_corpus = os.path.join(work, "warm.parquet")
+        synth.write_pages(warm_corpus, warm_docs)
+        t0 = time.time()
+        build_index(
+            spark, warm_corpus, os.path.join(work, "warm_idx"),
+            n_shards=n_shards, n_buckets=32, bucket_chunk=32,
+        )
+        aux["warmup_build_sec"] = round(time.time() - t0, 3)
+        aux["warmup_docs"] = warm_docs
     t0 = time.time()
     manifest = build_index(
         spark, corpus, idx, n_shards=n_shards, n_buckets=32, bucket_chunk=32
