@@ -118,6 +118,21 @@ def main() -> None:
     lat.sort()
     aux["bm25_spark_p50"] = round(lat[len(lat) // 2], 3)
 
+    # serving-path API: same kernels/winners, plain tuples back — no
+    # result-DataFrame JVM round-trip (the query-server latency number)
+    from engine.query import bm25_topk_rows
+
+    lat = []
+    for q in frozen:
+        mode = {"single": "or", "and": "and", "or": "or",
+                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        t0 = time.time()
+        bm25_topk_rows(reader, q["terms"], k=q["k"], mode=mode)
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["bm25_rows_p50"] = round(lat[len(lat) // 2], 3)
+    aux["bm25_rows_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
     # ---- batch-query throughput (one distributed pass, 6000 queries) -------
     from engine.query import bm25_topk_batch
 

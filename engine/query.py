@@ -44,6 +44,9 @@ class IndexReader:
     # cache the term dictionary / docmap only when comfortably in-memory;
     # above this the parquet scans (bucket-pruned) are the scale path
     CACHE_MAX_DOCS = 5_000_000
+    # resident docmap url arrays (driver serving path) — tighter gate than
+    # CACHE_MAX_DOCS because urls are the wide column (~100 B each)
+    DOCMAP_MEM_MAX_DOCS = 2_000_000
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -57,6 +60,20 @@ class IndexReader:
         self.n_buckets = self.manifest["n_buckets"]
         self._ts_df: DataFrame | None = None
         self._dm_df: DataFrame | None = None
+        self._pa_ds: dict = {}  # cached pyarrow dataset handles per subdir
+        self._ts_cache: dict[str, int] | None = None  # term -> df (small idx)
+        self._dm_cache: dict[int, list] | None = None  # shard -> url list
+
+    def _pa_dataset(self, sub: str):
+        """Cached pyarrow dataset handle: file/partition discovery costs a
+        few ms per open — pay it once per reader, not per query."""
+        if sub not in self._pa_ds:
+            import pyarrow.dataset as ds
+
+            self._pa_ds[sub] = ds.dataset(
+                os.path.join(self.dir, sub), format="parquet", partitioning="hive"
+            )
+        return self._pa_ds[sub]
 
     def _term_stats_df(self) -> DataFrame:
         if self._ts_df is None:
@@ -82,12 +99,24 @@ class IndexReader:
         the fallback for remote dirs."""
         if not terms:
             return {}
+        if self._ts_cache is not None:
+            return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
         buckets = self._bucket_of(terms)
         p = os.path.join(self.dir, "term_stats")
         if os.path.isdir(p):
             import pyarrow.dataset as ds
 
-            tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+            if self.n_docs <= self.CACHE_MAX_DOCS:
+                # small index: load the whole dictionary once (vocab grows
+                # ~ docs^0.5-0.7, Heaps' law — a few MB here); per-query
+                # lookups become dict hits. Above the gate the bucket-pruned
+                # + term-pushdown read IS the scale path.
+                tbl = self._pa_dataset("term_stats").to_table(columns=["term", "df"])
+                self._ts_cache = dict(
+                    zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+                )
+                return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
+            tbl = self._pa_dataset("term_stats").to_table(
                 filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
                 columns=["term", "df"],
             )
@@ -116,7 +145,7 @@ class IndexReader:
             import pyarrow.dataset as ds
 
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+            tbl = self._pa_dataset("term_stats").to_table(
                 filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
                 columns=["term", "df"],
             )
@@ -168,7 +197,7 @@ class IndexReader:
             return None
         import pyarrow.dataset as ds
 
-        tbl = ds.dataset(p, format="parquet", partitioning="hive").to_table(
+        tbl = self._pa_dataset("postings").to_table(
             filter=ds.field("bucket").isin(self._bucket_of(terms))
             & ds.field("term").isin(terms),
             columns=["shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"],
@@ -195,8 +224,32 @@ class IndexReader:
             return None
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(p, format="parquet", partitioning="hive")
-        tbl = dset.to_table(
+        if self.n_docs <= self.DOCMAP_MEM_MAX_DOCS:
+            # small index: resident per-shard url arrays (local ids are
+            # dense shard ordinals, so lookup is a list index). Above the
+            # gate the pruned read below is the 10^12-doc path.
+            if self._dm_cache is None:
+                tbl = self._pa_dataset("docmap").to_table(
+                    columns=["shard", "local_id", "url"]
+                )
+                cache: dict[int, list] = {}
+                for s, l, u in zip(
+                    tbl.column("shard").to_pylist(),
+                    tbl.column("local_id").to_pylist(),
+                    tbl.column("url").to_pylist(),
+                ):
+                    lst = cache.setdefault(int(s), [])
+                    if len(lst) <= l:
+                        lst.extend([None] * (l + 1 - len(lst)))
+                    lst[l] = u
+                self._dm_cache = cache
+            return {
+                (int(s), int(l)): self._dm_cache[int(s)][int(l)]
+                for s in shards
+                for l in local_ids
+                if int(s) in self._dm_cache and int(l) < len(self._dm_cache[int(s)])
+            }
+        tbl = self._pa_dataset("docmap").to_table(
             filter=ds.field("shard").isin([int(s) for s in shards])
             & ds.field("local_id").isin([int(l) for l in local_ids]),
             columns=["shard", "local_id", "url"],
@@ -584,7 +637,64 @@ def bm25_topk(
     path, ~ms instead of a job launch), "auto" = local when the index dir
     is local AND the query's total posting count (known exactly from the
     dictionary dfs) fits LOCAL_MAX_POSTINGS. All paths are rank-identical
-    (same kernels, same bytes)."""
+    (same kernels, same bytes).
+
+    bm25_topk_rows returns the same winners as plain tuples without the
+    result-DataFrame round-trip — the serving-path API."""
+    kind, payload = _bm25_topk_impl(
+        reader, query, k, mode, algo, field_opts, lookup, execution
+    )
+    if kind == "df":
+        return payload
+    spark = reader.spark
+    if not payload:
+        return spark.range(0).select(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
+def bm25_topk_rows(
+    reader: IndexReader,
+    query: str | list[str],
+    k: int = 10,
+    mode: str = "or",
+    algo: str = "wand",
+    field_opts: str = "default",
+) -> list[tuple[str, int, float]]:
+    """Serving-path twin of bm25_topk: the same analysis, kernels, and
+    winner selection, returned as [(url, doc_id, score)] with NO result
+    DataFrame — for a query server, the ~40 ms of JVM round-trips that
+    building and collecting a 10-row DataFrame costs is the latency floor,
+    and this path removes it. Rank-identical to bm25_topk by construction
+    (tested): both run _bm25_topk_impl."""
+    kind, payload = _bm25_topk_impl(
+        reader, query, k, mode, algo, field_opts, lookup="auto", execution="auto"
+    )
+    if kind == "rows":
+        return payload
+    return [(r["url"], r["doc_id"], r["score"]) for r in payload.collect()]
+
+
+def _bm25_topk_impl(
+    reader: IndexReader,
+    query: str | list[str],
+    k: int,
+    mode: str,
+    algo: str,
+    field_opts: str,
+    lookup: str,
+    execution: str,
+):
+    """Shared top-k engine. Returns ("rows", [(url, doc_id, score), ...])
+    when the result is materialized driver-side (local kernels and/or local
+    docmap lookup), or ("df", DataFrame) when the url join runs as a Spark
+    plan (remote docmap / lookup="spark")."""
     spark = reader.spark
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     if mode == "prefix":
@@ -598,17 +708,8 @@ def bm25_topk(
     all_terms_live = len(live_terms) == len(terms)
     terms = live_terms
 
-    def empty() -> DataFrame:
-        # built only when actually returned; range(0) projection is the
-        # cheapest empty relation to collect (no pandas/Arrow conversion)
-        return spark.range(0).select(
-            F.lit(None).cast("string").alias("url"),
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast("double").alias("score"),
-        )
-
     if not terms or (mode == "and" and not all_terms_live):
-        return empty()
+        return "rows", []
     if mode == "and" and algo in ("wand", "wand_daat"):
         algo = "taat"  # conjunctive path is the vectorized intersection
     if field_opts != "default" and algo in ("wand", "wand_daat"):
@@ -673,7 +774,7 @@ def bm25_topk(
             (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
         ]
     if not heap_rows:
-        return empty()
+        return "rows", []
     offsets = reader.shard_offsets()
     winners = sorted(
         ((s, l, offsets[s] + l, sc) for s, l, sc in heap_rows),
@@ -685,22 +786,13 @@ def bm25_topk(
         reader.docmap_lookup_local(shards, locals_) if lookup in ("auto", "local") else None
     )
     if urls is not None:
-        return spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "url": [urls[(s, l)] for s, l, _, _ in winners],
-                    "doc_id": [d for _, _, d, _ in winners],
-                    "score": [sc for _, _, _, sc in winners],
-                }
-            ),
-            "url string, doc_id long, score double",
-        )
+        return "rows", [(urls[(s, l)], d, sc) for s, l, d, sc in winners]
     win_df = spark.createDataFrame(
         pd.DataFrame(winners, columns=["shard", "local_id", "doc_id", "score"]),
         "shard int, local_id long, doc_id long, score double",
     )
     dm = reader.docmap_pruned(shards, locals_)
-    return (
+    return "df", (
         dm.select("shard", "local_id", "url")
         .join(F.broadcast(win_df), ["shard", "local_id"])
         .select("url", "doc_id", "score")

@@ -272,6 +272,21 @@ def test_local_and_spark_execution_identical(spark, index, corpus):
         assert [r["doc_id"] for r in loc] == [d for d, _ in expected], q
 
 
+def test_rows_api_identical_to_dataframe_api(spark, index):
+    """bm25_topk_rows (serving path, no result DataFrame) returns exactly
+    the rows of bm25_topk for every frozen query."""
+    from engine.query import bm25_topk_rows
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    for q in synth.frozen_queries():
+        mode = {"single": "or", "and": "and", "or": "or",
+                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        rows = bm25_topk_rows(reader, q["terms"], k=q["k"], mode=mode)
+        df = bm25_topk(reader, q["terms"], k=q["k"], mode=mode).collect()
+        assert rows == [(r["url"], r["doc_id"], r["score"]) for r in df], q
+
+
 def test_and_with_absent_term_is_empty(spark, index):
     """Frozen conjunctive semantics: a required term absent from the index
     means NO document matches — identical in the single-query and batch
