@@ -1009,6 +1009,24 @@ def q_media_features(spark, sf_dir):
     return feature_histogram_counts(extract_features(media, decoder=fake_decoder))
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-checked end-to-end: the
+    derived media table's video rows fan out to every 5th of 30 chunk
+    'frames' inside mapInPandas (engine/multimodal.py sample_frames); the
+    chunk spec is byte substrings, so DuckDB reproduces each frame's md5
+    from the source text (ASCII corpus: byte i == char i)."""
+    from engine.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    fr = sample_frames(media, stride=5)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1070,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_stats": q_ev_session_stats,
         "ev_props_extract": q_ev_props_extract,
         "mm_media_features": q_media_features,
+        "mm_frame_sample": q_mm_frame_sample,
     }
 
 
@@ -1361,5 +1380,25 @@ dims AS (SELECT media_id, kind, n_bytes, unnest(range(16)) AS dim FROM m)
 SELECT d.media_id, d.kind, d.n_bytes, d.dim::BIGINT AS dim,
        coalesce(h.cnt, 0)::BIGINT AS cnt
 FROM dims d LEFT JOIN hist h ON h.media_id = d.media_id AND h.dim = d.dim
+""",
+        # mm_frame_sample: frames are payload byte chunks at floor(i*L/30)
+        # boundaries, sampled every 5th; payload = UTF-8 text bytes (ASCII
+        # corpus => substring of the text IS the frame bytes).
+        "mm_frame_sample": """
+WITH v AS (
+  SELECT doc_id AS media_id, text, len(text)::BIGINT AS L
+  FROM documents WHERE text IS NOT NULL AND text != '' AND doc_id % 3 = 2
+),
+f AS (SELECT media_id, unnest([0, 5, 10, 15, 20, 25]) AS frame_idx, text, L FROM v),
+c AS (
+  SELECT media_id, frame_idx,
+         ((frame_idx + 1) * L) // 30 - (frame_idx * L) // 30 AS n_bytes,
+         substring(text, ((frame_idx * L) // 30)::INT + 1,
+                   (((frame_idx + 1) * L) // 30 - (frame_idx * L) // 30)::INT) AS frame
+  FROM f
+)
+SELECT media_id, frame_idx::BIGINT AS frame_idx, n_bytes::BIGINT AS n_bytes,
+       md5(frame) AS frame_md5
+FROM c
 """,
     }

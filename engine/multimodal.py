@@ -104,6 +104,125 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def chunk_frame_splitter(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic fake frame extraction: the payload byte stream is cut
+    into n_frames chunks at floor(i*L/n) boundaries. A real deployment
+    injects a libav-backed splitter (keyframe decode) via
+    sample_frames(splitter=...); the chunk spec is the frozen stand-in that
+    keeps the fan-out plumbing oracle-checkable (chunks are substrings of
+    the payload, reproducible in SQL)."""
+    L = len(payload)
+    n = max(1, n_frames)
+    return [payload[(i * L) // n : ((i + 1) * L) // n] for i in range(n)]
+
+
+def sample_frames(
+    media: DataFrame,
+    stride: int = 5,
+    splitter: Callable[[bytes, int], list] = chunk_frame_splitter,
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per kept frame
+    (media_id, frame_idx, n_bytes, frame), frames 0, stride, 2*stride, ...
+    of meta.n_frames. The row fan-out happens inside mapInPandas (Arrow
+    batches in/out, no per-row Python UDF call overhead); non-video rows
+    are filtered before the decode stage so codec work never touches them.
+
+    At scale this is the classic fat-row explode: output bytes ~= input
+    bytes / stride, and the pre-filter + column pruning (payload + meta
+    only) reach the parquet scan."""
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, frames = [], [], [], []
+            for mid, p, n in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                if p is None:
+                    continue
+                chunks = splitter(p, 1 if n is None or pd.isna(n) else int(n))
+                for i in range(0, len(chunks), stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(chunks[i]))
+                    frames.append(chunks[i])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_bytes": lens, "frame": frames}
+            )
+
+    return vids.mapInPandas(run, FRAME_SCHEMA)
+
+
+def nearest_neighbor_resizer(
+    payload: bytes, width: int, height: int, out_w: int, out_h: int
+) -> bytes:
+    """Deterministic fake image resize: the payload is treated as a
+    row-major (height x width) uint8 raster (padded/truncated to fit) and
+    subsampled with nearest-neighbor index math — the frozen stand-in for
+    a PIL/turbojpeg resize, exercising the same bytes-in/bytes-out UDF
+    contract."""
+    need = width * height
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size < need:
+        arr = np.pad(arr, (0, need - arr.size))
+    img = arr[:need].reshape(height, width)
+    ys = (np.arange(out_h) * height) // out_h
+    xs = (np.arange(out_w) * width) // out_w
+    return img[np.ix_(ys, xs)].tobytes()
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    resizer: Callable[[bytes, int, int, int, int], bytes] = nearest_neighbor_resizer,
+) -> DataFrame:
+    """Resize image rows to (out_w, out_h): same MEDIA-shaped schema out,
+    payload replaced and meta.width/height updated; non-image rows pass
+    through untouched (union, no codec work). The resizer is the
+    injectable codec hook, same contract as extract_features(decoder=)."""
+
+    imgs = media.filter(F.col("kind") == "image")
+    rest = media.filter(F.col("kind") != "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            metas = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                if p is None or m is None:
+                    out_payload.append(None)
+                    metas.append(m)
+                    continue
+                m = dict(m)
+                out_payload.append(
+                    resizer(p, int(m["width"]), int(m["height"]), out_w, out_h)
+                )
+                m["width"], m["height"] = out_w, out_h
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": metas,
+                }
+            )
+
+    return imgs.mapInPandas(run, MEDIA_SCHEMA).unionByName(rest)
+
+
 def media_from_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

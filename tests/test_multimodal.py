@@ -10,14 +10,64 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine.multimodal import (
+    chunk_frame_splitter,
     default_decoder,
     extract_features,
     fake_decoder,
     feature_histogram_counts,
     media_from_documents,
     media_repartition,
+    nearest_neighbor_resizer,
+    resize_images,
+    sample_frames,
     synth_media,
 )
+
+
+def test_chunk_frame_splitter_spec():
+    p = bytes(range(100))
+    chunks = chunk_frame_splitter(p, 30)
+    assert len(chunks) == 30
+    assert b"".join(chunks) == p  # exact cover, no overlap
+    # boundaries are floor(i*L/n)
+    assert chunks[0] == p[0 : 100 // 30]
+
+
+def test_sample_frames_plumbing(spark):
+    media = synth_media(spark, n=30)  # 10 video rows, meta.n_frames=30
+    rows = sample_frames(media, stride=5).collect()
+    vids = {r["media_id"] for r in rows}
+    assert len(vids) == 10
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    payloads = {r["media_id"]: r["payload"] for r in media.collect() if r["kind"] == "video"}
+    for mid, frs in by_id.items():
+        assert sorted(r["frame_idx"] for r in frs) == [0, 5, 10, 15, 20, 25]
+        # each frame is the exact chunk of the source payload
+        chunks = chunk_frame_splitter(bytes(payloads[mid]), 30)
+        for r in frs:
+            assert bytes(r["frame"]) == chunks[r["frame_idx"]]
+            assert r["n_bytes"] == len(chunks[r["frame_idx"]])
+
+
+def test_nearest_neighbor_resizer_golden():
+    # 2x2 raster [[0,1],[2,3]] upsampled to 4x4 nearest-neighbor
+    out = nearest_neighbor_resizer(bytes([0, 1, 2, 3]), 2, 2, 4, 4)
+    assert list(out) == [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3]
+
+
+def test_resize_images_plumbing(spark):
+    media = synth_media(spark, n=30)
+    out = resize_images(media, out_w=8, out_h=8)
+    rows = out.collect()
+    assert len(rows) == 30  # non-image rows pass through
+    for r in rows:
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 64
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        else:
+            assert r["meta"]["width"] != 8 or r["meta"]["width"] is None
 
 
 def test_default_decoder_is_honest_stub():
