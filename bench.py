@@ -100,8 +100,7 @@ def main() -> None:
     for algo in ("wand", "taat"):
         lat = []
         for q in frozen:
-            mode = {"single": "or", "and": "and", "or": "or",
-                    "prefix": "prefix", "absent": "or"}[q["kind"]]
+            mode = synth.MODE_BY_KIND[q["kind"]]
             t0 = time.time()
             bm25_topk(reader, q["terms"], k=q["k"], mode=mode, algo=algo).collect()
             lat.append(time.time() - t0)
@@ -110,8 +109,7 @@ def main() -> None:
         aux[f"bm25_{algo}_p95"] = round(lat[int(len(lat) * 0.95)], 3)
     lat = []
     for q in frozen:
-        mode = {"single": "or", "and": "and", "or": "or",
-                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        mode = synth.MODE_BY_KIND[q["kind"]]
         t0 = time.time()
         bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="spark").collect()
         lat.append(time.time() - t0)
@@ -124,8 +122,7 @@ def main() -> None:
 
     lat = []
     for q in frozen:
-        mode = {"single": "or", "and": "and", "or": "or",
-                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        mode = synth.MODE_BY_KIND[q["kind"]]
         t0 = time.time()
         bm25_topk_rows(reader, q["terms"], k=q["k"], mode=mode)
         lat.append(time.time() - t0)

@@ -34,7 +34,6 @@ O(1) state per user, not per event).
 
 from __future__ import annotations
 
-import os
 from typing import Iterator, Tuple
 
 import pandas as pd
@@ -210,40 +209,49 @@ _SESSION_STATE_SCHEMA = "last_ts long, seq long"
 _SESSION_OUT_SCHEMA = "event_id long, user_id long, ts_epoch long, session_seq long"
 
 
-def _session_update(
-    key: Tuple, pdfs: Iterator[pd.DataFrame], state
-) -> Iterator[pd.DataFrame]:
+def _make_session_update(gap_s: int):
     """applyInPandasWithState update fn: per-user state = (last event
-    epoch, session counter). Events within each micro-batch are sorted by
-    (ts, event_id); state carries across micro-batches, so a drained
-    in-order stream reproduces the batch sessionize assignment exactly."""
-    gap_s = DEFAULT_GAP_S
-    if state.exists:
-        last_ts, seq = state.get
-    else:
-        last_ts, seq = None, 0
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts_epoch", "event_id"])
-        for ev, ts in zip(pdf["event_id"].to_numpy(), pdf["ts_epoch"].to_numpy()):
-            if last_ts is None or ts - last_ts > gap_s:
-                seq += 1
-            last_ts = int(ts)
-            out.append((int(ev), int(key[0]), int(ts), int(seq)))
-    state.update((last_ts, seq))
-    if out:
-        yield pd.DataFrame(out, columns=["event_id", "user_id", "ts_epoch", "session_seq"])
+    epoch, session counter). A micro-batch's group may arrive as MULTIPLE
+    Arrow chunks in arbitrary relative order (chunking is a transport
+    artifact, > maxRecordsPerBatch rows splits a group) — so all chunks
+    are concatenated and sorted by (ts, event_id) ONCE before the state
+    walk. State carries across micro-batches, so a drained in-order stream
+    reproduces the batch sessionize assignment exactly."""
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_epoch", "event_id"])
+            for ev, ts in zip(pdf["event_id"].to_numpy(), pdf["ts_epoch"].to_numpy()):
+                if last_ts is None or ts - last_ts > gap_s:
+                    seq += 1
+                last_ts = int(ts)
+                out.append((int(ev), int(key[0]), int(ts), int(seq)))
+        state.update((last_ts, seq))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_id", "user_id", "ts_epoch", "session_seq"]
+            )
+
+    return update
 
 
 def sessionize_stateful(
     spark: SparkSession,
     source_dir: str,
     out_table: str,
+    gap_s: int = DEFAULT_GAP_S,
     max_files_per_trigger: int = 1,
 ):
     """Streaming sessionization with explicit state (applyInPandasWithState):
     the custom-stateful-operator surface. Output mode update: every event
-    row is emitted once, with its session ordinal, as it is processed."""
+    row is emitted once, with its session ordinal, as it is processed.
+    gap_s must match the batch sessionize call being mirrored."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = (
@@ -256,7 +264,7 @@ def sessionize_stateful(
         .select("event_id", "user_id", F.col("ts").cast("long").alias("ts_epoch"))
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_update,
+            _make_session_update(gap_s),
             _SESSION_OUT_SCHEMA,
             _SESSION_STATE_SCHEMA,
             "update",

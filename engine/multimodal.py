@@ -193,16 +193,21 @@ def resize_images(
     through untouched (union, no codec work). The resizer is the
     injectable codec hook, same contract as extract_features(decoder=)."""
 
-    imgs = media.filter(F.col("kind") == "image")
-    rest = media.filter(F.col("kind") != "image")
+    is_img = F.col("kind") == "image"
+    imgs = media.filter(is_img)
+    # null-safe complement: a NULL kind must pass through, not vanish
+    # (both `== 'image'` and `!= 'image'` are null-rejecting filters)
+    rest = media.filter(~F.coalesce(is_img, F.lit(False)))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload = []
             metas = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                if p is None or m is None:
-                    out_payload.append(None)
+                # un-resizable rows (no payload, no meta, or no raster
+                # dims) pass through UNCHANGED — never destroy a payload
+                if p is None or m is None or m.get("width") is None or m.get("height") is None:
+                    out_payload.append(p)
                     metas.append(m)
                     continue
                 m = dict(m)

@@ -164,22 +164,26 @@ def ivf_centroids(
 def _nearest_centroids(
     vecs: DataFrame, cents: DataFrame, nprobe: int, id_out: str, vec_out: str
 ) -> DataFrame:
-    """(id, list_id, cvec-rank) — each vector's `nprobe` nearest centroids
-    by cosine (tiebreak cid asc). Centroids broadcast (tiny); ONE pass over
-    the vectors; no shuffle besides the window partition on the vector id,
-    which is map-local after the broadcast join."""
+    """(id, list_id) — each vector's `nprobe` nearest centroids by cosine
+    (tiebreak cid asc). Centroids broadcast (tiny); ONE pass over the
+    vectors. The embedding is projected away BEFORE the row_number window,
+    so the shuffle on the vector id moves (id, cid, ccos) rows — not
+    dim-sized double arrays replicated n_centroids times."""
     from pyspark.sql import Window
 
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos",
-        _dot(F.col(vec_out), F.col("cent_vec"))
-        / (_norm(F.col(vec_out)) * _norm(F.col("cent_vec"))),
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_out,
+        F.col("cid"),
+        (
+            _dot(F.col(vec_out), F.col("cent_vec"))
+            / (_norm(F.col(vec_out)) * _norm(F.col("cent_vec")))
+        ).alias("ccos"),
     )
     w = Window.partitionBy(id_out).orderBy(F.desc("ccos"), F.asc("cid"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
-        .select(id_out, vec_out, F.col("cid").alias("list_id"))
+        .select(id_out, F.col("cid").alias("list_id"))
     )
 
 

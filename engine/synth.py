@@ -121,6 +121,11 @@ def write_pages(path: str, n_docs: int, seed: int = SEED, row_group_size: int = 
     pq.write_table(generate_pages(n_docs, seed), path, row_group_size=row_group_size)
 
 
+# query mode per frozen-query kind — shared by bench + tests so the
+# mapping can't drift between the harnesses
+MODE_BY_KIND = {"single": "or", "and": "and", "or": "or", "prefix": "prefix", "absent": "or"}
+
+
 def frozen_queries(seed: int = SEED) -> list[dict]:
     """FIXTURES.md section 3: 20 deterministic queries over the vocabulary.
 

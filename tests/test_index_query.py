@@ -107,7 +107,7 @@ def test_rank_identity_frozen_queries(spark, index, corpus, algo):
     assert oracle.n_docs == reader.n_docs
     assert oracle.avgdl == pytest.approx(reader.avgdl, rel=1e-12)
     for q in synth.frozen_queries():
-        mode = {"single": "or", "and": "and", "or": "or", "prefix": "prefix", "absent": "or"}[q["kind"]]
+        mode = synth.MODE_BY_KIND[q["kind"]]
         got = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, algo=algo).collect()
         if mode == "prefix":
             exp_terms = oracle.expand_prefix(q["terms"][0])
@@ -258,8 +258,7 @@ def test_local_and_spark_execution_identical(spark, index, corpus):
     reader = IndexReader(spark, out)
     oracle = _oracle_from_docmap(spark, out, corpus)
     for q in synth.frozen_queries():
-        mode = {"single": "or", "and": "and", "or": "or",
-                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        mode = synth.MODE_BY_KIND[q["kind"]]
         loc = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="local").collect()
         dist = bm25_topk(reader, q["terms"], k=q["k"], mode=mode, execution="spark").collect()
         assert [(r["url"], r["doc_id"], r["score"]) for r in loc] == [
@@ -280,8 +279,7 @@ def test_rows_api_identical_to_dataframe_api(spark, index):
     out, _ = index
     reader = IndexReader(spark, out)
     for q in synth.frozen_queries():
-        mode = {"single": "or", "and": "and", "or": "or",
-                "prefix": "prefix", "absent": "or"}[q["kind"]]
+        mode = synth.MODE_BY_KIND[q["kind"]]
         rows = bm25_topk_rows(reader, q["terms"], k=q["k"], mode=mode)
         df = bm25_topk(reader, q["terms"], k=q["k"], mode=mode).collect()
         assert rows == [(r["url"], r["doc_id"], r["score"]) for r in df], q

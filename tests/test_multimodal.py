@@ -57,6 +57,31 @@ def test_nearest_neighbor_resizer_golden():
     assert list(out) == [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3]
 
 
+def test_resize_images_null_safety(spark):
+    """Rows that cannot be resized survive untouched: NULL kind is not
+    dropped by the image/non-image split, and NULL meta (or NULL raster
+    dims) passes the payload through instead of destroying it."""
+    from engine.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"abcd", None),  # no meta -> passthrough
+        (2, None, b"keep", {"mime": None, "width": None, "height": None,
+                            "sample_rate": None, "n_frames": None}),  # NULL kind
+        (3, "image", b"wxyz", {"mime": "image/png", "width": 2, "height": None,
+                               "sample_rate": None, "n_frames": None}),  # no height
+        (4, "image", b"abcd", {"mime": "image/png", "width": 2, "height": 2,
+                               "sample_rate": None, "n_frames": None}),  # resizable
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, out_w=4, out_h=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert bytes(out[1]["payload"]) == b"abcd"
+    assert bytes(out[2]["payload"]) == b"keep"
+    assert bytes(out[3]["payload"]) == b"wxyz"
+    assert len(out[4]["payload"]) == 16
+    assert out[4]["meta"]["width"] == 4
+
+
 def test_resize_images_plumbing(spark):
     media = synth_media(spark, n=30)
     out = resize_images(media, out_w=8, out_h=8)

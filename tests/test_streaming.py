@@ -62,8 +62,7 @@ def test_stream_ingest_then_merge_matches_batch(spark, split_corpus, tmp_path_fa
     merged = IndexReader(spark, out)
     batch = IndexReader(spark, batch_out)
     for fq in synth.frozen_queries()[:8]:
-        mode = {"single": "or", "and": "and", "or": "or",
-                "prefix": "prefix", "absent": "or"}[fq["kind"]]
+        mode = synth.MODE_BY_KIND[fq["kind"]]
         a = bm25_topk(merged, fq["terms"], k=10, mode=mode).collect()
         b = bm25_topk(batch, fq["terms"], k=10, mode=mode).collect()
         # urls + scores identical; doc ids may differ only in assignment
