@@ -97,6 +97,39 @@ def test_extract_prop_matches_duckdb(spark):
     )
 
 
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_windowed_stats_plan_has_partial_aggregation(spark):
+    """The windowed agg must shuffle pre-aggregated partials (map-side
+    combine), not raw events — at 100 TB the shuffle carries one row per
+    (window, event_type) per map task, not per event."""
+    plan = _plan(windowed_event_stats(_events(spark)))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    # column pruning reaches the scan: props (the wide column) is not read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "props" not in read_schema[0], plan
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    """Session assignment is ONE shuffle on user_id: both window functions
+    (lag + running sum) share the same partitioning, so Catalyst plans a
+    single Exchange — the property that keeps per-user state cheap at
+    scale."""
+    plan = _plan(sessionize(_events(spark)))
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if ln.strip().startswith("(") and "Exchange" in ln
+    )
+    assert n_exchange == 1, plan
+
+
 def _write_ordered_files(dirpath, frames):
     os.makedirs(dirpath, exist_ok=True)
     t = time.time() - len(frames) * 10
