@@ -747,11 +747,19 @@ def _bm25_topk_impl(
         )
 
     heap_rows: list[tuple[int, int, float]] | None = None
+    total_postings = sum(stats[t] for t in terms)
     if execution == "local" or (
-        execution == "auto" and sum(stats[t] for t in terms) <= reader.LOCAL_MAX_POSTINGS
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
         by_shard = reader.postings_local(terms)
         if by_shard is not None:
+            # NOTE: thread-pooling the per-shard kernels was measured 4-5x
+            # SLOWER here (interleaved A/B, head-term query: 113 ms
+            # sequential vs 522 ms with an 8-thread pool) — the kernel's
+            # Python-side control flow serializes on the GIL and thrashes.
+            # Kernel-bound queries belong on the Spark scatter-gather path
+            # (execution="spark" / above LOCAL_MAX_POSTINGS), which
+            # parallelizes across real worker processes.
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
