@@ -41,6 +41,11 @@ from engine.oracle import analyze_query_py
 
 
 class IndexReader:
+    """Query-side handle on one built index dir. Caches are bound to the
+    bytes present at first use (dataset handles, dictionary, docmap) — a
+    reader is a searcher over one index generation; construct a NEW reader
+    after rebuilding or merging into the same directory."""
+
     # cache the term dictionary / docmap only when comfortably in-memory;
     # above this the parquet scans (bucket-pruned) are the scale path
     CACHE_MAX_DOCS = 5_000_000
