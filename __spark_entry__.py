@@ -877,6 +877,21 @@ def q_ev_props_extract(spark, sf_dir):
     return extract_prop(_events_df(spark, sf_dir), key="k")
 
 
+def q_ev_sliding_stats(spark, sf_dir):
+    """Sliding-window stats (width 6h, slide 3h — each event in 2 windows)."""
+    from engine.events import sliding_event_stats
+
+    return sliding_event_stats(_events_df(spark, sf_dir), window_s=EV_WINDOW_S)
+
+
+def q_ev_session_window(spark, sf_dir):
+    """Native Spark session_window gap-merge rollup (microsecond-precision
+    end-exclusive boundaries; oracle compares at micros)."""
+    from engine.events import session_window_stats
+
+    return session_window_stats(_events_df(spark, sf_dir), gap_s=EV_GAP_S)
+
+
 def q_l5_elastic_tokens(spark, sf_dir):
     """L5 analyzer_elastic: standard tokenizer only, case PRESERVED."""
     from engine.textnorm import analyzer_elastic_col
@@ -1087,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_session_stats": q_ev_session_stats,
         "ev_props_extract": q_ev_props_extract,
+        "ev_sliding_stats": q_ev_sliding_stats,
+        "ev_session_window": q_ev_session_window,
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_mm_frame_sample,
     }
@@ -1360,6 +1377,42 @@ FROM j GROUP BY user_id, session_seq
 """,
         "ev_props_extract": """
 SELECT event_id, event_type, (props->>'$.k')::BIGINT AS prop FROM events
+""",
+        # sliding window width 2*S, slide S: event ts belongs to window
+        # starts floor(ts/S)*S and that minus S (same generation rule the
+        # Spark operator uses, on integer-second epochs)
+        "ev_sliding_stats": f"""
+WITH e AS (
+  SELECT event_type, value,
+         (floor(epoch(ts)/{EV_WINDOW_S // 2})*{EV_WINDOW_S // 2})::BIGINT AS base
+  FROM events WHERE ts IS NOT NULL
+),
+x AS (SELECT event_type, value, base - k*{EV_WINDOW_S // 2} AS ws
+      FROM e, unnest([0, 1]) AS t(k))
+SELECT ws, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM x GROUP BY 1, 2
+""",
+        # native session_window semantics: split at diff > gap (boundary
+        # event MERGES — frozen by test), compared at MICROsecond
+        # precision; ws/we reported as floored-second epochs (gap is
+        # integer seconds, so floor(last+gap) == floor(last)+gap)
+        "ev_session_window": f"""
+WITH e AS (
+  SELECT user_id, value, event_id, epoch_us(ts) AS tu,
+         floor(epoch(ts))::BIGINT AS ts_s
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (
+  SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                  OR tu - lag(tu) OVER w > {EV_GAP_S * 1000000} THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS seq FROM f
+)
+SELECT user_id, min(ts_s) AS ws, (max(ts_s) + {EV_GAP_S}) AS we,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, seq
 """,
         # mm_media_features: the fake decoder is a byte high-nibble histogram;
         # payload = UTF-8 bytes of text (ASCII corpus: byte i == char i, so

@@ -88,6 +88,63 @@ def windowed_event_stats(events: DataFrame, window_s: int = DEFAULT_WINDOW_S) ->
     )
 
 
+def sliding_event_stats(
+    events: DataFrame, window_s: int = DEFAULT_WINDOW_S, slide_s: int | None = None
+) -> DataFrame:
+    """Sliding-window per-event-type stats (window width window_s, slide
+    slide_s, default width/2 — each event lands in width/slide windows):
+    (ws, event_type, n_events, sum_value). Same shuffle shape as the
+    tumbling form; output rows scale by the overlap factor, not the input."""
+    slide_s = slide_s or window_s // 2
+    is_ntz = _ts_is_ntz(events)
+    w = F.window(F.col("ts"), f"{window_s} seconds", f"{slide_s} seconds")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            _epoch_expr("w.start", is_ntz).alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(events: DataFrame, gap_s: int = DEFAULT_GAP_S) -> DataFrame:
+    """Per-user session rollup via Spark's NATIVE session_window operator
+    (gap-merged event-time windows — the idiomatic form of sessionize +
+    session_stats, and the one that runs under Structured Streaming with
+    state merge): (user_id, ws, we, n_events, sum_value), ws = first event
+    epoch, we = last event epoch + gap (the session_window end).
+
+    Boundary semantics (verified empirically, frozen by test): an event
+    exactly gap after its predecessor MERGES into the session — the split
+    rule is diff > gap, like sessionize, but evaluated at the native
+    MICROsecond precision rather than sessionize's floored-second epochs;
+    the DuckDB oracle compares at microseconds accordingly."""
+    is_ntz = _ts_is_ntz(events)
+    w = F.session_window(F.col("ts"), f"{gap_s} seconds")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _epoch_expr("w.start", is_ntz).alias("ws"),
+            _epoch_expr("w.end", is_ntz).alias("we"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def extract_prop(events: DataFrame, key: str = "k") -> DataFrame:
     """JSON property extraction from the props column (SURVEY 2.9 JSON
     surface): (event_id, event_type, prop) with prop = $.{key} as long."""

@@ -17,8 +17,10 @@ from engine.events import (
     DEFAULT_GAP_S,
     extract_prop,
     session_stats,
+    session_window_stats,
     sessionize,
     sessionize_stateful,
+    sliding_event_stats,
     stream_windowed_stats,
     windowed_event_stats,
 )
@@ -74,6 +76,76 @@ def test_sessionize_matches_duckdb(spark):
         FROM f
         """,
     )
+
+
+def test_sliding_stats_matches_duckdb(spark):
+    df = sliding_event_stats(_events(spark), window_s=21600)
+    _assert_frames_equal(
+        df,
+        f"""
+        WITH e AS (
+          SELECT event_type, value,
+                 (floor(epoch(ts)/10800)*10800)::BIGINT AS base
+          FROM '{EVENTS}' WHERE ts IS NOT NULL
+        ),
+        x AS (SELECT event_type, value, base - k*10800 AS ws
+              FROM e, unnest([0, 1]) AS t(k))
+        SELECT ws, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM x GROUP BY 1, 2
+        """,
+    )
+
+
+def test_session_window_matches_duckdb(spark):
+    """Native session_window vs a microsecond-precision DuckDB rebuild of
+    its end-exclusive gap-merge rule."""
+    df = session_window_stats(_events(spark), gap_s=DEFAULT_GAP_S)
+    _assert_frames_equal(
+        df,
+        f"""
+        WITH e AS (
+          SELECT user_id, value, event_id, epoch_us(ts) AS tu,
+                 floor(epoch(ts))::BIGINT AS ts_s
+          FROM '{EVENTS}' WHERE ts IS NOT NULL
+        ),
+        f AS (
+          SELECT *, CASE WHEN lag(tu) OVER w IS NULL
+                          OR tu - lag(tu) OVER w > {DEFAULT_GAP_S * 1000000}
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+        ),
+        s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS seq FROM f)
+        SELECT user_id, min(ts_s) AS ws, (max(ts_s) + {DEFAULT_GAP_S}) AS we,
+               count(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, seq
+        """,
+    )
+
+
+def test_session_window_boundary_semantics(spark):
+    """Frozen native-operator boundary rule: an event exactly gap after
+    its predecessor MERGES (split at diff > gap, microsecond precision) —
+    user 7 merges at the exact boundary, user 8 splits at gap + 1 us."""
+    import pandas as pd
+
+    g_ns = DEFAULT_GAP_S * 10**9
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([0, g_ns, 0, g_ns + 1000]),
+            "user_id": [7, 7, 8, 8],
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = session_window_stats(df, gap_s=DEFAULT_GAP_S).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert by_user[7] == [2]  # exact-boundary event merged
+    assert sorted(by_user[8]) == [1, 1]  # 1 us past the gap -> split
 
 
 def test_session_stats_shape(spark):
