@@ -24,6 +24,30 @@ from engine.multimodal import (
 )
 
 
+def test_chunk_splitter_and_resizer_properties():
+    """Property checks over random payload sizes: chunks exactly cover the
+    payload in order; resized rasters always have out_w*out_h bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 500), st.integers(1, 64))
+    def check_split(L, n):
+        p = bytes(i % 251 for i in range(L))
+        chunks = chunk_frame_splitter(p, n)
+        assert len(chunks) == n
+        assert b"".join(chunks) == p
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 16), st.integers(1, 16))
+    def check_resize(w, h, ow, oh):
+        p = bytes((i * 7) % 256 for i in range(w * h))
+        out = nearest_neighbor_resizer(p, w, h, ow, oh)
+        assert len(out) == ow * oh
+
+    check_split()
+    check_resize()
+
+
 def test_chunk_frame_splitter_spec():
     p = bytes(range(100))
     chunks = chunk_frame_splitter(p, 30)
