@@ -11,7 +11,6 @@ import time
 
 import duckdb
 import pandas as pd
-import pytest
 
 from engine.events import (
     DEFAULT_GAP_S,
@@ -98,7 +97,7 @@ def test_sliding_stats_matches_duckdb(spark):
 
 def test_session_window_matches_duckdb(spark):
     """Native session_window vs a microsecond-precision DuckDB rebuild of
-    its end-exclusive gap-merge rule."""
+    its gap-merge rule (split strictly beyond the gap)."""
     df = session_window_stats(_events(spark), gap_s=DEFAULT_GAP_S)
     _assert_frames_equal(
         df,
@@ -126,8 +125,6 @@ def test_session_window_boundary_semantics(spark):
     """Frozen native-operator boundary rule: an event exactly gap after
     its predecessor MERGES (split at diff > gap, microsecond precision) —
     user 7 merges at the exact boundary, user 8 splits at gap + 1 us."""
-    import pandas as pd
-
     g_ns = DEFAULT_GAP_S * 10**9
     pdf = pd.DataFrame(
         {

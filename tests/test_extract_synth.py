@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pyarrow.parquet as pq
-import pytest
 
 from engine import synth
 from engine.extract import extract_text, extract_text_py
