@@ -16,14 +16,18 @@ textnorm   frozen analyzers L1-L10, alphakey, company-name-ending splitter
 transform  Layer-A parity pipeline (validate/enrich/transform/reject-log)
 postings   delta + StreamVByte posting codec + block-max metadata (numpy)
 index_build  doc-sharded, term-bucketed index build w/ lineage + resume
-query      BM25 top-k: block-max WAND engine + brute-force DataFrame path
+query      BM25 top-k: block-max WAND engine (DataFrame, rows-serving, and
+           batch APIs) + brute-force DataFrame path
 oracle     pure-Python brute-force BM25 (the rank-identity judge)
 streaming  incremental segment ingest (Structured Streaming) + Lucene-style
            segment merge into the standard index layout
 dedup      exact / minhash-LSH / simhash / n-gram-jaccard dedup
-simsearch  embedding cosine top-k (brute force + LSH-bucketed ANN)
+simsearch  embedding cosine top-k (brute force + LSH-bucketed + IVF ANN)
 textstats  lang-id, quality scoring, token counting, fingerprinting
-multimodal binary-column (image/audio) plumbing with stubbed decoders
+multimodal binary-column (image/audio/video) plumbing: feature extract,
+           frame sampling, resize — injectable codecs, stubbed honestly
+events     windowed (tumbling/sliding/session) + sessionization operators
+           with Structured Streaming twins (watermark, applyInPandasWithState)
 """
 
 __version__ = "0.1.0"
