@@ -61,12 +61,17 @@ def main() -> None:
     # ---- index build throughput --------------------------------------------
     idx = os.path.join(work, "idx")
     n_shards = max(8, int(cpus))
-    # Untimed warm-up build (same pipeline, quarter-size corpus): python
-    # workers spin up, codegen JITs, and glibc heap pages get touched once —
-    # the costs a long-lived executor pays at startup, not per job. Cold
-    # first builds on this VM run 2-5x slower than steady state (BENCH.md
-    # section 3); the timed number should measure the engine, not the fork.
-    warm_docs = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", str(max(1, n_docs // 4))))
+    # Untimed warm-up build (same pipeline, small corpus): python workers
+    # spin up, codegen JITs, and glibc heap pages get touched once — the
+    # costs a long-lived executor pays at startup, not per job. Cold first
+    # builds on this VM run 2-5x slower than steady state (BENCH.md
+    # section 3); the timed number should measure the engine, not the
+    # fork. Warm-up cost is fixed-dominated (1k-30k warm-ups measured
+    # within 24-80 s of each other), so a small corpus captures most of
+    # the benefit without inflating bench wall time.
+    warm_docs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_WARMUP", str(min(10_000, max(2_000, n_docs // 8))))
+    )
     if warm_docs:
         warm_corpus = os.path.join(work, "warm.parquet")
         synth.write_pages(warm_corpus, warm_docs)
