@@ -103,13 +103,15 @@ def main() -> None:
         print(json.dumps({"exported": args.output}))
 
     elif args.cmd == "query":
-        from engine.query import IndexReader, bm25_topk
+        from engine.query import IndexReader, bm25_topk_rows
 
         reader = IndexReader(spark, args.index)
         t0 = time.time()
-        rows = bm25_topk(reader, args.terms, k=args.k, mode=args.mode, algo=args.algo).collect()
+        # serving-path API: no result-DataFrame round-trip (rank-identical
+        # to bm25_topk; falls back to the Spark plan for remote dirs)
+        rows = bm25_topk_rows(reader, args.terms, k=args.k, mode=args.mode, algo=args.algo)
         print(json.dumps({
-            "hits": [{"url": r["url"], "doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+            "hits": [{"url": u, "doc_id": d, "score": s} for u, d, s in rows],
             "sec": round(time.time() - t0, 3),
         }))
 

@@ -51,7 +51,9 @@ def _epoch_expr(col_sql: str, is_ntz: bool):
     TIMESTAMP_NTZ (what Spark 4 infers for parquet naive timestamps) via
     pure naive timestampdiff arithmetic; TIMESTAMP via the instant cast.
     Neither consults the session timezone, so it matches DuckDB's
-    floor(epoch(ts)) on the same parquet micros verbatim."""
+    floor(epoch(ts)) on the same parquet micros verbatim. (timestampdiff
+    truncates toward zero, floor() floors — identical for post-1970
+    timestamps, a documented 1 s divergence for pre-epoch data.)"""
     if is_ntz:
         return F.expr(f"timestampdiff(SECOND, {_NTZ_EPOCH}, {col_sql})")
     return F.expr(f"CAST({col_sql} AS LONG)")
