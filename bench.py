@@ -70,7 +70,10 @@ def main() -> None:
     # within 24-80 s of each other), so a small corpus captures most of
     # the benefit without inflating bench wall time.
     warm_docs = int(
-        os.environ.get("SPARK_GRAFT_BENCH_WARMUP", str(min(10_000, max(2_000, n_docs // 8))))
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_WARMUP",
+            str(min(n_docs, 10_000, max(2_000, n_docs // 8))),
+        )
     )
     if warm_docs:
         warm_corpus = os.path.join(work, "warm.parquet")

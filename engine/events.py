@@ -97,7 +97,10 @@ def sliding_event_stats(
     slide_s, default width/2 — each event lands in width/slide windows):
     (ws, event_type, n_events, sum_value). Same shuffle shape as the
     tumbling form; output rows scale by the overlap factor, not the input."""
-    slide_s = slide_s or window_s // 2
+    if slide_s is None:
+        slide_s = window_s // 2
+    if slide_s < 1 or window_s < 1:
+        raise ValueError(f"window_s and slide_s must be >= 1 (got {window_s}, {slide_s})")
     is_ntz = _ts_is_ntz(events)
     w = F.window(F.col("ts"), f"{window_s} seconds", f"{slide_s} seconds")
     return (

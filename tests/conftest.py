@@ -28,3 +28,15 @@ def pages_1k(tmp_path_factory):
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Capture df.explain() output as a string (shared by plan-shape
+    tests so the capture mechanics can't drift between files)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()

@@ -3,8 +3,6 @@ property), shingle-df capping, simhash near-dup pairs, keep-first resolver."""
 
 from __future__ import annotations
 
-import contextlib
-import io
 import re
 
 import numpy as np
@@ -46,10 +44,9 @@ def docs(spark):
 
 
 def _explain(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("extended")
-    return buf.getvalue()
+    from tests.conftest import plan_of
+
+    return plan_of(df, mode="extended")
 
 
 def test_lsh_finds_near_clones(spark, docs):

@@ -95,6 +95,15 @@ def test_sliding_stats_matches_duckdb(spark):
     )
 
 
+def test_sliding_stats_rejects_zero_slide(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_event_stats(_events(spark), window_s=1)  # derived slide 0
+    with pytest.raises(ValueError):
+        sliding_event_stats(_events(spark), window_s=60, slide_s=0)
+
+
 def test_session_window_matches_duckdb(spark):
     """Native session_window vs a microsecond-precision DuckDB rebuild of
     its gap-merge rule (split strictly beyond the gap)."""
@@ -166,14 +175,7 @@ def test_extract_prop_matches_duckdb(spark):
     )
 
 
-def _plan(df) -> str:
-    import io
-    from contextlib import redirect_stdout
-
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tests.conftest import plan_of as _plan  # noqa: E402
 
 
 def test_windowed_stats_plan_has_partial_aggregation(spark):

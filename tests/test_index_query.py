@@ -182,8 +182,7 @@ def test_docmap_lookup_is_pruned(spark, index, corpus):
     parquet PartitionFilters (directory pruning) and local_id predicates
     the PushedFilters (row-group pruning via the local_id sort), on the
     uncached path a 10^12-doc index would take."""
-    import io
-    from contextlib import redirect_stdout
+    from tests.conftest import plan_of
 
     out, _ = index
     # other tests' readers persist the same docmap plan; the cache manager
@@ -194,10 +193,7 @@ def test_docmap_lookup_is_pruned(spark, index, corpus):
     reader.CACHE_MAX_DOCS = 0  # force the scan path (no persist)
     q = synth.frozen_queries()[0]
     res = bm25_topk(reader, q["terms"], k=10, mode="or", lookup="spark")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        res.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_of(res)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("shard" in ln and "IN (" in ln.upper() for ln in pf), plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
@@ -219,17 +215,13 @@ def test_postings_read_is_bucket_pruned(spark, index):
     """A query's postings scan must touch only the query terms' bucket
     directories (PartitionFilters) and push the term predicate into row
     groups (PushedFilters) — the plan a 10^12-doc index needs."""
-    import io
-    from contextlib import redirect_stdout
+    from tests.conftest import plan_of
 
     out, _ = index
     spark.catalog.clearCache()
     reader = IndexReader(spark, out)
     post = reader.postings(["the", "data"])
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        post.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_of(post)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("bucket" in ln and "IN (" in ln.upper() for ln in pf), plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
