@@ -69,6 +69,10 @@ from engine.events import (
 K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
 WAND_TERMS = ["dup", "key", "fast"]
+PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
+PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
+DISMAX_TB = 0.3  # ES dis_max tie_breaker
+SIMHASH_BAND_CAP = 8  # hot-band df guard for the capped simhash variant
 JACCARD_N, JACCARD_T = 3, 0.2
 JACCARD_CAP = 5  # boilerplate-shingle df cap for the capped variant
 MINHASH_K = 16
@@ -211,6 +215,79 @@ scored AS (
 )
 SELECT doc_id, round(score_raw, 6) AS score
 FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_prefix_sql(prefix: str, k: int = 10) -> str:
+    """Prefix query mode oracle: Lucene-style top_terms_N rewrite — the
+    dictionary terms matching `prefix%` ordered by df DESC (term ASC
+    tiebreak), capped at PREFIX_MAX_EXPANSIONS, fed into the relational
+    BM25 (engine twin: IndexReader.expand_prefix + bm25_topk
+    mode='prefix')."""
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+alltf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+expanded AS (
+  SELECT term, df FROM alldf WHERE term LIKE '{prefix}%'
+  ORDER BY df DESC, term ASC LIMIT {PREFIX_MAX_EXPANSIONS}
+),
+tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM expanded)),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM tf JOIN expanded USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_dismax_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
+    """dis_max multi-field oracle: the three per-field scoring variants
+    (default / nonorms b=0 / doconly tf=1) summed per doc, blended as
+    best + tie_breaker * rest (ES dis_max semantics)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    imp_def = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    imp_non = f"tf / (tf + {K1})"
+    imp_doc = f"1.0 / (1.0 + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+per_field AS (
+  SELECT doc_id,
+         sum({idf} * {imp_def}) AS s_def,
+         sum({idf} * {imp_non}) AS s_non,
+         sum({idf} * {imp_doc}) AS s_doc
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+dm AS (
+  SELECT doc_id,
+         greatest(s_def, s_non, s_doc)
+         + {tie_breaker} * (s_def + s_non + s_doc - greatest(s_def, s_non, s_doc))
+           AS score_raw
+  FROM per_field
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM dm ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -362,6 +439,33 @@ cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          x.simhash AS ha, y.simhash AS hb
   FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAXHAM}
+"""
+
+
+def _simhash_pairs_capped_sql() -> str:
+    """Capped variant: (band, key) buckets with df > SIMHASH_BAND_CAP are
+    dropped BEFORE the self-join (engine twin: max_band_df) — the hot-band
+    guard oracle-checked end-to-end."""
+    band_exprs = ", ".join(f"(simhash >> {16 * i}) & 65535" for i in range(4))
+    return _simhash_ctes() + f""",
+bands AS (
+  SELECT doc_id, simhash, unnest(range(4)) AS band,
+         unnest([{band_exprs}]) AS key
+  FROM fp
+),
+bdf AS (SELECT band, key, count(*) AS c FROM bands GROUP BY 1, 2),
+bandsc AS (
+  SELECT b.doc_id, b.simhash, b.band, b.key
+  FROM bands b JOIN bdf USING (band, key) WHERE c <= {SIMHASH_BAND_CAP}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM bandsc x JOIN bandsc y
     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
 )
 SELECT a, b, bit_count(xor(ha, hb))::BIGINT AS hamming
@@ -714,6 +818,28 @@ def q_bm25_doconly(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+def q_bm25_prefix(spark, sf_dir):
+    """SURVEY 3.3 typeahead/prefix query mode on the REAL index: the
+    dictionary expansion (expand_prefix: df-ordered, max_expansions=128,
+    range-pruned term_stats read) feeding the ranked-union BM25 kernels."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, [PREFIX_Q], k=25, mode="prefix")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_dismax(spark, sf_dir):
+    """Multi-field dis_max composition (search_scheme.json:140-180): the
+    same query scored under the default/nonorms/doconly field variants on
+    the REAL index and blended best-fields + tie_breaker."""
+    from engine.query import IndexReader, bm25_dismax_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_dismax_topk(reader, WAND_TERMS, k=25, tie_breaker=DISMAX_TB)
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return exact_dedup(d).select(
@@ -758,13 +884,23 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dedup_simhash_capped(spark, sf_dir):
+    """simhash near-dup resolver with the hot-band df guard ON
+    (max_band_df): the scale variant, oracle-checked."""
+    out = simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM, max_band_df=SIMHASH_BAND_CAP
+    )
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Exact connected components over the LSH near-dup pairs — resolves
     CHAINED duplicate clusters (a~b~c) to one min-id component."""
     from engine.dedup import dedup_components
 
     pairs = minhash_lsh_pairs(
-        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T,
+        max_shingle_df=None,
     )
     return dedup_components(pairs).select(
         F.col("node").cast("long").alias("node"),
@@ -777,7 +913,8 @@ def q_dedup_keep_first(spark, sf_dir):
     the b-side of a pair is dropped; min-id representative survives."""
     d = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
-        d, k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+        d, k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T,
+        max_shingle_df=None,
     )
     return dedup_keep_first(d, pairs).select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
@@ -786,7 +923,8 @@ def q_dedup_keep_first(spark, sf_dir):
 
 def q_dedup_lsh(spark, sf_dir):
     out = minhash_lsh_pairs(
-        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T
+        _docs(spark, sf_dir), k=LSH_K, bands=LSH_BANDS, n=JACCARD_N, threshold=LSH_T,
+        max_shingle_df=None,
     )
     return out.select("a", "b", "jaccard")
 
@@ -1079,12 +1217,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand,
         "bm25_nonorms_topk": q_bm25_nonorms,
         "bm25_doconly_topk": q_bm25_doconly,
+        "bm25_prefix_topk": q_bm25_prefix,
+        "bm25_dismax_topk": q_bm25_dismax,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash,
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_capped": q_dedup_simhash_capped,
         "dedup_lsh_pairs": q_dedup_lsh,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_components": q_dedup_components,
@@ -1231,6 +1372,8 @@ FROM grams
         "bm25_wand_topk": _bm25_sql(WAND_TERMS),
         "bm25_nonorms_topk": _bm25_sql(BM25_TERMS, field_opts="nonorms"),
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
+        "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),
+        "bm25_dismax_topk": _bm25_dismax_sql(WAND_TERMS, DISMAX_TB),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
             "count(*)::BIGINT AS n_dups FROM documents WHERE text IS NOT NULL "
@@ -1241,6 +1384,7 @@ FROM grams
         "dedup_jaccard_capped": _jaccard_capped_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_simhash_capped": _simhash_pairs_capped_sql(),
         "dedup_lsh_pairs": _lsh_pairs_sql(),
         "dedup_keep_first": _lsh_pairs_ctes() + (
             "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "

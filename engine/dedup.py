@@ -110,6 +110,19 @@ def cap_shingle_df(
     return sh.join(hot, "shingle", "left_anti"), n_dropped
 
 
+def auto_shingle_df_cap(sh: DataFrame, floor: int = 1024, q: float = 0.9999) -> int:
+    """Pick a boilerplate-shingle df threshold from the data: the q-quantile
+    of the shingle-df distribution (approxQuantile — a sampled sketch pass,
+    the same rationale as the index's head-term salting threshold), floored
+    so the cap only ever bites shingles shared by >= `floor` docs — by
+    construction boilerplate, never a legitimate near-dup signal. One cheap
+    aggregate over the (already materialized) shingle table."""
+    sdf = sh.groupBy("shingle").agg(F.count("*").cast("double").alias("sdf"))
+    qv = sdf.approxQuantile("sdf", [q], 0.01)
+    est = int(qv[0]) if qv else 0
+    return max(floor, est)
+
+
 def _jaccard_over_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard restricted to the given (a, b) candidate pairs: join
     the pairs to the shingle table on BOTH sides, so verification cost is
@@ -260,7 +273,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """Banded-LSH candidate pairs + candidates-ONLY exact-Jaccard verify.
 
@@ -271,6 +284,13 @@ def minhash_lsh_pairs(
     — the whole point of LSH pruning at 100 TB. Output (a, b, jaccard)
     with jaccard >= threshold, identical to exact Jaccard restricted to
     the candidate set.
+
+    max_shingle_df: the pipeline-facing DEFAULT is "auto" — the verify
+    join drops boilerplate shingles above a data-derived df threshold
+    (auto_shingle_df_cap: sampled quantile, floored at 1024 docs), so a
+    mass-shared shingle can never make the verify join quadratic. Pass an
+    int to pin the threshold, or None for exact uncapped semantics (the
+    oracle baseline; below the floor both are identical anyway).
     """
     # ONE shingle materialization feeds signatures, banding, and the
     # verify join (tokenize+shingle dominates at small candidate counts;
@@ -282,6 +302,8 @@ def minhash_lsh_pairs(
     try:
         cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col, _shingles=sh)
         vsh = sh
+        if max_shingle_df == "auto":
+            max_shingle_df = auto_shingle_df_cap(sh)
         if max_shingle_df is not None:
             vsh, _ = cap_shingle_df(sh, max_shingle_df)
         out = (
@@ -323,10 +345,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return wide.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_band_df: int | None = None, **kw
+) -> DataFrame:
     """Near-dup candidates via 4x16-bit band blocking (any identical band ->
     candidate; guaranteed to catch all pairs with hamming <= 3), verified by
-    exact popcount of the XOR."""
+    exact popcount of the XOR.
+
+    max_band_df: hot-band guard (the simhash twin of cap_shingle_df) — a
+    degenerate corpus (mass-produced boilerplate, or near-empty docs all
+    hashing to the same fingerprint) can put m docs in one (band, key)
+    bucket and make m^2 candidate rows in the self-join. When set, buckets
+    with more than max_band_df members are dropped BEFORE the join with a
+    logged drop count; pairs found through the remaining bands are still
+    verified exactly. Recall note: a hamming<=3 pair agrees on >= 1 of the
+    4 bands, so it survives unless ALL its agreeing bands are hot — which
+    at max_band_df >> expected cluster size only happens for boilerplate
+    clusters that exact_dedup should collapse first. None = exact
+    blocking (the oracle baseline)."""
     sh = simhash64(docs, **kw)
     bands = sh.select(
         "doc_id",
@@ -335,6 +371,16 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataF
             F.array(*[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1) for i in range(4)])
         ).alias("band", "key"),
     )
+    if max_band_df is not None:
+        bdf = bands.groupBy("band", "key").agg(F.count("*").alias("bdf"))
+        hot = bdf.filter(F.col("bdf") > max_band_df).select("band", "key")
+        if log.isEnabledFor(logging.INFO):
+            n_hot = hot.count()
+            log.info(
+                "simhash_near_dup_pairs: dropping %d hot (band, key) buckets "
+                "with df > %d", n_hot, max_band_df,
+            )
+        bands = bands.join(hot, ["band", "key"], "left_anti")
     cand = (
         bands.alias("x")
         .join(

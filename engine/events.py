@@ -294,7 +294,11 @@ def _make_session_update(gap_s: int):
                     seq += 1
                 last_ts = int(ts)
                 out.append((int(ev), int(key[0]), int(ts), int(seq)))
-        state.update((last_ts, seq))
+        if chunks or state.exists:
+            # a group whose micro-batch arrived as only-empty chunks has
+            # last_ts=None — writing that into the non-null state field
+            # would corrupt the (last_ts, seq) carry; skip the no-op update
+            state.update((last_ts, seq))
         if out:
             yield pd.DataFrame(
                 out, columns=["event_id", "user_id", "ts_epoch", "session_seq"]

@@ -14,6 +14,7 @@ spark.sql.execution.arrow.maxRecordsPerBatch.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterator
 
 import numpy as np
@@ -68,9 +69,46 @@ def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
     return hist / max(1.0, hist.sum())
 
 
-def media_repartition(df: DataFrame, target_bytes: int = 64 << 20, payload_col: str = "payload") -> DataFrame:
-    """Partition fat binary rows by byte budget, not row count."""
-    total = df.agg(F.sum(F.length(payload_col)).alias("b")).collect()[0]["b"] or 0
+def _input_file_bytes(df: DataFrame) -> int | None:
+    """Total on-disk size of the DataFrame's input files (parquet footer /
+    filesystem metadata only — no data scan, no Spark job). None when the
+    plan has no file sources (in-memory data, post-shuffle stage)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        if not os.path.exists(p):
+            return None  # non-local fs: fall back rather than undercount
+        total += os.path.getsize(p)
+    return total
+
+
+def media_repartition(
+    df: DataFrame,
+    target_bytes: int = 64 << 20,
+    payload_col: str = "payload",
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Partition fat binary rows by byte budget, not row count.
+
+    Sizing comes from metadata, not a scan: caller-provided `total_bytes`
+    hint first, else the sum of input-file sizes (parquet footers /
+    fs stat — media tables are payload-dominated, so compressed file size
+    is a sound proxy for the decode-stage byte budget). Only when neither
+    exists (in-memory test frames) does it fall back to aggregating
+    payload lengths — at 100 TB that fallback would be a full scan of the
+    fat column before any real work, which is exactly what the metadata
+    path avoids."""
+    total = total_bytes
+    if total is None:
+        total = _input_file_bytes(df)
+    if total is None:
+        total = df.agg(F.sum(F.length(payload_col)).alias("b")).collect()[0]["b"] or 0
     n = max(1, int(total // target_bytes) + 1)
     return df.repartition(n)
 

@@ -56,8 +56,14 @@ class IndexReader:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.dir = index_dir
-        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        self._manifest_path = os.path.join(index_dir, "MANIFEST.json")
+        with open(self._manifest_path) as f:
             self.manifest = json.load(f)
+        # generation id: the manifest is (re)written LAST by build/merge, so
+        # its mtime identifies the index generation this reader's caches are
+        # bound to. Cached paths check it and raise instead of silently
+        # serving stale terms/urls after an in-place rebuild.
+        self._gen_mtime_ns = os.stat(self._manifest_path).st_mtime_ns
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.k1 = self.manifest["k1"]
@@ -69,9 +75,23 @@ class IndexReader:
         self._ts_cache: dict[str, int] | None = None  # term -> df (small idx)
         self._dm_cache: dict[int, list] | None = None  # shard -> url list
 
+    def _check_generation(self) -> None:
+        """Raise if the index was rebuilt/merged in place since this reader
+        was constructed — the cached dataset handles / dictionary / docmap
+        would silently serve the OLD generation otherwise. An os.stat is
+        ~1 us; construct a new IndexReader after any in-place rebuild."""
+        now = os.stat(self._manifest_path).st_mtime_ns
+        if now != self._gen_mtime_ns:
+            raise RuntimeError(
+                f"index at {self.dir} changed generation (manifest mtime "
+                f"{self._gen_mtime_ns} -> {now}); this IndexReader's caches "
+                "are stale — construct a new IndexReader"
+            )
+
     def _pa_dataset(self, sub: str):
         """Cached pyarrow dataset handle: file/partition discovery costs a
         few ms per open — pay it once per reader, not per query."""
+        self._check_generation()
         if sub not in self._pa_ds:
             import pyarrow.dataset as ds
 
@@ -81,6 +101,7 @@ class IndexReader:
         return self._pa_ds[sub]
 
     def _term_stats_df(self) -> DataFrame:
+        self._check_generation()
         if self._ts_df is None:
             ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
             if self.n_docs <= self.CACHE_MAX_DOCS:
@@ -105,6 +126,7 @@ class IndexReader:
         if not terms:
             return {}
         if self._ts_cache is not None:
+            self._check_generation()
             return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
         buckets = self._bucket_of(terms)
         p = os.path.join(self.dir, "term_stats")
@@ -177,6 +199,7 @@ class IndexReader:
         return post.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def docmap(self) -> DataFrame:
+        self._check_generation()
         if self._dm_df is None:
             dm = self.spark.read.parquet(os.path.join(self.dir, "docmap"))
             if self.n_docs <= self.CACHE_MAX_DOCS:
@@ -229,6 +252,7 @@ class IndexReader:
             return None
         import pyarrow.dataset as ds
 
+        self._check_generation()
         if self.n_docs <= self.DOCMAP_MEM_MAX_DOCS:
             # small index: resident per-shard url arrays (local ids are
             # dense shard ordinals, so lookup is a list index). Above the
@@ -544,12 +568,20 @@ def _bmw_shard_topk(
         contribs = np.concatenate(contrib_parts)
         uniq, inv = np.unique(locs, return_inverse=True)
         scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
-        for doc, s in zip(uniq.tolist(), scores.tolist()):
-            cand = (s, -doc)
+        # intervals partition doc space, so only the interval's own top-k
+        # (same (score desc, doc asc) total order as the heap) can reach the
+        # global top-k — vectorized argpartition prune, then <= k heap ops
+        # per surviving interval instead of one per candidate doc. This was
+        # the last per-posting-row Python on the query hot path.
+        order = _topk_order(uniq, scores, min(k, uniq.size))
+        for i in order.tolist():
+            cand = (float(scores[i]), -int(uniq[i]))
             if len(heap) < k:
                 heapq.heappush(heap, cand)
             elif cand > heap[0]:
                 heapq.heapreplace(heap, cand)
+            else:
+                break  # order is descending: the rest can't beat theta
     return [(-nl, s) for s, nl in heap]
 
 
@@ -594,6 +626,63 @@ def _taat_shard_topk(
     kk = min(k, uniq.size)
     order = _topk_order(uniq, scores, kk)
     return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def _field_contrib(
+    field_opts: str, idf: float, t: np.ndarray, l: np.ndarray,
+    avgdl: float, k1: float, b: float,
+) -> np.ndarray:
+    """Per-posting score contribution under one per-field index-option
+    variant (SURVEY 2.6 M1/M2): nonorms -> b=0; doconly -> tf scored 1."""
+    if field_opts == "nonorms":
+        return idf * P.bm25_impact(t, l, avgdl, k1, 0.0)
+    if field_opts == "doconly":
+        return idf * P.bm25_impact(np.ones_like(t), l, avgdl, k1, b)
+    return idf * P.bm25_impact(t, l, avgdl, k1, b)
+
+
+def _dismax_shard_topk(
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float,
+    fields: tuple[str, ...], tie_breaker: float,
+) -> list[tuple[int, float]]:
+    """dis_max multi-field top-k over one shard (ES dis_max semantics:
+    score = max over fields + tie_breaker * sum of the other fields).
+
+    The reference mapping indexes corporate_name nine ways
+    (config/search_scheme.json:140-180); a real search service queries
+    several subfields at once with best-fields blending. Here every field
+    variant shares the SAME postings (same analyzer chain feeding tf/dl),
+    so one decode pass yields per-field contribution arrays and the
+    combination is pure numpy — per-field top-k lists would be WRONG
+    (a doc outside every field's top-k can still win on the blended
+    score when tie_breaker > 0), so blending happens on full per-doc
+    field scores before any truncation."""
+    locs_parts: list[np.ndarray] = []
+    contrib_parts: dict[str, list[np.ndarray]] = {f: [] for f in fields}
+    for r in rows:
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        d, t, l = P.decode_term_postings(
+            r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+        )
+        locs_parts.append(d)
+        for f in fields:
+            contrib_parts[f].append(_field_contrib(f, idf, t, l, avgdl, k1, b))
+    if not locs_parts:
+        return []
+    locs = np.concatenate(locs_parts)
+    uniq, inv = np.unique(locs, return_inverse=True)
+    per_field = np.stack(
+        [
+            np.bincount(inv, weights=np.concatenate(contrib_parts[f]), minlength=uniq.size)
+            for f in fields
+        ]
+    )
+    mx = per_field.max(axis=0)
+    score = mx + tie_breaker * (per_field.sum(axis=0) - mx)
+    order = _topk_order(uniq, score, min(k, uniq.size))
+    return [(int(uniq[i]), float(score[i])) for i in order]
 
 
 def _topk_order(uniq: np.ndarray, scores: np.ndarray, kk: int) -> np.ndarray:
@@ -786,6 +875,17 @@ def _bm25_topk_impl(
         heap_rows = [
             (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
         ]
+    return _finalize_topk(reader, heap_rows, k, lookup)
+
+
+def _finalize_topk(
+    reader: IndexReader, heap_rows: list[tuple[int, int, float]], k: int, lookup: str
+):
+    """Shared winner-selection tail: per-shard heap rows -> global top-k
+    (doc_id = shard offset + local_id) -> urls from a PRUNED docmap read
+    (local pyarrow when the dir is local, broadcast-joined Spark plan
+    otherwise) — never a full docmap scan."""
+    spark = reader.spark
     if not heap_rows:
         return "rows", []
     offsets = reader.shard_offsets()
@@ -810,6 +910,84 @@ def _bm25_topk_impl(
         .join(F.broadcast(win_df), ["shard", "local_id"])
         .select("url", "doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def bm25_dismax_topk(
+    reader: IndexReader,
+    query: str | list[str],
+    k: int = 10,
+    tie_breaker: float = 0.3,
+    fields: tuple[str, ...] = ("default", "nonorms", "doconly"),
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """Multi-field dis_max top-k (url, doc_id, score) over the real index.
+
+    Scores the analyzed query against several per-field scoring variants of
+    the SAME indexed text (the reference's multi-field mapping indexes one
+    value many ways, search_scheme.json:140-180; default/nonorms/doconly
+    correspond to its text/nonorms/doconly subfields) and blends per ES
+    dis_max: score = best field + tie_breaker * (others). One postings
+    read serves every field — the variants differ only in the scoring
+    formula, so no extra IO or shuffle vs a single-field query. Same
+    local/Spark adaptive execution and pruned docmap lookup as bm25_topk;
+    ties doc_id asc."""
+    spark = reader.spark
+    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    stats = reader.term_stats(terms)
+    terms = [t for t in terms if t in stats]
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    if not terms:
+        return empty
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+
+    def run_kernel(rows) -> list[tuple[int, float]]:
+        return _dismax_shard_topk(rows, idfs, k, k1, b, avgdl, tuple(fields), tie_breaker)
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(list(pdf.itertuples()))
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto" and sum(stats[t] for t in terms) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(rows)
+            ]
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(terms)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return empty
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
     )
 
 

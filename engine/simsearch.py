@@ -161,6 +161,42 @@ def ivf_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained IVF coarse quantizer: pyspark.ml KMeans (k-means|| init)
+    over the corpus embeddings, returned in the same (cid, cent_vec)
+    shape ivf_ann_topk's `centroids=` hook consumes. This is the
+    production quantizer (real centroids track the data distribution, so
+    posting lists are balanced and nprobe recall is higher than the
+    frozen min-id quantizer, which exists for SQL-oracle reproducibility
+    — recall of both is compared in tests). Distributed fit: one pass
+    per iteration over the vectors, centroids broadcast by ml.KMeans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # spherical k-means: the IVF assignment metric is COSINE, so vectors are
+    # L2-normalized before the Euclidean fit (on the unit sphere, Euclidean
+    # and cosine neighborhoods coincide); unnormalized KMeans centroids
+    # chase magnitude, not direction, and measurably hurt nprobe recall
+    v = F.col(vec_col).cast("array<double>")
+    unit = F.transform(v, lambda x: x / _norm(v))
+    feat = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    import pandas as pd
+
+    cents = model.clusterCenters()
+    pdf = pd.DataFrame(
+        {"cid": range(len(cents)), "cent_vec": [[float(x) for x in c] for c in cents]}
+    )
+    return corpus.sparkSession.createDataFrame(pdf, "cid long, cent_vec array<double>")
+
+
 def _nearest_centroids(
     vecs: DataFrame, cents: DataFrame, nprobe: int, id_out: str, vec_out: str
 ) -> DataFrame:

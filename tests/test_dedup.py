@@ -161,3 +161,45 @@ def test_dedup_keep_first(spark, docs):
         assert r["a"] in kept_ids or any(
             p["b"] == r["a"] for p in pairs.collect()
         )
+
+
+def test_simhash_band_cap_bounds_degenerate_corpus(spark):
+    """A mass-shared band key (boilerplate cluster) must not explode the
+    candidate self-join when max_band_df is set: the hot bucket is dropped
+    (with its m^2 pairs), while small-bucket near-dups keep their pairs."""
+    from engine.dedup import simhash_near_dup_pairs
+
+    boiler = [(i, "identical boilerplate text shared by the whole batch") for i in range(40)]
+    uniq = [
+        (100, "rare alpha beta gamma delta epsilon zeta"),
+        (101, "rare alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    uncapped = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    capped = simhash_near_dup_pairs(docs, max_hamming=3, max_band_df=5).collect()
+    # uncapped: the 40-doc cluster alone contributes 40*39/2 pairs
+    assert len(uncapped) >= 780
+    # capped: every boilerplate band bucket has df=40 > 5 -> zero pairs from
+    # the cluster; the df=2 buckets of the small near-dup pair survive
+    capped_pairs = {(r["a"], r["b"]) for r in capped}
+    assert (100, 101) in capped_pairs
+    assert all(a >= 100 for a, _ in capped_pairs), capped_pairs
+
+
+def test_lsh_pairs_auto_cap_matches_exact_below_floor(spark, docs):
+    """The pipeline default (max_shingle_df='auto') must be identical to
+    the exact uncapped verify on a corpus smaller than the cap floor."""
+    from engine.dedup import minhash_lsh_pairs
+
+    auto = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.2).collect()
+    exact = minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.2, max_shingle_df=None).collect()
+    assert sorted((r["a"], r["b"]) for r in auto) == sorted(
+        (r["a"], r["b"]) for r in exact
+    )
+
+
+def test_auto_shingle_df_cap_floor(spark, docs):
+    from engine.dedup import auto_shingle_df_cap, ngram_shingles
+
+    cap = auto_shingle_df_cap(ngram_shingles(docs, 3))
+    assert cap >= 1024

@@ -265,3 +265,32 @@ def test_sessionize_stateful_matches_batch(spark, tmp_path):
     got = _canon(spark.table("sess_stateful_test").toPandas())
     want = _canon(sessionize(_events(spark), gap_s=DEFAULT_GAP_S).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_update_skips_empty_microbatch():
+    """A group arriving with only empty Arrow chunks must not write a null
+    last_ts into the state (ADVICE round 2)."""
+    import pandas as pd
+
+    from engine.events import _make_session_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    upd = _make_session_update(30)
+    st = FakeState()
+    out = list(upd((7,), iter([pd.DataFrame({"event_id": [], "ts_epoch": []})]), st))
+    assert out == []
+    assert st.updated is None  # no state write for a no-row batch
+
+    # and a real batch still updates state
+    st2 = FakeState()
+    out2 = list(
+        upd((7,), iter([pd.DataFrame({"event_id": [1, 2], "ts_epoch": [10, 100]})]), st2)
+    )
+    assert len(out2) == 1 and st2.updated == (100, 2)

@@ -340,3 +340,42 @@ def test_batch_query_matches_per_query(spark, index, corpus):
         exp = bm25_topk(reader, q["terms"], k=10, mode="and").collect()
         rows = sorted(by_q.get(q["query_id"], []))
         assert [d for _, d in rows] == [r["doc_id"] for r in exp], q
+
+
+def test_reader_generation_guard(spark, index):
+    """A reader held across an in-place rebuild must raise, not silently
+    serve the old generation from its caches (ADVICE round 2)."""
+    out, _ = index
+    reader = IndexReader(spark, out)
+    assert reader.term_stats(["the"]) is not None  # warm the caches
+    os.utime(os.path.join(out, "MANIFEST.json"))  # simulate rebuild commit
+    with pytest.raises(RuntimeError, match="generation"):
+        reader.term_stats(["the"])
+    # a NEW reader over the same dir serves fine
+    assert IndexReader(spark, out).term_stats(["the"]) is not None
+
+
+def test_dismax_on_index_blends_field_variants(spark, index, corpus):
+    """bm25_dismax_topk == driver-side blend of the three single-field
+    scores (best + tie_breaker * rest), doc-for-doc."""
+    from engine.query import bm25_dismax_topk, bm25_topk_rows
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    terms = ["the", "data"]
+    tb = 0.3
+    per_field = {}
+    for fo in ("default", "nonorms", "doconly"):
+        for url, doc, sc in bm25_topk_rows(
+            reader, terms, k=reader.n_docs, field_opts=fo, algo="taat"
+        ):
+            per_field.setdefault(doc, {})[fo] = sc
+    blended = {}
+    for doc, by_f in per_field.items():
+        s = [by_f.get(f, 0.0) for f in ("default", "nonorms", "doconly")]
+        blended[doc] = max(s) + tb * (sum(s) - max(s))
+    want = sorted(blended.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = bm25_dismax_topk(reader, terms, k=10, tie_breaker=tb).collect()
+    assert [int(r["doc_id"]) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)

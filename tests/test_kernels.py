@@ -75,3 +75,49 @@ def test_cursor_wand_agrees(lists, k):
     assert [d for d, _ in daat] == [d for d, _ in taat]
     for (_, s1), (_, s2) in zip(daat, taat):
         assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+@given(
+    lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=300),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=30, deadline=None)
+def test_dismax_kernel_vs_brute(lists, k):
+    """The dis_max shard kernel must equal a per-doc brute-force blend of
+    the three per-field scores (best + tie_breaker * rest)."""
+    from engine.query import _dismax_shard_topk
+
+    avgdl, k1, b, tb = 100.0, P.K1, P.B, 0.3
+    fields = ("default", "nonorms", "doconly")
+    specs = [(f"t{i}", ids) for i, ids in enumerate(lists)]
+    rows = _mk_rows(specs, avgdl)
+    if not rows:
+        return
+    idfs = {r.term: 1.0 + 0.37 * i for i, r in enumerate(rows)}
+    got = _dismax_shard_topk(rows, idfs, k, k1, b, avgdl, fields, tb)
+
+    per_doc: dict[int, list[float]] = {}
+    for r in rows:
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, list(r.blocks))
+        idf = idfs[r.term]
+        t = t.astype(np.float64)
+        l = l.astype(np.float64)
+        s0 = idf * t / (t + k1 * (1 - b + b * l / avgdl))
+        s1 = idf * t / (t + k1)
+        s2 = idf * 1.0 / (1.0 + k1 * (1 - b + b * l / avgdl))
+        for doc, a0, a1, a2 in zip(d.tolist(), s0, s1, s2):
+            acc = per_doc.setdefault(doc, [0.0, 0.0, 0.0])
+            acc[0] += a0
+            acc[1] += a1
+            acc[2] += a2
+    blended = {
+        doc: max(s) + tb * (sum(s) - max(s)) for doc, s in per_doc.items()
+    }
+    want = sorted(blended.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert [doc for doc, _ in got] == [doc for doc, _ in want]
+    for (_, s1_), (_, s2_) in zip(got, want):
+        assert s1_ == pytest.approx(s2_, rel=1e-9)

@@ -4,6 +4,8 @@ projection (feature_histogram_counts)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -199,3 +201,27 @@ def test_feature_counts_exact_under_float32(spark):
         f32 = (counts / counts.sum()).astype(np.float32)
         back = np.round(f32.astype(np.float64) * n).astype(np.int64)
         assert (back == counts).all()
+
+
+def test_media_repartition_metadata_sizing(spark, tmp_path, monkeypatch):
+    """Parquet-backed media frames must be sized from file metadata — no
+    aggregate scan of the fat payload column before the real work."""
+    from pyspark.sql import DataFrame
+
+    p = str(tmp_path / "media.parquet")
+    synth_media(spark, n=50).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("media_repartition scanned the payload column")
+
+    monkeypatch.setattr(DataFrame, "agg", boom)
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p)
+        for f in fs
+    )
+    out = media_repartition(df, target_bytes=max(1, total // 4))
+    assert 4 <= out.rdd.getNumPartitions() <= 6
+    monkeypatch.undo()
+    assert out.count() == 50

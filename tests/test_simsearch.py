@@ -71,3 +71,33 @@ def test_embedding_near_dup_lsh_recall(spark, emb):
     assert l <= e  # LSH candidates are verified exactly -> no false pairs
     assert len(e) > 0
     assert len(e & l) / len(e) >= 0.5, (len(e), len(l))
+
+
+def test_kmeans_centroids_recall_at_least_min_id(spark, emb):
+    """The trained quantizer (pyspark.ml KMeans via the centroids= hook)
+    must reach at least the frozen min-id quantizer's recall on the same
+    nprobe budget — real centroids track the data distribution.
+
+    Probes are taken DISJOINT from the min-id centroid ids (vec 0..15):
+    a probe that IS a centroid always probes its own list first, which
+    inflates the min-id quantizer's recall artificially."""
+    from engine.simsearch import kmeans_centroids
+
+    probes = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).withColumnRenamed("vec_id", "probe_id")
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    minid = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, probes, n_centroids=16, nprobe=4, k=5).collect()
+    }
+    km_cents = kmeans_centroids(emb, 16)
+    km = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb, probes, n_centroids=16, nprobe=4, k=5, centroids=km_cents
+        ).collect()
+    }
+    r_minid = len(exact & minid) / len(exact)
+    r_km = len(exact & km) / len(exact)
+    assert r_km >= r_minid, (r_km, r_minid)
