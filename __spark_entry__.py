@@ -72,6 +72,11 @@ WAND_TERMS = ["dup", "key", "fast"]
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
 PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
 DISMAX_TB = 0.3  # ES dis_max tie_breaker
+BOOL_MUST = ["key"]           # ES bool query: required, scored
+BOOL_SHOULD = ["dup", "fast"]  # optional, scored when matching
+BOOL_NOT = ["slow"]           # pure filter, never scored
+MSM_TERMS = ["dup", "fast", "sort"]  # minimum_should_match demo terms
+MSM_N = 2
 SIMHASH_BAND_CAP = 8  # hot-band df guard for the capped simhash variant
 JACCARD_N, JACCARD_T = 3, 0.2
 JACCARD_CAP = 5  # boilerplate-shingle df cap for the capped variant
@@ -288,6 +293,52 @@ dm AS (
 )
 SELECT doc_id, round(score_raw, 6) AS score
 FROM dm ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_bool_sql(
+    must: list[str], should: list[str], must_not: list[str],
+    msm: int, k: int = 10,
+) -> str:
+    """ES bool query oracle: score = sum of matching must+should clause
+    BM25 contributions; HAVING-style masks require all must terms, >= msm
+    should terms, and exclude any doc containing a must_not term (filter
+    only — never scored). Twin of engine/query.py _bool_shard_topk."""
+    scoring = must + should
+    sl = ", ".join(f"'{t}'" for t in scoring)
+    ml = ", ".join(f"'{t}'" for t in must) or "''"
+    shl = ", ".join(f"'{t}'" for t in should) or "''"
+    nl = ", ".join(f"'{t}'" for t in must_not) or "''"
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({sl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+excl AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+  WHERE term IN ({nl})
+),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS score_raw,
+         count(DISTINCT CASE WHEN term IN ({ml}) THEN term END) AS m_hits,
+         count(DISTINCT CASE WHEN term IN ({shl}) THEN term END) AS s_hits
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored
+WHERE m_hits = {len(must)} AND s_hits >= {msm}
+  AND doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -840,6 +891,32 @@ def q_bm25_dismax(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+def q_bm25_bool(spark, sf_dir):
+    """ES bool query (must / should / must_not) on the REAL index: must
+    terms required + scored, should terms scored when matching, must_not
+    a pure unscored filter — the standard ES query-DSL composition over
+    the same BM25 kernels (engine/query.py bm25_bool_topk)."""
+    from engine.query import IndexReader, bm25_bool_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_bool_topk(
+        reader, must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=25
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_msm(spark, sf_dir):
+    """ES minimum_should_match on the REAL index: ranked union of should
+    terms, but a doc must match at least MSM_N of them to qualify
+    (bm25_bool_topk with should-only + msm) — between mode='or' (msm<=1)
+    and mode='and' (msm=n_terms)."""
+    from engine.query import IndexReader, bm25_bool_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_bool_topk(reader, should=MSM_TERMS, k=25, minimum_should_match=MSM_N)
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
 def q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return exact_dedup(d).select(
@@ -1219,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doconly_topk": q_bm25_doconly,
         "bm25_prefix_topk": q_bm25_prefix,
         "bm25_dismax_topk": q_bm25_dismax,
+        "bm25_bool_topk": q_bm25_bool,
+        "bm25_msm_topk": q_bm25_msm,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash,
         "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -1374,6 +1453,8 @@ FROM grams
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),
         "bm25_dismax_topk": _bm25_dismax_sql(WAND_TERMS, DISMAX_TB),
+        "bm25_bool_topk": _bm25_bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, msm=0, k=10),
+        "bm25_msm_topk": _bm25_bool_sql([], MSM_TERMS, [], msm=MSM_N, k=10),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, "
             "count(*)::BIGINT AS n_dups FROM documents WHERE text IS NOT NULL "

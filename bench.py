@@ -138,6 +138,19 @@ def main() -> None:
     aux["bm25_rows_p50"] = round(lat[len(lat) // 2], 3)
     aux["bm25_rows_p95"] = round(lat[int(len(lat) * 0.95)], 3)
 
+    # multi-field dis_max (one postings pass, three field variants blended)
+    from engine.query import bm25_dismax_topk
+
+    or_queries = [q for q in frozen if q["kind"] in ("single", "or")]
+    bm25_dismax_topk(reader, or_queries[0]["terms"], k=10).collect()  # warm
+    lat = []
+    for q in or_queries:
+        t0 = time.time()
+        bm25_dismax_topk(reader, q["terms"], k=q["k"]).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["bm25_dismax_p50"] = round(lat[len(lat) // 2], 3)
+
     # ---- batch-query throughput (one distributed pass, 6000 queries) -------
     from engine.query import bm25_topk_batch
 

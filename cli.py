@@ -9,8 +9,9 @@ Commands:
   build-index  --input <pages.parquet> --output <dir> [--shards N]
                [--buckets N] [--chunk N] [--resume] [--job-id ID]
                [--progress]
-  query        --index <dir> --terms "w1 w2" [--mode or|and|prefix]
-               [--k 10] [--algo wand|wand_daat|taat]
+  query        --index <dir> --terms "w1 w2" [--mode or|and|prefix|dismax|bool]
+               [--k 10] [--algo wand|wand_daat|taat] [--tie-breaker 0.3]
+               [--must "w"] [--should "w1 w2"] [--must-not "w"] [--msm N]
   export-json  --input <documents.parquet> --output <dir>  (T7 bulk NDJSON)
   bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
 
@@ -49,10 +50,19 @@ def main() -> None:
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
-    q.add_argument("--terms", required=True)
-    q.add_argument("--mode", default="or", choices=["or", "and", "prefix"])
+    q.add_argument("--terms", default="",
+                   help="query terms (or/and/prefix/dismax modes)")
+    q.add_argument("--mode", default="or",
+                   choices=["or", "and", "prefix", "dismax", "bool"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="wand", choices=["wand", "wand_daat", "taat"])
+    q.add_argument("--tie-breaker", type=float, default=0.3,
+                   help="dis_max tie breaker (mode=dismax)")
+    q.add_argument("--must", default="", help="required terms (mode=bool)")
+    q.add_argument("--should", default="", help="optional scored terms (mode=bool)")
+    q.add_argument("--must-not", default="", help="excluded terms (mode=bool)")
+    q.add_argument("--msm", type=int, default=None,
+                   help="minimum_should_match (mode=bool; ES default)")
 
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
@@ -109,7 +119,28 @@ def main() -> None:
         t0 = time.time()
         # serving-path API: no result-DataFrame round-trip (rank-identical
         # to bm25_topk; falls back to the Spark plan for remote dirs)
-        rows = bm25_topk_rows(reader, args.terms, k=args.k, mode=args.mode, algo=args.algo)
+        if args.mode == "dismax":
+            from engine.query import bm25_dismax_topk
+
+            rows = [
+                (r["url"], r["doc_id"], r["score"])
+                for r in bm25_dismax_topk(
+                    reader, args.terms, k=args.k, tie_breaker=args.tie_breaker
+                ).collect()
+            ]
+        elif args.mode == "bool":
+            from engine.query import bm25_bool_topk
+
+            rows = [
+                (r["url"], r["doc_id"], r["score"])
+                for r in bm25_bool_topk(
+                    reader, must=args.must, should=args.should,
+                    must_not=args.must_not, k=args.k,
+                    minimum_should_match=args.msm,
+                ).collect()
+            ]
+        else:
+            rows = bm25_topk_rows(reader, args.terms, k=args.k, mode=args.mode, algo=args.algo)
         print(json.dumps({
             "hits": [{"url": u, "doc_id": d, "score": s} for u, d, s in rows],
             "sec": round(time.time() - t0, 3),

@@ -685,6 +685,81 @@ def _dismax_shard_topk(
     return [(int(uniq[i]), float(score[i])) for i in order]
 
 
+def _bool_shard_topk(
+    rows,
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    must: frozenset[str],
+    must_not: frozenset[str],
+    msm: int,
+    field_opts: str = "default",
+) -> list[tuple[int, float]]:
+    """ES bool query over one shard: score = sum of matching must+should
+    clause scores; docs must match EVERY must term, at least `msm` should
+    terms, and NO must_not term (must_not is a pure filter — it never
+    contributes to the score, per ES bool semantics).
+
+    Vectorized like TAAT: one decode per term, np.unique/bincount
+    accumulation, then three boolean masks (must-hit count, should-hit
+    count, exclusion) before the top-k order. must/should doc arrays are
+    subsets of the scored doc set, so searchsorted against the sorted
+    uniq array lands exactly — no hash joins, no per-doc Python."""
+    locs_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    must_doc_parts: list[np.ndarray] = []
+    should_doc_parts: list[np.ndarray] = []
+    excl_parts: list[np.ndarray] = []
+    must_seen: set[str] = set()
+    for r in rows:
+        blocks = _norm_blocks(r.blocks)
+        if r.term in must_not:
+            d, _, _ = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+            excl_parts.append(d)
+            continue
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+        locs_parts.append(d)
+        contrib_parts.append(_field_contrib(field_opts, idf, t, l, avgdl, k1, b))
+        if r.term in must:
+            must_seen.add(r.term)
+            must_doc_parts.append(d)
+        else:
+            should_doc_parts.append(d)
+    if len(must_seen) < len(must):
+        # a required term has no postings in this shard -> no shard doc
+        # can satisfy the conjunction (docs live in exactly one shard)
+        return []
+    if not locs_parts:
+        return []
+    locs = np.concatenate(locs_parts)
+    contribs = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(locs, return_inverse=True)
+    scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+    keep = np.ones(uniq.size, dtype=bool)
+    if must:
+        hits = np.zeros(uniq.size, dtype=np.int64)
+        for d in must_doc_parts:
+            hits[np.searchsorted(uniq, d)] += 1
+        keep &= hits == len(must)
+    if msm > 0:
+        s_hits = np.zeros(uniq.size, dtype=np.int64)
+        for d in should_doc_parts:
+            s_hits[np.searchsorted(uniq, d)] += 1
+        keep &= s_hits >= msm
+    if excl_parts:
+        keep &= ~np.isin(uniq, np.concatenate(excl_parts))
+    uniq, scores = uniq[keep], scores[keep]
+    if uniq.size == 0:
+        return []
+    order = _topk_order(uniq, scores, min(k, uniq.size))
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 def _topk_order(uniq: np.ndarray, scores: np.ndarray, kk: int) -> np.ndarray:
     """Indices of the top-kk by (score desc, doc asc): argpartition prune
     then exact lexsort of the survivors — O(n + k log k), not O(n log n).
@@ -974,6 +1049,117 @@ def bm25_dismax_topk(
     if heap_rows is None:
         per_shard = (
             reader.postings(terms)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return empty
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
+def bm25_bool_topk(
+    reader: IndexReader,
+    must: str | list[str] = (),
+    should: str | list[str] = (),
+    must_not: str | list[str] = (),
+    k: int = 10,
+    minimum_should_match: int | None = None,
+    field_opts: str = "default",
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES-style bool query top-k (url, doc_id, score) over the real index.
+
+    Semantics (ES bool): every `must` term is required and contributes to
+    the score; `should` terms contribute when they match, with at least
+    `minimum_should_match` of them required (ES default: 1 when there are
+    no must clauses, else 0); `must_not` terms are a pure filter — a doc
+    containing any is excluded, and they never affect the score. A must
+    term absent from the index matches nothing (conjunctive semantics,
+    aligned with mode="and"); an absent should/must_not term is a no-op.
+    A term listed in both must and should is treated as must (scored
+    once). mode="or" == bool(should=terms, msm<=1); mode="and" ==
+    bool(must=terms).
+
+    One postings read covers all three clause lists (must_not costs its
+    postings IO but no scoring); the per-shard kernel is vectorized
+    (np.unique/bincount + searchsorted masks, no per-doc Python) and runs
+    on the same adaptive local/Spark scatter-gather as bm25_topk, with the
+    same pruned docmap lookup. Ties doc_id asc."""
+
+    def _analyze(q) -> list[str]:
+        if isinstance(q, str):
+            return analyze_query_py(q)
+        return list(dict.fromkeys(q))
+
+    must_terms = _analyze(must)
+    should_terms = [t for t in _analyze(should) if t not in set(must_terms)]
+    not_terms = [
+        t for t in _analyze(must_not)
+        if t not in set(must_terms) and t not in set(should_terms)
+    ]
+    msm = minimum_should_match
+    if msm is None:
+        msm = 0 if must_terms else 1
+    spark = reader.spark
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    stats = reader.term_stats(must_terms + should_terms + not_terms)
+    if any(t not in stats for t in must_terms):
+        return empty
+    should_terms = [t for t in should_terms if t in stats]
+    not_terms = [t for t in not_terms if t in stats]
+    scoring = must_terms + should_terms
+    if not scoring or msm > len(should_terms):
+        return empty
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in scoring}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    must_set, not_set = frozenset(must_terms), frozenset(not_terms)
+    n_must = len(must_terms)
+
+    def run_kernel(rows) -> list[tuple[int, float]]:
+        return _bool_shard_topk(
+            rows, idfs, k, k1, b, avgdl, must_set, not_set, msm, field_opts
+        )
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(list(pdf.itertuples()))
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    all_terms = scoring + not_terms
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto"
+        and sum(stats[t] for t in all_terms) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(all_terms)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(rows)
+            ]
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(all_terms)
             .groupBy("shard")
             .applyInPandas(shard_topk, "shard int, local_id long, score double")
         )

@@ -355,6 +355,88 @@ def test_reader_generation_guard(spark, index):
     assert IndexReader(spark, out).term_stats(["the"]) is not None
 
 
+def test_bool_on_index_vs_brute(spark, index):
+    """bm25_bool_topk == driver-side brute force over full single-term
+    score lists: sum must+should contributions, require all must terms,
+    >= msm should matches, exclude must_not docs. Local and Spark
+    execution paths must agree row-for-row."""
+    from engine.query import bm25_bool_topk, bm25_topk_rows
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    must, should, must_not, msm = ["the"], ["data", "fast"], ["slow"], 0
+
+    per_term: dict[str, dict[int, float]] = {}
+    for t in must + should + must_not:
+        per_term[t] = {
+            doc: sc
+            for _, doc, sc in bm25_topk_rows(reader, [t], k=reader.n_docs, algo="taat")
+        }
+    excluded = set(per_term["slow"])
+    scores: dict[int, float] = {}
+    for t in must + should:
+        for doc, sc in per_term[t].items():
+            scores[doc] = scores.get(doc, 0.0) + sc
+    keep = {
+        doc: s
+        for doc, s in scores.items()
+        if doc not in excluded
+        and all(doc in per_term[m] for m in must)
+        and sum(doc in per_term[t] for t in should) >= msm
+    }
+    want = sorted(keep.items(), key=lambda x: (-x[1], x[0]))[:10]
+
+    for execution in ("local", "spark"):
+        got = bm25_bool_topk(
+            reader, must=must, should=should, must_not=must_not, k=10,
+            execution=execution,
+        ).collect()
+        assert [int(r["doc_id"]) for r in got] == [d for d, _ in want], execution
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_bool_degenerate_modes_match_or_and(spark, index):
+    """bool(should=T, msm=1) == mode='or'; bool(must=T) == mode='and';
+    absent must term -> empty; msm above the live should count -> empty."""
+    from engine.query import bm25_bool_topk
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    terms = ["the", "data"]
+    or_rows = [
+        (r["url"], r["doc_id"], r["score"])
+        for r in bm25_topk(reader, terms, k=10, mode="or").collect()
+    ]
+    and_rows = [
+        (r["url"], r["doc_id"], r["score"])
+        for r in bm25_topk(reader, terms, k=10, mode="and").collect()
+    ]
+    got_or = [
+        (r["url"], r["doc_id"], r["score"])
+        for r in bm25_bool_topk(reader, should=terms, k=10).collect()
+    ]
+    got_and = [
+        (r["url"], r["doc_id"], r["score"])
+        for r in bm25_bool_topk(reader, must=terms, k=10).collect()
+    ]
+    assert got_or == or_rows
+    assert got_and == and_rows
+    assert bm25_bool_topk(reader, must=["zzzzabsentterm"], should=terms).collect() == []
+    # absent should terms drop out; msm beyond the live count matches nothing
+    assert bm25_bool_topk(
+        reader, should=["the", "zzzzabsentterm"], minimum_should_match=2
+    ).collect() == []
+    # must_not of an absent term is a no-op
+    got_noop = [
+        (r["url"], r["doc_id"], r["score"])
+        for r in bm25_bool_topk(
+            reader, should=terms, must_not=["zzzzabsentterm"], k=10
+        ).collect()
+    ]
+    assert got_noop == or_rows
+
+
 def test_dismax_on_index_blends_field_variants(spark, index, corpus):
     """bm25_dismax_topk == driver-side blend of the three single-field
     scores (best + tie_breaker * rest), doc-for-doc."""

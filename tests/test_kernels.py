@@ -121,3 +121,66 @@ def test_dismax_kernel_vs_brute(lists, k):
     assert [doc for doc, _ in got] == [doc for doc, _ in want]
     for (_, s1_), (_, s2_) in zip(got, want):
         assert s1_ == pytest.approx(s2_, rel=1e-9)
+
+
+@given(
+    lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=300),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=12),
+    n_must=st.integers(min_value=0, max_value=2),
+    has_not=st.booleans(),
+    msm=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_bool_kernel_vs_brute(lists, k, n_must, has_not, msm):
+    """The bool shard kernel (must/should/must_not + msm) must equal a
+    per-doc brute force: sum must+should contributions, keep docs matching
+    every must term, >= msm should terms, and no must_not term."""
+    from engine.query import _bool_shard_topk
+
+    avgdl, k1, b = 100.0, P.K1, P.B
+    specs = [(f"t{i}", ids) for i, ids in enumerate(lists)]
+    rows = _mk_rows(specs, avgdl)
+    if not rows:
+        return
+    names = [r.term for r in rows]
+    # last term (when requested and available) is the must_not filter;
+    # first n_must of the rest are must, remainder should
+    not_names = set(names[-1:]) if has_not and len(names) > 1 else set()
+    scoring = [n for n in names if n not in not_names]
+    must = frozenset(scoring[:n_must])
+    should = [n for n in scoring if n not in must]
+    idfs = {n: 1.0 + 0.37 * i for i, n in enumerate(scoring)}
+    got = _bool_shard_topk(
+        rows, idfs, k, k1, b, avgdl, must, frozenset(not_names), msm
+    )
+
+    per_doc: dict[int, float] = {}
+    hits: dict[int, set[str]] = {}
+    excluded: set[int] = set()
+    for r in rows:
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, list(r.blocks))
+        if r.term in not_names:
+            excluded.update(d.tolist())
+            continue
+        idf = idfs[r.term]
+        t = t.astype(np.float64)
+        l = l.astype(np.float64)
+        contrib = idf * t / (t + k1 * (1 - b + b * l / avgdl))
+        for doc, c in zip(d.tolist(), contrib):
+            per_doc[doc] = per_doc.get(doc, 0.0) + c
+            hits.setdefault(doc, set()).add(r.term)
+    keep = {
+        doc: s
+        for doc, s in per_doc.items()
+        if doc not in excluded
+        and must <= hits[doc]
+        and len(hits[doc] & set(should)) >= msm
+    }
+    want = sorted(keep.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert [doc for doc, _ in got] == [doc for doc, _ in want]
+    for (_, s1_), (_, s2_) in zip(got, want):
+        assert s1_ == pytest.approx(s2_, rel=1e-9)
