@@ -13,6 +13,10 @@ Commands:
                [--k 10] [--algo wand|wand_daat|taat] [--tie-breaker 0.3]
                [--must "w"] [--should "w1 w2"] [--must-not "w"] [--msm N]
   export-json  --input <documents.parquet> --output <dir>  (T7 bulk NDJSON)
+  ingest-segment --input <pages.parquet> --dir <streamdir> [--shards N]
+               [--buckets N]   (append one incremental segment)
+  merge-segments --dir <streamdir> [--shards N] [--buckets N]
+               (Lucene-merge analog: segments -> standard queryable index)
   bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
 
 Reference parity: replaces run-elastic-search.sh:84-133 (index lifecycle
@@ -63,6 +67,17 @@ def main() -> None:
     q.add_argument("--must-not", default="", help="excluded terms (mode=bool)")
     q.add_argument("--msm", type=int, default=None,
                    help="minimum_should_match (mode=bool; ES default)")
+
+    ig = sub.add_parser("ingest-segment")
+    ig.add_argument("--input", required=True, help="pages parquet batch")
+    ig.add_argument("--dir", required=True, help="incremental index dir")
+    ig.add_argument("--shards", type=int, default=8)
+    ig.add_argument("--buckets", type=int, default=16)
+
+    mg = sub.add_parser("merge-segments")
+    mg.add_argument("--dir", required=True, help="incremental index dir")
+    mg.add_argument("--shards", type=int, default=8)
+    mg.add_argument("--buckets", type=int, default=16)
 
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
@@ -144,6 +159,35 @@ def main() -> None:
         print(json.dumps({
             "hits": [{"url": u, "doc_id": d, "score": s} for u, d, s in rows],
             "sec": round(time.time() - t0, 3),
+        }))
+
+    elif args.cmd == "ingest-segment":
+        from engine.streaming import _read_state, ingest_batch
+
+        os.makedirs(args.dir, exist_ok=True)
+        state = _read_state(args.dir, args.shards)
+        next_seg = 1 + max((s["seg_id"] for s in state["segments"]), default=-1)
+        batch = spark.read.parquet(args.input)
+        state = ingest_batch(
+            spark, batch, args.dir, seg_id=next_seg,
+            n_shards=args.shards, n_buckets=args.buckets,
+        )
+        print(json.dumps({
+            "seg_id": next_seg,
+            "n_docs": state["n_docs"],
+            "segments": len(state["segments"]),
+        }))
+
+    elif args.cmd == "merge-segments":
+        from engine.streaming import merge_segments
+
+        manifest = merge_segments(
+            spark, args.dir, n_shards=args.shards, n_buckets=args.buckets
+        )
+        print(json.dumps({
+            "merged": args.dir,
+            "n_docs": manifest["n_docs"],
+            "job_id": manifest.get("job_id", ""),
         }))
 
     elif args.cmd == "bench-build":

@@ -47,6 +47,36 @@ def test_cli_build_query_roundtrip(corpus, tmp_path_factory):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cli_ingest_merge_query_roundtrip(corpus, tmp_path_factory):
+    """Incremental lifecycle as subprocesses: two ingest-segment appends,
+    merge-segments into the standard layout, then a bool-mode query
+    against the merged index (must term honored in every hit)."""
+    inc = str(tmp_path_factory.mktemp("cliinc") / "inc")
+    ingested = 0
+    for expected_seg in (0, 1):
+        r = _run("ingest-segment", "--input", corpus, "--dir", inc,
+                 "--shards", "2", "--buckets", "4")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["seg_id"] == expected_seg
+        assert out["segments"] == expected_seg + 1
+        ingested = out["n_docs"]
+    assert ingested > 500  # 2 x ~300-doc segments minus validation rejects
+    r = _run("merge-segments", "--dir", inc, "--shards", "2", "--buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    merged = json.loads(r.stdout.strip().splitlines()[-1])
+    assert merged["n_docs"] == ingested
+
+    r = _run("query", "--index", inc, "--mode", "bool",
+             "--must", "the", "--should", "data fast", "--must-not", "slow",
+             "--k", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < len(out["hits"]) <= 5
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_cli_export_json(tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("cliexp") / "bulk")
     r = _run("export-json", "--input", "/root/testdata/sf0.001/documents.parquet",
