@@ -72,6 +72,8 @@ WAND_TERMS = ["dup", "key", "fast"]
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
 PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
 DISMAX_TB = 0.3  # ES dis_max tie_breaker
+FUZZY_Q = "strean"  # 1 edit from 'stream'; len 6 -> ES AUTO = 2 edits
+FUZZY_MAX_EXPANSIONS = 50  # ES fuzzy default
 BOOL_MUST = ["key"]           # ES bool query: required, scored
 BOOL_SHOULD = ["dup", "fast"]  # optional, scored when matching
 BOOL_NOT = ["slow"]           # pure filter, never scored
@@ -293,6 +295,41 @@ dm AS (
 )
 SELECT doc_id, round(score_raw, 6) AS score
 FROM dm ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _bm25_fuzzy_sql(q: str, k: int = 10) -> str:
+    """Fuzzy query mode oracle: dictionary terms within classic Levenshtein
+    distance of the query term (ES AUTO edits for its length), ordered df
+    DESC / term ASC, capped at FUZZY_MAX_EXPANSIONS, fed into the
+    relational BM25 with per-term idf (scoring_boolean rewrite — engine
+    twin: IndexReader.expand_fuzzy + bm25_topk mode='fuzzy')."""
+    d = 0 if len(q) <= 2 else (1 if len(q) <= 5 else 2)
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+alltf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+expanded AS (
+  SELECT term, df FROM alldf
+  WHERE abs(length(term) - {len(q)}) <= {d} AND levenshtein(term, '{q}') <= {d}
+  ORDER BY df DESC, term ASC LIMIT {FUZZY_MAX_EXPANSIONS}
+),
+tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM expanded)),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM tf JOIN expanded USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -891,6 +928,18 @@ def q_bm25_dismax(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+def q_bm25_fuzzy(spark, sf_dir):
+    """ES fuzzy query mode on the REAL index: dictionary expansion by
+    bounded classic Levenshtein distance (AUTO edits, df-ordered, capped
+    at 50) feeding the ranked-union BM25 kernels — typo tolerance over
+    the same postings."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, [FUZZY_Q], k=25, mode="fuzzy")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
 def q_bm25_bool(spark, sf_dir):
     """ES bool query (must / should / must_not) on the REAL index: must
     terms required + scored, should terms scored when matching, must_not
@@ -1296,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doconly_topk": q_bm25_doconly,
         "bm25_prefix_topk": q_bm25_prefix,
         "bm25_dismax_topk": q_bm25_dismax,
+        "bm25_fuzzy_topk": q_bm25_fuzzy,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_msm_topk": q_bm25_msm,
         "dedup_exact": q_dedup_exact,
@@ -1453,6 +1503,7 @@ FROM grams
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),
         "bm25_dismax_topk": _bm25_dismax_sql(WAND_TERMS, DISMAX_TB),
+        "bm25_fuzzy_topk": _bm25_fuzzy_sql(FUZZY_Q),
         "bm25_bool_topk": _bm25_bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, msm=0, k=10),
         "bm25_msm_topk": _bm25_bool_sql([], MSM_TERMS, [], msm=MSM_N, k=10),
         "dedup_exact": (

@@ -9,7 +9,7 @@ Commands:
   build-index  --input <pages.parquet> --output <dir> [--shards N]
                [--buckets N] [--chunk N] [--resume] [--job-id ID]
                [--progress]
-  query        --index <dir> --terms "w1 w2" [--mode or|and|prefix|dismax|bool]
+  query        --index <dir> --terms "w1 w2" [--mode or|and|prefix|fuzzy|dismax|bool]
                [--k 10] [--algo wand|wand_daat|taat] [--tie-breaker 0.3]
                [--must "w"] [--should "w1 w2"] [--must-not "w"] [--msm N]
   export-json  --input <documents.parquet> --output <dir>  (T7 bulk NDJSON)
@@ -57,7 +57,7 @@ def main() -> None:
     q.add_argument("--terms", default="",
                    help="query terms (or/and/prefix/dismax modes)")
     q.add_argument("--mode", default="or",
-                   choices=["or", "and", "prefix", "dismax", "bool"])
+                   choices=["or", "and", "prefix", "fuzzy", "dismax", "bool"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="wand", choices=["wand", "wand_daat", "taat"])
     q.add_argument("--tie-breaker", type=float, default=0.3,

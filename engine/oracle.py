@@ -58,6 +58,37 @@ class Bm25Oracle:
         (ES scoring_boolean-style rewrite, frozen spec)."""
         return [t for t in self.vocab if t.startswith(prefix)]
 
+    def expand_fuzzy(
+        self, term: str, max_edits: int | None = None, max_expansions: int = 50,
+        prefix_length: int = 0,
+    ) -> list[str]:
+        """Fuzzy query rewrite, brute force: dictionary terms within classic
+        Levenshtein distance (full O(nm) DP — no banding shortcuts, this is
+        the judge), df desc / term asc, capped. max_edits=None = ES AUTO."""
+        q = term
+        if max_edits is None:
+            max_edits = 0 if len(q) <= 2 else (1 if len(q) <= 5 else 2)
+        if max_edits == 0:
+            return [q] if self.df.get(q) else []
+
+        def dist(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        pref = q[:prefix_length]
+        pairs = [
+            (t, self.df[t])
+            for t in self.vocab
+            if t.startswith(pref) and dist(q, t) <= max_edits
+        ]
+        pairs.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in pairs[:max_expansions]]
+
     def topk(self, terms: list[str], k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), score desc then doc_id asc. mode='and'
         keeps only docs containing every query term (conjunctive filter,

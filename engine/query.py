@@ -193,6 +193,68 @@ class IndexReader:
             .collect()
         ]
 
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int | None = None,
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+    ) -> list[str]:
+        """Fuzzy rewrite against the term dictionary: terms within classic
+        Levenshtein distance max_edits of `term`, highest-df first (term
+        asc tiebreak), capped at max_expansions (ES fuzzy default 50).
+
+        max_edits=None applies ES AUTO fuzziness: 0 edits for 1-2 char
+        terms, 1 for 3-5, 2 above. prefix_length (ES fuzzy prefix_length)
+        requires the first p chars to match exactly and enables the same
+        range-pruned dictionary read as expand_prefix. Spec choices vs ES,
+        frozen: classic Levenshtein (fuzzy_transpositions=false — Spark's
+        and DuckDB's native levenshtein are both classic) and
+        scoring_boolean rewrite (each expansion scored with its own idf,
+        matching expand_prefix) instead of top_terms_blended_freqs.
+
+        Scale: the cached-vocabulary driver path serves small indexes; a
+        web-scale dictionary is matched by a distributed scan with the
+        length-band predicate (|len(t)-len(q)| <= d) in codegen and
+        Spark's thresholded levenshtein short-circuiting the DP — the
+        dictionary is bucket-hashed, so no bucket pruning is possible for
+        fuzzy (unlike exact-term lookups); pruning comes from prefix_length
+        when set."""
+        q = term
+        if max_edits is None:  # ES AUTO
+            max_edits = 0 if len(q) <= 2 else (1 if len(q) <= 5 else 2)
+        if max_edits == 0:
+            return [q] if self.term_stats([q]) else []
+        lo_len, hi_len = len(q) - max_edits, len(q) + max_edits
+        pref = q[:prefix_length]
+        if self._ts_cache is None and self.n_docs <= self.CACHE_MAX_DOCS:
+            self.term_stats([q])  # populates the whole-vocab cache
+        if self._ts_cache is not None:
+            self._check_generation()
+            pairs = [
+                (t, df)
+                for t, df in self._ts_cache.items()
+                if lo_len <= len(t) <= hi_len
+                and t.startswith(pref)
+                and _lev_within(q, t, max_edits)
+            ]
+            pairs.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in pairs[:max_expansions]]
+        ts = self._term_stats_df()
+        cond = F.length("term").between(lo_len, hi_len)
+        if pref:
+            hi = pref[:-1] + chr(ord(pref[-1]) + 1)
+            cond = cond & (F.col("term") >= pref) & (F.col("term") < hi)
+        rows = (
+            ts.filter(cond)
+            .filter(F.levenshtein(F.col("term"), F.lit(q), max_edits) != -1)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def postings(self, terms: list[str]) -> DataFrame:
         buckets = self._bucket_of(terms)
         post = self.spark.read.parquet(os.path.join(self.dir, "postings"))
@@ -329,6 +391,27 @@ class IndexReader:
 _BLOCK_KEYS = ("first_doc", "last_doc", "n", "doc_off", "tf_off", "dl_off", "max_impact")
 
 _PostRow = namedtuple("_PostRow", ["term", "docs_bin", "tfs_bin", "dls_bin", "blocks"])
+
+
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """Bounded classic Levenshtein: True iff dist(a, b) <= d. Unit costs,
+    no transpositions — must agree exactly with Spark's F.levenshtein and
+    DuckDB's levenshtein() (both classic). Early-exits a row whose minimum
+    already exceeds d."""
+    if abs(len(a) - len(b)) > d:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        row_min = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            if cur[j] < row_min:
+                row_min = cur[j]
+        if row_min > d:
+            return False
+        prev = cur
+    return prev[-1] <= d
 
 
 def _norm_blocks(blocks) -> list[tuple]:
@@ -793,7 +876,9 @@ def bm25_topk(
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
     mode: "or" (ranked union), "and" (conjunctive), "prefix" (dictionary
-    expansion of a single prefix, then ranked union).
+    expansion of a single prefix, then ranked union), "fuzzy" (dictionary
+    expansion by bounded edit distance, ES AUTO fuzziness, then ranked
+    union; expand_fuzzy for the knobs).
     field_opts: "default" | "nonorms" (M1) | "doconly" (M2) scoring
     variants per the reference's per-field index options.
     lookup: how the k winner urls are fetched from the docmap — "local"
@@ -869,6 +954,10 @@ def _bm25_topk_impl(
     if mode == "prefix":
         assert len(terms) == 1
         terms = reader.expand_prefix(terms[0])
+        mode = "or"
+    elif mode == "fuzzy":
+        assert len(terms) == 1
+        terms = reader.expand_fuzzy(terms[0])  # ES AUTO edits, 50 expansions
         mode = "or"
     stats = reader.term_stats(terms)
     live_terms = [t for t in terms if t in stats]

@@ -355,6 +355,41 @@ def test_reader_generation_guard(spark, index):
     assert IndexReader(spark, out).term_stats(["the"]) is not None
 
 
+def test_fuzzy_expansion_and_topk_match_oracle(spark, index, corpus):
+    """expand_fuzzy on the built index == the pure-Python oracle's
+    brute-force expansion (same AUTO edits, cap, ordering); mode='fuzzy'
+    top-k == oracle.topk over those expansions, on both execution paths.
+    Also: cached-vocab driver expansion == distributed Spark expansion."""
+    out, _ = index
+    reader = IndexReader(spark, out)
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    # a 1-edit typo of a 6+-char indexed term (len >= 6 -> AUTO = 2 edits);
+    # the synthetic vocab is seed-stable random letter words, so derive the
+    # query from an actual head term instead of hardcoding English
+    base = next(t for t in oracle.vocab if len(t) >= 6 and oracle.df[t] >= 3)
+    q = base[:-1] + ("a" if base[-1] != "a" else "b")
+    want_terms = oracle.expand_fuzzy(q)
+    assert base in want_terms, "fuzzy expansion must recover the typo'd term"
+    got_cached = reader.expand_fuzzy(q)
+    assert got_cached == want_terms
+    # force the distributed dictionary-scan path (no vocab cache)
+    fresh = IndexReader(spark, out)
+    fresh.CACHE_MAX_DOCS = 0
+    assert fresh.expand_fuzzy(q) == want_terms
+    # prefix_length pins the leading chars
+    pinned = reader.expand_fuzzy(q, prefix_length=3)
+    assert pinned == [t for t in want_terms if t.startswith(q[:3])]
+
+    expected = oracle.topk(want_terms, k=10)
+    for execution in ("local", "spark"):
+        got = bm25_topk(reader, [q], k=10, mode="fuzzy", execution=execution).collect()
+        assert [int(r["doc_id"]) for r in got] == [d for d, _ in expected], execution
+        for r, (_, s) in zip(got, expected):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+    # AUTO on a <=2-char query is exact-match only
+    assert reader.expand_fuzzy("th") == (["th"] if reader.term_stats(["th"]) else [])
+
+
 def test_bool_on_index_vs_brute(spark, index):
     """bm25_bool_topk == driver-side brute force over full single-term
     score lists: sum must+should contributions, require all must terms,

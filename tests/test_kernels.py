@@ -124,6 +124,27 @@ def test_dismax_kernel_vs_brute(lists, k):
 
 
 @given(
+    a=st.text(alphabet="abcde", max_size=8),
+    b_=st.text(alphabet="abcde", max_size=8),
+    d=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_lev_within_matches_full_dp(a, b_, d):
+    """The banded early-exit Levenshtein bound must agree with the full
+    O(nm) DP (same classic unit-cost distance as Spark's and DuckDB's
+    levenshtein) for every threshold."""
+    from engine.query import _lev_within
+
+    prev = list(range(len(b_) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b_, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    assert _lev_within(a, b_, d) == (prev[-1] <= d)
+
+
+@given(
     lists=st.lists(
         st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=300),
         min_size=1,
