@@ -79,6 +79,16 @@ def main() -> None:
     mg.add_argument("--shards", type=int, default=8)
     mg.add_argument("--buckets", type=int, default=16)
 
+    dl = sub.add_parser("delete-docs", help="tombstone documents by url")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--urls", default="", help="comma-separated urls")
+    dl.add_argument("--urls-parquet", default="",
+                    help="parquet with a url column (bulk deletes)")
+
+    cp = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--output", required=True)
+
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
     s.add_argument("--output", default="")
@@ -188,6 +198,27 @@ def main() -> None:
             "merged": args.dir,
             "n_docs": manifest["n_docs"],
             "job_id": manifest.get("job_id", ""),
+        }))
+
+    elif args.cmd == "delete-docs":
+        from engine.deletes import delete_docs
+
+        if args.urls_parquet:
+            urls = spark.read.parquet(args.urls_parquet)
+        else:
+            urls = [u for u in args.urls.split(",") if u]
+        n = delete_docs(spark, args.index, urls)
+        print(json.dumps({"tombstoned": n, "index": args.index}))
+
+    elif args.cmd == "compact":
+        from engine.deletes import compact_index
+
+        t0 = time.time()
+        manifest = compact_index(spark, args.index, args.output)
+        print(json.dumps({
+            "compacted": args.output,
+            "n_docs": manifest["n_docs"],
+            "sec": round(time.time() - t0, 2),
         }))
 
     elif args.cmd == "bench-build":

@@ -28,6 +28,8 @@ multimodal binary-column (image/audio/video) plumbing: feature extract,
            frame sampling, resize — injectable codecs, stubbed honestly
 events     windowed (tumbling/sliding/session) + sessionization operators
            with Structured Streaming twins (watermark, applyInPandasWithState)
+deletes    tombstoned doc deletes (Lucene live-docs masking in every query
+           kernel) + shuffle-free compaction, tested equal to a fresh build
 """
 
 __version__ = "0.1.0"

@@ -22,6 +22,15 @@ Three physical algorithms, all rank-identical to the oracle:
 
 Scoring spec is frozen (SURVEY.md 5.4): exact dl, idf = ln(1+(N-df+0.5)/
 (df+0.5)), score = sum idf * tf/(tf+k1*(1-b+b*dl/avgdl)), ties doc_id asc.
+
+Deletes (engine/deletes.py): tombstoned docs are masked at decode time in
+every kernel — Lucene's live-docs-bitmap semantics. Global stats (n_docs,
+df, avgdl) keep counting deleted docs until compaction, so masking only
+REMOVES docs from results; surviving scores are unchanged. Block-max
+metadata still upper-bounds the masked postings (deleting docs can only
+lower a block's true max), so WAND/BMW pruning stays safe. The reader
+loads tombstones once (point-in-time view, same contract as the
+generation guard); construct a new reader to observe new deletes.
 """
 
 from __future__ import annotations
@@ -74,6 +83,7 @@ class IndexReader:
         self._pa_ds: dict = {}  # cached pyarrow dataset handles per subdir
         self._ts_cache: dict[str, int] | None = None  # term -> df (small idx)
         self._dm_cache: dict[int, list] | None = None  # shard -> url list
+        self._tomb: dict[int, np.ndarray] | None = None  # shard -> sorted dels
 
     def _check_generation(self) -> None:
         """Raise if the index was rebuilt/merged in place since this reader
@@ -99,6 +109,18 @@ class IndexReader:
                 os.path.join(self.dir, sub), format="parquet", partitioning="hive"
             )
         return self._pa_ds[sub]
+
+    def tombstones(self) -> dict[int, np.ndarray]:
+        """{shard: sorted unique deleted local_id int64 array}, loaded once
+        per reader (point-in-time live-docs view, like a Lucene searcher's
+        deleted-docs bitmap). Tombstone batches are tiny by contract
+        (engine/deletes.py), so they ride into the Spark kernels inside the
+        applyInPandas closure."""
+        if self._tomb is None:
+            from engine.deletes import load_tombstones
+
+            self._tomb = load_tombstones(self.dir, self.spark)
+        return self._tomb
 
     def _term_stats_df(self) -> DataFrame:
         self._check_generation()
@@ -423,29 +445,56 @@ def _norm_blocks(blocks) -> list[tuple]:
     ]
 
 
+def _live_mask(d: np.ndarray, dels: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask of d (sorted doc ids) against the shard's sorted
+    tombstone array — None when nothing is deleted (the common case pays
+    one branch, no allocation). searchsorted, not np.isin: both sides are
+    sorted, O((|d|+|dels|) log) with no hashing."""
+    if dels is None or dels.size == 0:
+        return None
+    idx = np.searchsorted(dels, d)
+    np.minimum(idx, dels.size - 1, out=idx)
+    return dels[idx] != d
+
+
 class _Cursor:
-    """Lazy block-decoding cursor over one term's posting list."""
+    """Lazy block-decoding cursor over one term's posting list.
+
+    dels (the shard's sorted tombstone array) is applied per decoded
+    block; a fully-deleted block is skipped transparently. Block skip
+    metadata (last_doc, max_impact) still bounds the masked list, so the
+    WAND pruning that consults it stays exact."""
 
     __slots__ = ("docs_bin", "tfs_bin", "dls_bin", "blocks", "idf",
-                 "blk", "pos", "d", "t", "l", "ub")
+                 "blk", "pos", "d", "t", "l", "ub", "dels")
 
-    def __init__(self, row, idf: float):
+    def __init__(self, row, idf: float, dels: np.ndarray | None = None):
         self.docs_bin = row.docs_bin
         self.tfs_bin = row.tfs_bin
         self.dls_bin = row.dls_bin
         self.blocks = _norm_blocks(row.blocks)
         self.idf = idf
         self.ub = idf * max(blk[6] for blk in self.blocks)  # list-level UB
+        self.dels = dels
         self.blk = -1
         self.d = self.t = self.l = None
         self.pos = 0
         self._load(0)
 
     def _load(self, i: int) -> None:
-        self.blk = i
-        self.d, self.t, self.l = P.decode_block(
-            self.docs_bin, self.tfs_bin, self.dls_bin, self.blocks, i
-        )
+        while i < len(self.blocks):
+            self.d, self.t, self.l = P.decode_block(
+                self.docs_bin, self.tfs_bin, self.dls_bin, self.blocks, i
+            )
+            keep = _live_mask(self.d, self.dels)
+            if keep is not None:
+                self.d, self.t, self.l = self.d[keep], self.t[keep], self.l[keep]
+            if self.d.size:
+                self.blk = i
+                self.pos = 0
+                return
+            i += 1  # every live posting in this block was deleted
+        self.blk = len(self.blocks)
         self.pos = 0
 
     def exhausted(self) -> bool:
@@ -469,7 +518,13 @@ class _Cursor:
             return
         if i != self.blk:
             self._load(i)
+            if self.exhausted():
+                return
         self.pos = int(np.searchsorted(self.d, target, side="left"))
+        if self.pos >= self.d.size:
+            # the block's tail at/after target was entirely tombstoned —
+            # the next live posting lives in a later block
+            self._load(self.blk + 1)
 
     def block_ub_at(self, target: int) -> tuple[float, int]:
         """(idf * max_impact, last_doc) of the block that would contain the
@@ -485,10 +540,7 @@ class _Cursor:
     def next_doc(self) -> None:
         self.pos += 1
         if self.pos >= len(self.d):
-            if self.blk + 1 < len(self.blocks):
-                self._load(self.blk + 1)
-            else:
-                self.blk = len(self.blocks)
+            self._load(self.blk + 1)  # skips fully-tombstoned blocks / exhausts
 
     def score_cur(self, k1: float, b: float, avgdl: float) -> float:
         tf = float(self.t[self.pos])
@@ -497,7 +549,8 @@ class _Cursor:
 
 
 def _wand_shard_topk(
-    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float,
+    dels: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND over one shard. Returns [(local_id, score)] top-k.
 
@@ -506,7 +559,8 @@ def _wand_shard_topk(
     strict (skip only when upper bound < theta) so score==theta candidates
     still get evaluated and can win ties.
     """
-    cursors = [_Cursor(r, idfs[r.term]) for r in rows if idfs.get(r.term)]
+    cursors = [c for c in (_Cursor(r, idfs[r.term], dels) for r in rows
+                           if idfs.get(r.term)) if not c.exhausted()]
     heap: list[tuple[float, int]] = []  # (score, -local)
 
     def theta() -> float:
@@ -572,7 +626,8 @@ def _wand_shard_topk(
 
 
 def _bmw_shard_topk(
-    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float
+    rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float,
+    dels: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized Block-Max pruning ("wand" algo): the scale kernel.
 
@@ -628,6 +683,9 @@ def _bmw_shard_topk(
         if got is None:
             r = t["row"]
             d, tf, dl = P.decode_block(r.docs_bin, r.tfs_bin, r.dls_bin, t["blocks"], j)
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, tf, dl = d[keep], tf[keep], dl[keep]
             got = (d, t["idf"] * P.bm25_impact(tf, dl, avgdl, k1, b))
             t["decoded"][j] = got
         return got
@@ -670,7 +728,7 @@ def _bmw_shard_topk(
 
 def _taat_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
-    field_opts: str = "default",
+    field_opts: str = "default", dels: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time accumulation over one shard.
 
@@ -689,6 +747,9 @@ def _taat_shard_topk(
             continue
         n_terms += 1
         d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks))
+        keep = _live_mask(d, dels)
+        if keep is not None:
+            d, t, l = d[keep], t[keep], l[keep]
         if field_opts == "doconly":
             t = np.ones_like(t)
         contrib = idf * P.bm25_impact(t, l, avgdl, k1, b_eff)
@@ -727,6 +788,7 @@ def _field_contrib(
 def _dismax_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float,
     fields: tuple[str, ...], tie_breaker: float,
+    dels: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """dis_max multi-field top-k over one shard (ES dis_max semantics:
     score = max over fields + tie_breaker * sum of the other fields).
@@ -749,6 +811,9 @@ def _dismax_shard_topk(
         d, t, l = P.decode_term_postings(
             r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
         )
+        keep = _live_mask(d, dels)
+        if keep is not None:
+            d, t, l = d[keep], t[keep], l[keep]
         locs_parts.append(d)
         for f in fields:
             contrib_parts[f].append(_field_contrib(f, idf, t, l, avgdl, k1, b))
@@ -779,6 +844,7 @@ def _bool_shard_topk(
     must_not: frozenset[str],
     msm: int,
     field_opts: str = "default",
+    dels: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """ES bool query over one shard: score = sum of matching must+should
     clause scores; docs must match EVERY must term, at least `msm` should
@@ -806,6 +872,9 @@ def _bool_shard_topk(
         if not idf:
             continue
         d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+        keep = _live_mask(d, dels)
+        if keep is not None:
+            d, t, l = d[keep], t[keep], l[keep]
         locs_parts.append(d)
         contrib_parts.append(_field_contrib(field_opts, idf, t, l, avgdl, k1, b))
         if r.term in must:
@@ -982,20 +1051,21 @@ def _bm25_topk_impl(
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     n_terms = len(terms)
+    tomb = reader.tombstones()  # {} on an index with no deletes
 
-    def run_kernel(rows) -> list[tuple[int, float]]:
+    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
         # ONE dispatch shared by the local and Spark paths — their rank
         # identity (tested) depends on running the exact same kernel code
         if mode == "and" and len({r.term for r in rows}) < n_terms:
             return []
         if algo == "wand" and mode == "or":
-            return _bmw_shard_topk(rows, idfs, k, k1, b, avgdl)
+            return _bmw_shard_topk(rows, idfs, k, k1, b, avgdl, dels)
         if algo == "wand_daat" and mode == "or":
-            return _wand_shard_topk(rows, idfs, k, k1, b, avgdl)
-        return _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts)
+            return _wand_shard_topk(rows, idfs, k, k1, b, avgdl, dels)
+        return _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts, dels)
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()))
+        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -1021,7 +1091,7 @@ def _bm25_topk_impl(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows)
+                for local, score in run_kernel(rows, tomb.get(shard))
             ]
 
     if heap_rows is None:
@@ -1111,11 +1181,15 @@ def bm25_dismax_topk(
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
 
-    def run_kernel(rows) -> list[tuple[int, float]]:
-        return _dismax_shard_topk(rows, idfs, k, k1, b, avgdl, tuple(fields), tie_breaker)
+    tomb = reader.tombstones()
+
+    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        return _dismax_shard_topk(
+            rows, idfs, k, k1, b, avgdl, tuple(fields), tie_breaker, dels
+        )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()))
+        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -1133,7 +1207,7 @@ def bm25_dismax_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows)
+                for local, score in run_kernel(rows, tomb.get(shard))
             ]
     if heap_rows is None:
         per_shard = (
@@ -1218,13 +1292,15 @@ def bm25_bool_topk(
     must_set, not_set = frozenset(must_terms), frozenset(not_terms)
     n_must = len(must_terms)
 
-    def run_kernel(rows) -> list[tuple[int, float]]:
+    tomb = reader.tombstones()
+
+    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
         return _bool_shard_topk(
-            rows, idfs, k, k1, b, avgdl, must_set, not_set, msm, field_opts
+            rows, idfs, k, k1, b, avgdl, must_set, not_set, msm, field_opts, dels
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()))
+        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -1244,7 +1320,7 @@ def bm25_bool_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows)
+                for local, score in run_kernel(rows, tomb.get(shard))
             ]
     if heap_rows is None:
         per_shard = (
@@ -1297,14 +1373,19 @@ def bm25_topk_batch(
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in live_terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     qitems = [(qid, [t for t in ts if t in idfs], len(ts)) for qid, ts in queries.items()]
+    tomb = reader.tombstones()
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = list(pdf.itertuples())
+        dels = tomb.get(int(pdf_key[0]))
         decoded: dict[str, tuple] = {}
         for r in rows:
             d, t, l = P.decode_term_postings(
                 r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
             )
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
             decoded[r.term] = (d, idfs[r.term] * P.bm25_impact(t, l, avgdl, k1, b))
         out_q, out_l, out_s = [], [], []
         for qid, terms, n_q in qitems:

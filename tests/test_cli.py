@@ -77,6 +77,37 @@ def test_cli_ingest_merge_query_roundtrip(corpus, tmp_path_factory):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_cli_delete_compact_roundtrip(corpus, tmp_path_factory):
+    """Delete lifecycle as subprocesses: tombstone the top hit, see it
+    vanish from queries, compact, query the compacted index."""
+    idx = str(tmp_path_factory.mktemp("clidel") / "idx")
+    r = _run("build-index", "--input", corpus, "--output", idx,
+             "--shards", "2", "--buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run("query", "--index", idx, "--terms", "the data", "--k", "3")
+    hits = json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+    victim = hits[0]["url"]
+
+    r = _run("delete-docs", "--index", idx, "--urls", victim)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["tombstoned"] == 1
+
+    r = _run("query", "--index", idx, "--terms", "the data", "--k", "3")
+    hits2 = json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+    assert victim not in {h["url"] for h in hits2}
+
+    out = str(tmp_path_factory.mktemp("clicompact") / "idx")
+    r = _run("compact", "--index", idx, "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    compacted = json.loads(r.stdout.strip().splitlines()[-1])
+    assert compacted["n_docs"] > 0
+
+    r = _run("query", "--index", out, "--terms", "the data", "--k", "3")
+    hits3 = json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+    assert hits3 and victim not in {h["url"] for h in hits3}
+
+
 def test_cli_export_json(tmp_path_factory):
     out_dir = str(tmp_path_factory.mktemp("cliexp") / "bulk")
     r = _run("export-json", "--input", "/root/testdata/sf0.001/documents.parquet",
