@@ -195,7 +195,17 @@ sh AS (
     )
 
 
-def _bm25_sql(terms: list[str], k: int = 10, field_opts: str = "default") -> str:
+def _bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    field_opts: str = "default",
+    corpus_filter: str | None = None,
+    result_filter: str | None = None,
+) -> str:
+    """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
+    (compaction semantics — the docs never existed); result_filter: docs
+    removed only from the final ranking (tombstone-masking semantics —
+    n_docs/df/avgdl still count them, Lucene live-docs behavior)."""
     tl = ", ".join(f"'{t}'" for t in terms)
     if field_opts == "nonorms":   # M1: norms off -> b = 0
         impact = f"tf / (tf + {K1})"
@@ -203,8 +213,11 @@ def _bm25_sql(terms: list[str], k: int = 10, field_opts: str = "default") -> str
         impact = f"1.0 / (1.0 + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     else:
         impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    base = "text IS NOT NULL AND text != ''"
+    cte = _toks_cte(f"{base} AND {corpus_filter}" if corpus_filter else base)
+    res_where = f"WHERE {result_filter}" if result_filter else ""
     return f"""
-{_toks_cte()},
+{cte},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
 tf AS (
@@ -221,7 +234,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+FROM scored {res_where} ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -858,7 +871,8 @@ def _wand_index_dir(spark, sf_dir):
         os.utime(out_dir)
         # bound the cache: every corpus regeneration mints a new key, so
         # old sparkft_wand_* trees would accumulate until the disk fills.
-        # Keep the newest 4 (several sf dirs in flight), drop the rest.
+        # Keep the newest 8 (several sf dirs in flight, each with _del/_cmp
+        # delete-query variants), drop the rest.
         import glob
         import shutil
 
@@ -867,9 +881,58 @@ def _wand_index_dir(spark, sf_dir):
             key=os.path.getmtime,
             reverse=True,
         )
-        for stale in sibs[4:]:
+        for stale in sibs[8:]:
             shutil.rmtree(stale, ignore_errors=True)
     return out_dir
+
+
+# deterministic delete rule for the deletes driver queries: tombstone every
+# doc with doc_id % DEL_MOD == DEL_REM (SQL-expressible, corpus-independent)
+DEL_MOD, DEL_REM = 10, 3
+
+
+def _deleted_index_dir(spark, sf_dir):
+    """Copy of the shared wand index with the DEL_MOD rule tombstoned
+    (engine/deletes.py delete_docs through the DataFrame path). Built
+    atomically (tmp + rename) and keyed off the base dir, so a corpus
+    regeneration rebuilds it."""
+    import shutil
+
+    from engine.deletes import delete_docs
+
+    base = _wand_index_dir(spark, sf_dir)
+    out = base + "_del"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        victims = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % DEL_MOD == DEL_REM)
+            .select(F.col("doc_id").cast("string").alias("url"))
+        )
+        delete_docs(spark, tmp, victims)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
+
+
+def _compacted_index_dir(spark, sf_dir):
+    """compact_index over the tombstoned copy — a standard index layout
+    with the deleted docs physically removed and stats recomputed."""
+    import shutil
+
+    from engine.deletes import compact_index
+
+    src = _deleted_index_dir(spark, sf_dir)
+    out = _wand_index_dir(spark, sf_dir) + "_cmp"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        compact_index(spark, src, tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
 
 
 def q_bm25_wand(spark, sf_dir):
@@ -914,6 +977,31 @@ def q_bm25_prefix(spark, sf_dir):
 
     reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
     top = bm25_topk(reader, [PREFIX_Q], k=25, mode="prefix")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_deleted(spark, sf_dir):
+    """Delete masking (engine/deletes.py, Lucene live-docs semantics): the
+    DEL_MOD-rule docs are tombstoned and every kernel masks them at block-
+    decode time. Oracle twin: BM25 with stats (n_docs/df/avgdl) over the
+    FULL corpus — deletes don't touch stats until compaction — and the
+    deleted docs excluded only from the result set."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _deleted_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WAND_TERMS, k=25, mode="or", algo="wand")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_compacted(spark, sf_dir):
+    """Compaction (engine/deletes.py compact_index): the tombstoned index
+    rewritten without the deleted docs — postings decoded/masked/renumbered
+    in one shuffle-free mapInPandas pass, stats recomputed. Oracle twin:
+    BM25 where the deleted docs never existed."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _compacted_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WAND_TERMS, k=25, mode="or", algo="wand")
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
@@ -1345,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doconly_topk": q_bm25_doconly,
         "bm25_prefix_topk": q_bm25_prefix,
         "bm25_dismax_topk": q_bm25_dismax,
+        "bm25_deleted_topk": q_bm25_deleted,
+        "bm25_compacted_topk": q_bm25_compacted,
         "bm25_fuzzy_topk": q_bm25_fuzzy,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_msm_topk": q_bm25_msm,
@@ -1503,6 +1593,12 @@ FROM grams
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),
         "bm25_dismax_topk": _bm25_dismax_sql(WAND_TERMS, DISMAX_TB),
+        "bm25_deleted_topk": _bm25_sql(
+            WAND_TERMS, result_filter=f"doc_id % {DEL_MOD} != {DEL_REM}"
+        ),
+        "bm25_compacted_topk": _bm25_sql(
+            WAND_TERMS, corpus_filter=f"doc_id % {DEL_MOD} != {DEL_REM}"
+        ),
         "bm25_fuzzy_topk": _bm25_fuzzy_sql(FUZZY_Q),
         "bm25_bool_topk": _bm25_bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, msm=0, k=10),
         "bm25_msm_topk": _bm25_bool_sql([], MSM_TERMS, [], msm=MSM_N, k=10),
