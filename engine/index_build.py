@@ -394,8 +394,18 @@ def build_index(
     job_id: str = "build-1",
     resume: bool = False,
     bucket_chunk: int = 4,
+    persist_tokens: bool | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
+
+    persist_tokens: the fused build scans+tokenizes the corpus twice (the
+    docmap/stats pass must complete before encoding — impacts need avgdl).
+    True caches the tokenized docs between the passes (MEMORY_AND_DISK),
+    trading executor memory for one full tokenize; None (auto) enables it
+    only when the input is a parquet path smaller than
+    $SPARK_GRAFT_PERSIST_MAX_BYTES (default 8 GiB) — at 100 TB the cache
+    would thrash and re-tokenizing the pruned scan is the right plan, so
+    auto turns itself off.
 
     Layout: stats/ term_stats/ docmap/ tf_table/ postings/ lineage/
     reject_log/ metrics/ + checkpoint.jsonl + MANIFEST.json + _BUILD_LOCK
@@ -411,7 +421,7 @@ def build_index(
             _wipe_contents(out_dir)
         return _build_index_locked(
             spark, pages, out_dir, n_shards, n_buckets, k1, b, job_id,
-            resume, bucket_chunk,
+            resume, bucket_chunk, persist_tokens,
         )
     finally:
         _release_build_lock(fd, lock)
@@ -428,8 +438,22 @@ def _build_index_locked(
     job_id: str,
     resume: bool,
     bucket_chunk: int,
+    persist_tokens: bool | None = None,
 ) -> dict:
     if isinstance(pages, str):
+        if persist_tokens is None:
+            cap = int(os.environ.get("SPARK_GRAFT_PERSIST_MAX_BYTES", 8 << 30))
+            paths = [pages]
+            if os.path.isdir(pages):
+                paths = [
+                    os.path.join(r, fn)
+                    for r, _, fns in os.walk(pages)
+                    for fn in fns
+                ]
+            try:
+                persist_tokens = sum(os.path.getsize(p) for p in paths) <= cap
+            except OSError:  # remote path: size unknown, stay conservative
+                persist_tokens = False
         pages = spark.read.parquet(pages)
     done = _read_ckpt(spark, out_dir) if resume else set()
     seq = len(done)
@@ -447,6 +471,13 @@ def _build_index_locked(
         "doc_id",
         standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
     ).withColumn("dl", F.size("tokens"))
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        # one tokenize pass instead of two: the docmap/stats pass and the
+        # postings pass share the cached tokenized docs (spills to disk if
+        # the executors can't hold them)
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     if "docmap" not in done:
         rejects.write.mode("overwrite").parquet(path("reject_log"))
@@ -621,4 +652,6 @@ def _build_index_locked(
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
+    if persist_tokens:
+        docs.unpersist()
     return manifest

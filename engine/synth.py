@@ -72,6 +72,30 @@ def make_html(text: str | None, i: int) -> bytes | None:
     return doc.encode("utf-8")
 
 
+def _weighted_draw(rng: np.random.Generator, probs: np.ndarray, size: int) -> np.ndarray:
+    """Bit-identical fast path for rng.choice(len(probs), size, p=probs):
+    numpy's Generator.choice(replace=True, p=...) is exactly
+    cdf.searchsorted(rng.random(size), side='right') on the normalized
+    cumsum (verified identical on this numpy), but ~1.6x slower through
+    the choice wrapper — and the single searchsorted call serializes.
+    Chunking the uniforms across a thread pool gives the same values
+    (searchsorted is pure + releases the GIL) with multi-core speed; the
+    RNG stream advances exactly as choice would (one uniform per draw),
+    so every later draw in the caller is unchanged."""
+    cdf = probs.cumsum()
+    cdf /= cdf[-1]
+    u = rng.random(size)
+    if size < 2_000_000:
+        return cdf.searchsorted(u, side="right")
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_chunks = min(16, max(2, size // 1_000_000))
+    chunks = np.array_split(u, n_chunks)
+    with ThreadPoolExecutor(max_workers=n_chunks) as ex:
+        parts = list(ex.map(lambda c: cdf.searchsorted(c, side="right"), chunks))
+    return np.concatenate(parts)
+
+
 def generate_pages(n_docs: int, seed: int = SEED) -> pa.Table:
     """Seed-stable `pages` table as a pyarrow Table."""
     rng = np.random.default_rng(seed)
@@ -81,7 +105,7 @@ def generate_pages(n_docs: int, seed: int = SEED) -> pa.Table:
     doc_lens = rng.integers(5, 501, size=n_docs)
     # Flat draw of all tokens at once, then split per doc — vectorized.
     total = int(doc_lens.sum())
-    token_ids = rng.choice(len(vocab), size=total, p=probs)
+    token_ids = _weighted_draw(rng, probs, total)
     offsets = np.concatenate(([0], np.cumsum(doc_lens)))
 
     null_mask = rng.random(n_docs) < 0.01
