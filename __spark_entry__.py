@@ -71,6 +71,8 @@ BM25_TERMS = ["hash", "join", "table"]
 WAND_TERMS = ["dup", "key", "fast"]
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
 PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
+WILDCARD_Q = "s*a*"  # scan/small/spark/stream... on this corpus
+REGEXP_Q = "s(c|p)a[rn]k?"  # scan + spark
 DISMAX_TB = 0.3  # ES dis_max tie_breaker
 FUZZY_Q = "strean"  # 1 edit from 'stream'; len 6 -> ES AUTO = 2 edits
 FUZZY_MAX_EXPANSIONS = 50  # ES fuzzy default
@@ -238,12 +240,14 @@ FROM scored {res_where} ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
-def _bm25_prefix_sql(prefix: str, k: int = 10) -> str:
-    """Prefix query mode oracle: Lucene-style top_terms_N rewrite — the
-    dictionary terms matching `prefix%` ordered by df DESC (term ASC
-    tiebreak), capped at PREFIX_MAX_EXPANSIONS, fed into the relational
-    BM25 (engine twin: IndexReader.expand_prefix + bm25_topk
-    mode='prefix')."""
+def _bm25_rewrite_sql(term_pred: str, k: int = 10, cap: int | None = None) -> str:
+    """Shared oracle for the dictionary-rewrite query modes (prefix /
+    wildcard / regexp): Lucene-style top_terms_N rewrite — the dictionary
+    terms matching `term_pred` ordered by df DESC (term ASC tiebreak),
+    capped, fed into the relational BM25 (engine twins:
+    IndexReader.expand_prefix / expand_wildcard / expand_regexp +
+    bm25_topk mode='prefix'/'wildcard'/'regexp')."""
+    cap = PREFIX_MAX_EXPANSIONS if cap is None else cap
     return f"""
 {_toks_cte()},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -255,8 +259,8 @@ alltf AS (
 ),
 alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
 expanded AS (
-  SELECT term, df FROM alldf WHERE term LIKE '{prefix}%'
-  ORDER BY df DESC, term ASC LIMIT {PREFIX_MAX_EXPANSIONS}
+  SELECT term, df FROM alldf WHERE {term_pred}
+  ORDER BY df DESC, term ASC LIMIT {cap}
 ),
 tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM expanded)),
 scored AS (
@@ -269,6 +273,10 @@ scored AS (
 SELECT doc_id, round(score_raw, 6) AS score
 FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _bm25_prefix_sql(prefix: str, k: int = 10) -> str:
+    return _bm25_rewrite_sql(f"term LIKE '{prefix}%'", k)
 
 
 def _bm25_dismax_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
@@ -980,6 +988,31 @@ def q_bm25_prefix(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+def q_bm25_wildcard(spark, sf_dir):
+    """Wildcard query mode on the REAL index (ES wildcard: `*`/`?` over raw
+    dictionary terms, not analyzed): bounded df-ordered expansion
+    (IndexReader.expand_wildcard, literal-prefix-pruned dictionary read)
+    feeding the ranked-union BM25 kernels."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WILDCARD_Q, k=25, mode="wildcard")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_regexp(spark, sf_dir):
+    """Regexp query mode on the REAL index (ES regexp: implicitly anchored,
+    not analyzed): bounded df-ordered expansion (IndexReader.expand_regexp)
+    feeding the ranked-union BM25 kernels. Pattern stays within the
+    Python-re / Java-regex / RE2 shared syntax so the DuckDB oracle
+    (regexp_full_match, RE2) is exact."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, REGEXP_Q, k=25, mode="regexp")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
 def q_bm25_deleted(spark, sf_dir):
     """Delete masking (engine/deletes.py, Lucene live-docs semantics): the
     DEL_MOD-rule docs are tombstoned and every kernel masks them at block-
@@ -1435,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_topk": q_bm25_dismax,
         "bm25_deleted_topk": q_bm25_deleted,
         "bm25_compacted_topk": q_bm25_compacted,
+        "bm25_wildcard_topk": q_bm25_wildcard,
+        "bm25_regexp_topk": q_bm25_regexp,
         "bm25_fuzzy_topk": q_bm25_fuzzy,
         "bm25_bool_topk": q_bm25_bool,
         "bm25_msm_topk": q_bm25_msm,
@@ -1598,6 +1633,12 @@ FROM grams
         ),
         "bm25_compacted_topk": _bm25_sql(
             WAND_TERMS, corpus_filter=f"doc_id % {DEL_MOD} != {DEL_REM}"
+        ),
+        "bm25_wildcard_topk": _bm25_rewrite_sql(
+            "term LIKE '" + WILDCARD_Q.replace("*", "%").replace("?", "_") + "'"
+        ),
+        "bm25_regexp_topk": _bm25_rewrite_sql(
+            f"regexp_full_match(term, '{REGEXP_Q}')"
         ),
         "bm25_fuzzy_topk": _bm25_fuzzy_sql(FUZZY_Q),
         "bm25_bool_topk": _bm25_bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_NOT, msm=0, k=10),

@@ -56,8 +56,8 @@ def main() -> None:
     q.add_argument("--index", required=True)
     q.add_argument("--terms", default="",
                    help="query terms (or/and/prefix/dismax modes)")
-    q.add_argument("--mode", default="or",
-                   choices=["or", "and", "prefix", "fuzzy", "dismax", "bool"])
+    q.add_argument("--mode", default="or", choices=[
+        "or", "and", "prefix", "fuzzy", "wildcard", "regexp", "dismax", "bool"])
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--algo", default="wand", choices=["wand", "wand_daat", "taat"])
     q.add_argument("--tie-breaker", type=float, default=0.3,
@@ -227,8 +227,7 @@ def main() -> None:
         from engine.query import IndexReader, bm25_topk
 
         work = tempfile.mkdtemp(prefix="sparkft_scale_")
-        corpus = os.path.join(work, "pages.parquet")
-        synth.write_pages(corpus, args.docs)
+        corpus = synth.cached_pages(args.docs)
         idx = os.path.join(work, "idx")
         # untimed warm-up: the SAME build once, discarded. This sandbox's
         # anonymous-page first touch runs at ~10 MB/s, so a cold JVM+worker

@@ -58,6 +58,29 @@ class Bm25Oracle:
         (ES scoring_boolean-style rewrite, frozen spec)."""
         return [t for t in self.vocab if t.startswith(prefix)]
 
+    def expand_wildcard(self, pattern: str, max_expansions: int = 128) -> list[str]:
+        """Wildcard rewrite (`*`/`?` only), brute force over the dictionary:
+        df desc / term asc, capped — the judge for IndexReader.expand_wildcard."""
+        import re as _re
+
+        rx = _re.compile(
+            "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                    for c in pattern)
+        )
+        pairs = [(t, self.df[t]) for t in self.vocab if rx.fullmatch(t)]
+        pairs.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in pairs[:max_expansions]]
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 128) -> list[str]:
+        """Anchored-regex rewrite, brute force over the dictionary:
+        df desc / term asc, capped — the judge for IndexReader.expand_regexp."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        pairs = [(t, self.df[t]) for t in self.vocab if rx.fullmatch(t)]
+        pairs.sort(key=lambda x: (-x[1], x[0]))
+        return [t for t, _ in pairs[:max_expansions]]
+
     def expand_fuzzy(
         self, term: str, max_edits: int | None = None, max_expansions: int = 50,
         prefix_length: int = 0,

@@ -277,6 +277,97 @@ class IndexReader:
         )
         return [r["term"] for r in rows]
 
+    def _expand_matching(
+        self, match_py, spark_cond, prefix_lit: str, max_expansions: int
+    ) -> list[str]:
+        """Shared bounded dictionary rewrite (wildcard/regexp): terms
+        passing `match_py`, highest-df first (term asc tiebreak), capped at
+        max_expansions — Lucene's top_terms_N rewrite bound. Serving order:
+        whole-vocab driver cache (small index) -> literal-prefix-pruned
+        local pyarrow read -> distributed scan with `spark_cond`."""
+        if self._ts_cache is None and self.n_docs <= self.CACHE_MAX_DOCS:
+            self.term_stats([prefix_lit or "\x00"])  # populate the cache
+        if self._ts_cache is not None:
+            self._check_generation()
+            pairs = [(t, d) for t, d in self._ts_cache.items() if match_py(t)]
+            pairs.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in pairs[:max_expansions]]
+        p = os.path.join(self.dir, "term_stats")
+        if prefix_lit and os.path.isdir(p):
+            import pyarrow.dataset as ds
+
+            hi = prefix_lit[:-1] + chr(ord(prefix_lit[-1]) + 1)
+            tbl = self._pa_dataset("term_stats").to_table(
+                filter=(ds.field("term") >= prefix_lit) & (ds.field("term") < hi),
+                columns=["term", "df"],
+            )
+            pairs = [
+                (t, d)
+                for t, d in zip(
+                    tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+                )
+                if match_py(t)
+            ]
+            pairs.sort(key=lambda x: (-x[1], x[0]))
+            return [t for t, _ in pairs[:max_expansions]]
+        ts = self._term_stats_df()
+        rows = (
+            ts.filter(spark_cond)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions)
+            .select("term")
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 128) -> list[str]:
+        """Wildcard rewrite (`*` = any sequence, `?` = one char — the ES
+        wildcard query alphabet) against the term dictionary, df-ordered
+        and capped like expand_prefix. The literal run before the first
+        wildcard prunes the dictionary read; a leading-wildcard pattern
+        scans the whole dictionary (the same cost ES warns about). The
+        pattern is NOT analyzed (ES wildcard operates on raw terms)."""
+        import re as _re
+
+        lit = _re.match(r"[^*?]*", pattern).group(0)
+        if lit == pattern:  # no wildcards: plain term lookup
+            return [pattern] if self.term_stats([pattern]) else []
+        rx = _re.compile(
+            "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            )
+        )
+        # LIKE translation is exact for the */? alphabet over \w+ terms
+        # (terms never contain % or _)
+        like = pattern.replace("*", "%").replace("?", "_")
+        return self._expand_matching(
+            lambda t: rx.fullmatch(t) is not None,
+            F.col("term").like(like),
+            lit,
+            max_expansions,
+        )
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 128) -> list[str]:
+        """Regexp rewrite (ES regexp query: the pattern is implicitly
+        anchored at both ends and not analyzed) against the term
+        dictionary, df-ordered and capped. Portability contract: patterns
+        must stay within the syntax shared by Python re, Java regex, and
+        RE2 (classes, alternation, ?/*/+ quantifiers) — the frozen oracle
+        (DuckDB regexp_full_match) runs RE2."""
+        import re as _re
+
+        lit = _re.match(r"[^\\\[\](){}.*+?|^$]*", pattern).group(0)
+        if lit == pattern:
+            return [pattern] if self.term_stats([pattern]) else []
+        rx = _re.compile(pattern)
+        return self._expand_matching(
+            lambda t: rx.fullmatch(t) is not None,
+            F.col("term").rlike(f"^(?:{pattern})$"),
+            lit,
+            max_expansions,
+        )
+
     def postings(self, terms: list[str]) -> DataFrame:
         buckets = self._bucket_of(terms)
         post = self.spark.read.parquet(os.path.join(self.dir, "postings"))
@@ -947,7 +1038,9 @@ def bm25_topk(
     mode: "or" (ranked union), "and" (conjunctive), "prefix" (dictionary
     expansion of a single prefix, then ranked union), "fuzzy" (dictionary
     expansion by bounded edit distance, ES AUTO fuzziness, then ranked
-    union; expand_fuzzy for the knobs).
+    union; expand_fuzzy for the knobs), "wildcard" (`*`/`?` pattern over
+    the dictionary, not analyzed), "regexp" (anchored regex over the
+    dictionary, not analyzed) — all rewrites are df-ordered and bounded.
     field_opts: "default" | "nonorms" (M1) | "doconly" (M2) scoring
     variants per the reference's per-field index options.
     lookup: how the k winner urls are fetched from the docmap — "local"
@@ -1019,7 +1112,12 @@ def _bm25_topk_impl(
     docmap lookup), or ("df", DataFrame) when the url join runs as a Spark
     plan (remote docmap / lookup="spark")."""
     spark = reader.spark
-    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    if mode in ("wildcard", "regexp") and isinstance(query, str):
+        # patterns are NOT analyzed (ES wildcard/regexp operate on raw
+        # dictionary terms; the analyzer would strip the metacharacters)
+        terms = [query]
+    else:
+        terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     if mode == "prefix":
         assert len(terms) == 1
         terms = reader.expand_prefix(terms[0])
@@ -1027,6 +1125,14 @@ def _bm25_topk_impl(
     elif mode == "fuzzy":
         assert len(terms) == 1
         terms = reader.expand_fuzzy(terms[0])  # ES AUTO edits, 50 expansions
+        mode = "or"
+    elif mode == "wildcard":
+        assert len(terms) == 1
+        terms = reader.expand_wildcard(terms[0])
+        mode = "or"
+    elif mode == "regexp":
+        assert len(terms) == 1
+        terms = reader.expand_regexp(terms[0])
         mode = "or"
     stats = reader.term_stats(terms)
     live_terms = [t for t in terms if t in stats]

@@ -390,6 +390,42 @@ def test_fuzzy_expansion_and_topk_match_oracle(spark, index, corpus):
     assert reader.expand_fuzzy("th") == (["th"] if reader.term_stats(["th"]) else [])
 
 
+def test_wildcard_regexp_expansion_and_topk_match_oracle(spark, index, corpus):
+    """Wildcard (`*`/`?`) and regexp query modes: expansion list (df desc,
+    term asc, capped) and ranked top-k both identical to the brute-force
+    oracle; the serving path does not analyze the pattern."""
+    from engine.query import bm25_topk_rows
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    oracle = _oracle_from_docmap(spark, out, corpus)
+    seed_terms = [q["terms"][0] for q in synth.frozen_queries() if q["kind"] == "single"]
+    cases = []
+    for t in seed_terms[:3]:
+        if len(t) >= 3:
+            cases.append(("wildcard", f"{t[0]}*{t[-1]}"))
+            cases.append(("wildcard", f"{t[:2]}?{t[3:]}" if len(t) > 3 else f"{t[:2]}?"))
+            cases.append(("regexp", f"{t[0]}.*{t[-1]}"))
+            cases.append(("regexp", f"[{t[0]}{t[1]}].{{1,4}}"))
+    assert cases
+    for mode, pat in cases:
+        exp_terms = (
+            oracle.expand_wildcard(pat) if mode == "wildcard" else oracle.expand_regexp(pat)
+        )
+        got_terms = (
+            reader.expand_wildcard(pat) if mode == "wildcard" else reader.expand_regexp(pat)
+        )
+        assert got_terms == exp_terms, (mode, pat)
+        got = bm25_topk_rows(reader, pat, k=10, mode=mode)
+        expected = oracle.topk(exp_terms, k=10)
+        assert [d for _, d, _ in got] == [d for d, _ in expected], (mode, pat)
+        for (_, _, s), (_, es) in zip(got, expected):
+            assert s == pytest.approx(es, abs=1e-6), (mode, pat)
+    # literal pattern (no metachars) degrades to a plain term lookup
+    lit = seed_terms[0]
+    assert reader.expand_wildcard(lit) == ([lit] if oracle.df.get(lit) else [])
+
+
 def test_bool_on_index_vs_brute(spark, index):
     """bm25_bool_topk == driver-side brute force over full single-term
     score lists: sum must+should contributions, require all must terms,
