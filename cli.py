@@ -65,6 +65,9 @@ def main() -> None:
     q.add_argument("--must", default="", help="required terms (mode=bool)")
     q.add_argument("--should", default="", help="optional scored terms (mode=bool)")
     q.add_argument("--must-not", default="", help="excluded terms (mode=bool)")
+    q.add_argument("--snapshot", type=int, default=None,
+                   help="pin the live-docs view to a delete snapshot id "
+                        "(0 = base build; see `snapshots`)")
     q.add_argument("--msm", type=int, default=None,
                    help="minimum_should_match (mode=bool; ES default)")
 
@@ -88,6 +91,9 @@ def main() -> None:
     cp = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
+
+    sn = sub.add_parser("snapshots", help="list delete snapshots (time-travel ids)")
+    sn.add_argument("--index", required=True)
 
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
@@ -140,7 +146,7 @@ def main() -> None:
     elif args.cmd == "query":
         from engine.query import IndexReader, bm25_topk_rows
 
-        reader = IndexReader(spark, args.index)
+        reader = IndexReader(spark, args.index, snapshot_id=args.snapshot)
         t0 = time.time()
         # serving-path API: no result-DataFrame round-trip (rank-identical
         # to bm25_topk; falls back to the Spark plan for remote dirs)
@@ -209,6 +215,11 @@ def main() -> None:
             urls = [u for u in args.urls.split(",") if u]
         n = delete_docs(spark, args.index, urls)
         print(json.dumps({"tombstoned": n, "index": args.index}))
+
+    elif args.cmd == "snapshots":
+        from engine.deletes import list_snapshots
+
+        print(json.dumps({"index": args.index, "snapshots": list_snapshots(args.index)}))
 
     elif args.cmd == "compact":
         from engine.deletes import compact_index

@@ -56,6 +56,36 @@ def _tomb_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones")
 
 
+def _snap_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "snapshots.jsonl")
+
+
+def list_snapshots(index_dir: str) -> list[dict]:
+    """Snapshot log (Iceberg-flavored, deletes-only): snapshot_id k = the
+    index state after the k-th delete batch; snapshot 0 is the base build
+    (implicit — no log entry needed). Each record pins the exact tombstone
+    files visible at that snapshot, so a reader can time-travel across
+    deletes without any data rewrite (tombstone files are immutable and
+    append-only; compaction starts a fresh index with a fresh history)."""
+    p = _snap_path(index_dir)
+    if not os.path.exists(p):
+        return []
+    out = []
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _append_snapshot(index_dir: str, record: dict) -> None:
+    with open(_snap_path(index_dir), "a") as f:
+        f.write(json.dumps(record, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def delete_docs(
     spark: SparkSession, index_dir: str, urls: list[str] | DataFrame
 ) -> int:
@@ -94,25 +124,75 @@ def delete_docs(
     rows = tomb.collect()  # tombstone batches are small by contract
     if not rows:
         return 0
-    (
-        _local_df(
-            spark,
-            [(int(r["shard"]), int(r["local_id"])) for r in rows],
-            "shard int, local_id long",
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(_tomb_dir(index_dir))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    td = _tomb_dir(index_dir)
+    os.makedirs(td, exist_ok=True)
+    snaps = list_snapshots(index_dir)
+    snap_id = 1 + (snaps[-1]["snapshot_id"] if snaps else 0)
+    fname = f"tomb-{snap_id:06d}.parquet"
+    tmp = os.path.join(td, f".{fname}.tmp{os.getpid()}")
+    pq.write_table(
+        pa.table(
+            {
+                "shard": pa.array([int(r["shard"]) for r in rows], pa.int32()),
+                "local_id": pa.array([int(r["local_id"]) for r in rows], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(td, fname))
+    # the snapshot record pins EVERY tombstone file visible at this point
+    # (including any files from before the log existed), committed fsync'd
+    # AFTER the data file lands — a crash between the two leaves an
+    # unreferenced file the next snapshot sweeps in, never a dangling ref
+    _append_snapshot(
+        index_dir,
+        {
+            "snapshot_id": snap_id,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else 0,
+            "operation": "delete",
+            "ts": time.time(),
+            "tombstone_files": sorted(
+                fn for fn in os.listdir(td) if fn.endswith(".parquet")
+            ),
+            "n_new": len(rows),
+        },
     )
     return len(rows)
 
 
-def load_tombstones(index_dir: str, spark: SparkSession | None = None) -> dict[int, np.ndarray]:
+def load_tombstones(
+    index_dir: str,
+    spark: SparkSession | None = None,
+    as_of: int | None = None,
+) -> dict[int, np.ndarray]:
     """{shard: sorted unique local_id int64 array}. Empty dict if the
     index has no tombstones. Local dirs read via pyarrow (no Spark job);
-    a remote dir needs the spark fallback."""
+    a remote dir needs the spark fallback.
+
+    as_of pins a snapshot (list_snapshots): only the tombstone files that
+    snapshot recorded are read — time travel across delete batches with no
+    data rewrite. as_of=0 is the base build (no deletes); None is the
+    current state. Raises KeyError for an unknown snapshot id."""
     p = _tomb_dir(index_dir)
-    if os.path.isdir(p):
+    if as_of is not None:
+        if as_of == 0:
+            return {}
+        by_id = {s["snapshot_id"]: s for s in list_snapshots(index_dir)}
+        if as_of not in by_id:
+            raise KeyError(
+                f"index at {index_dir} has no snapshot {as_of}; "
+                f"known: 0 (base) + {sorted(by_id)}"
+            )
+        import pyarrow.dataset as ds
+
+        files = [os.path.join(p, fn) for fn in by_id[as_of]["tombstone_files"]]
+        tbl = ds.dataset(files, format="parquet").to_table(columns=["shard", "local_id"])
+        shards = np.asarray(tbl.column("shard"), dtype=np.int64)
+        locals_ = np.asarray(tbl.column("local_id"), dtype=np.int64)
+    elif os.path.isdir(p):
         import pyarrow.dataset as ds
 
         tbl = ds.dataset(p, format="parquet").to_table(columns=["shard", "local_id"])

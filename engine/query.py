@@ -62,9 +62,16 @@ class IndexReader:
     # CACHE_MAX_DOCS because urls are the wide column (~100 B each)
     DOCMAP_MEM_MAX_DOCS = 2_000_000
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, snapshot_id: int | None = None
+    ):
         self.spark = spark
         self.dir = index_dir
+        # pin the live-docs view to a delete snapshot (engine/deletes.py
+        # list_snapshots): 0 = base build, k = after the k-th delete batch,
+        # None = current. Postings/docmap are immutable between snapshots,
+        # so pinning tombstones IS time travel for this index layout.
+        self.snapshot_id = snapshot_id
         self._manifest_path = os.path.join(index_dir, "MANIFEST.json")
         with open(self._manifest_path) as f:
             self.manifest = json.load(f)
@@ -119,7 +126,7 @@ class IndexReader:
         if self._tomb is None:
             from engine.deletes import load_tombstones
 
-            self._tomb = load_tombstones(self.dir, self.spark)
+            self._tomb = load_tombstones(self.dir, self.spark, as_of=self.snapshot_id)
         return self._tomb
 
     def _term_stats_df(self) -> DataFrame:

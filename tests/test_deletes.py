@@ -216,6 +216,45 @@ def test_compaction_equals_fresh_build(spark, corpus, deleted_index, victims, tm
             assert s == pytest.approx(es, abs=1e-6)
 
 
+def test_snapshot_time_travel(spark, index, victims, tmp_path_factory):
+    """Snapshot pinning (Iceberg-flavored time travel over deletes): a
+    reader at snapshot 0 sees the base build, at k sees exactly the first
+    k delete batches, at None sees the current state — all from the same
+    directory, no rewrite."""
+    from engine.deletes import list_snapshots
+
+    out = str(tmp_path_factory.mktemp("snap_idx") / "idx")
+    shutil.copytree(index, out)
+    q = synth.frozen_queries()[0]
+
+    base = IndexReader(spark, out)
+    pre = bm25_topk_rows(base, q["terms"], k=20)
+
+    batch_a, batch_b = victims[:3], victims[3:6]
+    assert delete_docs(spark, out, batch_a) == 3
+    assert delete_docs(spark, out, batch_b) == 3
+    snaps = list_snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[0]["parent_id"] == 0 and snaps[1]["parent_id"] == 1
+    assert len(snaps[0]["tombstone_files"]) == 1
+    assert len(snaps[1]["tombstone_files"]) == 2
+
+    def rows(snap):
+        return bm25_topk_rows(IndexReader(spark, out, snapshot_id=snap), q["terms"], k=20)
+
+    assert rows(0) == pre  # time travel to before any delete
+    exp_after_a = [t for t in pre if t[0] not in set(batch_a)]
+    got_1 = rows(1)
+    n = min(len(got_1), len(exp_after_a))
+    assert n > 10 and got_1[:n] == exp_after_a[:n]
+    assert rows(2) == rows(None)  # latest snapshot == current state
+    gone = set(batch_a) | set(batch_b)
+    assert not ({u for u, _, _ in rows(2)} & gone)
+    with pytest.raises(KeyError):
+        rows(99)
+    shutil.rmtree(out)
+
+
 def test_compact_without_tombstones_is_identity(spark, index, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("noop_compact") / "idx")
     manifest = compact_index(spark, index, out)
