@@ -52,25 +52,9 @@ def main() -> None:
     aux: dict[str, float] = {}
     t_total = time.time()
 
-    def cached_corpus(docs: int) -> str:
-        """The synthetic corpus is deterministic (seed-stable), so it is
-        content-addressed by (seed, n_docs): generate once per machine,
-        reuse across bench invocations and scaling legs (atomic rename —
-        two racing legs just both write the same bytes)."""
-        path = os.path.join(
-            tempfile.gettempdir(), f"sparkft_pages_{synth.SEED}_{docs}.parquet"
-        )
-        if not os.path.exists(path):
-            tmp = f"{path}.tmp{os.getpid()}"
-            synth.write_pages(tmp, docs)
-            os.replace(tmp, path)
-            return path
-        aux["synth_cached"] = aux.get("synth_cached", 0) + 1
-        return path
-
     work = tempfile.mkdtemp(prefix="sparkft_bench_")
     t0 = time.time()
-    corpus = cached_corpus(n_docs)
+    corpus = synth.cached_pages(n_docs)
     aux["synth_sec"] = round(time.time() - t0, 3)
 
     # ---- index build throughput --------------------------------------------
@@ -91,7 +75,7 @@ def main() -> None:
         )
     )
     if warm_docs:
-        warm_corpus = cached_corpus(warm_docs)
+        warm_corpus = synth.cached_pages(warm_docs)
         t0 = time.time()
         build_index(
             spark, warm_corpus, os.path.join(work, "warm_idx"),

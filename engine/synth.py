@@ -145,6 +145,22 @@ def write_pages(path: str, n_docs: int, seed: int = SEED, row_group_size: int = 
     pq.write_table(generate_pages(n_docs, seed), path, row_group_size=row_group_size)
 
 
+def cached_pages(n_docs: int, seed: int = SEED) -> str:
+    """Path to a machine-local cached copy of the corpus. The table is
+    deterministic, so it is content-addressed by (seed, n_docs): generated
+    once, reused across bench invocations and scaling legs. Atomic rename —
+    racing writers both produce the same bytes."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"sparkft_pages_{seed}_{n_docs}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp{os.getpid()}"
+        write_pages(tmp, n_docs, seed)
+        os.replace(tmp, path)
+    return path
+
+
 # query mode per frozen-query kind — shared by bench + tests so the
 # mapping can't drift between the harnesses
 MODE_BY_KIND = {"single": "or", "and": "and", "or": "or", "prefix": "prefix", "absent": "or"}
