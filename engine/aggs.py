@@ -1,0 +1,521 @@
+"""ES-style aggregations over the matched-doc set, from index docvalues.
+
+The reference delegates search AND analytics to Elasticsearch (SURVEY
+§3.3: eshttp/eshttp.go posts documents, queries run in ES) — a real ES
+user composes a query context with aggregations (terms / range /
+histogram / date_histogram / stats facets). This module is the native
+replacement for the aggregation half, backed by docvalue columns the
+index build stores per doc in the docmap (`build_index(...,
+docvalue_cols=[...])` — the Lucene-docvalues analog: columnar per-doc
+attributes, column-pruned parquet so queries that don't aggregate never
+read them).
+
+Scale design — the matched-doc set is NEVER shuffled:
+
+- each shard's kernel decodes its own postings (same codec path as the
+  BM25 kernels), masks tombstones (snapshot-aware via
+  IndexReader.tombstones()), gathers the docvalue column for exactly the
+  matched ordinals with a STREAMING batched read of that shard's docmap
+  directory (memory = one Arrow batch + the matched values, not the
+  shard's column), and emits only its partial buckets;
+- the global combine is a groupBy over n_shards x |buckets| partial rows
+  (word-count-shaped) — so bucket counts are EXACT, unlike ES's
+  per-shard `shard_size` truncation (doc_count_error_upper_bound). The
+  deliberate divergence is documented here: exactness costs one tiny
+  extra shuffle, approximation costs silent error bars.
+- match_all (query=None) skips postings entirely: a pure DataFrame plan
+  over the docmap (groupBy / conditional aggregates inside whole-stage
+  codegen), tombstones removed by a broadcast anti-join.
+
+Like the BM25 path, small queries run driver-side (pyarrow reads +
+numpy, no Spark job) and big ones scatter-gather through Spark with the
+SAME kernel code — result identity between the two is tested.
+
+ES semantic notes (frozen by tests):
+- terms agg: buckets ordered doc_count desc then key asc, top `size`
+  kept, null keys skipped; optional `stats_of` sub-aggregation computes
+  count/min/max/sum/avg of a numeric docvalue per bucket (nulls skipped
+  in metrics but counted in doc_count, per ES missing-value handling).
+- range agg: [from, to) half-open, open ends allowed, overlapping ranges
+  allowed, every range emits a bucket (count 0 included).
+- histogram: key = floor(value/interval)*interval; min_doc_count=1
+  (ES defaults to 0 WITH empty-bucket fill between min and max; SQL
+  GROUP BY semantics — the DuckDB oracle — produce only non-empty
+  buckets, so 1 is this engine's frozen default).
+- date_histogram: calendar floor to 'hour' | 'day' | 'month'.
+- stats: count/min/max/sum/avg; avg = sum/count in one division (when
+  the field is integral the sum is exact int64, so avg is bit-stable).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as ds
+from pyspark.sql import DataFrame, functions as F
+
+from engine import postings as P
+from engine.query import IndexReader, _live_mask, _norm_blocks
+from engine.oracle import analyze_query_py
+
+
+# ---------------------------------------------------------------------------
+# agg specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TermsAgg:
+    """ES `terms` aggregation (optionally with a `stats` sub-agg)."""
+
+    field: str
+    size: int = 10
+    stats_of: str | None = None
+
+
+@dataclass(frozen=True)
+class RangeAgg:
+    """ES `range` aggregation: [(from, to), ...], None = open end."""
+
+    field: str
+    ranges: tuple = dc_field(default=())
+
+
+@dataclass(frozen=True)
+class HistogramAgg:
+    field: str
+    interval: float
+
+
+@dataclass(frozen=True)
+class DateHistogramAgg:
+    field: str
+    interval: str = "day"  # 'hour' | 'day' | 'month'
+
+
+@dataclass(frozen=True)
+class StatsAgg:
+    field: str
+
+
+_DT_UNIT = {"hour": "datetime64[h]", "day": "datetime64[D]", "month": "datetime64[M]"}
+
+
+def _range_label(lo, hi) -> str:
+    f = lambda v: "*" if v is None else f"{float(v):g}"  # noqa: E731
+    return f"{f(lo)}-{f(hi)}"
+
+
+# ---------------------------------------------------------------------------
+# matched-doc set (per shard, kernel-side)
+# ---------------------------------------------------------------------------
+
+
+def _matched_local_ids(
+    rows, mode: str, n_terms: int, dels: np.ndarray | None
+) -> np.ndarray:
+    """Sorted local ids of docs matching the query in one shard.
+
+    Posting doc arrays are sorted unique by codec contract, so OR is one
+    unique-of-concat and AND is successive sorted intersections."""
+    per_term: dict[str, np.ndarray] = {}
+    for r in rows:
+        d, _t, _l = P.decode_term_postings(
+            r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+        )
+        per_term[r.term] = d
+    if not per_term or (mode == "and" and len(per_term) < n_terms):
+        return np.empty(0, dtype=np.int64)
+    arrs = sorted(per_term.values(), key=lambda a: a.size)
+    if mode == "and":
+        m = arrs[0]
+        for a in arrs[1:]:
+            m = np.intersect1d(m, a, assume_unique=True)
+    elif len(arrs) == 1:
+        m = arrs[0]
+    else:
+        m = np.unique(np.concatenate(arrs))
+    keep = _live_mask(m, dels)
+    return m if keep is None else m[keep]
+
+
+def _gather_docvalues(
+    index_dir: str, shard: int, fields: list[str], matched: np.ndarray
+) -> pa.Table:
+    """Docvalue rows for the sorted matched local ids of one shard.
+
+    Fast path: the docmap is written local_id-sorted and dense per shard,
+    so the column streams in batches and each batch contributes
+    `matched[searchsorted(off)..searchsorted(off+n)] - off` — memory is
+    one Arrow batch plus the gathered values, never the whole shard
+    column (the 10^12-doc requirement). A docmap that is NOT
+    dense-sorted (foreign layout) falls back to a full read + inverse
+    permutation, still O(n_shard) with no Python loop."""
+    dset = ds.dataset(os.path.join(index_dir, "docmap", f"shard={shard}"))
+    want = ["local_id"] + fields
+    parts: list[pa.Table] = []
+    off = 0
+    streamed = True
+    for batch in dset.to_batches(columns=want):
+        n = batch.num_rows
+        if n == 0:
+            continue
+        lid = batch.column(0).to_numpy(zero_copy_only=False)
+        if not np.array_equal(lid, np.arange(off, off + n)):
+            streamed = False
+            break
+        lo = np.searchsorted(matched, off)
+        hi = np.searchsorted(matched, off + n)
+        if hi > lo:
+            take = pa.array(matched[lo:hi] - off)
+            parts.append(
+                pa.Table.from_batches([batch]).select(fields).take(take)
+            )
+        off += n
+    if streamed:
+        if not parts:
+            return dset.schema.empty_table().select(fields)
+        return pa.concat_tables(parts)
+    tbl = dset.to_table(columns=want)
+    lid = tbl.column("local_id").to_numpy(zero_copy_only=False)
+    pos = np.empty(lid.size, dtype=np.int64)
+    pos[lid] = np.arange(lid.size)
+    return tbl.select(fields).take(pa.array(pos[matched]))
+
+
+# ---------------------------------------------------------------------------
+# partial buckets (per shard) + global combine
+# ---------------------------------------------------------------------------
+
+
+def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
+    """One shard's partial buckets for `agg` over its matched docvalues."""
+    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+        keys = tbl.column(agg.field).drop_null()
+        vc = pc.value_counts(keys)
+        return pd.DataFrame(
+            {
+                "key": [str(v) for v in vc.field("values").to_pylist()],
+                "cnt": vc.field("counts").to_numpy(zero_copy_only=False),
+            }
+        )
+    if isinstance(agg, TermsAgg):
+        pdf = tbl.select([agg.field, agg.stats_of]).to_pandas()
+        pdf = pdf[pdf[agg.field].notna()]
+        g = pdf.groupby(agg.field, sort=False)[agg.stats_of]
+        out = g.agg(cnt="size", vcnt="count", vmin="min", vmax="max", vsum="sum")
+        out.index.name = "key"
+        out = out.reset_index()
+        out["key"] = out["key"].astype(str)
+        # groups with null metric values: pandas sum() of empties is 0 but
+        # min/max are NaN — null vsum too; Int64 (nullable) keeps integral
+        # partials exact through the Arrow boundary instead of float64
+        out.loc[out["vcnt"] == 0, "vsum"] = np.nan
+        if vt == "long":
+            for c in ("vmin", "vmax", "vsum"):
+                out[c] = out[c].astype("Int64")
+        return out
+    vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
+    if isinstance(agg, RangeAgg):
+        cnts = []
+        for lo, hi in agg.ranges:
+            m = np.ones(vals.size, dtype=bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            cnts.append(int(np.count_nonzero(m)))
+        return pd.DataFrame({"ridx": np.arange(len(cnts)), "cnt": cnts})
+    if isinstance(agg, HistogramAgg):
+        if vals.size == 0:
+            return pd.DataFrame({"bucket": [], "cnt": []})
+        keys = np.floor(vals.astype(np.float64) / agg.interval) * agg.interval
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pd.DataFrame({"bucket": uniq, "cnt": counts})
+    if isinstance(agg, DateHistogramAgg):
+        if vals.size == 0:
+            return pd.DataFrame({"bucket_us": [], "cnt": []})
+        floored = vals.astype(_DT_UNIT[agg.interval])
+        uniq, counts = np.unique(floored, return_counts=True)
+        return pd.DataFrame(
+            {"bucket_us": uniq.astype("datetime64[us]").astype(np.int64), "cnt": counts}
+        )
+    if isinstance(agg, StatsAgg):
+        if vals.size == 0:
+            # zero-row partial: the combine's coalesce supplies count=0
+            return pd.DataFrame({"vcnt": [], "vmin": [], "vmax": [], "vsum": []})
+        return pd.DataFrame(
+            {
+                "vcnt": [vals.size],
+                "vmin": [vals.min()],
+                "vmax": [vals.max()],
+                "vsum": [vals.sum()],
+            }
+        )
+    raise ValueError(f"unknown agg spec {agg!r}")
+
+
+def _vtype(reader: IndexReader, fld: str) -> str:
+    t = reader._pa_dataset("docmap").schema.field(fld).type
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz"
+    if pa.types.is_integer(t):
+        return "long"
+    if pa.types.is_floating(t):
+        return "double"
+    return "string"
+
+
+def _partial_schema(agg, vt: str) -> str:
+    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+        return "key string, cnt long"
+    if isinstance(agg, TermsAgg):
+        return f"key string, cnt long, vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
+    if isinstance(agg, RangeAgg):
+        return "ridx int, cnt long"
+    if isinstance(agg, HistogramAgg):
+        return "bucket double, cnt long"
+    if isinstance(agg, DateHistogramAgg):
+        return "bucket_us long, cnt long"
+    if isinstance(agg, StatsAgg):
+        return f"vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
+    raise ValueError(f"unknown agg spec {agg!r}")
+
+
+def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
+    """Global combine of per-shard partials -> final bucket table. Runs as
+    a DataFrame plan either way; partial inputs are tiny by construction."""
+    avg = (F.col("v_sum").cast("double") / F.col("v_count")).alias("v_avg")
+    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+        return (
+            partials.groupBy("key")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+    if isinstance(agg, TermsAgg):
+        return (
+            partials.groupBy("key")
+            .agg(
+                F.sum("cnt").alias("doc_count"),
+                F.sum("vcnt").alias("v_count"),
+                F.min("vmin").alias("v_min"),
+                F.max("vmax").alias("v_max"),
+                F.sum("vsum").alias("v_sum"),
+            )
+            .withColumn("v_avg", avg)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+    if isinstance(agg, RangeAgg):
+        labels = spark.createDataFrame(
+            [(i, _range_label(lo, hi)) for i, (lo, hi) in enumerate(agg.ranges)],
+            "ridx int, range_key string",
+        )
+        return (
+            labels.join(partials, "ridx", "left")
+            .groupBy("ridx", "range_key")
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("doc_count"))
+            .orderBy("ridx")
+            .drop("ridx")
+        )
+    if isinstance(agg, HistogramAgg):
+        return (
+            partials.groupBy("bucket")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy("bucket")
+        )
+    if isinstance(agg, DateHistogramAgg):
+        return (
+            partials.groupBy("bucket_us")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .select(
+                F.timestamp_micros("bucket_us").alias("bucket"),
+                "doc_count",
+            )
+            .orderBy("bucket")
+        )
+    if isinstance(agg, StatsAgg):
+        return partials.agg(
+            F.coalesce(F.sum("vcnt"), F.lit(0)).alias("v_count"),
+            F.min("vmin").alias("v_min"),
+            F.max("vmax").alias("v_max"),
+            F.sum("vsum").alias("v_sum"),
+        ).withColumn("v_avg", avg)
+    raise ValueError(f"unknown agg spec {agg!r}")
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def search_aggs(
+    reader: IndexReader,
+    query: str | list[str] | None,
+    agg,
+    mode: str = "or",
+    execution: str = "auto",
+) -> DataFrame:
+    """Aggregation over the docs matching `query` (None = match_all).
+
+    query/mode follow bm25_topk's analysis and or/and semantics; the
+    result is the agg's bucket table (see module docstring for schemas).
+    execution: 'auto' serves small queries driver-side (no Spark job for
+    the matched-set work), 'spark' forces the scatter-gather path,
+    'local' forces driver-side (raises if postings aren't local)."""
+    spark = reader.spark
+    fields = [agg.field] + ([agg.stats_of] if getattr(agg, "stats_of", None) else [])
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    missing = [f for f in fields if f not in dv_cols]
+    if missing:
+        raise ValueError(
+            f"field(s) {missing} not in index docvalues {dv_cols}; rebuild "
+            f"with build_index(..., docvalue_cols=[...])"
+        )
+    vt = _vtype(reader, agg.field if not isinstance(agg, TermsAgg) else (agg.stats_of or agg.field))
+    if query is None:
+        return _match_all_aggs(reader, agg, vt)
+
+    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        empty = spark.createDataFrame([], _partial_schema(agg, vt))
+        return _combine(spark, empty, agg, vt)
+    terms, n_terms = live, len(live)
+    tomb = reader.tombstones()
+    index_dir, fields_b, mode_b = reader.dir, fields, mode
+
+    def shard_partials(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf_key[0])
+        m = _matched_local_ids(
+            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
+        )
+        if m.size == 0:
+            return _partial_frame(
+                ds.dataset(
+                    os.path.join(index_dir, "docmap", f"shard={shard}")
+                ).schema.empty_table().select(fields_b),
+                agg, vt,
+            )
+        return _partial_frame(
+            _gather_docvalues(index_dir, shard, fields_b, m), agg, vt
+        )
+
+    pschema = _partial_schema(agg, vt)
+    total_postings = sum(stats[t] for t in terms)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            frames = []
+            for shard, rows in by_shard.items():
+                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                if m.size:
+                    frames.append(
+                        _partial_frame(
+                            _gather_docvalues(index_dir, shard, fields, m), agg, vt
+                        )
+                    )
+            if frames:
+                cols = [c.split()[0] for c in pschema.split(", ")]
+                pdf = pd.concat(frames, ignore_index=True)
+                partials = spark.createDataFrame(pdf[cols], pschema)
+            else:
+                partials = spark.createDataFrame([], pschema)
+            return _combine(spark, partials, agg, vt)
+        if execution == "local":
+            raise ValueError("execution='local' needs a local postings directory")
+
+    partials = (
+        reader.postings(terms)
+        .groupBy("shard")
+        .applyInPandas(shard_partials, pschema)
+    )
+    return _combine(spark, partials, agg, vt)
+
+
+def _match_all_aggs(reader: IndexReader, agg, vt: str) -> DataFrame:
+    """match_all: no postings at all — one DataFrame plan over the docmap
+    (docvalue columns pruned at the parquet scan, aggregation inside
+    whole-stage codegen). Tombstones leave via a broadcast anti-join
+    (delete batches are small by the deletes-module contract)."""
+    spark = reader.spark
+    dm = reader.docmap()
+    tomb = reader.tombstones()
+    if tomb:
+        rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
+        tomb_df = spark.createDataFrame(rows, "shard int, local_id long")
+        dm = dm.join(F.broadcast(tomb_df), ["shard", "local_id"], "left_anti")
+    avg = (F.col("v_sum").cast("double") / F.col("v_count")).alias("v_avg")
+    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+        return (
+            dm.filter(F.col(agg.field).isNotNull())
+            .groupBy(F.col(agg.field).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+    if isinstance(agg, TermsAgg):
+        return (
+            dm.filter(F.col(agg.field).isNotNull())
+            .groupBy(F.col(agg.field).cast("string").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.count(agg.stats_of).alias("v_count"),
+                F.min(agg.stats_of).alias("v_min"),
+                F.max(agg.stats_of).alias("v_max"),
+                F.sum(agg.stats_of).alias("v_sum"),
+            )
+            .withColumn("v_avg", avg)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+    c = F.col(agg.field)
+    if isinstance(agg, RangeAgg):
+        sums = []
+        for i, (lo, hi) in enumerate(agg.ranges):
+            cond = c.isNotNull()
+            if lo is not None:
+                cond &= c >= lo
+            if hi is not None:
+                cond &= c < hi
+            sums.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"r{i}"))
+        row = dm.agg(*sums).collect()[0]
+        return spark.createDataFrame(
+            [
+                (_range_label(lo, hi), int(row[f"r{i}"]))
+                for i, (lo, hi) in enumerate(agg.ranges)
+            ],
+            "range_key string, doc_count long",
+        )
+    if isinstance(agg, HistogramAgg):
+        key = (F.floor(c.cast("double") / agg.interval) * agg.interval).alias("bucket")
+        return (
+            dm.filter(c.isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("bucket")
+        )
+    if isinstance(agg, DateHistogramAgg):
+        return (
+            dm.filter(c.isNotNull())
+            .groupBy(F.date_trunc(agg.interval, c).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("bucket")
+        )
+    if isinstance(agg, StatsAgg):
+        return dm.agg(
+            F.count(agg.field).alias("v_count"),
+            F.min(agg.field).alias("v_min"),
+            F.max(agg.field).alias("v_max"),
+            F.sum(agg.field).alias("v_sum"),
+        ).withColumn("v_avg", avg)
+    raise ValueError(f"unknown agg spec {agg!r}")

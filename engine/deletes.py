@@ -332,6 +332,9 @@ def compact_index(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
             (F.col("shard_offset") + F.col("new_local")).alias("doc_id"),
             "url",
             "dl",
+            # docvalue columns (manifest docvalue_cols) survive compaction
+            *[c for c in dm.columns if c not in
+              {"shard", "local_id", "doc_id", "url", "dl"}],
         )
         .repartition(n_shards, "shard")
         .sortWithinPartitions("local_id")

@@ -395,8 +395,14 @@ def build_index(
     resume: bool = False,
     bucket_chunk: int = 4,
     persist_tokens: bool | None = None,
+    docvalue_cols: list[str] | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
+
+    docvalue_cols: extra source columns stored per doc in the docmap — the
+    Lucene-docvalues analog backing aggregations (engine/aggs.py). They ride
+    the existing docmap shuffle/write (no extra pass); parquet column
+    pruning keeps them free for queries that don't ask for them.
 
     persist_tokens: the fused build scans+tokenizes the corpus twice (the
     docmap/stats pass must complete before encoding — impacts need avgdl).
@@ -421,7 +427,7 @@ def build_index(
             _wipe_contents(out_dir)
         return _build_index_locked(
             spark, pages, out_dir, n_shards, n_buckets, k1, b, job_id,
-            resume, bucket_chunk, persist_tokens,
+            resume, bucket_chunk, persist_tokens, docvalue_cols,
         )
     finally:
         _release_build_lock(fd, lock)
@@ -439,7 +445,9 @@ def _build_index_locked(
     resume: bool,
     bucket_chunk: int,
     persist_tokens: bool | None = None,
+    docvalue_cols: list[str] | None = None,
 ) -> dict:
+    dv_cols = list(docvalue_cols or [])
     if isinstance(pages, str):
         if persist_tokens is None:
             cap = int(os.environ.get("SPARK_GRAFT_PERSIST_MAX_BYTES", 8 << 30))
@@ -470,6 +478,7 @@ def _build_index_locked(
         "local_id",
         "doc_id",
         standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
+        *dv_cols,
     ).withColumn("dl", F.size("tokens"))
     if persist_tokens:
         from pyspark import StorageLevel
@@ -484,7 +493,7 @@ def _build_index_locked(
         obs = Observation("load_docmap")
         t0 = time.monotonic()
         (
-            docs.select("shard", "local_id", "doc_id", "url", "dl")
+            docs.select("shard", "local_id", "doc_id", "url", "dl", *dv_cols)
             .observe(obs, F.count(F.lit(1)).alias("docs"), F.sum("dl").alias("tokens"))
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_id")
@@ -649,6 +658,7 @@ def _build_index_locked(
         "codec": "svb_delta_block128_v1",
         "shard_offsets": shard_offsets,
         "job_id": job_id,
+        "docvalue_cols": dv_cols,
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -1,0 +1,248 @@
+"""ES-style aggregations over the matched-doc set (engine/aggs.py).
+
+Oracle strategy: every agg result is compared against a brute-force
+pandas/DuckDB computation over the same corpus using the frozen analyzer
+(engine.oracle.analyze_query_py) to derive the matched set — the same
+two-implementations discipline as the BM25 rank-identity tests. Local and
+Spark execution paths are asserted identical, tombstone masking and
+compaction survival are covered, and the match_all path is plan-asserted
+to never touch postings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.aggs import (
+    DateHistogramAgg,
+    HistogramAgg,
+    RangeAgg,
+    StatsAgg,
+    TermsAgg,
+    search_aggs,
+)
+from engine.index_build import build_index
+from engine.oracle import analyze_query_py
+from engine.query import IndexReader
+
+from tests.conftest import SF001, plan_of
+
+Q = ["hash", "join"]
+RANGES = ((None, 200), (200, 400), (400, None))
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF001, "documents.parquet"))
+    return t.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def agg_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggidx") / "idx")
+    d = spark.read.parquet(os.path.join(SF001, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"),
+        "text", "lang", "source", "n_chars",
+    )
+    build_index(
+        spark, d, out, n_shards=4, n_buckets=8,
+        docvalue_cols=["lang", "source", "n_chars"],
+    )
+    return out
+
+
+def matched(docs_pdf: pd.DataFrame, terms=Q, mode="or") -> pd.DataFrame:
+    """Brute-force matched set via the frozen analyzer."""
+    ok = docs_pdf["text"].notna() & (docs_pdf["text"] != "")
+    toksets = docs_pdf["text"].where(ok, "").map(lambda t: set(analyze_query_py(t)))
+    ts = set(terms)
+    if mode == "and":
+        hit = toksets.map(lambda s: ts <= s)
+    else:
+        hit = toksets.map(lambda s: bool(ts & s))
+    return docs_pdf[ok & hit]
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_terms_agg_both_paths(spark, agg_index, docs_pdf, execution):
+    r = IndexReader(spark, agg_index)
+    got = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(r, Q, TermsAgg("lang", size=10), execution=execution).collect()
+    }
+    want = set(matched(docs_pdf).groupby("lang").size().items())
+    assert got == want
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_stats_agg_modes(spark, agg_index, docs_pdf, mode):
+    r = IndexReader(spark, agg_index)
+    row = search_aggs(r, Q, StatsAgg("n_chars"), mode=mode).collect()[0]
+    m = matched(docs_pdf, mode=mode)["n_chars"]
+    assert (row["v_count"], row["v_min"], row["v_max"], row["v_sum"]) == (
+        len(m), m.min(), m.max(), m.sum()
+    )
+    assert row["v_avg"] == pytest.approx(int(m.sum()) / len(m))
+
+
+def test_range_hist_aggs(spark, agg_index, docs_pdf):
+    r = IndexReader(spark, agg_index)
+    m = matched(docs_pdf)["n_chars"].to_numpy()
+    got = [
+        (x["range_key"], x["doc_count"])
+        for x in search_aggs(r, Q, RangeAgg("n_chars", RANGES)).collect()
+    ]
+    want = [
+        ("*-200", int((m < 200).sum())),
+        ("200-400", int(((m >= 200) & (m < 400)).sum())),
+        ("400-*", int((m >= 400).sum())),
+    ]
+    assert got == want
+
+    got_h = {
+        (x["bucket"], x["doc_count"])
+        for x in search_aggs(r, Q, HistogramAgg("n_chars", 100)).collect()
+    }
+    keys = np.floor(m / 100.0) * 100
+    want_h = {(float(k), int(c)) for k, c in zip(*np.unique(keys, return_counts=True))}
+    assert got_h == want_h
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_terms_stats_subagg(spark, agg_index, docs_pdf, execution):
+    r = IndexReader(spark, agg_index)
+    rows = search_aggs(
+        r, Q, TermsAgg("source", size=30, stats_of="n_chars"), execution=execution
+    ).collect()
+    got = {
+        x["key"]: (x["doc_count"], x["v_count"], x["v_min"], x["v_max"], x["v_sum"])
+        for x in rows
+    }
+    g = matched(docs_pdf).groupby("source")["n_chars"]
+    want = {
+        k: (int(s.size), int(s.size), int(s.min()), int(s.max()), int(s.sum()))
+        for k, s in g
+    }
+    assert got == want
+    for x in rows:
+        assert x["v_avg"] == pytest.approx(x["v_sum"] / x["v_count"])
+
+
+def test_terms_size_cut_es_tiebreak(spark, agg_index, docs_pdf):
+    """size cut = doc_count desc then key asc — exact across shards (NOT
+    ES's approximate shard_size truncation; deliberate, see module doc)."""
+    r = IndexReader(spark, agg_index)
+    got = [
+        (x["key"], x["doc_count"])
+        for x in search_aggs(r, Q, TermsAgg("source", size=5)).collect()
+    ]
+    counts = matched(docs_pdf).groupby("source").size()
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
+def test_match_all_skips_postings(spark, agg_index, docs_pdf):
+    r = IndexReader(spark, agg_index)
+    df = search_aggs(r, None, TermsAgg("lang", size=10))
+    plan = plan_of(df)
+    assert "postings" not in plan  # pure docmap plan
+    got = {(x["key"], x["doc_count"]) for x in df.collect()}
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    assert got == set(ok.groupby("lang").size().items())
+
+
+def test_tombstones_mask_aggs_and_compaction_keeps_docvalues(
+    spark, agg_index, docs_pdf, tmp_path_factory
+):
+    import shutil
+
+    from engine.deletes import compact_index, delete_docs
+
+    idx = str(tmp_path_factory.mktemp("aggdel") / "idx")
+    shutil.copytree(agg_index, idx)
+    victims = (
+        spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").cast("string").alias("url"))
+    )
+    delete_docs(spark, idx, victims)
+    live = matched(docs_pdf)
+    live = live[live["doc_id"] % 3 != 0]
+    want = set(live.groupby("lang").size().items())
+    for execution in ("local", "spark"):
+        r = IndexReader(spark, idx)
+        got = {
+            (x["key"], x["doc_count"])
+            for x in search_aggs(
+                r, Q, TermsAgg("lang", size=10), execution=execution
+            ).collect()
+        }
+        assert got == want, execution
+    # match_all also masks tombstones
+    r = IndexReader(spark, idx)
+    all_live = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    all_live = all_live[all_live["doc_id"] % 3 != 0]
+    got = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(r, None, TermsAgg("lang", size=10)).collect()
+    }
+    assert got == set(all_live.groupby("lang").size().items())
+    # compaction rewrites the docmap — docvalue columns must survive and
+    # the same agg must return the same buckets on the compacted index
+    cmp_dir = str(tmp_path_factory.mktemp("aggcmp") / "idx")
+    compact_index(spark, idx, cmp_dir)
+    rc = IndexReader(spark, cmp_dir)
+    assert rc.manifest["docvalue_cols"] == ["lang", "source", "n_chars"]
+    got = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(rc, Q, TermsAgg("lang", size=10)).collect()
+    }
+    assert got == want
+
+
+def test_date_histogram_on_pages(spark, pages_1k, tmp_path_factory):
+    """warc_ts day buckets over the synthetic web corpus, vs pandas."""
+    out = str(tmp_path_factory.mktemp("aggts") / "idx")
+    build_index(
+        spark, pages_1k, out, n_shards=4, n_buckets=8, docvalue_cols=["warc_ts", "lang"]
+    )
+    r = IndexReader(spark, out)
+    terms = ["scan"]
+    got = {
+        (x["bucket"], x["doc_count"])
+        for x in search_aggs(r, terms, DateHistogramAgg("warc_ts", "day")).collect()
+    }
+    pdf = pd.read_parquet(pages_1k)
+    ok = pdf["text"].notna() & (pdf["text"] != "")
+    hit = pdf["text"].where(ok, "").map(lambda t: "scan" in set(analyze_query_py(t)))
+    days = pdf[ok & hit]["warc_ts"].dt.floor("D")
+    want = {(k.to_pydatetime(), int(c)) for k, c in days.value_counts().items()}
+    assert got == want
+
+
+def test_missing_docvalue_field_raises(spark, agg_index):
+    r = IndexReader(spark, agg_index)
+    with pytest.raises(ValueError, match="docvalues"):
+        search_aggs(r, Q, TermsAgg("nope"))
+
+
+def test_absent_term_and_empty_results(spark, agg_index):
+    r = IndexReader(spark, agg_index)
+    # absent term in AND mode -> conjunctive empty; range agg still emits
+    # every range bucket with count 0, stats emits count=0
+    rows = search_aggs(
+        r, ["hash", "zzzzmissing"], RangeAgg("n_chars", RANGES), mode="and"
+    ).collect()
+    assert [(x["range_key"], x["doc_count"]) for x in rows] == [
+        ("*-200", 0), ("200-400", 0), ("400-*", 0)
+    ]
+    st = search_aggs(r, ["zzzzmissing"], StatsAgg("n_chars")).collect()[0]
+    assert st["v_count"] == 0 and st["v_min"] is None and st["v_avg"] is None
+    assert search_aggs(r, ["zzzzmissing"], TermsAgg("lang")).collect() == []
