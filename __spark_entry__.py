@@ -176,6 +176,26 @@ ALPHA_SQL = r"""
 """
 
 
+def _agg_range_label(lo, hi) -> str:
+    f = lambda v: "*" if v is None else f"{float(v):g}"  # noqa: E731
+    return f"{f(lo)}-{f(hi)}"
+
+
+def _agg_matched_cte(mode: str = "or", terms=None, result_filter: str | None = None) -> str:
+    """Matched-doc set for the aggregation oracles: docs whose analyzed
+    text contains any (or, list_has_any) / all (and, list_has_all) of the
+    query terms — the SQL twin of engine.aggs.search_aggs' query context."""
+    lst = ", ".join(f"'{t}'" for t in (terms or BM25_TERMS))
+    fn = "list_has_all" if mode == "and" else "list_has_any"
+    extra = f" AND {result_filter}" if result_filter else ""
+    return (
+        f"WITH toks AS (SELECT doc_id, {TOK.format(c='text')} AS toks "
+        "FROM documents WHERE text IS NOT NULL AND text != ''), "
+        "m AS (SELECT d.* FROM documents d JOIN toks t USING (doc_id) "
+        f"WHERE {fn}(t.toks, [{lst}]){extra})"
+    )
+
+
 def _toks_cte(extra_filter: str = "text IS NOT NULL AND text != ''") -> str:
     return (
         f"WITH toks AS (SELECT doc_id, {TOK.format(c='text')} AS toks "
@@ -862,7 +882,9 @@ def _wand_index_dir(spark, sf_dir):
     from engine.index_build import build_index
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    h = hashlib.md5(src.encode())
+    # layout salt: bumping it retires caches built before an index-layout
+    # change (dv1 = docvalue columns in the docmap for the agg queries)
+    h = hashlib.md5((src + "|layout=dv1").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -874,8 +896,14 @@ def _wand_index_dir(spark, sf_dir):
     key = h.hexdigest()[:16]
     out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_wand_{key}")
     if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
-        d = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("url"), "text")
-        build_index(spark, d, out_dir, n_shards=4, n_buckets=8)
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"),
+            "text", "lang", "source", "n_chars",
+        )
+        build_index(
+            spark, d, out_dir, n_shards=4, n_buckets=8,
+            docvalue_cols=["lang", "source", "n_chars"],
+        )
         os.utime(out_dir)
         # bound the cache: every corpus regeneration mints a new key, so
         # old sparkft_wand_* trees would accumulate until the disk fills.
@@ -1437,6 +1465,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_bm25_wand(spark, "/root/testdata/sf0.001")
 
 
+# ---- ES-style aggregations (engine/aggs.py) over the shared docvalued index
+AGG_RANGES = ((None, 200), (200, 400), (400, None))
+
+
+def q_agg_terms_lang(spark, sf_dir):
+    """terms agg on the lang docvalue over docs matching BM25_TERMS (or):
+    ES bucket order (doc_count desc, key asc), exact cross-shard counts."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, TermsAgg("lang", size=10))
+
+
+def q_agg_terms_lang_deleted(spark, sf_dir):
+    """Same terms agg on the tombstoned index copy — aggregations must
+    mask deleted docs exactly like the query kernels."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _deleted_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, TermsAgg("lang", size=10))
+
+
+def q_agg_terms_source_stats(spark, sf_dir):
+    """terms agg on source with a stats sub-aggregation of n_chars per
+    bucket (ES sub-agg composition); size-10 cut with the key-asc
+    tiebreak."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(
+        r, BM25_TERMS, TermsAgg("source", size=10, stats_of="n_chars")
+    )
+
+
+def q_agg_range_nchars(spark, sf_dir):
+    """range agg on n_chars ([from, to) half-open, open ends, every range
+    emits a bucket even at count 0)."""
+    from engine.aggs import RangeAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, RangeAgg("n_chars", AGG_RANGES))
+
+
+def q_agg_hist_nchars(spark, sf_dir):
+    """histogram agg on n_chars, interval 100 (bucket key =
+    floor(v/interval)*interval, min_doc_count=1)."""
+    from engine.aggs import HistogramAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, HistogramAgg("n_chars", 100))
+
+
+def q_agg_stats_matchall(spark, sf_dir):
+    """stats agg with query=None (match_all): the postings are never read
+    — a pure docmap DataFrame plan (plan-asserted in tests/test_aggs.py)."""
+    from engine.aggs import StatsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, None, StatsAgg("n_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p_reject_filter": q_reject_filter,
@@ -1501,6 +1596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_session_window": q_ev_session_window,
         "mm_media_features": q_media_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "agg_terms_lang": q_agg_terms_lang,
+        "agg_terms_lang_deleted": q_agg_terms_lang_deleted,
+        "agg_terms_source_stats": q_agg_terms_source_stats,
+        "agg_range_nchars": q_agg_range_nchars,
+        "agg_hist_nchars": q_agg_hist_nchars,
+        "agg_stats_matchall": q_agg_stats_matchall,
     }
 
 
@@ -1867,4 +1968,43 @@ SELECT media_id, frame_idx::BIGINT AS frame_idx, n_bytes::BIGINT AS n_bytes,
        md5(frame) AS frame_md5
 FROM c
 """,
+        "agg_terms_lang": _agg_matched_cte() + (
+            " SELECT lang AS key, count(*)::BIGINT AS doc_count FROM m "
+            "GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10"
+        ),
+        "agg_terms_lang_deleted": _agg_matched_cte(
+            result_filter=f"d.doc_id % {DEL_MOD} != {DEL_REM}"
+        ) + (
+            " SELECT lang AS key, count(*)::BIGINT AS doc_count FROM m "
+            "GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10"
+        ),
+        "agg_terms_source_stats": _agg_matched_cte() + (
+            " SELECT source AS key, count(*)::BIGINT AS doc_count, "
+            "count(n_chars)::BIGINT AS v_count, min(n_chars)::BIGINT AS v_min, "
+            "max(n_chars)::BIGINT AS v_max, sum(n_chars)::BIGINT AS v_sum, "
+            "(sum(n_chars)::DOUBLE / count(n_chars)) AS v_avg FROM m "
+            "GROUP BY source ORDER BY doc_count DESC, key ASC LIMIT 10"
+        ),
+        "agg_range_nchars": _agg_matched_cte() + " " + " UNION ALL ".join(
+            f"SELECT '{_agg_range_label(lo, hi)}' AS range_key, "
+            "(SELECT count(*) FROM m WHERE "
+            + " AND ".join(
+                ([f"n_chars >= {lo}"] if lo is not None else [])
+                + ([f"n_chars < {hi}"] if hi is not None else [])
+                or ["TRUE"]
+            )
+            + ")::BIGINT AS doc_count"
+            for lo, hi in AGG_RANGES
+        ),
+        "agg_hist_nchars": _agg_matched_cte() + (
+            " SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket, "
+            "count(*)::BIGINT AS doc_count FROM m GROUP BY bucket"
+        ),
+        "agg_stats_matchall": (
+            "SELECT count(n_chars)::BIGINT AS v_count, "
+            "min(n_chars)::BIGINT AS v_min, max(n_chars)::BIGINT AS v_max, "
+            "sum(n_chars)::BIGINT AS v_sum, "
+            "(sum(n_chars)::DOUBLE / count(n_chars)) AS v_avg "
+            "FROM documents WHERE text IS NOT NULL AND text != ''"
+        ),
     }
