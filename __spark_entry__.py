@@ -1522,6 +1522,33 @@ def q_agg_hist_nchars(spark, sf_dir):
     return search_aggs(r, BM25_TERMS, HistogramAgg("n_chars", 100))
 
 
+SORT_AFTER = (250, "3")  # (value, url) cursor — deterministic page-2 fetch
+
+
+def q_agg_cardinality_source(spark, sf_dir):
+    """cardinality agg on source — EXACT distinct count (deliberate
+    divergence from ES's HLL++ approximation, engine/aggs.py docstring)."""
+    from engine.aggs import CardinalityAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, CardinalityAgg("source"))
+
+
+def q_sort_after_nchars(spark, sf_dir):
+    """Field-sorted search + search_after cursor (ES sort clause with the
+    _id tiebreak): page of 10 docs sorted by the n_chars docvalue strictly
+    after the (250, '3') cursor — per-shard top-k pages, no global sort."""
+    from engine.aggs import search_sort
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_sort(
+        r, BM25_TERMS, "n_chars", k=10, ascending=True, search_after=SORT_AFTER
+    )
+    return out.select(F.col("url").cast("long").alias("doc_id"), "sort_val")
+
+
 def q_agg_stats_matchall(spark, sf_dir):
     """stats agg with query=None (match_all): the postings are never read
     — a pure docmap DataFrame plan (plan-asserted in tests/test_aggs.py)."""
@@ -1602,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range_nchars": q_agg_range_nchars,
         "agg_hist_nchars": q_agg_hist_nchars,
         "agg_stats_matchall": q_agg_stats_matchall,
+        "agg_cardinality_source": q_agg_cardinality_source,
+        "sort_after_nchars": q_sort_after_nchars,
     }
 
 
@@ -1999,6 +2028,15 @@ FROM c
         "agg_hist_nchars": _agg_matched_cte() + (
             " SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket, "
             "count(*)::BIGINT AS doc_count FROM m GROUP BY bucket"
+        ),
+        "agg_cardinality_source": _agg_matched_cte() + (
+            " SELECT count(DISTINCT source)::BIGINT AS value FROM m"
+        ),
+        "sort_after_nchars": _agg_matched_cte() + (
+            f" SELECT doc_id, n_chars AS sort_val FROM m "
+            f"WHERE n_chars > {SORT_AFTER[0]} OR (n_chars = {SORT_AFTER[0]} "
+            f"AND doc_id::VARCHAR > '{SORT_AFTER[1]}') "
+            "ORDER BY n_chars ASC, doc_id::VARCHAR ASC LIMIT 10"
         ),
         "agg_stats_matchall": (
             "SELECT count(n_chars)::BIGINT AS v_count, "

@@ -103,6 +103,19 @@ class StatsAgg:
     field: str
 
 
+@dataclass(frozen=True)
+class CardinalityAgg:
+    """Distinct count of a docvalue over the matched set — EXACT, unlike
+    ES (HLL++, approximate above precision_threshold). Per-shard kernels
+    emit their shard-distinct values; the combine is a distributed
+    countDistinct over sum-of-shard-distincts rows (word-count-shaped).
+    The exactness/shuffle trade is deliberate and documented — for a
+    field whose global cardinality itself breaks the combine, the right
+    tool is the terms agg's top-k, not a count."""
+
+    field: str
+
+
 _DT_UNIT = {"hour": "datetime64[h]", "day": "datetime64[D]", "month": "datetime64[M]"}
 
 
@@ -220,6 +233,9 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
             for c in ("vmin", "vmax", "vsum"):
                 out[c] = out[c].astype("Int64")
         return out
+    if isinstance(agg, CardinalityAgg):
+        uniq = pc.unique(tbl.column(agg.field).drop_null())
+        return pd.DataFrame({"v": [str(x) for x in uniq.to_pylist()]})
     vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
     if isinstance(agg, RangeAgg):
         cnts = []
@@ -276,6 +292,8 @@ def _partial_schema(agg, vt: str) -> str:
         return "key string, cnt long"
     if isinstance(agg, TermsAgg):
         return f"key string, cnt long, vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
+    if isinstance(agg, CardinalityAgg):
+        return "v string"
     if isinstance(agg, RangeAgg):
         return "ridx int, cnt long"
     if isinstance(agg, HistogramAgg):
@@ -312,6 +330,8 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
             .orderBy(F.desc("doc_count"), F.asc("key"))
             .limit(agg.size)
         )
+    if isinstance(agg, CardinalityAgg):
+        return partials.agg(F.count_distinct("v").alias("value"))
     if isinstance(agg, RangeAgg):
         labels = spark.createDataFrame(
             [(i, _range_label(lo, hi)) for i, (lo, hi) in enumerate(agg.ranges)],
@@ -442,6 +462,150 @@ def search_aggs(
     return _combine(spark, partials, agg, vt)
 
 
+def search_sort(
+    reader: IndexReader,
+    query: str | list[str] | None,
+    sort_field: str,
+    k: int = 10,
+    mode: str = "or",
+    ascending: bool = True,
+    search_after: tuple | None = None,
+    execution: str = "auto",
+) -> DataFrame:
+    """Field-sorted search with search_after deep paging (the ES `sort`
+    clause + `search_after` cursor — the scalable alternative to
+    from/size offsets, SURVEY §3.3's paging story generalized from the
+    alphabetical O1 case to any docvalue).
+
+    Sort key is (sort_field asc|desc, url asc) — url is the document _id,
+    so the tiebreak is total and a (value, url) cursor from the last row
+    of a page resumes exactly after it. Docs with a null sort value are
+    excluded (frozen; ES would sort missing last). Returns (url,
+    sort_val) rows.
+
+    Scale shape: each shard gathers sort values for ITS matched docs
+    (streamed docvalue read), applies the cursor predicate, and keeps a
+    k-row heap — only n_shards x k rows ever leave the shards; the global
+    merge re-sorts that tiny set. match_all skips postings: the plan is a
+    filter + TakeOrderedAndProject over the docmap."""
+    spark = reader.spark
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    if sort_field not in dv_cols:
+        raise ValueError(
+            f"sort field {sort_field!r} not in index docvalues {dv_cols}"
+        )
+    vt = _vtype(reader, sort_field)
+
+    def after_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        if search_after is None:
+            return pdf
+        av, aurl = search_after
+        v, u = pdf["v"], pdf["url"]
+        if ascending:
+            keep = (v > av) | ((v == av) & (u > aurl))
+        else:
+            keep = (v < av) | ((v == av) & (u > aurl))
+        return pdf[keep]
+
+    def page(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["v"].notna()]
+        pdf = after_pdf(pdf)
+        return pdf.sort_values(
+            ["v", "url"], ascending=[ascending, True], kind="mergesort"
+        ).head(k)
+
+    order = [
+        F.col("v").asc() if ascending else F.col("v").desc(),
+        F.col("url").asc(),
+    ]
+    pschema = f"url string, v {vt}"
+
+    if query is None:
+        dm = reader.docmap()
+        tomb = reader.tombstones()
+        if tomb:
+            rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
+            tdf = spark.createDataFrame(rows, "shard int, local_id long")
+            dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+        out = dm.select("url", F.col(sort_field).alias("v")).filter(
+            F.col("v").isNotNull()
+        )
+        if search_after is not None:
+            av, aurl = search_after
+            cmp = (F.col("v") > av) if ascending else (F.col("v") < av)
+            out = out.filter(cmp | ((F.col("v") == av) & (F.col("url") > aurl)))
+        return (
+            out.orderBy(*order).limit(k)
+            .select("url", F.col("v").alias("sort_val"))
+        )
+
+    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return spark.createDataFrame([], f"url string, sort_val {vt}")
+    terms, n_terms = live, len(live)
+    tomb = reader.tombstones()
+    index_dir, mode_b = reader.dir, mode
+    fields = [sort_field, "url"]
+
+    def shard_page(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf_key[0])
+        m = _matched_local_ids(
+            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
+        )
+        if m.size == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype=object), "v": []})
+        tbl = _gather_docvalues(index_dir, shard, fields, m)
+        return page(
+            pd.DataFrame(
+                {
+                    "url": tbl.column("url").to_pylist(),
+                    "v": tbl.column(sort_field).to_numpy(zero_copy_only=False),
+                }
+            )
+        )
+
+    total_postings = sum(stats[t] for t in terms)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            frames = []
+            for shard, rows in by_shard.items():
+                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                if m.size == 0:
+                    continue
+                tbl = _gather_docvalues(index_dir, shard, fields, m)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "url": tbl.column("url").to_pylist(),
+                            "v": tbl.column(sort_field).to_numpy(
+                                zero_copy_only=False
+                            ),
+                        }
+                    )
+                )
+            if not frames:
+                return spark.createDataFrame([], f"url string, sort_val {vt}")
+            merged = page(pd.concat(frames, ignore_index=True))
+            return spark.createDataFrame(
+                merged.rename(columns={"v": "sort_val"}), f"url string, sort_val {vt}"
+            )
+        if execution == "local":
+            raise ValueError("execution='local' needs a local postings directory")
+
+    partials = (
+        reader.postings(terms).groupBy("shard").applyInPandas(shard_page, pschema)
+    )
+    return (
+        partials.orderBy(*order).limit(k)
+        .select("url", F.col("v").alias("sort_val"))
+    )
+
+
 def _match_all_aggs(reader: IndexReader, agg, vt: str) -> DataFrame:
     """match_all: no postings at all — one DataFrame plan over the docmap
     (docvalue columns pruned at the parquet scan, aggregation inside
@@ -478,6 +642,8 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str) -> DataFrame:
             .orderBy(F.desc("doc_count"), F.asc("key"))
             .limit(agg.size)
         )
+    if isinstance(agg, CardinalityAgg):
+        return dm.agg(F.count_distinct(agg.field).alias("value"))
     c = F.col(agg.field)
     if isinstance(agg, RangeAgg):
         sums = []

@@ -19,12 +19,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine.aggs import (
+    CardinalityAgg,
     DateHistogramAgg,
     HistogramAgg,
     RangeAgg,
     StatsAgg,
     TermsAgg,
     search_aggs,
+    search_sort,
 )
 from engine.index_build import build_index
 from engine.oracle import analyze_query_py
@@ -225,6 +227,62 @@ def test_date_histogram_on_pages(spark, pages_1k, tmp_path_factory):
     days = pdf[ok & hit]["warc_ts"].dt.floor("D")
     want = {(k.to_pydatetime(), int(c)) for k, c in days.value_counts().items()}
     assert got == want
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_cardinality_agg(spark, agg_index, docs_pdf, execution):
+    r = IndexReader(spark, agg_index)
+    got = search_aggs(r, Q, CardinalityAgg("source"), execution=execution).collect()
+    assert got[0]["value"] == matched(docs_pdf)["source"].nunique()
+    # match_all
+    got = search_aggs(r, None, CardinalityAgg("lang")).collect()
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    assert got[0]["value"] == ok["lang"].nunique()
+
+
+def _brute_sorted(docs_pdf, ascending=True):
+    m = matched(docs_pdf).copy()
+    m["url"] = m["doc_id"].astype(str)
+    return m.sort_values(
+        ["n_chars", "url"], ascending=[ascending, True], kind="mergesort"
+    )[["url", "n_chars"]]
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_search_sort_pages_stitch(spark, agg_index, docs_pdf, execution, ascending):
+    """Page 1 then a search_after cursor from its last row must produce
+    exactly rows k..2k of the single globally-sorted list."""
+    r = IndexReader(spark, agg_index)
+    brute = _brute_sorted(docs_pdf, ascending)
+    p1 = search_sort(
+        r, Q, "n_chars", k=10, ascending=ascending, execution=execution
+    ).collect()
+    assert [(x["url"], x["sort_val"]) for x in p1] == [
+        tuple(t) for t in brute.head(10).itertuples(index=False)
+    ]
+    cursor = (p1[-1]["sort_val"], p1[-1]["url"])
+    p2 = search_sort(
+        r, Q, "n_chars", k=10, ascending=ascending,
+        search_after=cursor, execution=execution,
+    ).collect()
+    assert [(x["url"], x["sort_val"]) for x in p2] == [
+        tuple(t) for t in brute.iloc[10:20].itertuples(index=False)
+    ]
+
+
+def test_search_sort_match_all_plan(spark, agg_index, docs_pdf):
+    r = IndexReader(spark, agg_index)
+    df = search_sort(r, None, "n_chars", k=5)
+    plan = plan_of(df)
+    assert "postings" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")].copy()
+    ok["url"] = ok["doc_id"].astype(str)
+    want = ok.sort_values(["n_chars", "url"], kind="mergesort").head(5)
+    assert [(x["url"], x["sort_val"]) for x in df.collect()] == [
+        tuple(t) for t in want[["url", "n_chars"]].itertuples(index=False)
+    ]
 
 
 def test_missing_docvalue_field_raises(spark, agg_index):
