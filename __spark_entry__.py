@@ -223,11 +223,14 @@ def _bm25_sql(
     field_opts: str = "default",
     corpus_filter: str | None = None,
     result_filter: str | None = None,
+    docvalue_filter: str | None = None,
 ) -> str:
     """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
     (compaction semantics — the docs never existed); result_filter: docs
     removed only from the final ranking (tombstone-masking semantics —
-    n_docs/df/avgdl still count them, Lucene live-docs behavior)."""
+    n_docs/df/avgdl still count them, Lucene live-docs behavior);
+    docvalue_filter: like result_filter but over document attributes (ES
+    filter context — joins documents back in for the predicate)."""
     tl = ", ".join(f"'{t}'" for t in terms)
     if field_opts == "nonorms":   # M1: norms off -> b = 0
         impact = f"tf / (tf + {K1})"
@@ -237,7 +240,9 @@ def _bm25_sql(
         impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     base = "text IS NOT NULL AND text != ''"
     cte = _toks_cte(f"{base} AND {corpus_filter}" if corpus_filter else base)
-    res_where = f"WHERE {result_filter}" if result_filter else ""
+    res_join = " JOIN documents USING (doc_id)" if docvalue_filter else ""
+    wh = result_filter or docvalue_filter
+    res_where = f"WHERE {wh}" if wh else ""
     return f"""
 {cte},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -256,7 +261,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, round(score_raw, 6) AS score
-FROM scored {res_where} ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+FROM scored{res_join} {res_where} ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1523,6 +1528,37 @@ def q_agg_hist_nchars(spark, sf_dir):
 
 
 SORT_AFTER = (250, "3")  # (value, url) cursor — deterministic page-2 fetch
+FLT_LANG, FLT_LO, FLT_HI = "en", 150, 450  # shared filter-context constants
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """ES filter context on the scoring path: term + range filter clauses
+    over docvalues restrict the top-k WITHOUT changing surviving docs'
+    scores (idf/avgdl stay corpus-global). Exact TAAT kernel + a
+    post-accumulation docvalue mask (engine/query.py local_filter)."""
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import IndexReader, bm25_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(
+        r, BM25_TERMS, k=25, algo="taat",
+        filters=[TermFilter("lang", FLT_LANG), RangeFilter("n_chars", FLT_LO, FLT_HI)],
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_agg_terms_lang_filtered(spark, sf_dir):
+    """terms agg under a range filter clause — the aggs path shares the
+    same filter-context predicates (engine/docvalues.py)."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.docvalues import RangeFilter
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(
+        r, BM25_TERMS, TermsAgg("lang", size=10),
+        filters=[RangeFilter("n_chars", 200, None)],
+    )
 
 
 def q_agg_cardinality_source(spark, sf_dir):
@@ -1631,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats_matchall": q_agg_stats_matchall,
         "agg_cardinality_source": q_agg_cardinality_source,
         "sort_after_nchars": q_sort_after_nchars,
+        "bm25_filtered_topk": q_bm25_filtered,
+        "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
     }
 
 
@@ -2031,6 +2069,18 @@ FROM c
         ),
         "agg_cardinality_source": _agg_matched_cte() + (
             " SELECT count(DISTINCT source)::BIGINT AS value FROM m"
+        ),
+        "bm25_filtered_topk": _bm25_sql(
+            BM25_TERMS,
+            docvalue_filter=(
+                f"lang = '{FLT_LANG}' AND n_chars >= {FLT_LO} AND n_chars < {FLT_HI}"
+            ),
+        ),
+        "agg_terms_lang_filtered": _agg_matched_cte(
+            result_filter="d.n_chars >= 200"
+        ) + (
+            " SELECT lang AS key, count(*)::BIGINT AS doc_count FROM m "
+            "GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10"
         ),
         "sort_after_nchars": _agg_matched_cte() + (
             f" SELECT doc_id, n_chars AS sort_val FROM m "

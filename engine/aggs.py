@@ -60,6 +60,14 @@ import pyarrow.dataset as ds
 from pyspark.sql import DataFrame, functions as F
 
 from engine import postings as P
+from engine.docvalues import (  # noqa: F401  (filter clauses re-exported)
+    ExistsFilter,
+    RangeFilter,
+    TermFilter,
+    filter_fields,
+    filter_mask,
+    gather_docvalues,
+)
 from engine.query import IndexReader, _live_mask, _norm_blocks
 from engine.oracle import analyze_query_py
 
@@ -157,48 +165,30 @@ def _matched_local_ids(
     return m if keep is None else m[keep]
 
 
-def _gather_docvalues(
-    index_dir: str, shard: int, fields: list[str], matched: np.ndarray
-) -> pa.Table:
-    """Docvalue rows for the sorted matched local ids of one shard.
+# docvalue gather + filter predicates live in engine/docvalues.py (shared
+# with the filtered BM25 path in engine/query.py)
+_gather_docvalues = gather_docvalues
 
-    Fast path: the docmap is written local_id-sorted and dense per shard,
-    so the column streams in batches and each batch contributes
-    `matched[searchsorted(off)..searchsorted(off+n)] - off` — memory is
-    one Arrow batch plus the gathered values, never the whole shard
-    column (the 10^12-doc requirement). A docmap that is NOT
-    dense-sorted (foreign layout) falls back to a full read + inverse
-    permutation, still O(n_shard) with no Python loop."""
-    dset = ds.dataset(os.path.join(index_dir, "docmap", f"shard={shard}"))
-    want = ["local_id"] + fields
-    parts: list[pa.Table] = []
-    off = 0
-    streamed = True
-    for batch in dset.to_batches(columns=want):
-        n = batch.num_rows
-        if n == 0:
-            continue
-        lid = batch.column(0).to_numpy(zero_copy_only=False)
-        if not np.array_equal(lid, np.arange(off, off + n)):
-            streamed = False
-            break
-        lo = np.searchsorted(matched, off)
-        hi = np.searchsorted(matched, off + n)
-        if hi > lo:
-            take = pa.array(matched[lo:hi] - off)
-            parts.append(
-                pa.Table.from_batches([batch]).select(fields).take(take)
-            )
-        off += n
-    if streamed:
-        if not parts:
-            return dset.schema.empty_table().select(fields)
-        return pa.concat_tables(parts)
-    tbl = dset.to_table(columns=want)
-    lid = tbl.column("local_id").to_numpy(zero_copy_only=False)
-    pos = np.empty(lid.size, dtype=np.int64)
-    pos[lid] = np.arange(lid.size)
-    return tbl.select(fields).take(pa.array(pos[matched]))
+
+def _spark_filter_conds(filters) -> list:
+    """Filter clauses as Spark Column predicates (match_all paths)."""
+    conds = []
+    for f in filters:
+        c = F.col(f.field)
+        if isinstance(f, TermFilter):
+            conds.append(c.isNotNull() & (c == f.value))
+        elif isinstance(f, RangeFilter):
+            cond = c.isNotNull()
+            if f.gte is not None:
+                cond &= c >= f.gte
+            if f.lt is not None:
+                cond &= c < f.lt
+            conds.append(cond)
+        elif isinstance(f, ExistsFilter):
+            conds.append(c.isNotNull())
+        else:
+            raise ValueError(f"unknown filter clause {f!r}")
+    return conds
 
 
 # ---------------------------------------------------------------------------
@@ -381,18 +371,24 @@ def search_aggs(
     agg,
     mode: str = "or",
     execution: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """Aggregation over the docs matching `query` (None = match_all).
 
     query/mode follow bm25_topk's analysis and or/and semantics; the
     result is the agg's bucket table (see module docstring for schemas).
+    filters: ES filter-context clauses (TermFilter / RangeFilter /
+    ExistsFilter over docvalues, conjunctive) restricting the matched set
+    — evaluated vectorized on the candidates' gathered docvalues, never
+    on the corpus.
     execution: 'auto' serves small queries driver-side (no Spark job for
     the matched-set work), 'spark' forces the scatter-gather path,
     'local' forces driver-side (raises if postings aren't local)."""
     spark = reader.spark
+    filters = tuple(filters)
     fields = [agg.field] + ([agg.stats_of] if getattr(agg, "stats_of", None) else [])
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    missing = [f for f in fields if f not in dv_cols]
+    missing = [f for f in fields + filter_fields(filters) if f not in dv_cols]
     if missing:
         raise ValueError(
             f"field(s) {missing} not in index docvalues {dv_cols}; rebuild "
@@ -400,7 +396,15 @@ def search_aggs(
         )
     vt = _vtype(reader, agg.field if not isinstance(agg, TermsAgg) else (agg.stats_of or agg.field))
     if query is None:
-        return _match_all_aggs(reader, agg, vt)
+        return _match_all_aggs(reader, agg, vt, filters)
+    gat_fields = list(dict.fromkeys(fields + filter_fields(filters)))
+    _dir = reader.dir  # plain string: masked_gather ships to executors
+
+    def masked_gather(shard: int, m: np.ndarray) -> pa.Table:
+        tbl = _gather_docvalues(_dir, shard, gat_fields, m)
+        if filters:
+            tbl = tbl.filter(pa.array(filter_mask(tbl, filters)))
+        return tbl
 
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     stats = reader.term_stats(terms)
@@ -424,9 +428,7 @@ def search_aggs(
                 ).schema.empty_table().select(fields_b),
                 agg, vt,
             )
-        return _partial_frame(
-            _gather_docvalues(index_dir, shard, fields_b, m), agg, vt
-        )
+        return _partial_frame(masked_gather(shard, m), agg, vt)
 
     pschema = _partial_schema(agg, vt)
     total_postings = sum(stats[t] for t in terms)
@@ -439,11 +441,7 @@ def search_aggs(
             for shard, rows in by_shard.items():
                 m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
                 if m.size:
-                    frames.append(
-                        _partial_frame(
-                            _gather_docvalues(index_dir, shard, fields, m), agg, vt
-                        )
-                    )
+                    frames.append(_partial_frame(masked_gather(shard, m), agg, vt))
             if frames:
                 cols = [c.split()[0] for c in pschema.split(", ")]
                 pdf = pd.concat(frames, ignore_index=True)
@@ -471,6 +469,7 @@ def search_sort(
     ascending: bool = True,
     search_after: tuple | None = None,
     execution: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """Field-sorted search with search_after deep paging (the ES `sort`
     clause + `search_after` cursor — the scalable alternative to
@@ -489,10 +488,14 @@ def search_sort(
     merge re-sorts that tiny set. match_all skips postings: the plan is a
     filter + TakeOrderedAndProject over the docmap."""
     spark = reader.spark
+    filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    if sort_field not in dv_cols:
+    missing = [
+        f for f in [sort_field] + filter_fields(filters) if f not in dv_cols
+    ]
+    if missing:
         raise ValueError(
-            f"sort field {sort_field!r} not in index docvalues {dv_cols}"
+            f"sort/filter field(s) {missing} not in index docvalues {dv_cols}"
         )
     vt = _vtype(reader, sort_field)
 
@@ -527,6 +530,8 @@ def search_sort(
             rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
             tdf = spark.createDataFrame(rows, "shard int, local_id long")
             dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+        for cond in _spark_filter_conds(filters):
+            dm = dm.filter(cond)
         out = dm.select("url", F.col(sort_field).alias("v")).filter(
             F.col("v").isNotNull()
         )
@@ -547,7 +552,18 @@ def search_sort(
     terms, n_terms = live, len(live)
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
-    fields = [sort_field, "url"]
+    fields = list(dict.fromkeys([sort_field, "url"] + filter_fields(filters)))
+
+    def gather_page_input(shard: int, m: np.ndarray) -> pd.DataFrame:
+        tbl = _gather_docvalues(index_dir, shard, fields, m)
+        if filters:
+            tbl = tbl.filter(pa.array(filter_mask(tbl, filters)))
+        return pd.DataFrame(
+            {
+                "url": tbl.column("url").to_pylist(),
+                "v": tbl.column(sort_field).to_numpy(zero_copy_only=False),
+            }
+        )
 
     def shard_page(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf_key[0])
@@ -556,15 +572,7 @@ def search_sort(
         )
         if m.size == 0:
             return pd.DataFrame({"url": pd.Series([], dtype=object), "v": []})
-        tbl = _gather_docvalues(index_dir, shard, fields, m)
-        return page(
-            pd.DataFrame(
-                {
-                    "url": tbl.column("url").to_pylist(),
-                    "v": tbl.column(sort_field).to_numpy(zero_copy_only=False),
-                }
-            )
-        )
+        return page(gather_page_input(shard, m))
 
     total_postings = sum(stats[t] for t in terms)
     if execution == "local" or (
@@ -577,17 +585,7 @@ def search_sort(
                 m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
                 if m.size == 0:
                     continue
-                tbl = _gather_docvalues(index_dir, shard, fields, m)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "url": tbl.column("url").to_pylist(),
-                            "v": tbl.column(sort_field).to_numpy(
-                                zero_copy_only=False
-                            ),
-                        }
-                    )
-                )
+                frames.append(gather_page_input(shard, m))
             if not frames:
                 return spark.createDataFrame([], f"url string, sort_val {vt}")
             merged = page(pd.concat(frames, ignore_index=True))
@@ -606,11 +604,12 @@ def search_sort(
     )
 
 
-def _match_all_aggs(reader: IndexReader, agg, vt: str) -> DataFrame:
+def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
     """match_all: no postings at all — one DataFrame plan over the docmap
     (docvalue columns pruned at the parquet scan, aggregation inside
-    whole-stage codegen). Tombstones leave via a broadcast anti-join
-    (delete batches are small by the deletes-module contract)."""
+    whole-stage codegen; filter clauses become pushable Spark predicates).
+    Tombstones leave via a broadcast anti-join (delete batches are small
+    by the deletes-module contract)."""
     spark = reader.spark
     dm = reader.docmap()
     tomb = reader.tombstones()
@@ -618,6 +617,8 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str) -> DataFrame:
         rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
         tomb_df = spark.createDataFrame(rows, "shard int, local_id long")
         dm = dm.join(F.broadcast(tomb_df), ["shard", "local_id"], "left_anti")
+    for cond in _spark_filter_conds(filters):
+        dm = dm.filter(cond)
     avg = (F.col("v_sum").cast("double") / F.col("v_count")).alias("v_avg")
     if isinstance(agg, TermsAgg) and agg.stats_of is None:
         return (

@@ -827,6 +827,7 @@ def _bmw_shard_topk(
 def _taat_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
     field_opts: str = "default", dels: np.ndarray | None = None,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time accumulation over one shard.
 
@@ -835,6 +836,10 @@ def _taat_shard_topk(
     - "nonorms" (norms: false): length normalization off -> b = 0
     - "doconly" (index_options: docs): postings carry membership only ->
       tf scored as 1
+    local_filter: optional (sorted local_ids) -> keep-mask callback (ES
+    filter context, engine/docvalues.py) applied to the candidate docs
+    AFTER score accumulation and BEFORE top-k selection — scores of
+    surviving docs are unchanged (idf/avgdl stay corpus-global, like ES).
     """
     locals_parts, contrib_parts = [], []
     n_terms = 0
@@ -862,6 +867,9 @@ def _taat_shard_topk(
     if mode == "and":
         hits = np.bincount(inv, minlength=uniq.size)
         keep = hits == n_terms
+        uniq, scores = uniq[keep], scores[keep]
+    if local_filter is not None and uniq.size:
+        keep = local_filter(uniq)
         uniq, scores = uniq[keep], scores[keep]
     if uniq.size == 0:
         return []
@@ -1039,6 +1047,7 @@ def bm25_topk(
     field_opts: str = "default",
     lookup: str = "auto",
     execution: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -1062,10 +1071,15 @@ def bm25_topk(
     dictionary dfs) fits LOCAL_MAX_POSTINGS. All paths are rank-identical
     (same kernels, same bytes).
 
+    filters: ES filter-context clauses (engine/docvalues.py TermFilter /
+    RangeFilter / ExistsFilter over docvalues, conjunctive) restricting
+    the result set without changing surviving docs' scores; routed to the
+    exact TAAT kernel with a post-accumulation docvalue mask.
+
     bm25_topk_rows returns the same winners as plain tuples without the
     result-DataFrame round-trip — the serving-path API."""
     kind, payload = _bm25_topk_impl(
-        reader, query, k, mode, algo, field_opts, lookup, execution
+        reader, query, k, mode, algo, field_opts, lookup, execution, filters
     )
     if kind == "df":
         return payload
@@ -1089,6 +1103,7 @@ def bm25_topk_rows(
     mode: str = "or",
     algo: str = "wand",
     field_opts: str = "default",
+    filters=(),
 ) -> list[tuple[str, int, float]]:
     """Serving-path twin of bm25_topk: the same analysis, kernels, and
     winner selection, returned as [(url, doc_id, score)] with NO result
@@ -1097,7 +1112,8 @@ def bm25_topk_rows(
     and this path removes it. Rank-identical to bm25_topk by construction
     (tested): both run _bm25_topk_impl."""
     kind, payload = _bm25_topk_impl(
-        reader, query, k, mode, algo, field_opts, lookup="auto", execution="auto"
+        reader, query, k, mode, algo, field_opts, lookup="auto",
+        execution="auto", filters=filters,
     )
     if kind == "rows":
         return payload
@@ -1113,6 +1129,7 @@ def _bm25_topk_impl(
     field_opts: str,
     lookup: str,
     execution: str,
+    filters=(),
 ):
     """Shared top-k engine. Returns ("rows", [(url, doc_id, score), ...])
     when the result is materialized driver-side (local kernels and/or local
@@ -1160,13 +1177,22 @@ def _bm25_topk_impl(
         # many-term queries (prefix expansions): block pruning degenerates
         # (interval/cursor overhead); vectorized TAAT is exact and faster
         algo = "taat"
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
+
+        # filter context: block-max theta pruning would need filtered
+        # upper bounds it doesn't have — exact vectorized TAAT + a
+        # post-accumulation docvalue mask is the correct kernel
+        shard_filter = build_shard_filter(reader, filters)
+        algo = "taat"
 
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     n_terms = len(terms)
     tomb = reader.tombstones()  # {} on an index with no deletes
 
-    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+    def run_kernel(rows, dels=None, shard=None) -> list[tuple[int, float]]:
         # ONE dispatch shared by the local and Spark paths — their rank
         # identity (tested) depends on running the exact same kernel code
         if mode == "and" and len({r.term for r in rows}) < n_terms:
@@ -1175,10 +1201,17 @@ def _bm25_topk_impl(
             return _bmw_shard_topk(rows, idfs, k, k1, b, avgdl, dels)
         if algo == "wand_daat" and mode == "or":
             return _wand_shard_topk(rows, idfs, k, k1, b, avgdl, dels)
-        return _taat_shard_topk(rows, idfs, k, k1, b, avgdl, mode, field_opts, dels)
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
+        return _taat_shard_topk(
+            rows, idfs, k, k1, b, avgdl, mode, field_opts, dels, lf
+        )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        top = run_kernel(
+            list(pdf.itertuples()), tomb.get(int(pdf_key[0])), int(pdf_key[0])
+        )
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -1204,7 +1237,7 @@ def _bm25_topk_impl(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
 
     if heap_rows is None:

@@ -285,6 +285,87 @@ def test_search_sort_match_all_plan(spark, agg_index, docs_pdf):
     ]
 
 
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_filtered_bm25_topk(spark, agg_index, docs_pdf, execution):
+    """ES filter context on the scoring path: filters restrict the result
+    set but do NOT change surviving docs' scores — so the filtered top-10
+    must equal the unfiltered full ranking filtered client-side."""
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, agg_index)
+    flt = [TermFilter("lang", "en"), RangeFilter("n_chars", 150, 450)]
+    got = bm25_topk(
+        r, Q, k=10, algo="taat", filters=flt, execution=execution
+    ).collect()
+    full = bm25_topk(r, Q, k=10**6, algo="taat", execution=execution).collect()
+    by_id = docs_pdf.set_index("doc_id")
+    want = [
+        (x["url"], x["score"])
+        for x in full
+        if by_id.loc[int(x["url"]), "lang"] == "en"
+        and 150 <= by_id.loc[int(x["url"]), "n_chars"] < 450
+    ][:10]
+    assert [(x["url"], x["score"]) for x in got] == want
+    assert len(got) == 10
+
+
+def test_filtered_aggs_and_sort(spark, agg_index, docs_pdf):
+    from engine.docvalues import RangeFilter, TermFilter
+
+    r = IndexReader(spark, agg_index)
+    flt = [RangeFilter("n_chars", 200, None)]
+    m = matched(docs_pdf)
+    m = m[m["n_chars"] >= 200]
+    for execution in ("local", "spark"):
+        got = {
+            (x["key"], x["doc_count"])
+            for x in search_aggs(
+                r, Q, TermsAgg("lang", size=10), execution=execution, filters=flt
+            ).collect()
+        }
+        assert got == set(m.groupby("lang").size().items()), execution
+    # match_all + filter = pure docmap plan with a pushable predicate
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    ok = ok[ok["n_chars"] >= 200]
+    got = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(r, None, TermsAgg("lang", size=10), filters=flt).collect()
+    }
+    assert got == set(ok.groupby("lang").size().items())
+    # sorted paging under a term filter
+    tf = [TermFilter("lang", "de")]
+    md = matched(docs_pdf)
+    md = md[md["lang"] == "de"].copy()
+    md["url"] = md["doc_id"].astype(str)
+    want = md.sort_values(["n_chars", "url"], kind="mergesort").head(5)
+    got = search_sort(r, Q, "n_chars", k=5, filters=tf).collect()
+    assert [(x["url"], x["sort_val"]) for x in got] == [
+        tuple(t) for t in want[["url", "n_chars"]].itertuples(index=False)
+    ]
+
+
+def test_exists_filter_and_nulls(spark, tmp_path_factory):
+    """Null docvalues: TermFilter/RangeFilter never match them,
+    ExistsFilter selects exactly the non-null ones."""
+    from engine.docvalues import ExistsFilter, TermFilter
+
+    rows = [
+        (str(i), f"alpha beta doc{i}", None if i % 3 == 0 else ("x" if i % 2 else "y"))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, tag string")
+    out = str(tmp_path_factory.mktemp("aggnull") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["tag"])
+    r = IndexReader(spark, out)
+    n_exists = sum(1 for _, _, t in rows if t is not None)
+    n_x = sum(1 for _, _, t in rows if t == "x")
+    got = search_aggs(r, ["alpha"], TermsAgg("tag", size=10), filters=[ExistsFilter("tag")]).collect()
+    assert sum(x["doc_count"] for x in got) == n_exists
+    got = search_aggs(r, ["alpha"], TermsAgg("tag", size=10), filters=[TermFilter("tag", "x")]).collect()
+    assert [(x["key"], x["doc_count"]) for x in got] == [("x", n_x)]
+
+
 def test_missing_docvalue_field_raises(spark, agg_index):
     r = IndexReader(spark, agg_index)
     with pytest.raises(ValueError, match="docvalues"):
