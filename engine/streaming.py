@@ -77,10 +77,15 @@ def ingest_batch(
     n_buckets: int = 16,
     k1: float = P.K1,
     b: float = P.B,
+    docvalue_cols: list[str] | None = None,
 ) -> dict:
     """Encode one micro-batch as an append-only segment. Returns the updated
     state. Doc ids continue each shard's counter from the state file, so ids
-    stay dense and deterministic across the stream."""
+    stay dense and deterministic across the stream.
+
+    docvalue_cols: extra batch columns stored per doc in the segment
+    docmap (same contract as build_index) — merge_segments carries them
+    into the merged index so aggregations work on streamed corpora."""
     os.makedirs(out_dir, exist_ok=True)
     state = _read_state(out_dir, n_shards)
     if seg_id in [s["seg_id"] for s in state["segments"]]:
@@ -101,11 +106,14 @@ def ingest_batch(
         .select(
             "url", "shard", "local_id",
             standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
+            *(docvalue_cols or []),
         )
         .withColumn("dl", F.size("tokens"))
     )
     seg_dir = os.path.join(out_dir, "segments", f"seg={seg_id}")
-    d.select("shard", "local_id", "url", "dl").repartition(n_shards, "shard").write.mode(
+    d.select(
+        "shard", "local_id", "url", "dl", *(docvalue_cols or [])
+    ).repartition(n_shards, "shard").write.mode(
         "overwrite"
     ).parquet(os.path.join(seg_dir, "docmap"))
 
@@ -165,6 +173,7 @@ def stream_ingest(
     trigger_once: bool = True,
     processing_time: str = "30 seconds",
     max_files_per_trigger: int = 1,
+    docvalue_cols: list[str] | None = None,
 ):
     """Structured Streaming driver: file source -> foreachBatch ingest.
     trigger_once drains available input then stops (used in tests); the
@@ -176,7 +185,10 @@ def stream_ingest(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, out_dir, int(batch_id), n_shards, n_buckets)
+        ingest_batch(
+            spark, batch_df, out_dir, int(batch_id), n_shards, n_buckets,
+            docvalue_cols=docvalue_cols,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", os.path.join(out_dir, "_stream_ckpt")
@@ -313,7 +325,12 @@ def merge_segments(
     (
         dm.join(F.broadcast(off_df), "shard")
         .withColumn("doc_id", F.col("shard_offset") + F.col("local_id"))
-        .select("shard", "local_id", "doc_id", "url", "dl")
+        .select(
+            "shard", "local_id", "doc_id", "url", "dl",
+            # docvalue columns from the segment docmaps survive the merge
+            *[c for c in dm.columns if c not in
+              {"shard", "local_id", "doc_id", "url", "dl"}],
+        )
         .repartition(n_shards, "shard")
         .sortWithinPartitions("local_id")
         .write.mode("overwrite")
@@ -361,6 +378,10 @@ def merge_segments(
         "codec": "svb_delta_block128_v1",
         "shard_offsets": [offsets[s] for s in range(n_shards)],
         "job_id": f"merge-of-{len(seg_dirs)}-segments",
+        "docvalue_cols": [
+            c for c in dm.columns
+            if c not in {"shard", "local_id", "doc_id", "url", "dl"}
+        ],
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

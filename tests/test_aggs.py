@@ -216,17 +216,18 @@ def test_date_histogram_on_pages(spark, pages_1k, tmp_path_factory):
         spark, pages_1k, out, n_shards=4, n_buckets=8, docvalue_cols=["warc_ts", "lang"]
     )
     r = IndexReader(spark, out)
-    terms = ["scan"]
     got = {
         (x["bucket"], x["doc_count"])
-        for x in search_aggs(r, terms, DateHistogramAgg("warc_ts", "day")).collect()
+        for x in search_aggs(r, ["if"], DateHistogramAgg("warc_ts", "day")).collect()
     }
     pdf = pd.read_parquet(pages_1k)
     ok = pdf["text"].notna() & (pdf["text"] != "")
-    hit = pdf["text"].where(ok, "").map(lambda t: "scan" in set(analyze_query_py(t)))
+    hit = pdf["text"].where(ok, "").map(lambda t: "if" in set(analyze_query_py(t)))
     days = pdf[ok & hit]["warc_ts"].dt.floor("D")
+    if days.dt.tz is not None:
+        days = days.dt.tz_localize(None)  # engine returns session-tz naive
     want = {(k.to_pydatetime(), int(c)) for k, c in days.value_counts().items()}
-    assert got == want
+    assert got == want and got  # non-vacuous: the term must match docs
 
 
 @pytest.mark.parametrize("execution", ["local", "spark"])
@@ -364,6 +365,46 @@ def test_exists_filter_and_nulls(spark, tmp_path_factory):
     assert sum(x["doc_count"] for x in got) == n_exists
     got = search_aggs(r, ["alpha"], TermsAgg("tag", size=10), filters=[TermFilter("tag", "x")]).collect()
     assert [(x["key"], x["doc_count"]) for x in got] == [("x", n_x)]
+
+
+def test_streamed_segments_merge_keeps_docvalues(spark, pages_1k, tmp_path_factory):
+    """Segments ingested with docvalue_cols merge into an index whose
+    aggregations match the batch-built docvalued index exactly."""
+    import pyarrow.parquet as pq
+
+    from engine.streaming import ingest_batch, merge_segments
+
+    t = pq.read_table(pages_1k)
+    out = str(tmp_path_factory.mktemp("stream_dv") / "idx")
+    half = t.num_rows // 2
+    for i, sl in enumerate((t.slice(0, half), t.slice(half))):
+        ingest_batch(
+            spark,
+            spark.createDataFrame(sl.to_pandas()),
+            out, seg_id=i, n_shards=4, n_buckets=8, docvalue_cols=["lang"],
+        )
+    manifest = merge_segments(spark, out, n_shards=4, n_buckets=8)
+    assert manifest["docvalue_cols"] == ["lang"]
+
+    batch_out = str(tmp_path_factory.mktemp("batch_dv") / "idx")
+    build_index(
+        spark, spark.read.parquet(pages_1k), batch_out,
+        n_shards=4, n_buckets=8, docvalue_cols=["lang"],
+    )
+    terms = ["if"]
+    got = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(
+            IndexReader(spark, out), terms, TermsAgg("lang", size=10)
+        ).collect()
+    }
+    want = {
+        (x["key"], x["doc_count"])
+        for x in search_aggs(
+            IndexReader(spark, batch_out), terms, TermsAgg("lang", size=10)
+        ).collect()
+    }
+    assert got == want and got
 
 
 def test_missing_docvalue_field_raises(spark, agg_index):
