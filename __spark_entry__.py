@@ -888,8 +888,9 @@ def _wand_index_dir(spark, sf_dir):
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     # layout salt: bumping it retires caches built before an index-layout
-    # change (dv1 = docvalue columns in the docmap for the agg queries)
-    h = hashlib.md5((src + "|layout=dv1").encode())
+    # change (dv2 = + lang_opt, the NULLIF-derived nullable docvalue the
+    # missing-agg query counts)
+    h = hashlib.md5((src + "|layout=dv2").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -904,10 +905,13 @@ def _wand_index_dir(spark, sf_dir):
         d = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("url"),
             "text", "lang", "source", "n_chars",
+            # deterministic nullable docvalue (corpus has no nulls):
+            # lang_opt IS NULL <=> lang = 'de', the missing-agg oracle rule
+            F.when(F.col("lang") != "de", F.col("lang")).alias("lang_opt"),
         )
         build_index(
             spark, d, out_dir, n_shards=4, n_buckets=8,
-            docvalue_cols=["lang", "source", "n_chars"],
+            docvalue_cols=["lang", "source", "n_chars", "lang_opt"],
         )
         os.utime(out_dir)
         # bound the cache: every corpus regeneration mints a new key, so
@@ -956,6 +960,53 @@ def _deleted_index_dir(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
         os.rename(tmp, out)
     return out
+
+
+def _events_index_dir(spark, sf_dir):
+    """Index over the events table: text = event_type (single-token docs,
+    so a term query is type equality) with ts/value/user_id docvalues —
+    exercises timestamp docvalues end-to-end (build -> docmap parquet ->
+    Arrow gather -> date_histogram kernel). Same content-fingerprint
+    cache discipline as _wand_index_dir."""
+    import hashlib
+
+    from engine.index_build import build_index
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    h = hashlib.md5((src + "|layout=ev1").encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, fn) for r, _, fns in os.walk(src) for fn in fns
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkft_evt_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+        d = spark.read.parquet(src).select(
+            F.col("event_id").cast("string").alias("url"),
+            F.col("event_type").alias("text"),
+            "ts", "value", "user_id",
+        )
+        build_index(
+            spark, d, out_dir, n_shards=4, n_buckets=8,
+            docvalue_cols=["ts", "value", "user_id"],
+        )
+        os.utime(out_dir)
+        import glob
+        import shutil
+
+        sibs = sorted(
+            glob.glob(os.path.join(tempfile.gettempdir(), "sparkft_evt_*")),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in sibs[4:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    return out_dir
 
 
 def _compacted_index_dir(spark, sf_dir):
@@ -1595,6 +1646,103 @@ def q_agg_stats_matchall(spark, sf_dir):
     return search_aggs(r, None, StatsAgg("n_chars"))
 
 
+COMPOSITE_AFTER = ("en", "src12")  # mid-keyspace cursor: page crosses en->es
+
+
+def q_agg_composite_page(spark, sf_dir):
+    """composite agg over (lang, source): one size-10 page of key-ordered
+    buckets strictly after the COMPOSITE_AFTER cursor — ES's scalable
+    bucket paging (exact counts under per-shard key-order truncation,
+    engine/aggs.py CompositeAgg docstring)."""
+    from engine.aggs import CompositeAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(
+        r, BM25_TERMS,
+        CompositeAgg(("lang", "source"), size=10, after=COMPOSITE_AFTER),
+    )
+
+
+def q_agg_top_hits(spark, sf_dir):
+    """terms buckets (size 3, doc_count desc / key asc) each carrying its
+    2 first docs by n_chars asc with the _id (url string) tiebreak — the
+    ES top_hits sub-aggregation."""
+    from engine.aggs import TopHitsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_aggs(
+        r, BM25_TERMS,
+        TopHitsAgg("lang", size=3, hits_sort="n_chars", hits_k=2),
+    )
+    return out.select(
+        "key", "doc_count",
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        F.col("url").cast("long").alias("doc_id"),
+        "sort_val",
+    )
+
+
+def q_agg_percentiles_nchars(spark, sf_dir):
+    """percentiles agg on n_chars — EXACT interpolated percentiles
+    (deliberate divergence from ES TDigest, engine/aggs.py docstring);
+    DuckDB quantile_cont implements the same percentile_cont definition."""
+    from engine.aggs import PercentilesAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_aggs(
+        r, BM25_TERMS, PercentilesAgg("n_chars", (25.0, 50.0, 75.0, 95.0))
+    )
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
+def q_agg_missing_lang(spark, sf_dir):
+    """missing agg on the lang_opt docvalue (NULL <=> lang = 'de', the
+    deterministic null rule baked into the shared index build)."""
+    from engine.aggs import MissingAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, MissingAgg("lang_opt"))
+
+
+def q_agg_filters_named(spark, sf_dir):
+    """filters agg: named buckets from filter-context clause lists
+    (conjunctive within a bucket, every bucket emits, declaration order)."""
+    from engine.aggs import FiltersAgg, search_aggs
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    spec = FiltersAgg((
+        ("short", (RangeFilter("n_chars", None, 250),)),
+        ("en_long", (TermFilter("lang", "en"), RangeFilter("n_chars", 250, None))),
+        ("none", (TermFilter("lang", "xx"),)),
+    ))
+    return search_aggs(r, BM25_TERMS, spec)
+
+
+def q_agg_date_histogram(spark, sf_dir):
+    """date_histogram (day) on the ts timestamp docvalue of the events
+    index for the 'click' term query — closes the one agg that had no
+    driver oracle (documents has no timestamp column; events does).
+    Output is epoch seconds (timestamp columns are session-tz-fragile in
+    the driver compare; unix_micros inverts timestamp_micros exactly)."""
+    from engine.aggs import DateHistogramAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _events_index_dir(spark, sf_dir))
+    out = search_aggs(r, ["click"], DateHistogramAgg("ts", "day"))
+    return out.select(
+        (F.unix_micros(F.col("bucket")) / 1_000_000)
+        .cast("long")
+        .alias("bucket_epoch"),
+        "doc_count",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p_reject_filter": q_reject_filter,
@@ -1666,6 +1814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_hist_nchars": q_agg_hist_nchars,
         "agg_stats_matchall": q_agg_stats_matchall,
         "agg_cardinality_source": q_agg_cardinality_source,
+        "agg_composite_page": q_agg_composite_page,
+        "agg_top_hits": q_agg_top_hits,
+        "agg_percentiles_nchars": q_agg_percentiles_nchars,
+        "agg_missing_lang": q_agg_missing_lang,
+        "agg_filters_named": q_agg_filters_named,
+        "agg_date_histogram": q_agg_date_histogram,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
@@ -2069,6 +2223,45 @@ FROM c
         ),
         "agg_cardinality_source": _agg_matched_cte() + (
             " SELECT count(DISTINCT source)::BIGINT AS value FROM m"
+        ),
+        "agg_composite_page": _agg_matched_cte() + (
+            f" SELECT lang, source, count(*)::BIGINT AS doc_count FROM m "
+            f"WHERE lang > '{COMPOSITE_AFTER[0]}' OR (lang = "
+            f"'{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}') "
+            "GROUP BY lang, source ORDER BY lang ASC, source ASC LIMIT 10"
+        ),
+        "agg_top_hits": _agg_matched_cte() + (
+            ", b AS (SELECT lang AS key, count(*)::BIGINT AS doc_count "
+            "FROM m GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 3), "
+            "h AS (SELECT lang AS key, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars ASC, doc_id::VARCHAR ASC"
+            ")::BIGINT AS hit_rank FROM m WHERE n_chars IS NOT NULL) "
+            "SELECT b.key, b.doc_count, h.hit_rank, h.doc_id, "
+            "h.n_chars::BIGINT AS sort_val "
+            "FROM b JOIN h USING (key) WHERE h.hit_rank <= 2"
+        ),
+        "agg_percentiles_nchars": _agg_matched_cte() + (
+            " SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25, "
+            "round(quantile_cont(n_chars, 0.50), 6) AS p50, "
+            "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
+            "round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM m"
+        ),
+        "agg_missing_lang": _agg_matched_cte() + (
+            " SELECT count(*) FILTER (WHERE lang = 'de')::BIGINT "
+            "AS doc_count FROM m"
+        ),
+        "agg_filters_named": _agg_matched_cte() + (
+            " SELECT 'short' AS filter_key, count(*) FILTER "
+            "(WHERE n_chars < 250)::BIGINT AS doc_count FROM m "
+            "UNION ALL SELECT 'en_long', count(*) FILTER "
+            "(WHERE lang = 'en' AND n_chars >= 250)::BIGINT FROM m "
+            "UNION ALL SELECT 'none', count(*) FILTER "
+            "(WHERE lang = 'xx')::BIGINT FROM m"
+        ),
+        "agg_date_histogram": (
+            "SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS "
+            "bucket_epoch, count(*)::BIGINT AS doc_count FROM events "
+            "WHERE event_type = 'click' GROUP BY bucket_epoch"
         ),
         "bm25_filtered_topk": _bm25_sql(
             BM25_TERMS,

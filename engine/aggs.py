@@ -112,6 +112,84 @@ class StatsAgg:
 
 
 @dataclass(frozen=True)
+class CompositeAgg:
+    """ES `composite` aggregation: key-ordered bucket paging over one or
+    more docvalue sources — THE scalable way to enumerate a
+    high-cardinality bucket space (a terms agg's doc_count-desc top-k
+    needs every key's global count; composite pages keys in key order
+    with an `after` cursor, so each page is a bounded amount of work no
+    matter how many buckets exist).
+
+    Exactness under per-shard truncation: each shard emits only its first
+    `size` bucket partials in key order strictly after `after`. For any
+    key K in the GLOBAL first `size` keys after the cursor, fewer than
+    `size` keys precede K globally, hence fewer than `size` precede K
+    within any one shard — so every shard containing K emitted it, and
+    the combined doc_counts are exact (same argument as ES's composite
+    shard protocol). Docs with a null in any source are skipped (ES
+    missing_bucket=false default). Buckets order by source tuple asc;
+    `after` is a full source-value tuple, strictly-greater lexicographic."""
+
+    sources: tuple
+    size: int = 10
+    after: tuple | None = None
+
+
+@dataclass(frozen=True)
+class TopHitsAgg:
+    """ES `terms` aggregation with a `top_hits` sub-aggregation: the top
+    `size` buckets of `field` (doc_count desc, key asc — TermsAgg order)
+    and, per kept bucket, the first `hits_k` documents sorted by the
+    `hits_sort` docvalue (asc|desc) with the url tiebreak. Docs with a
+    null sort value count toward doc_count but never appear as hits
+    (frozen; ES would sort missing last). Buckets whose every doc has a
+    null sort value emit no rows. Intended for low-cardinality bucket
+    fields (each shard returns <= |keys| x hits_k hit rows + one count
+    row per key); for high-cardinality enumeration use CompositeAgg."""
+
+    field: str
+    size: int = 10
+    hits_sort: str = ""
+    hits_k: int = 3
+    ascending: bool = True
+
+
+@dataclass(frozen=True)
+class PercentilesAgg:
+    """ES `percentiles` aggregation — EXACT (linear interpolation between
+    closest ranks, the percentile_cont definition Spark's `percentile`
+    and DuckDB's `quantile_cont` both implement), a deliberate divergence
+    from ES's TDigest approximation. The cost of exactness: each shard
+    ships its matched values (one double per matched doc) to the combine
+    instead of a constant-size sketch — matched-set-sized, not
+    corpus-sized, and explicitly the trade documented here. For matched
+    sets too big to gather, ES's answer (TDigest) is approximate anyway;
+    an approximate sketch combine can be slotted in behind the same spec
+    if that trade ever inverts."""
+
+    field: str
+    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+@dataclass(frozen=True)
+class MissingAgg:
+    """ES `missing` aggregation: count of matched docs whose docvalue is
+    null (the complement of ExistsFilter)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class FiltersAgg:
+    """ES `filters` aggregation: named buckets, one per filter-clause
+    list (TermFilter/RangeFilter/ExistsFilter, conjunctive within a
+    bucket — the same clause objects as the query-side filter context).
+    Every named bucket emits (count 0 included), in declaration order."""
+
+    named: tuple  # ((name, (clause, ...)), ...)
+
+
+@dataclass(frozen=True)
 class CardinalityAgg:
     """Distinct count of a docvalue over the matched set — EXACT, unlike
     ES (HLL++, approximate above precision_threshold). Per-shard kernels
@@ -130,6 +208,10 @@ _DT_UNIT = {"hour": "datetime64[h]", "day": "datetime64[D]", "month": "datetime6
 def _range_label(lo, hi) -> str:
     f = lambda v: "*" if v is None else f"{float(v):g}"  # noqa: E731
     return f"{f(lo)}-{f(hi)}"
+
+
+def _pct_name(p: float) -> str:
+    return "p" + f"{float(p):g}".replace(".", "_")
 
 
 # ---------------------------------------------------------------------------
@@ -226,7 +308,71 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
     if isinstance(agg, CardinalityAgg):
         uniq = pc.unique(tbl.column(agg.field).drop_null())
         return pd.DataFrame({"v": [str(x) for x in uniq.to_pylist()]})
+    if isinstance(agg, CompositeAgg):
+        cols = list(agg.sources)
+        pdf = tbl.select(cols).to_pandas().dropna(subset=cols)
+        g = pdf.groupby(cols, sort=True).size().reset_index(name="cnt")
+        if agg.after is not None:
+            g = g[_lex_after_pandas(g, agg.sources, agg.after)]
+        # first `size` keys in key order is exact under the combine's
+        # re-merge (see CompositeAgg docstring); mergesort keeps the
+        # groupby's key order stable for equal leading sources
+        return g.sort_values(cols, kind="mergesort").head(agg.size)
+    if isinstance(agg, TopHitsAgg):
+        pdf = tbl.select([agg.field, agg.hits_sort, "url"]).to_pandas()
+        pdf = pdf[pdf[agg.field].notna()]
+        pdf["key"] = pdf[agg.field].astype(str)
+        gcnt = pdf.groupby("key").size()
+        hits = pdf[pdf[agg.hits_sort].notna()].sort_values(
+            ["key", agg.hits_sort, "url"],
+            ascending=[True, agg.ascending, True],
+            kind="mergesort",
+        )
+        hits = hits.groupby("key").head(agg.hits_k)
+        # shard-key doc_count rides on the key's first hit row (0 on the
+        # rest) so sum(cnt) is exact; keys with only-null sort values
+        # still need their count -> one url-less row each
+        first = ~hits["key"].duplicated()
+        out = pd.DataFrame(
+            {
+                "key": hits["key"],
+                "cnt": np.where(first, hits["key"].map(gcnt), 0),
+                "url": hits["url"],
+                "v": hits[agg.hits_sort],
+            }
+        )
+        nohit = gcnt.index.difference(hits["key"].unique())
+        if len(nohit):
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "key": nohit,
+                            "cnt": gcnt.loc[nohit].to_numpy(),
+                            "url": None,
+                            "v": None,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        if vt == "long":
+            out["v"] = out["v"].astype("Int64")
+        return out
+    if isinstance(agg, MissingAgg):
+        col = tbl.column(agg.field)
+        return pd.DataFrame({"cnt": [col.null_count]})
+    if isinstance(agg, FiltersAgg):
+        from engine.docvalues import filter_mask as _fm
+
+        cnts = [
+            int(np.count_nonzero(_fm(tbl, fs))) for _n, fs in agg.named
+        ]
+        return pd.DataFrame({"fidx": np.arange(len(cnts)), "cnt": cnts})
     vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
+    if isinstance(agg, PercentilesAgg):
+        return pd.DataFrame({"v": vals.astype(np.float64)})
     if isinstance(agg, RangeAgg):
         cnts = []
         for lo, hi in agg.ranges:
@@ -266,6 +412,45 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
     raise ValueError(f"unknown agg spec {agg!r}")
 
 
+def _agg_fields(agg) -> list[str]:
+    """Docvalue fields the agg gathers per matched doc ('url' is the
+    docmap id column, always present — not a docvalue)."""
+    if isinstance(agg, CompositeAgg):
+        return list(agg.sources)
+    if isinstance(agg, TopHitsAgg):
+        return [agg.field, agg.hits_sort, "url"]
+    if isinstance(agg, FiltersAgg):
+        return sorted({f.field for _n, fs in agg.named for f in fs})
+    if isinstance(agg, TermsAgg):
+        return [agg.field] + ([agg.stats_of] if agg.stats_of else [])
+    return [agg.field]
+
+
+def _agg_vt(reader: IndexReader, agg):
+    """Value-type tag(s) threaded through partial schema + combine."""
+    if isinstance(agg, CompositeAgg):
+        return tuple(_vtype(reader, s) for s in agg.sources)
+    if isinstance(agg, TopHitsAgg):
+        return _vtype(reader, agg.hits_sort)
+    if isinstance(agg, (MissingAgg, FiltersAgg)):
+        return ""
+    if isinstance(agg, PercentilesAgg):
+        return "double"
+    if isinstance(agg, TermsAgg):
+        return _vtype(reader, agg.stats_of or agg.field)
+    return _vtype(reader, agg.field)
+
+
+def _lex_after_pandas(g: pd.DataFrame, sources, after) -> pd.Series:
+    """Strictly-greater lexicographic cursor mask over bucket-key rows."""
+    gt = pd.Series(False, index=g.index)
+    eq = pd.Series(True, index=g.index)
+    for c, a in zip(sources, after):
+        gt = gt | (eq & (g[c] > a))
+        eq = eq & (g[c] == a)
+    return gt
+
+
 def _vtype(reader: IndexReader, fld: str) -> str:
     t = reader._pa_dataset("docmap").schema.field(fld).type
     if pa.types.is_timestamp(t):
@@ -284,6 +469,17 @@ def _partial_schema(agg, vt: str) -> str:
         return f"key string, cnt long, vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
     if isinstance(agg, CardinalityAgg):
         return "v string"
+    if isinstance(agg, CompositeAgg):
+        srcs = ", ".join(f"{s} {t}" for s, t in zip(agg.sources, vt))
+        return f"{srcs}, cnt long"
+    if isinstance(agg, TopHitsAgg):
+        return f"key string, cnt long, url string, v {vt}"
+    if isinstance(agg, PercentilesAgg):
+        return "v double"
+    if isinstance(agg, MissingAgg):
+        return "cnt long"
+    if isinstance(agg, FiltersAgg):
+        return "fidx int, cnt long"
     if isinstance(agg, RangeAgg):
         return "ridx int, cnt long"
     if isinstance(agg, HistogramAgg):
@@ -322,6 +518,55 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
         )
     if isinstance(agg, CardinalityAgg):
         return partials.agg(F.count_distinct("v").alias("value"))
+    if isinstance(agg, CompositeAgg):
+        cols = list(agg.sources)
+        return (
+            partials.groupBy(*cols)
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy(*[F.asc(c) for c in cols])
+            .limit(agg.size)
+        )
+    if isinstance(agg, TopHitsAgg):
+        from pyspark.sql import Window
+
+        buckets = (
+            partials.groupBy("key")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+        v_ord = F.col("v").asc() if agg.ascending else F.col("v").desc()
+        w = Window.partitionBy("key").orderBy(v_ord, F.col("url").asc())
+        return (
+            partials.filter(F.col("url").isNotNull())
+            .join(F.broadcast(buckets), "key")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= agg.hits_k)
+            .select("key", "doc_count", "hit_rank", "url", F.col("v").alias("sort_val"))
+            .orderBy(F.desc("doc_count"), F.asc("key"), F.asc("hit_rank"))
+        )
+    if isinstance(agg, PercentilesAgg):
+        fracs = ", ".join(f"{p / 100.0!r}" for p in agg.percents)
+        q = partials.agg(F.expr(f"percentile(v, array({fracs}))").alias("q"))
+        return q.select(
+            *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, MissingAgg):
+        return partials.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("doc_count")
+        )
+    if isinstance(agg, FiltersAgg):
+        labels = spark.createDataFrame(
+            [(i, n) for i, (n, _fs) in enumerate(agg.named)],
+            "fidx int, filter_key string",
+        )
+        return (
+            labels.join(partials, "fidx", "left")
+            .groupBy("fidx", "filter_key")
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("doc_count"))
+            .orderBy("fidx")
+            .drop("fidx")
+        )
     if isinstance(agg, RangeAgg):
         labels = spark.createDataFrame(
             [(i, _range_label(lo, hi)) for i, (lo, hi) in enumerate(agg.ranges)],
@@ -386,15 +631,19 @@ def search_aggs(
     'local' forces driver-side (raises if postings aren't local)."""
     spark = reader.spark
     filters = tuple(filters)
-    fields = [agg.field] + ([agg.stats_of] if getattr(agg, "stats_of", None) else [])
+    fields = _agg_fields(agg)
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    missing = [f for f in fields + filter_fields(filters) if f not in dv_cols]
+    missing = [
+        f
+        for f in fields + filter_fields(filters)
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
+    ]
     if missing:
         raise ValueError(
             f"field(s) {missing} not in index docvalues {dv_cols}; rebuild "
             f"with build_index(..., docvalue_cols=[...])"
         )
-    vt = _vtype(reader, agg.field if not isinstance(agg, TermsAgg) else (agg.stats_of or agg.field))
+    vt = _agg_vt(reader, agg)
     if query is None:
         return _match_all_aggs(reader, agg, vt, filters)
     gat_fields = list(dict.fromkeys(fields + filter_fields(filters)))
@@ -645,6 +894,76 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
         )
     if isinstance(agg, CardinalityAgg):
         return dm.agg(F.count_distinct(agg.field).alias("value"))
+    if isinstance(agg, CompositeAgg):
+        cols = list(agg.sources)
+        out = dm
+        for s in cols:
+            out = out.filter(F.col(s).isNotNull())
+        if agg.after is not None:
+            gt, eq = F.lit(False), F.lit(True)
+            for s, a in zip(agg.sources, agg.after):
+                gt = gt | (eq & (F.col(s) > F.lit(a)))
+                eq = eq & (F.col(s) == F.lit(a))
+            out = out.filter(gt)
+        return (
+            out.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(*[F.asc(s) for s in cols])
+            .limit(agg.size)
+        )
+    if isinstance(agg, TopHitsAgg):
+        from pyspark.sql import Window
+
+        keyed = dm.filter(F.col(agg.field).isNotNull()).withColumn(
+            "key", F.col(agg.field).cast("string")
+        )
+        buckets = (
+            keyed.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+        hv = F.col(agg.hits_sort)
+        v_ord = hv.asc() if agg.ascending else hv.desc()
+        w = Window.partitionBy("key").orderBy(v_ord, F.col("url").asc())
+        return (
+            keyed.filter(hv.isNotNull())
+            .join(F.broadcast(buckets), "key")
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= agg.hits_k)
+            .select("key", "doc_count", "hit_rank", "url", hv.alias("sort_val"))
+            .orderBy(F.desc("doc_count"), F.asc("key"), F.asc("hit_rank"))
+        )
+    if isinstance(agg, PercentilesAgg):
+        fracs = ", ".join(f"{p / 100.0!r}" for p in agg.percents)
+        q = dm.agg(
+            F.expr(
+                f"percentile({agg.field}, array({fracs}))"
+            ).alias("q")
+        )
+        return q.select(
+            *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, MissingAgg):
+        return dm.agg(
+            F.coalesce(
+                F.sum(F.when(F.col(agg.field).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("doc_count")
+        )
+    if isinstance(agg, FiltersAgg):
+        sums = []
+        for i, (_n, fs) in enumerate(agg.named):
+            conds = _spark_filter_conds(fs)
+            cond = conds[0] if conds else F.lit(True)
+            for extra in conds[1:]:
+                cond &= extra
+            sums.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"f{i}"))
+        row = dm.agg(*sums).collect()[0]
+        return spark.createDataFrame(
+            [(n, int(row[f"f{i}"])) for i, (n, _fs) in enumerate(agg.named)],
+            "filter_key string, doc_count long",
+        )
     c = F.col(agg.field)
     if isinstance(agg, RangeAgg):
         sums = []

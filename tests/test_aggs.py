@@ -426,3 +426,173 @@ def test_absent_term_and_empty_results(spark, agg_index):
     st = search_aggs(r, ["zzzzmissing"], StatsAgg("n_chars")).collect()[0]
     assert st["v_count"] == 0 and st["v_min"] is None and st["v_avg"] is None
     assert search_aggs(r, ["zzzzmissing"], TermsAgg("lang")).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# composite / top_hits / percentiles / missing / filters aggs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_composite_pages_stitch_to_full_groupby(spark, agg_index, docs_pdf, execution):
+    """Paging composite buckets with the after cursor until exhaustion
+    must reproduce the full exact GROUP BY, in key order."""
+    from engine.aggs import CompositeAgg
+
+    r = IndexReader(spark, agg_index)
+    want = (
+        matched(docs_pdf)
+        .groupby(["lang", "source"])
+        .size()
+        .reset_index(name="doc_count")
+        .sort_values(["lang", "source"], kind="mergesort")
+    )
+    got, after, pages = [], None, 0
+    while True:
+        rows = search_aggs(
+            r, Q, CompositeAgg(("lang", "source"), size=7, after=after),
+            execution=execution,
+        ).collect()
+        if not rows:
+            break
+        got += [(x["lang"], x["source"], x["doc_count"]) for x in rows]
+        after = (rows[-1]["lang"], rows[-1]["source"])
+        pages += 1
+        assert pages < 100
+    assert got == [tuple(t) for t in want.itertuples(index=False)]
+    assert pages > 1  # the cursor actually paged
+
+
+def test_composite_match_all(spark, agg_index, docs_pdf):
+    from engine.aggs import CompositeAgg
+
+    r = IndexReader(spark, agg_index)
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    want = (
+        ok.groupby(["lang", "source"]).size().reset_index(name="c")
+        .sort_values(["lang", "source"], kind="mergesort")
+    )
+    after = (want.iloc[2]["lang"], want.iloc[2]["source"])
+    rows = search_aggs(
+        r, None, CompositeAgg(("lang", "source"), size=5, after=after)
+    ).collect()
+    exp = want.iloc[3:8]
+    assert [(x["lang"], x["source"], x["doc_count"]) for x in rows] == [
+        tuple(t) for t in exp.itertuples(index=False)
+    ]
+
+
+def _brute_top_hits(m, size=3, hits_k=2, ascending=True):
+    cnt = m.groupby("lang").size().reset_index(name="doc_count")
+    cnt = cnt.sort_values(
+        ["doc_count", "lang"], ascending=[False, True], kind="mergesort"
+    ).head(size)
+    out = []
+    for _, b in cnt.iterrows():
+        h = m[m["lang"] == b["lang"]].copy()
+        h["url"] = h["doc_id"].astype(str)
+        h = h.sort_values(
+            ["n_chars", "url"], ascending=[ascending, True], kind="mergesort"
+        ).head(hits_k)
+        out += [
+            (b["lang"], b["doc_count"], i + 1, u, nc)
+            for i, (u, nc) in enumerate(zip(h["url"], h["n_chars"]))
+        ]
+    return out
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_top_hits_agg(spark, agg_index, docs_pdf, execution):
+    from engine.aggs import TopHitsAgg
+
+    r = IndexReader(spark, agg_index)
+    rows = search_aggs(
+        r, Q,
+        TopHitsAgg("lang", size=3, hits_sort="n_chars", hits_k=2),
+        execution=execution,
+    ).collect()
+    got = [
+        (x["key"], x["doc_count"], x["hit_rank"], x["url"], x["sort_val"])
+        for x in rows
+    ]
+    assert got == _brute_top_hits(matched(docs_pdf))
+    # descending + match_all
+    rows = search_aggs(
+        r, None,
+        TopHitsAgg("lang", size=2, hits_sort="n_chars", hits_k=3, ascending=False),
+    ).collect()
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    assert [
+        (x["key"], x["doc_count"], x["hit_rank"], x["url"], x["sort_val"])
+        for x in rows
+    ] == _brute_top_hits(ok, size=2, hits_k=3, ascending=False)
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_percentiles_agg_exact(spark, agg_index, docs_pdf, execution):
+    """Exact linear-interpolation percentiles (numpy 'linear' is the same
+    percentile_cont definition as Spark's percentile)."""
+    from engine.aggs import PercentilesAgg
+
+    r = IndexReader(spark, agg_index)
+    pcts = (25.0, 50.0, 75.0, 95.0)
+    row = search_aggs(
+        r, Q, PercentilesAgg("n_chars", pcts), execution=execution
+    ).collect()[0]
+    vals = matched(docs_pdf)["n_chars"].to_numpy(dtype=float)
+    for p in pcts:
+        name = "p" + f"{p:g}".replace(".", "_")
+        assert row[name] == pytest.approx(
+            float(np.percentile(vals, p, method="linear")), rel=1e-12
+        ), name
+    # match_all path
+    row = search_aggs(r, None, PercentilesAgg("n_chars", (50.0,))).collect()[0]
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    assert row["p50"] == pytest.approx(
+        float(np.percentile(ok["n_chars"].to_numpy(dtype=float), 50))
+    )
+
+
+def test_missing_and_filters_aggs(spark, tmp_path_factory):
+    from engine.aggs import FiltersAgg, MissingAgg
+    from engine.docvalues import RangeFilter, TermFilter
+
+    rows = [
+        (str(i), f"alpha beta doc{i}",
+         None if i % 3 == 0 else ("x" if i % 2 else "y"), i * 10)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, tag string, n int")
+    out = str(tmp_path_factory.mktemp("aggmiss") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["tag", "n"])
+    r = IndexReader(spark, out)
+    n_null = sum(1 for _, _, t, _ in rows if t is None)
+    for execution in ("local", "spark"):
+        got = search_aggs(
+            r, ["alpha"], MissingAgg("tag"), execution=execution
+        ).collect()
+        assert got[0]["doc_count"] == n_null, execution
+    # match_all
+    assert search_aggs(r, None, MissingAgg("tag")).collect()[0]["doc_count"] == n_null
+
+    spec = FiltersAgg((
+        ("low_x", (TermFilter("tag", "x"), RangeFilter("n", None, 150))),
+        ("high", (RangeFilter("n", 150, None),)),
+        ("none", (TermFilter("tag", "zzz"),)),
+    ))
+    want = [
+        ("low_x", sum(1 for _, _, t, n in rows if t == "x" and n < 150)),
+        ("high", sum(1 for _, _, _t, n in rows if n >= 150)),
+        ("none", 0),
+    ]
+    for execution in ("local", "spark"):
+        got = [
+            (x["filter_key"], x["doc_count"])
+            for x in search_aggs(r, ["alpha"], spec, execution=execution).collect()
+        ]
+        assert got == want, execution
+    got = [
+        (x["filter_key"], x["doc_count"])
+        for x in search_aggs(r, None, spec).collect()
+    ]
+    assert got == want
