@@ -47,12 +47,18 @@ from engine.textnorm import (
 )
 from engine.textstats import (
     CY_STOPWORDS,
+    EMAIL_RE,
     EN_STOPWORDS,
+    PHONE_RE,
     doc_fingerprint,
     lang_id,
     quality_score,
     token_counts,
 )
+
+# the frozen scrub patterns stay in the Java-regex/RE2 common dialect, so
+# the SQL oracle embeds them verbatim (no single quotes to escape)
+_EMAIL_RE_SQL, _PHONE_RE_SQL = EMAIL_RE, PHONE_RE
 from engine.simsearch import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -1743,6 +1749,46 @@ def q_agg_date_histogram(spark, sf_dir):
     )
 
 
+def q_stats_repetition(spark, sf_dir):
+    """Gopher-style repetition features (type-token ratio + top-bigram
+    fraction) — boilerplate/repetition filters for training-data curation
+    (engine/textstats.py repetition_stats)."""
+    from engine.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+# deterministic PII augmentation: the corpus has no emails/phones, so the
+# scrub query plants them on every 5th doc IN THE QUERY (both engines) —
+# the machinery is tested non-vacuously without touching the input data
+PII_MOD = 5
+
+
+def q_stats_pii_scrub(spark, sf_dir):
+    """PII masking (emails then phone-shaped numbers -> typed
+    placeholders) with per-doc match counts; scrubbed text returned as
+    md5 (the driver compare rejects long free-text less robustly than a
+    hash, and the hash pins every byte)."""
+    from engine.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % PII_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pii_scrub(d)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p_reject_filter": q_reject_filter,
@@ -1795,6 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lang_id": q_lang_id,
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
+        "stats_repetition": q_stats_repetition,
+        "stats_pii_scrub": q_stats_pii_scrub,
         "sim_cosine_topk": q_cosine_topk,
         "dedup_embedding_pairs": q_embedding_near_dup,
         "sim_lsh_ann_topk": q_lsh_ann,
@@ -2071,6 +2119,40 @@ FROM f"""
             _shingle_cte()
             + " SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"
         ),
+        "stats_repetition": _toks_cte() + """,
+base AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_distinct(toks))::BIGINT AS n_distinct
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+                         for i in range(1, len(toks))]) AS b
+  FROM toks WHERE len(toks) >= 2
+),
+c AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b),
+t AS (SELECT doc_id, max(cnt)::BIGINT AS top FROM c GROUP BY doc_id)
+SELECT base.doc_id, n_tokens, n_distinct,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+       coalesce(top, 0)::BIGINT AS top_bigram_cnt,
+       round(coalesce(top, 0)::DOUBLE / greatest(n_tokens - 1, 1), 6)
+         AS top_bigram_frac
+FROM base LEFT JOIN t USING (doc_id)""",
+        "stats_pii_scrub": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || doc_id
+                   || '@example.com or 555-867-5309'
+              ELSE text END AS t
+  FROM documents WHERE text IS NOT NULL AND text != ''
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE_SQL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE_SQL}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE_SQL}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE_SQL}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM aug""",
         "sim_cosine_topk": """
 WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings),
 p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id < 5),

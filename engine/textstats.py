@@ -109,6 +109,95 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per doc (Rae et al. 2021 §A1.1's
+    'repetitious text' filters, token-level): type-token ratio and the
+    most-frequent-bigram fraction. Mass-produced boilerplate scores low
+    distinct_ratio / high top_bigram_frac and gets filtered upstream of
+    training.
+
+    Scale shape: token stats are row-local column ops; the bigram mode is
+    the word-count pattern — explode to (doc, bigram) rows, partial
+    map-side combine into counts, per-doc max — two key-local shuffles,
+    no driver involvement, no per-row Python.
+
+    Output: doc_id, n_tokens, n_distinct, distinct_ratio (= n_distinct /
+    n_tokens), top_bigram_cnt, top_bigram_frac (= top_bigram_cnt /
+    (n_tokens - 1); 0 when the doc has < 2 tokens)."""
+    t = F.col(text_col)
+    toks = standard_tokenize_col(F.lower(t))
+    d = docs.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    n = F.size("toks")
+    base = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n - 1),
+            F.expr("slice(toks, 2, size(toks) - 1)"),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_cnt"))
+    )
+    out = base.join(top, "doc_id", "left").withColumn(
+        "top_bigram_cnt", F.coalesce("top_bigram_cnt", F.lit(0))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        "top_bigram_cnt",
+        F.round(
+            F.col("top_bigram_cnt")
+            / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# Frozen scrub patterns — same semantics under Java regex (Spark) and RE2
+# (DuckDB): plain character classes, bounded quantifiers, \b word edges.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PII masking for training-data pipelines: replace
+    email addresses then phone-shaped numbers with typed placeholders,
+    counting matches per doc. Pure column ops (JVM regex, no UDF); the
+    frozen patterns deliberately stay in the Java-regex/RE2 common
+    dialect so the DuckDB oracle runs them verbatim. Scrub order (emails
+    first, then phones) is part of the frozen contract.
+
+    Output: doc_id, n_emails, n_phones, scrubbed."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return docs.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

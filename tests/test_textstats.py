@@ -1,0 +1,62 @@
+"""Edge-case tests for the training-data text ops (engine/textstats.py).
+
+The sf0.01 driver oracle covers these ops end-to-end against DuckDB; this
+file pins the frozen boundary semantics on crafted rows: sub-2-token docs
+(no bigrams), fully-repetitive docs, scrub order and pattern edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.textstats import pii_scrub, repetition_stats
+
+
+@pytest.fixture(scope="module")
+def rep_rows(spark):
+    rows = [
+        (1, "a a a a"),            # one repeated token: top bigram 'a a' x3
+        (2, "x"),                  # single token: no bigrams, frac 0
+        (3, "u v w"),              # all distinct: every bigram count 1
+        (4, "go go stop go go"),   # 'go go' twice among 4 bigrams
+        (5, ""),                   # empty: filtered out entirely
+        (6, None),                 # null: filtered out entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in repetition_stats(df).collect()
+    }
+    return out
+
+
+def test_repetition_stats_edges(rep_rows):
+    assert set(rep_rows) == {1, 2, 3, 4}  # empty/null rows dropped
+    r1 = rep_rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["top_bigram_cnt"]) == (4, 1, 3)
+    assert r1["distinct_ratio"] == 0.25
+    assert r1["top_bigram_frac"] == 1.0  # 3 / (4 - 1)
+    r2 = rep_rows[2]
+    assert (r2["n_tokens"], r2["top_bigram_cnt"], r2["top_bigram_frac"]) == (1, 0, 0.0)
+    r3 = rep_rows[3]
+    assert (r3["n_distinct"], r3["top_bigram_cnt"]) == (3, 1)
+    r4 = rep_rows[4]
+    assert r4["top_bigram_cnt"] == 2
+    assert r4["top_bigram_frac"] == 0.5  # 2 / (5 - 1)
+
+
+def test_pii_scrub_order_and_counts(spark):
+    rows = [
+        (1, "mail a.b@x.co and b_c@y.org now"),
+        (2, "call 555-123-4567 or 555 987 6543"),
+        (3, "both: u@example.com / 111-222-3333"),
+        (4, "none here, 12-34 is not a phone, a@b is not an email"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert got[1]["scrubbed"] == "mail [EMAIL] and [EMAIL] now"
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert got[2]["scrubbed"] == "call [PHONE] or [PHONE]"
+    assert got[3]["scrubbed"] == "both: [EMAIL] / [PHONE]"
+    assert (got[4]["n_emails"], got[4]["n_phones"]) == (0, 0)
+    assert got[4]["scrubbed"] == rows[3][1]
