@@ -1749,6 +1749,34 @@ def q_agg_date_histogram(spark, sf_dir):
     )
 
 
+def q_agg_significant_terms(spark, sf_dir):
+    """ES significant_terms (JLH): terms overrepresented in the matched
+    set vs the index background; matched ids semi-join the corpus so only
+    matched docs re-tokenize, bg df joins from the term_stats table."""
+    from engine.aggs import significant_terms
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    return significant_terms(r, BM25_TERMS, d, size=10)
+
+
+def q_bm25_highlight(spark, sf_dir):
+    """ES highlight (frozen simplified contract): 80-char fragment
+    anchored 30 chars before the earliest term occurrence, word-boundary
+    occurrences wrapped in <em> tags; over the rounded-rank top-10."""
+    from engine.query import IndexReader, bm25_topk, highlight_fragments
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(r, BM25_TERMS, k=25, mode="or", algo="wand")
+    hits = _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+    return highlight_fragments(hits, _docs(spark, sf_dir), BM25_TERMS)
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1868,6 +1896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_missing_lang": q_agg_missing_lang,
         "agg_filters_named": q_agg_filters_named,
         "agg_date_histogram": q_agg_date_histogram,
+        "agg_significant_terms": q_agg_significant_terms,
+        "bm25_highlight_topk": q_bm25_highlight,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
@@ -2345,6 +2375,39 @@ FROM c
             "bucket_epoch, count(*)::BIGINT AS doc_count FROM events "
             "WHERE event_type = 'click' GROUP BY bucket_epoch"
         ),
+        "agg_significant_terms": f"""
+{_toks_cte()},
+dd AS (SELECT doc_id, list_distinct(toks) AS dt FROM toks),
+nbg AS (SELECT count(*)::BIGINT AS c FROM dd),
+fgdocs AS (SELECT doc_id, dt FROM dd
+           WHERE list_has_any(dt, [{", ".join(f"'{t}'" for t in BM25_TERMS)}])),
+nfg AS (SELECT count(*)::BIGINT AS c FROM fgdocs),
+fg AS (SELECT term, count(*)::BIGINT AS doc_count
+       FROM (SELECT doc_id, unnest(dt) AS term FROM fgdocs) GROUP BY term),
+bg AS (SELECT term, count(*)::BIGINT AS df
+       FROM (SELECT doc_id, unnest(dt) AS term FROM dd) GROUP BY term),
+s AS (SELECT fg.term, fg.doc_count, bg.df,
+             (fg.doc_count / nfg.c::DOUBLE - bg.df / nbg.c::DOUBLE)
+             * ((fg.doc_count / nfg.c::DOUBLE) / (bg.df / nbg.c::DOUBLE))
+               AS score_raw
+      FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nbg)
+SELECT term, doc_count, df AS bg_count, round(score_raw, 6) AS score
+FROM s WHERE score_raw > 0
+ORDER BY round(score_raw, 6) DESC, term ASC LIMIT 10""",
+        "bm25_highlight_topk": f"""
+WITH topk AS ({_bm25_sql(BM25_TERMS)}),
+h AS (SELECT t.doc_id, t.score, d.text
+      FROM topk t JOIN documents d USING (doc_id)),
+p AS (SELECT doc_id, score, text,
+        least(nullif(strpos(lower(text), 'hash'), 0),
+              nullif(strpos(lower(text), 'join'), 0),
+              nullif(strpos(lower(text), 'table'), 0)) AS pos
+      FROM h)
+SELECT doc_id, score,
+       regexp_replace(substr(text, greatest(1, pos - 30), 80),
+                      '(?i)\\b(hash|join|table)\\b', '<em>\\1</em>', 'g')
+         AS fragment
+FROM p WHERE pos IS NOT NULL""",
         "bm25_filtered_topk": _bm25_sql(
             BM25_TERMS,
             docvalue_filter=(

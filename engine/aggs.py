@@ -853,6 +853,155 @@ def search_sort(
     )
 
 
+def matched_urls(
+    reader: IndexReader,
+    query: str | list[str] | None,
+    mode: str = "or",
+    execution: str = "auto",
+    filters=(),
+) -> DataFrame:
+    """DataFrame of the _ids (urls) of docs matching the query context —
+    the foreground set feeding significant_terms (and a useful primitive
+    on its own: ES `_search?_source=false` id-only retrieval). Same
+    kernels, filter clauses, and tombstone masking as search_aggs; each
+    shard emits only its matched urls (streamed docvalue gather)."""
+    spark = reader.spark
+    filters = tuple(filters)
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    missing = [f for f in filter_fields(filters) if f not in dv_cols]
+    if missing:
+        raise ValueError(
+            f"filter field(s) {missing} not in index docvalues {dv_cols}"
+        )
+    terms = (
+        analyze_query_py(query) if isinstance(query, str)
+        else list(dict.fromkeys(query))
+    )
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return spark.createDataFrame([], "url string")
+    terms, n_terms = live, len(live)
+    tomb = reader.tombstones()
+    index_dir, mode_b = reader.dir, mode
+    fields = list(dict.fromkeys(["url"] + filter_fields(filters)))
+
+    def gather(shard: int, m: np.ndarray) -> pd.DataFrame:
+        tbl = _gather_docvalues(index_dir, shard, fields, m)
+        if filters:
+            tbl = tbl.filter(pa.array(filter_mask(tbl, filters)))
+        return pd.DataFrame({"url": tbl.column("url").to_pylist()})
+
+    def shard_urls(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf_key[0])
+        m = _matched_local_ids(
+            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
+        )
+        if m.size == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype=object)})
+        return gather(shard, m)
+
+    total_postings = sum(stats[t] for t in terms)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            frames = []
+            for shard, rows in by_shard.items():
+                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                if m.size:
+                    frames.append(gather(shard, m))
+            if not frames:
+                return spark.createDataFrame([], "url string")
+            return spark.createDataFrame(
+                pd.concat(frames, ignore_index=True), "url string"
+            )
+        if execution == "local":
+            raise ValueError("execution='local' needs a local postings directory")
+
+    return (
+        reader.postings(terms)
+        .groupBy("shard")
+        .applyInPandas(shard_urls, "url string")
+    )
+
+
+def significant_terms(
+    reader: IndexReader,
+    query: str | list[str],
+    corpus: DataFrame,
+    size: int = 10,
+    mode: str = "or",
+    min_doc_count: int = 1,
+    id_col: str = "url",
+    text_col: str = "text",
+    execution: str = "auto",
+    filters=(),
+) -> DataFrame:
+    """ES `significant_terms` on the indexed text field: terms
+    overrepresented in the matched (foreground) set vs the whole index
+    (background), scored with ES's JLH heuristic —
+    score = (fg_rate - bg_rate) * (fg_rate / bg_rate), keeping only
+    positive scores (fg_rate > bg_rate), ordered score desc / term asc,
+    top `size`.
+
+    Scale shape (the index stores no term vectors, mirroring ES reading
+    them from _source): the matched ids semi-join the corpus so ONLY
+    matched docs are re-tokenized — O(matched) tokenize work, never a
+    corpus re-scan; per-term background df comes from the term_stats
+    table via a term-keyed join (both sides vocabulary-bounded; AQE
+    broadcasts the candidate side when small). Frozen stats semantics:
+    foreground masks tombstones (kernel live-docs), background df / n_docs
+    stay pre-delete until compaction — the same Lucene live-docs contract
+    as BM25 idf here.
+
+    Output: term, doc_count (fg df), bg_count (index df), score
+    (rounded 6; ordering applied on the rounded value identically in the
+    SQL oracle)."""
+    spark = reader.spark
+    from engine.textnorm import standard_tokenize_col
+
+    fg_ids = matched_urls(reader, query, mode, execution, filters)
+    t = F.col(text_col)
+    docs = corpus.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).cast("string").alias("url"), t.alias("_t")
+    )
+    m = docs.join(fg_ids, "url", "left_semi")
+    n_fg = m.count()
+    out_schema = "term string, doc_count long, bg_count long, score double"
+    if n_fg == 0:
+        return spark.createDataFrame([], out_schema)
+    fg = (
+        m.select(
+            F.explode(
+                F.array_distinct(standard_tokenize_col(F.lower(F.col("_t"))))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    bg = spark.read.parquet(os.path.join(reader.dir, "term_stats")).select(
+        "term", "df"
+    )
+    fr = F.col("doc_count") / F.lit(float(n_fg))
+    br = F.col("df") / F.lit(float(reader.n_docs))
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("doc_count") >= min_doc_count)
+        .withColumn("score_raw", (fr - br) * (fr / br))
+        .filter(F.col("score_raw") > 0)
+        .orderBy(F.desc(F.round("score_raw", 6)), F.asc("term"))
+        .limit(size)
+        .select(
+            "term",
+            "doc_count",
+            F.col("df").alias("bg_count"),
+            F.round("score_raw", 6).alias("score"),
+        )
+    )
+
+
 def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
     """match_all: no postings at all — one DataFrame plan over the docmap
     (docvalue columns pruned at the parquet scan, aggregation inside

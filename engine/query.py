@@ -1673,3 +1673,52 @@ def bm25_topk_dataframe(
         .limit(k)
     )
     return scored
+
+
+def highlight_fragments(
+    hits: "DataFrame",
+    corpus: "DataFrame",
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frag_size: int = 80,
+    pad: int = 30,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> "DataFrame":
+    """ES-style highlighting, simplified to a frozen column-op contract:
+    for each hit row (any DataFrame carrying `id_col`, e.g. a bm25 top-k),
+    the `frag_size`-char fragment of the doc's text starting `pad` chars
+    before the EARLIEST case-insensitive substring occurrence of any query
+    term, with every word-boundary term occurrence inside the fragment
+    wrapped in pre/post tags. Hits whose text contains no term occurrence
+    (possible when the match came from another field) emit no row.
+
+    All JVM column ops (locate / substring / regexp_replace — no UDF);
+    the hit set is broadcast (top-k-sized by construction), so the corpus
+    side stays a pruned scan: only id + text columns are read and the
+    join filter reaches the parquet scan via the broadcast hash join.
+    The regex stays in the Java/RE2 common dialect ((?i), \\b, literal
+    alternation) so the DuckDB oracle differs only in backreference
+    spelling ($1 vs \\1)."""
+    import re as _re
+
+    lows = list(dict.fromkeys(t.lower() for t in terms))
+    hay = F.lower(F.col(text_col))
+    pos = F.least(
+        *[F.when(F.locate(t, hay) > 0, F.locate(t, hay)) for t in lows]
+    )
+    start = F.greatest(F.lit(1), pos - F.lit(pad))
+    frag = F.substring(F.col(text_col), start, F.lit(frag_size))
+    alt = "|".join(_re.escape(t) for t in lows)
+    marked = F.regexp_replace(
+        frag, f"(?i)\\b({alt})\\b", f"{pre_tag}$1{post_tag}"
+    )
+    keep = [c for c in hits.columns]
+    return (
+        corpus.select(id_col, text_col)
+        .join(F.broadcast(hits), id_col)
+        .withColumn("_pos", pos)
+        .filter(F.col("_pos").isNotNull())
+        .select(*keep, marked.alias("fragment"))
+    )

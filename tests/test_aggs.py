@@ -596,3 +596,57 @@ def test_missing_and_filters_aggs(spark, tmp_path_factory):
         for x in search_aggs(r, None, spec).collect()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_matched_urls_both_paths(spark, agg_index, docs_pdf, execution):
+    from engine.aggs import matched_urls
+
+    r = IndexReader(spark, agg_index)
+    got = sorted(
+        x["url"] for x in matched_urls(r, Q, execution=execution).collect()
+    )
+    want = sorted(matched(docs_pdf)["doc_id"].astype(str))
+    assert got == want
+
+
+def _brute_significant(docs_pdf, terms=Q, size=10):
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    dt = ok["text"].map(lambda t: set(analyze_query_py(t)))
+    fg_mask = dt.map(lambda s: bool(set(terms) & s))
+    n_fg, n_bg = int(fg_mask.sum()), len(ok)
+    fg_cnt: dict[str, int] = {}
+    bg_cnt: dict[str, int] = {}
+    for toks, is_fg in zip(dt, fg_mask):
+        for t in toks:
+            bg_cnt[t] = bg_cnt.get(t, 0) + 1
+            if is_fg:
+                fg_cnt[t] = fg_cnt.get(t, 0) + 1
+    rows = []
+    for t, fdf in fg_cnt.items():
+        fr, br = fdf / float(n_fg), bg_cnt[t] / float(n_bg)
+        s = (fr - br) * (fr / br)
+        if s > 0:
+            rows.append((t, fdf, bg_cnt[t], s))
+    rows.sort(key=lambda r: (-round(r[3], 6), r[0]))
+    return rows[:size]
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_significant_terms_vs_brute(spark, agg_index, docs_pdf, execution):
+    from engine.aggs import significant_terms
+    from pyspark.sql import functions as F
+
+    r = IndexReader(spark, agg_index)
+    corpus = spark.createDataFrame(docs_pdf[["doc_id", "text"]]).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    got = significant_terms(r, Q, corpus, size=10, execution=execution).collect()
+    want = _brute_significant(docs_pdf)
+    assert [(x["term"], x["doc_count"], x["bg_count"]) for x in got] == [
+        (t, f, b) for t, f, b, _ in want
+    ]
+    for x, (_, _, _, s) in zip(got, want):
+        assert x["score"] == pytest.approx(round(s, 6), abs=1e-6)
+    # the query terms themselves are trivially significant (ES keeps them)
+    assert set(Q) & {x["term"] for x in got}

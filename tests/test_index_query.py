@@ -532,3 +532,55 @@ def test_dismax_on_index_blends_field_variants(spark, index, corpus):
     assert [int(r["doc_id"]) for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_highlight_fragments_frozen_contract(spark):
+    """Frozen highlight semantics: earliest-occurrence anchor, pad
+    clipping at doc start, word-boundary-only tagging, case folding,
+    and silent drop of hits with no term occurrence."""
+    from engine.query import highlight_fragments
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "Hash at the very start of this document then filler words"),
+            (2, "x" * 50 + " a join here " + "y" * 50),
+            (3, "hashing is not a hit but a real hash appears later on"),
+            (4, "nothing relevant in this one at all"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 1.0), (2, 0.9), (3, 0.8), (4, 0.7)], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: r["fragment"]
+        for r in highlight_fragments(
+            hits, corpus, ["hash", "join"], frag_size=40, pad=10
+        ).collect()
+    }
+    # doc 4 dropped: no occurrence
+    assert set(got) == {1, 2, 3}
+
+    # brute twin of the frozen spec: earliest substring occurrence,
+    # pad-clipped RAW extraction, tags applied after extraction
+    import re
+
+    def brute(text: str) -> str:
+        pos = min(
+            (p for p in (text.lower().find(t) for t in ("hash", "join")) if p >= 0),
+        )
+        start = max(0, pos - 10)
+        frag = text[start : start + 40]
+        return re.sub(r"(?i)\b(hash|join)\b", r"<em>\1</em>", frag)
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for i in (1, 2, 3):
+        assert got[i] == brute(texts[i]), i
+    # doc 1: anchor at pos 1, pad clips to doc start, case preserved
+    assert got[1].startswith("<em>Hash</em> at the very start")
+    # doc 2: anchor at the mid-doc 'join', 10 chars of left context
+    assert "a <em>join</em> here" in got[2]
+    # doc 3: 'hashing' anchors the fragment (substring rule) but is NOT
+    # tagged (word-boundary rule); the later standalone 'hash' is
+    assert "<em>hashing</em>" not in got[3]
+    assert "<em>hash</em>" in got[3]
