@@ -1777,6 +1777,33 @@ def q_bm25_highlight(spark, sf_dir):
     return highlight_fragments(hits, _docs(spark, sf_dir), BM25_TERMS)
 
 
+def q_search_count(spark, sf_dir):
+    """ES _count of the query context under a filter clause — one row."""
+    from engine.aggs import search_count
+    from engine.docvalues import RangeFilter
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_count(
+        r, BM25_TERMS, filters=[RangeFilter("n_chars", 200, None)]
+    )
+
+
+DECON_N, DECON_PROBES = 4, 25  # n-gram size; probe set = doc_id < 25
+
+
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any exact token
+    4-gram with a probe doc (doc_id < 25, self-matches excluded)."""
+    from engine.dedup import ngram_decontaminate
+
+    d = _docs(spark, sf_dir)
+    return ngram_decontaminate(
+        d, d.filter(F.col("doc_id") < DECON_PROBES), n=DECON_N,
+        exclude_self=True,
+    )
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1898,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_histogram": q_agg_date_histogram,
         "agg_significant_terms": q_agg_significant_terms,
         "bm25_highlight_topk": q_bm25_highlight,
+        "search_count_filtered": q_search_count,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
@@ -2358,6 +2387,16 @@ FROM c
             "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
             "round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM m"
         ),
+        "search_count_filtered": _agg_matched_cte(
+            result_filter="d.n_chars >= 200"
+        ) + " SELECT count(*)::BIGINT AS doc_count FROM m",
+        "dedup_decontaminate": _shingle_cte(DECON_N) + f""",
+p AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < {DECON_PROBES}),
+c AS (SELECT doc_id, shingle FROM sh)
+SELECT c.doc_id, count(DISTINCT c.shingle)::BIGINT AS hit_shingles,
+       count(DISTINCT p.probe_id)::BIGINT AS hit_probes
+FROM c JOIN p USING (shingle) WHERE c.doc_id != p.probe_id
+GROUP BY c.doc_id""",
         "agg_missing_lang": _agg_matched_cte() + (
             " SELECT count(*) FILTER (WHERE lang = 'de')::BIGINT "
             "AS doc_count FROM m"

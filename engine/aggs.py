@@ -927,6 +927,36 @@ def matched_urls(
     )
 
 
+def search_count(
+    reader: IndexReader,
+    query: str | list[str] | None,
+    mode: str = "or",
+    execution: str = "auto",
+    filters=(),
+) -> DataFrame:
+    """ES `_count`: doc_count of the query context (None = match_all),
+    filter clauses included. The kernel path counts over the matched-id
+    stream — Spark's partial aggregation collapses each partition to one
+    count before the single-row shuffle; match_all is a docmap-only plan
+    (tombstones out via broadcast anti-join, filters as pushable
+    predicates)."""
+    spark = reader.spark
+    filters = tuple(filters)
+    if query is None:
+        dm = reader.docmap()
+        tomb = reader.tombstones()
+        if tomb:
+            rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
+            tdf = spark.createDataFrame(rows, "shard int, local_id long")
+            dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+        for cond in _spark_filter_conds(filters):
+            dm = dm.filter(cond)
+        return dm.agg(F.count(F.lit(1)).alias("doc_count"))
+    return matched_urls(reader, query, mode, execution, filters).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+
+
 def significant_terms(
     reader: IndexReader,
     query: str | list[str],

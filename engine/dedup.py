@@ -71,15 +71,23 @@ def ngram_shingles(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
     )
     # shingle i = toks[i..i+n-1] joined by space; array_distinct for set
-    # semantics; JVM-side transform over sequence — no UDF
+    # semantics; JVM-side transform over sequence — no UDF. The transform
+    # MUST live inside a lazily-evaluated when(): with only the filter,
+    # Catalyst may fuse later predicates into the same codegen stage and
+    # evaluate the transform on sub-n-token rows first, where
+    # sequence(0, size-n) descends into negative slice starts (a real
+    # crash on short web docs, caught by an end-to-end drive).
     sh = toks.filter(F.size("toks") >= n).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("shingles"),
+        F.when(
+            F.size("toks") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("shingles"),
     )
     return sh.select("doc_id", F.explode("shingles").alias("shingle"))
 
@@ -483,3 +491,44 @@ def dedup_keep_first(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
     min window)."""
     drop = pairs.select(F.col("b").alias(id_col)).distinct()
     return docs.join(drop, id_col, "left_anti")
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    exclude_self: bool = False,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma practice):
+    flag corpus docs sharing any exact token n-gram with a probe
+    (benchmark/test-set) document. Returns one row per contaminated doc:
+    (doc_id, hit_shingles = distinct shared n-grams, hit_probes =
+    distinct probe docs shared with). Clean docs emit nothing — the
+    caller removes hits with a left_anti join (dedup_keep_first pattern).
+
+    Scale shape: both sides reduce to distinct (id, shingle) rows
+    JVM-side (ngram_shingles — transform/sequence, no UDF); the join is
+    keyed on the shingle. Probe sets are benchmark-sized (tiny vs the
+    corpus), so the probe side broadcasts by default and the corpus
+    shingle stream is never shuffled; set broadcast_probes=False for a
+    probe set too big to broadcast (falls back to a shuffle join).
+    exclude_self drops doc_id == probe_id rows for the self-audit case
+    where probes are drawn from the corpus itself."""
+    c = ngram_shingles(docs, n, id_col, text_col)
+    p = ngram_shingles(probes, n, probe_id_col, probe_text_col).withColumnRenamed(
+        "doc_id", "probe_id"
+    )
+    if broadcast_probes:
+        p = F.broadcast(p)
+    j = c.join(p, "shingle")
+    if exclude_self:
+        j = j.filter(F.col("doc_id") != F.col("probe_id"))
+    return j.groupBy("doc_id").agg(
+        F.count_distinct("shingle").alias("hit_shingles"),
+        F.count_distinct("probe_id").alias("hit_probes"),
+    )

@@ -203,3 +203,115 @@ def test_auto_shingle_df_cap_floor(spark, docs):
 
     cap = auto_shingle_df_cap(ngram_shingles(docs, 3))
     assert cap >= 1024
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    import os
+    from tests.conftest import SF001
+
+    return spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def sf_docs_pdf():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF001
+
+    return pq.read_table(os.path.join(SF001, "documents.parquet")).to_pandas()
+
+
+def test_ngram_decontaminate_vs_brute_and_plan(spark, sf_docs, sf_docs_pdf):
+    """Decontamination hits == brute shingle-set intersection; probe side
+    broadcasts (corpus shingles never shuffle for the join)."""
+    from engine.dedup import ngram_decontaminate
+    from engine.textnorm import standard_tokenize_py
+    from tests.conftest import plan_of
+
+    n = 4
+    docs_df, docs_pdf = sf_docs, sf_docs_pdf
+    probes = docs_df.filter(F.col("doc_id") < 25)
+    out = ngram_decontaminate(docs_df, probes, n=n, exclude_self=True)
+    assert "BroadcastHashJoin" in plan_of(out)
+
+    def shingles(t):
+        # raw token stream (NOT the deduping query analyzer)
+        toks = standard_tokenize_py(t.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    sh = {int(r.doc_id): shingles(r.text) for r in ok.itertuples()}
+    probe_sh = {i: s for i, s in sh.items() if i < 25}
+    want = {}
+    for i, s in sh.items():
+        hits = set()
+        probes_hit = set()
+        for pid, ps in probe_sh.items():
+            if pid == i:
+                continue
+            inter = s & ps
+            if inter:
+                hits |= inter
+                probes_hit.add(pid)
+        if hits:
+            want[i] = (len(hits), len(probes_hit))
+    got = {
+        r["doc_id"]: (r["hit_shingles"], r["hit_probes"]) for r in out.collect()
+    }
+    assert got == want and got
+
+
+def test_search_count_matches_matched_set(spark, sf_docs, sf_docs_pdf):
+    from engine.aggs import search_count
+    from engine.docvalues import RangeFilter
+    from engine.index_build import build_index
+    from engine.oracle import analyze_query_py
+    from engine.query import IndexReader
+    import tempfile
+
+    docs_df, docs_pdf = sf_docs, sf_docs_pdf
+    out = tempfile.mkdtemp(prefix="cnt_idx_") + "/idx"
+    d = docs_df.select(
+        F.col("doc_id").cast("string").alias("url"), "text", "n_chars"
+    )
+    build_index(spark, d, out, n_shards=2, n_buckets=4, docvalue_cols=["n_chars"])
+    r = IndexReader(spark, out)
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    hit = ok["text"].map(
+        lambda t: bool({"hash", "join"} & set(analyze_query_py(t)))
+    )
+    m = ok[hit]
+    got = search_count(r, ["hash", "join"]).collect()[0]["doc_count"]
+    assert got == len(m)
+    got = search_count(
+        r, ["hash", "join"], filters=[RangeFilter("n_chars", 200, None)]
+    ).collect()[0]["doc_count"]
+    assert got == int((m["n_chars"] >= 200).sum())
+    # match_all: docmap-only plan
+    df = search_count(r, None)
+    from tests.conftest import plan_of
+    assert "postings" not in plan_of(df)
+    assert df.collect()[0]["doc_count"] == len(ok)
+
+
+def test_ngram_shingles_short_docs_no_crash(spark):
+    """Regression: sub-n-token docs used to crash ngram_shingles when
+    Catalyst fused later predicates into the same stage and evaluated the
+    shingle transform before the size filter (sequence(0, size-n)
+    descends into slice start 0). The when() guard makes the transform
+    lazily evaluated per row."""
+    from engine.dedup import ngram_decontaminate, ngram_shingles
+
+    df = spark.createDataFrame(
+        [("a", "one two"), ("b", ""), ("c", None),
+         ("d", "one two three four five six seven")],
+        "doc_id string, text string",
+    )
+    got = ngram_shingles(df, n=6).collect()
+    assert {r["doc_id"] for r in got} == {"d"}
+    # the fusion trigger: a post-shingle filter in the same plan
+    out = ngram_decontaminate(df, df, n=6, exclude_self=True).collect()
+    assert out == []
