@@ -1804,6 +1804,29 @@ def q_dedup_decontaminate(spark, sf_dir):
     )
 
 
+MLT_DOC = 7  # the like-document for the more_like_this driver query
+
+
+def q_bm25_mlt(spark, sf_dir):
+    """ES more_like_this: top-5 tf x idf terms of doc 7's text, fed into
+    the standard BM25 top-10 (driver-side term selection by contract —
+    the like text is one document; df lookups are a pruned term_stats
+    read)."""
+    from engine.query import IndexReader, mlt_topk
+
+    like = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == MLT_DOC)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = mlt_topk(r, like, max_query_terms=5, k=25, algo="taat")
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1926,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_significant_terms": q_agg_significant_terms,
         "bm25_highlight_topk": q_bm25_highlight,
         "search_count_filtered": q_search_count,
+        "bm25_mlt_topk": q_bm25_mlt,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
@@ -2387,6 +2411,37 @@ FROM c
             "round(quantile_cont(n_chars, 0.75), 6) AS p75, "
             "round(quantile_cont(n_chars, 0.95), 6) AS p95 FROM m"
         ),
+        "bm25_mlt_topk": f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+alltf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+liketf AS (
+  SELECT term, count(*)::BIGINT AS ltf
+  FROM (SELECT unnest(toks) AS term FROM toks WHERE doc_id = {MLT_DOC})
+  GROUP BY term
+),
+sel AS (
+  SELECT liketf.term FROM liketf JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY ltf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) DESC, term ASC
+  LIMIT 5
+),
+tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM sel)),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT 10""",
         "search_count_filtered": _agg_matched_cte(
             result_filter="d.n_chars >= 200"
         ) + " SELECT count(*)::BIGINT AS doc_count FROM m",

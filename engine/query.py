@@ -1722,3 +1722,42 @@ def highlight_fragments(
         .filter(F.col("_pos").isNotNull())
         .select(*keep, marked.alias("fragment"))
     )
+
+
+def mlt_topk(
+    reader: "IndexReader",
+    like_text: str,
+    max_query_terms: int = 5,
+    k: int = 10,
+    **bm25_kwargs,
+):
+    """ES `more_like_this` (frozen single-`like` form): analyze the like
+    text, keep its `max_query_terms` most significant terms by
+    tf x BM25-idf — idf = ln(1 + (n_docs - df + 0.5) / (df + 0.5)),
+    descending, term-asc tiebreak — and run the standard BM25 top-k with
+    them. Terms absent from the index dictionary are skipped (they carry
+    no signal and ES's analyzer does the same in the coordinating node).
+
+    Term selection is driver-side by contract: the like text is ONE
+    document (ES also analyzes it on the coordinator); its df lookups are
+    a pruned term_stats read, not a corpus pass. The selection uses raw
+    double scores (no rounding): both engines compute the identical IEEE
+    expression, so the SQL oracle reproduces the exact term set."""
+    import math
+    from collections import Counter
+
+    from engine.textnorm import standard_tokenize_py
+
+    tf = Counter(standard_tokenize_py(like_text.lower()))
+    stats = reader.term_stats(list(tf))
+    n = float(reader.n_docs)
+    scored = [
+        (t, c * math.log(1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5)))
+        for t, c in tf.items()
+        if t in stats
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    terms = [t for t, _ in scored[:max_query_terms]]
+    if not terms:
+        return reader.spark.createDataFrame([], "url string, score double")
+    return bm25_topk(reader, terms, k=k, **bm25_kwargs)

@@ -584,3 +584,39 @@ def test_highlight_fragments_frozen_contract(spark):
     # tagged (word-boundary rule); the later standalone 'hash' is
     assert "<em>hashing</em>" not in got[3]
     assert "<em>hash</em>" in got[3]
+
+
+def test_mlt_topk_matches_brute_selection(spark, index, oracle):
+    """more_like_this: the driver-side term selection must equal the
+    brute tf x idf ranking over the like text, and the result must be
+    exactly bm25_topk on those terms."""
+    import math
+    from collections import Counter
+
+    from engine.query import IndexReader, bm25_topk, mlt_topk
+    from engine.textnorm import standard_tokenize_py
+
+    out, _m = index
+    urls, texts = oracle
+    r = IndexReader(spark, out)
+    like = next(t for t in texts if t and len(t.split()) > 20)
+    tf = Counter(standard_tokenize_py(like.lower()))
+    stats = r.term_stats(list(tf))
+    n = float(r.n_docs)
+    scored = sorted(
+        (
+            (t, c * math.log(1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5)))
+            for t, c in tf.items()
+            if t in stats
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want_terms = [t for t, _ in scored[:5]]
+    got = mlt_topk(r, like, max_query_terms=5, k=10).collect()
+    want = bm25_topk(r, want_terms, k=10).collect()
+    assert [(x["url"], x["score"]) for x in got] == [
+        (x["url"], x["score"]) for x in want
+    ]
+    assert got  # the like doc itself matches, so never empty
+    # unknown-vocabulary like text -> empty frame, not an error
+    assert mlt_topk(r, "zzz qqq vvv unknownwords", k=5).count() == 0
