@@ -1827,6 +1827,42 @@ def q_bm25_mlt(spark, sf_dir):
     )
 
 
+# stored queries for the percolator driver row: or / and / 3-term and /
+# unmatchable — fixed registry, SQL-expressible
+PERC_QUERIES = (
+    ("q_or", ("hash", "join"), "or"),
+    ("q_and", ("hash", "join"), "and"),
+    ("q_and3", ("hash", "join", "table"), "and"),
+    ("q_none", ("zzzmissing",), "or"),
+)
+
+
+def q_percolate(spark, sf_dir):
+    """ES percolator: docs matched against the stored-query registry
+    (broadcast term join, word-count-shaped — engine/query.py)."""
+    from engine.query import percolate
+
+    qdf = spark.createDataFrame(
+        [(a, list(b), c) for a, b, c in PERC_QUERIES],
+        "query_id string, terms array<string>, mode string",
+    )
+    return percolate(qdf, _docs(spark, sf_dir))
+
+
+def q_termvectors(spark, sf_dir):
+    """ES _termvectors for doc 7: per-term tf (in doc) + df (index)."""
+    from engine.query import IndexReader, term_vectors
+
+    like = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == MLT_DOC)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return term_vectors(r, like)
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1950,6 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight_topk": q_bm25_highlight,
         "search_count_filtered": q_search_count,
         "bm25_mlt_topk": q_bm25_mlt,
+        "percolate_matches": q_percolate,
+        "termvectors_doc": q_termvectors,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
@@ -2442,6 +2480,18 @@ scored AS (
 )
 SELECT doc_id, round(score_raw, 6) AS score
 FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT 10""",
+        "percolate_matches": _toks_cte() + """,
+dts AS (SELECT doc_id, list_distinct(toks) AS dt FROM toks)
+SELECT 'q_or' AS query_id, doc_id, len(list_intersect(dt, ['hash', 'join']))::BIGINT AS hits FROM dts WHERE len(list_intersect(dt, ['hash', 'join'])) > 0 UNION ALL SELECT 'q_and' AS query_id, doc_id, len(list_intersect(dt, ['hash', 'join']))::BIGINT AS hits FROM dts WHERE len(list_intersect(dt, ['hash', 'join'])) = 2 UNION ALL SELECT 'q_and3' AS query_id, doc_id, len(list_intersect(dt, ['hash', 'join', 'table']))::BIGINT AS hits FROM dts WHERE len(list_intersect(dt, ['hash', 'join', 'table'])) = 3 UNION ALL SELECT 'q_none' AS query_id, doc_id, len(list_intersect(dt, ['zzzmissing']))::BIGINT AS hits FROM dts WHERE len(list_intersect(dt, ['zzzmissing'])) > 0""",
+        "termvectors_doc": _toks_cte() + f""",
+alltf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term)
+SELECT term, tf, df FROM alltf JOIN alldf USING (term)
+WHERE doc_id = {MLT_DOC}""",
         "search_count_filtered": _agg_matched_cte(
             result_filter="d.n_chars >= 200"
         ) + " SELECT count(*)::BIGINT AS doc_count FROM m",

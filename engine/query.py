@@ -1761,3 +1761,69 @@ def mlt_topk(
     if not terms:
         return reader.spark.createDataFrame([], "url string, score double")
     return bm25_topk(reader, terms, k=k, **bm25_kwargs)
+
+
+def percolate(
+    queries: "DataFrame",
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    mode_col: str = "mode",
+) -> "DataFrame":
+    """ES percolator: match DOCUMENTS against STORED QUERIES — the
+    reverse of search, the alerting/routing primitive. `queries` rows are
+    (query_id, terms array<string>, mode 'or'|'and'); a doc matches an
+    'or' query when any stored term is in its analyzed token set, an
+    'and' query when all are. Returns (query_id, doc_id, hits) with
+    hits = distinct stored terms present.
+
+    Scale shape: queries explode to (query_id, term) rows and BROADCAST
+    (stored-query sets are registry-sized, tiny vs the corpus); each doc
+    explodes its DISTINCT tokens once; the match is a term-keyed join +
+    per-(query, doc) hit count checked against the query's term count —
+    word-count shaped, no per-row Python, never an |queries| x |docs|
+    cross join."""
+    from engine.textnorm import standard_tokenize_col
+
+    terms = F.array_distinct(F.col(terms_col))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.size(terms).alias("n_terms"),
+        F.col(mode_col).alias("mode"),
+        F.explode(terms).alias("term"),
+    )
+    t = F.col(text_col)
+    d = docs.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(standard_tokenize_col(F.lower(t)))
+        ).alias("term"),
+    )
+    hits = (
+        d.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id", "n_terms", "mode")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    keep = F.when(F.col("mode") == "and", F.col("hits") == F.col("n_terms")).otherwise(
+        F.col("hits") > 0
+    )
+    return hits.filter(keep).select("query_id", "doc_id", "hits")
+
+
+def term_vectors(reader: "IndexReader", doc_text: str) -> "DataFrame":
+    """ES `_termvectors` (frozen subset): per analyzed term of one
+    document — term_freq within the doc and doc_freq from the index.
+    Single-doc API by contract (like ES): analysis is driver-side, df is
+    a pruned term_stats read, never a corpus pass. Returns (term, tf,
+    df) rows; terms absent from the index dictionary report df = 0 (a
+    doc not yet ingested still gets its vector)."""
+    from collections import Counter
+
+    from engine.textnorm import standard_tokenize_py
+
+    tf = Counter(standard_tokenize_py(doc_text.lower()))
+    stats = reader.term_stats(list(tf))
+    rows = [(t, int(c), int(stats.get(t, 0))) for t, c in sorted(tf.items())]
+    return reader.spark.createDataFrame(rows, "term string, tf long, df long")

@@ -620,3 +620,66 @@ def test_mlt_topk_matches_brute_selection(spark, index, oracle):
     assert got  # the like doc itself matches, so never empty
     # unknown-vocabulary like text -> empty frame, not an error
     assert mlt_topk(r, "zzz qqq vvv unknownwords", k=5).count() == 0
+
+
+def test_percolate_vs_brute_and_plan(spark, index, corpus):
+    """Percolator matches == brute token-set checks; the stored-query
+    side broadcasts (no |queries| x |docs| cross join in the plan)."""
+    from engine.query import percolate
+    from engine.textnorm import standard_tokenize_py
+    from tests.conftest import plan_of
+
+    out, _m = index
+    stored = [
+        ("s_or", ["if", "line"], "or"),
+        ("s_and", ["if", "line"], "and"),
+        ("s_none", ["zzznothing"], "or"),
+    ]
+    qdf = spark.createDataFrame(
+        stored, "query_id string, terms array<string>, mode string"
+    )
+    docs = spark.read.parquet(corpus).selectExpr("url as doc_id", "text")
+    got_df = percolate(qdf, docs)
+    plan = plan_of(got_df)
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    got = {(r["query_id"], r["doc_id"]): r["hits"] for r in got_df.collect()}
+
+    t = pq.read_table(corpus, columns=["url", "text"])
+    want = {}
+    for url, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+        if not text:
+            continue
+        toks = set(standard_tokenize_py(text.lower()))
+        for qid, terms, mode in stored:
+            hits = len(toks & set(terms))
+            ok = hits == len(set(terms)) if mode == "and" else hits > 0
+            if ok:
+                want[(qid, url)] = hits
+    assert got == want
+    assert any(q == "s_or" for q, _ in got)  # non-vacuous
+    assert not any(q == "s_none" for q, _ in got)
+    # AND matches are a subset of OR matches with full hit count
+    for (q, d), h in got.items():
+        if q == "s_and":
+            assert ("s_or", d) in got and h == 2
+
+
+def test_term_vectors_vs_brute(spark, index, oracle):
+    from collections import Counter
+
+    from engine.query import IndexReader, term_vectors
+    from engine.textnorm import standard_tokenize_py
+
+    out, _m = index
+    urls, texts = oracle
+    r = IndexReader(spark, out)
+    like = next(t for t in texts if t and len(t.split()) > 10)
+    got = {x["term"]: (x["tf"], x["df"]) for x in term_vectors(r, like).collect()}
+    tf = Counter(standard_tokenize_py(like.lower()))
+    stats = r.term_stats(list(tf))
+    assert got == {t: (c, stats.get(t, 0)) for t, c in tf.items()}
+    assert all(df >= 1 for _, df in got.values())  # indexed doc: df >= 1
+    # not-yet-ingested doc: unknown terms report df = 0, still vectorized
+    got2 = {x["term"]: (x["tf"], x["df"]) for x in
+            term_vectors(r, "brandnewword brandnewword otherunknown").collect()}
+    assert got2 == {"brandnewword": (2, 0), "otherunknown": (1, 0)}
