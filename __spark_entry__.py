@@ -1863,6 +1863,16 @@ def q_termvectors(spark, sf_dir):
     return term_vectors(r, like)
 
 
+def q_explain_doc(spark, sf_dir):
+    """ES _explain: per-term BM25 breakdown for (BM25_TERMS, doc 7),
+    computed from the index (XXH64-routed docmap point lookup +
+    bucket-pruned postings read)."""
+    from engine.query import IndexReader, explain_score
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return explain_score(r, BM25_TERMS, str(MLT_DOC))
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1988,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mlt_topk": q_bm25_mlt,
         "percolate_matches": q_percolate,
         "termvectors_doc": q_termvectors,
+        "explain_doc": q_explain_doc,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
@@ -2492,6 +2503,27 @@ alltf AS (
 alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term)
 SELECT term, tf, df FROM alltf JOIN alldf USING (term)
 WHERE doc_id = {MLT_DOC}""",
+        "explain_doc": f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+x AS (SELECT term, tf, df, dl, n_docs, avgdl
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      WHERE doc_id = {MLT_DOC})
+SELECT term, tf, df,
+       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+       round(tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS impact,
+       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))), 6)
+         AS contribution
+FROM x""",
         "search_count_filtered": _agg_matched_cte(
             result_filter="d.n_chars >= 200"
         ) + " SELECT count(*)::BIGINT AS doc_count FROM m",

@@ -1827,3 +1827,93 @@ def term_vectors(reader: "IndexReader", doc_text: str) -> "DataFrame":
     stats = reader.term_stats(list(tf))
     rows = [(t, int(c), int(stats.get(t, 0))) for t, c in sorted(tf.items())]
     return reader.spark.createDataFrame(rows, "term string, tf long, df long")
+
+
+def explain_score(
+    reader: "IndexReader",
+    query: "str | list[str]",
+    url: str,
+) -> "DataFrame":
+    """ES `_explain` (frozen subset): the per-term BM25 breakdown for one
+    (query, document) pair, computed FROM THE INDEX — a pruned docmap
+    point lookup (driver-side XXH64 shard routing, url predicate pushed
+    to the parquet scan) plus the same bucket-pruned postings read the
+    kernels use; never a corpus or full-index scan.
+
+    Rows: (term, tf, df, idf, impact, contribution), floats rounded 6 on
+    output; the UNROUNDED contributions sum to the kernel's score for the
+    doc (asserted in tests). Query terms absent from the doc or the
+    dictionary emit no row (ES: "no matching term"). Raises KeyError for
+    an unknown url; a tombstoned doc returns zero rows (masked, like the
+    kernels)."""
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from engine.hashing import xxh64
+    from engine.oracle import analyze_query_py
+
+    terms = (
+        analyze_query_py(query) if isinstance(query, str)
+        else list(dict.fromkeys(query))
+    )
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    schema = (
+        "term string, tf long, df long, idf double, impact double, "
+        "contribution double"
+    )
+    shard = xxh64(url.encode()) % reader.manifest["n_shards"]
+    dm = ds.dataset(
+        os.path.join(reader.dir, "docmap", f"shard={shard}")
+    ).to_table(columns=["local_id", "dl"], filter=pc.field("url") == url)
+    if dm.num_rows == 0:
+        raise KeyError(f"url {url!r} not in index {reader.dir}")
+    local_id = int(dm.column("local_id")[0].as_py())
+    dl = float(dm.column("dl")[0].as_py())
+    tomb = reader.tombstones().get(shard)
+    if tomb is not None and np.searchsorted(tomb, local_id) < tomb.size and int(
+        tomb[np.searchsorted(tomb, local_id)]
+    ) == local_id:
+        return reader.spark.createDataFrame([], schema)
+    if not live:
+        return reader.spark.createDataFrame([], schema)
+
+    by_shard = reader.postings_local(live)
+    if by_shard is not None:
+        rows = by_shard.get(shard, [])
+    else:  # non-local postings: one tiny pruned Spark read
+        rows = [
+            r for r in reader.postings(live).collect() if int(r.shard) == shard
+        ]
+    n, avgdl, k1, b = (
+        float(reader.n_docs),
+        float(reader.avgdl),
+        float(reader.manifest["k1"]),
+        float(reader.manifest["b"]),
+    )
+    out = []
+    for r in rows:
+        docs, tfs, _dls = P.decode_term_postings(
+            r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+        )
+        i = int(np.searchsorted(docs, local_id))
+        if i >= docs.size or int(docs[i]) != local_id:
+            continue
+        tf = float(tfs[i])
+        df = float(stats[r.term])
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        impact = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out.append(
+            (
+                r.term,
+                int(tf),
+                int(df),
+                round(idf, 6),
+                round(impact, 6),
+                round(idf * impact, 6),
+            )
+        )
+    out.sort(key=lambda x: x[0])
+    return reader.spark.createDataFrame(out, schema)

@@ -683,3 +683,39 @@ def test_term_vectors_vs_brute(spark, index, oracle):
     got2 = {x["term"]: (x["tf"], x["df"]) for x in
             term_vectors(r, "brandnewword brandnewword otherunknown").collect()}
     assert got2 == {"brandnewword": (2, 0), "otherunknown": (1, 0)}
+
+
+def test_explain_score_sums_to_kernel_score(spark, index, corpus):
+    """_explain: per-term contributions from the index must sum to the
+    kernel's score for that doc; unknown urls raise; a tombstoned doc
+    explains to zero rows."""
+    import math
+
+    from engine.query import IndexReader, bm25_topk, explain_score
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    q = synth.frozen_queries()[0]
+    top = bm25_topk(r, q["terms"], k=3).collect()
+    url, want = top[0]["url"], top[0]["score"]
+    rows = explain_score(r, q["terms"], url).collect()
+    assert rows
+    # recompute unrounded contributions from the row's integer tf/df
+    n, avgdl = float(r.n_docs), float(r.avgdl)
+    k1, b = float(r.manifest["k1"]), float(r.manifest["b"])
+    dm = spark.read.parquet(os.path.join(out, "docmap")).filter(
+        F.col("url") == url
+    ).collect()[0]
+    dl = float(dm["dl"])
+    total = sum(
+        math.log(1.0 + (n - x["df"] + 0.5) / (x["df"] + 0.5))
+        * (x["tf"] / (x["tf"] + k1 * (1.0 - b + b * dl / avgdl)))
+        for x in rows
+    )
+    assert total == pytest.approx(want, abs=1e-6)
+    for x in rows:
+        assert x["contribution"] == pytest.approx(x["idf"] * x["impact"], abs=1e-5)
+    with pytest.raises(KeyError):
+        explain_score(r, q["terms"], "https://no.such/url")
+    # unknown-vocabulary query -> zero rows
+    assert explain_score(r, ["zzznothing"], url).count() == 0
