@@ -1873,6 +1873,18 @@ def q_explain_doc(spark, sf_dir):
     return explain_score(r, BM25_TERMS, str(MLT_DOC))
 
 
+SUGGEST_INPUT = "sot"  # misspelling with several in-vocabulary neighbors
+
+
+def q_suggest_terms(spark, sf_dir):
+    """ES term suggester: dictionary corrections for a misspelled term,
+    ordered (edit distance asc, df desc, term asc)."""
+    from engine.query import IndexReader, suggest_terms
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return suggest_terms(r, SUGGEST_INPUT, max_edits=2, size=5)
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1999,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": q_percolate,
         "termvectors_doc": q_termvectors,
         "explain_doc": q_explain_doc,
+        "suggest_terms": q_suggest_terms,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
@@ -2524,6 +2537,16 @@ SELECT term, tf, df,
              * (tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))), 6)
          AS contribution
 FROM x""",
+        "suggest_terms": _toks_cte() + f""",
+alltf AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term)
+SELECT term AS suggestion, df, levenshtein(term, '{SUGGEST_INPUT}')::BIGINT AS distance
+FROM alldf
+WHERE term != '{SUGGEST_INPUT}' AND levenshtein(term, '{SUGGEST_INPUT}') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
         "search_count_filtered": _agg_matched_cte(
             result_filter="d.n_chars >= 200"
         ) + " SELECT count(*)::BIGINT AS doc_count FROM m",

@@ -1917,3 +1917,68 @@ def explain_score(
         )
     out.sort(key=lambda x: x[0])
     return reader.spark.createDataFrame(out, schema)
+
+
+def _lev_dist(a: str, b: str) -> int:
+    """Classic Levenshtein (no transpositions — matches Spark's and
+    DuckDB's native levenshtein)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def suggest_terms(
+    reader: "IndexReader",
+    term: str,
+    max_edits: int = 2,
+    size: int = 5,
+    prefix_length: int = 0,
+) -> "DataFrame":
+    """ES term suggester (frozen spec): dictionary terms within classic
+    Levenshtein distance `max_edits` of the lowercased input, the input
+    term itself excluded, ordered (distance asc, df desc, term asc), top
+    `size` — suggest_mode=always, classic distance (Spark's and DuckDB's
+    native levenshtein; fuzzy_transpositions=false, same freeze as
+    expand_fuzzy). Returns (suggestion, df, distance) rows.
+
+    Serving order mirrors expand_fuzzy: whole-vocab driver cache (small
+    index, no Spark job) -> distributed term_stats scan with the
+    length-band predicate in codegen and thresholded levenshtein;
+    prefix_length adds the range-pruned dictionary read."""
+    q = term.lower()
+    lo_len, hi_len = len(q) - max_edits, len(q) + max_edits
+    pref = q[:prefix_length]
+    schema = "suggestion string, df long, distance long"
+    if reader._ts_cache is None and reader.n_docs <= reader.CACHE_MAX_DOCS:
+        reader.term_stats([q])  # populates the whole-vocab cache
+    if reader._ts_cache is not None:
+        reader._check_generation()
+        rows = [
+            (t, int(d), _lev_dist(q, t))
+            for t, d in reader._ts_cache.items()
+            if t != q
+            and lo_len <= len(t) <= hi_len
+            and t.startswith(pref)
+            and _lev_within(q, t, max_edits)
+        ]
+        rows.sort(key=lambda x: (x[2], -x[1], x[0]))
+        return reader.spark.createDataFrame(rows[:size], schema)
+    ts = reader._term_stats_df()
+    cond = F.length("term").between(lo_len, hi_len) & (F.col("term") != q)
+    if pref:
+        hi = pref[:-1] + chr(ord(pref[-1]) + 1)
+        cond = cond & (F.col("term") >= pref) & (F.col("term") < hi)
+    return (
+        ts.filter(cond)
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(q)).cast("long"))
+        .filter(F.col("distance") <= max_edits)
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(size)
+        .select(F.col("term").alias("suggestion"), "df", "distance")
+    )

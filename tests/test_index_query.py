@@ -719,3 +719,40 @@ def test_explain_score_sums_to_kernel_score(spark, index, corpus):
         explain_score(r, q["terms"], "https://no.such/url")
     # unknown-vocabulary query -> zero rows
     assert explain_score(r, ["zzznothing"], url).count() == 0
+
+
+def test_suggest_terms_both_paths_match_brute(spark, index, oracle):
+    """Term suggester: (distance asc, df desc, term asc) top-k vs brute;
+    cached-vocab and distributed dictionary paths identical."""
+    from engine.query import IndexReader, _lev_dist, suggest_terms
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    q = "lne"  # near 'line'/'the'-ish synth vocab
+    stats_all = r.term_stats(["line"])  # populate cache
+    assert r._ts_cache is not None
+    got = [
+        (x["suggestion"], x["df"], x["distance"])
+        for x in suggest_terms(r, q, max_edits=2, size=5).collect()
+    ]
+    brute = sorted(
+        (
+            (t, d, _lev_dist(q, t))
+            for t, d in r._ts_cache.items()
+            if t != q and abs(len(t) - len(q)) <= 2 and _lev_dist(q, t) <= 2
+        ),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:5]
+    assert got == [(t, d, dist) for t, d, dist in brute] and got
+    # distributed path (no vocab cache) must agree
+    fresh = IndexReader(spark, out)
+    fresh.CACHE_MAX_DOCS = 0
+    got2 = [
+        (x["suggestion"], x["df"], x["distance"])
+        for x in suggest_terms(fresh, q, max_edits=2, size=5).collect()
+    ]
+    assert got2 == got
+    # the input term itself is excluded even when in-vocabulary
+    in_vocab = next(iter(r._ts_cache))
+    sugg = {x["suggestion"] for x in suggest_terms(r, in_vocab, 2, 10).collect()}
+    assert in_vocab not in sugg
