@@ -84,8 +84,11 @@ def main() -> None:
         aux["warmup_build_sec"] = round(time.time() - t0, 3)
         aux["warmup_docs"] = warm_docs
     t0 = time.time()
+    # lang rides the docmap as a docvalue (negligible build cost) so the
+    # aggregation path is measurable on the same index
     manifest = build_index(
-        spark, corpus, idx, n_shards=n_shards, n_buckets=32, bucket_chunk=32
+        spark, corpus, idx, n_shards=n_shards, n_buckets=32, bucket_chunk=32,
+        docvalue_cols=["lang"],
     )
     dt = time.time() - t0
     queries["index_build"] = round(dt, 3)
@@ -148,6 +151,30 @@ def main() -> None:
         lat.append(time.time() - t0)
     lat.sort()
     aux["bm25_dismax_p50"] = round(lat[len(lat) // 2], 3)
+
+    # terms aggregation over the matched set (docvalue gather + partials)
+    from engine.aggs import TermsAgg, search_aggs
+
+    search_aggs(reader, or_queries[0]["terms"], TermsAgg("lang")).collect()  # warm
+    lat = []
+    for q in or_queries:
+        t0 = time.time()
+        search_aggs(reader, q["terms"], TermsAgg("lang")).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["agg_terms_p50"] = round(lat[len(lat) // 2], 3)
+
+    # term suggester (dictionary corrections, driver-cache serving path)
+    from engine.query import suggest_terms
+
+    suggest_terms(reader, "lne", max_edits=2, size=5).collect()  # warm
+    lat = []
+    for probe in ("lne", "tabl", "windw", "qery", "stremm"):
+        t0 = time.time()
+        suggest_terms(reader, probe, max_edits=2, size=5).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["suggest_p50"] = round(lat[len(lat) // 2], 3)
 
     # ---- batch-query throughput (one distributed pass, 6000 queries) -------
     from engine.query import bm25_topk_batch

@@ -17,6 +17,12 @@ Commands:
                [--buckets N]   (append one incremental segment)
   merge-segments --dir <streamdir> [--shards N] [--buckets N]
                (Lucene-merge analog: segments -> standard queryable index)
+  count        --index <dir> [--terms "w1 w2"] [--mode or|and]  (ES _count)
+  agg          --index <dir> --type terms|stats|histogram|cardinality|
+               percentiles|missing --field <docvalue> [--terms ...]
+  suggest      --index <dir> --term <w> [--max-edits 2] [--size 5]
+  explain      --index <dir> --terms "w1 w2" --url <doc>  (per-term BM25)
+  mlt          --index <dir> --like "text" [--max-terms 5] [--k 10]
   bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
 
 Reference parity: replaces run-elastic-search.sh:84-133 (index lifecycle
@@ -47,6 +53,9 @@ def main() -> None:
     b.add_argument("--job-id", default="build-1")
     b.add_argument("--progress", action="store_true",
                    help="1s live ticker (stages/tasks/rate) on stderr")
+    b.add_argument("--docvalues", default="",
+                   help="comma-separated source columns stored per doc in "
+                        "the docmap (aggregations / sorted paging / filters)")
 
     e = sub.add_parser("export-json", help="T7: ES bulk-NDJSON export")
     e.add_argument("--input", required=True, help="documents parquet")
@@ -95,6 +104,40 @@ def main() -> None:
     sn = sub.add_parser("snapshots", help="list delete snapshots (time-travel ids)")
     sn.add_argument("--index", required=True)
 
+    cn = sub.add_parser("count", help="ES _count: matching-doc count")
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--terms", default="", help="empty = match_all")
+    cn.add_argument("--mode", default="or", choices=["or", "and"])
+    cn.add_argument("--snapshot", type=int, default=None)
+
+    ag = sub.add_parser("agg", help="aggregation over the matched set")
+    ag.add_argument("--index", required=True)
+    ag.add_argument("--terms", default="", help="empty = match_all")
+    ag.add_argument("--type", required=True, dest="agg_type", choices=[
+        "terms", "stats", "histogram", "cardinality", "percentiles", "missing"])
+    ag.add_argument("--field", required=True, help="docvalue column")
+    ag.add_argument("--size", type=int, default=10)
+    ag.add_argument("--interval", type=float, default=100.0)
+    ag.add_argument("--stats-of", default="", help="terms sub-agg metric field")
+
+    sg = sub.add_parser("suggest", help="term suggester (did-you-mean)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--size", type=int, default=5)
+
+    ex = sub.add_parser("explain", help="per-term BM25 breakdown for one doc")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--terms", required=True)
+    ex.add_argument("--url", required=True)
+
+    ml = sub.add_parser("mlt", help="more_like_this from a like text")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--like", default="", help="like text (or --like-file)")
+    ml.add_argument("--like-file", default="")
+    ml.add_argument("--max-terms", type=int, default=5)
+    ml.add_argument("--k", type=int, default=10)
+
     s = sub.add_parser("bench-build")
     s.add_argument("--docs", type=int, default=60000)
     s.add_argument("--output", default="")
@@ -121,6 +164,7 @@ def main() -> None:
                 spark, args.input, args.output, n_shards=args.shards,
                 n_buckets=args.buckets, bucket_chunk=chunk,
                 job_id=args.job_id, resume=args.resume,
+                docvalue_cols=[c for c in args.docvalues.split(",") if c] or None,
             )
         print(json.dumps({"built": manifest, "sec": round(time.time() - t0, 2)}))
 
@@ -231,6 +275,69 @@ def main() -> None:
             "n_docs": manifest["n_docs"],
             "sec": round(time.time() - t0, 2),
         }))
+
+    elif args.cmd == "count":
+        from engine.aggs import search_count
+        from engine.query import IndexReader
+
+        reader = IndexReader(spark, args.index, snapshot_id=args.snapshot)
+        n = search_count(reader, args.terms or None, mode=args.mode).collect()[0]
+        print(json.dumps({"count": int(n["doc_count"])}))
+
+    elif args.cmd == "agg":
+        from engine.aggs import (
+            CardinalityAgg,
+            HistogramAgg,
+            MissingAgg,
+            PercentilesAgg,
+            StatsAgg,
+            TermsAgg,
+            search_aggs,
+        )
+        from engine.query import IndexReader
+
+        spec = {
+            "terms": lambda: TermsAgg(
+                args.field, size=args.size, stats_of=args.stats_of or None
+            ),
+            "stats": lambda: StatsAgg(args.field),
+            "histogram": lambda: HistogramAgg(args.field, args.interval),
+            "cardinality": lambda: CardinalityAgg(args.field),
+            "percentiles": lambda: PercentilesAgg(args.field),
+            "missing": lambda: MissingAgg(args.field),
+        }[args.agg_type]()
+        reader = IndexReader(spark, args.index)
+        rows = search_aggs(reader, args.terms or None, spec).collect()
+        print(json.dumps({"buckets": [r.asDict() for r in rows]}, default=str))
+
+    elif args.cmd == "suggest":
+        from engine.query import IndexReader, suggest_terms
+
+        reader = IndexReader(spark, args.index)
+        rows = suggest_terms(
+            reader, args.term, max_edits=args.max_edits, size=args.size
+        ).collect()
+        print(json.dumps({"suggestions": [r.asDict() for r in rows]}))
+
+    elif args.cmd == "explain":
+        from engine.query import IndexReader, explain_score
+
+        reader = IndexReader(spark, args.index)
+        rows = explain_score(reader, args.terms, args.url).collect()
+        print(json.dumps({"url": args.url, "terms": [r.asDict() for r in rows]}))
+
+    elif args.cmd == "mlt":
+        from engine.query import IndexReader, mlt_topk
+
+        like = args.like
+        if args.like_file:
+            with open(args.like_file) as f:
+                like = f.read()
+        if not like:
+            raise SystemExit("mlt: provide --like or --like-file")
+        reader = IndexReader(spark, args.index)
+        rows = mlt_topk(reader, like, max_query_terms=args.max_terms, k=args.k).collect()
+        print(json.dumps({"hits": [r.asDict() for r in rows]}))
 
     elif args.cmd == "bench-build":
         from engine import synth

@@ -123,3 +123,43 @@ def test_cli_export_json(tmp_path_factory):
     act, doc = json.loads(lines[0]), json.loads(lines[1])
     assert "index" in act and "_id" in act["index"]
     assert doc["ID"] == act["index"]["_id"]
+
+
+def test_cli_search_surface(corpus, tmp_path_factory):
+    """count / agg / suggest / explain / mlt subcommands end-to-end on a
+    docvalued index built via the CLI."""
+    idx = str(tmp_path_factory.mktemp("clisurf") / "idx")
+    r = _run("build-index", "--input", corpus, "--output", idx,
+             "--shards", "2", "--buckets", "4", "--docvalues", "lang")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run("count", "--index", idx, "--terms", "if line")
+    assert r.returncode == 0, r.stderr[-2000:]
+    n_or = json.loads(r.stdout.strip().splitlines()[-1])["count"]
+    assert n_or > 0
+
+    r = _run("agg", "--index", idx, "--type", "terms", "--field", "lang",
+             "--terms", "if line")
+    assert r.returncode == 0, r.stderr[-2000:]
+    buckets = json.loads(r.stdout.strip().splitlines()[-1])["buckets"]
+    assert sum(b["doc_count"] for b in buckets) == n_or
+
+    r = _run("suggest", "--index", idx, "--term", "lne")
+    assert r.returncode == 0, r.stderr[-2000:]
+    sugg = json.loads(r.stdout.strip().splitlines()[-1])["suggestions"]
+    assert sugg and all(s["distance"] <= 2 for s in sugg)
+    keys = [(s["distance"], -s["df"], s["suggestion"]) for s in sugg]
+    assert keys == sorted(keys)  # (distance asc, df desc, term asc) order
+
+    r = _run("query", "--index", idx, "--terms", "if line", "--k", "1")
+    hit = json.loads(r.stdout.strip().splitlines()[-1])["hits"][0]
+    r = _run("explain", "--index", idx, "--terms", "if line",
+             "--url", hit["url"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = json.loads(r.stdout.strip().splitlines()[-1])["terms"]
+    assert exp and abs(sum(t["contribution"] for t in exp) - hit["score"]) < 1e-4
+
+    r = _run("mlt", "--index", idx, "--like",
+             "if line table row the and scan", "--k", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["hits"]
