@@ -17,6 +17,7 @@ Commands:
                [--buckets N]   (append one incremental segment)
   merge-segments --dir <streamdir> [--shards N] [--buckets N]
                (Lucene-merge analog: segments -> standard queryable index)
+  stats        --index <dir>   (index summary: ES _cat/indices)
   count        --index <dir> [--terms "w1 w2"] [--mode or|and]  (ES _count)
   agg          --index <dir> --type terms|stats|histogram|cardinality|
                percentiles|missing --field <docvalue> [--terms ...]
@@ -100,6 +101,9 @@ def main() -> None:
     cp = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
+
+    st = sub.add_parser("stats", help="index-level summary (ES _cat/indices)")
+    st.add_argument("--index", required=True)
 
     sn = sub.add_parser("snapshots", help="list delete snapshots (time-travel ids)")
     sn.add_argument("--index", required=True)
@@ -259,6 +263,11 @@ def main() -> None:
             urls = [u for u in args.urls.split(",") if u]
         n = delete_docs(spark, args.index, urls)
         print(json.dumps({"tombstoned": n, "index": args.index}))
+
+    elif args.cmd == "stats":
+        from engine.query import IndexReader, index_stats
+
+        print(json.dumps(index_stats(IndexReader(spark, args.index))))
 
     elif args.cmd == "snapshots":
         from engine.deletes import list_snapshots

@@ -1982,3 +1982,42 @@ def suggest_terms(
         .limit(size)
         .select(F.col("term").alias("suggestion"), "df", "distance")
     )
+
+
+def index_stats(reader: "IndexReader") -> dict:
+    """ES `_stats` / `_cat/indices` analog: index-level summary assembled
+    driver-side from the manifest, parquet metadata, and the delete log —
+    no Spark job, no data scan (term count comes from parquet row-group
+    metadata, bytes from the directory walk)."""
+    import pyarrow.dataset as ds
+
+    from engine.deletes import list_snapshots
+
+    def _dir_bytes(sub: str) -> int:
+        p = os.path.join(reader.dir, sub)
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _d, fns in os.walk(p)
+            for fn in fns
+        )
+
+    n_terms = ds.dataset(os.path.join(reader.dir, "term_stats")).count_rows()
+    tomb = reader.tombstones()
+    return {
+        "n_docs": int(reader.n_docs),
+        "n_live_docs": int(reader.n_docs) - sum(a.size for a in tomb.values()),
+        "n_terms": int(n_terms),
+        "sum_dl": int(reader.manifest.get("sum_dl", 0)),
+        "avgdl": float(reader.avgdl),
+        "n_shards": int(reader.manifest["n_shards"]),
+        "n_buckets": int(reader.manifest["n_buckets"]),
+        "docvalue_cols": list(reader.manifest.get("docvalue_cols") or []),
+        "tombstones": int(sum(a.size for a in tomb.values())),
+        "snapshots": len(list_snapshots(reader.dir)),
+        "postings_bytes": _dir_bytes("postings"),
+        "docmap_bytes": _dir_bytes("docmap"),
+        "analyzer": reader.manifest.get("analyzer", ""),
+        "codec": reader.manifest.get("codec", ""),
+    }

@@ -386,3 +386,48 @@ def merge_segments(
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def stream_percolate(
+    spark: SparkSession,
+    source_dir: str,
+    queries: DataFrame,
+    out_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    id_col: str = "url",
+    text_col: str = "text",
+    trigger_once: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """Streaming percolator — the alerting shape percolation exists for:
+    every arriving doc batch is matched against the stored-query registry
+    and the (query_id, doc_id, hits) alert rows append to a parquet sink.
+
+    The batch operator (engine/query.py percolate) runs unchanged inside
+    the stream: it is a stateless broadcast join + per-batch aggregate,
+    so append mode needs no watermark and restart-safety comes from the
+    checkpointed file source + idempotent parquet append (foreachBatch
+    replays re-emit the same batch rows; dedupe downstream on
+    (query_id, doc_id) if exactly-once alerts are required — documented
+    divergence, same contract as the ingest path's idempotent
+    re-delivery)."""
+    from engine.query import percolate
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = percolate(queries, batch_df, id_col=id_col, text_col=text_col)
+        out.write.mode("append").parquet(os.path.join(out_dir, "alerts"))
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", os.path.join(out_dir, "_perc_ckpt")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

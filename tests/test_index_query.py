@@ -756,3 +756,20 @@ def test_suggest_terms_both_paths_match_brute(spark, index, oracle):
     in_vocab = next(iter(r._ts_cache))
     sugg = {x["suggestion"] for x in suggest_terms(r, in_vocab, 2, 10).collect()}
     assert in_vocab not in sugg
+
+
+def test_index_stats_summary(spark, index):
+    """index_stats: manifest/metadata-only summary, consistent with the
+    build, no Spark job (driver-side reads only)."""
+    from engine.query import IndexReader, index_stats
+
+    out, manifest = index
+    r = IndexReader(spark, out)
+    st = index_stats(r)
+    assert st["n_docs"] == manifest["n_docs"] == st["n_live_docs"]
+    assert st["n_shards"] == 4 and st["n_buckets"] == 8
+    assert st["n_terms"] > 100
+    assert st["sum_dl"] == manifest["sum_dl"]
+    assert st["postings_bytes"] > 0 and st["docmap_bytes"] > 0
+    assert st["tombstones"] == 0 and st["snapshots"] == 0
+    assert st["analyzer"] and st["codec"]

@@ -82,3 +82,31 @@ def test_stream_ingest_idempotent_redelivery(spark, split_corpus, tmp_path_facto
     s2 = ingest_batch(spark, batch, out, seg_id=0, n_shards=4, n_buckets=8)
     assert s2["n_docs"] == n1
     assert len(_read_state(out, 4)["segments"]) == 1
+
+
+def test_stream_percolate_matches_batch(spark, split_corpus, tmp_path_factory):
+    """Streaming percolator over micro-batched docs == batch percolate
+    over the full corpus (stateless operator, alert rows append)."""
+    import pyarrow.parquet as pq
+
+    from engine.query import percolate
+    from engine.streaming import stream_percolate
+
+    src = split_corpus
+    out = str(tmp_path_factory.mktemp("perc") / "run")
+    queries = spark.createDataFrame(
+        [("alert_or", ["if", "line"], "or"), ("alert_and", ["if", "line"], "and")],
+        "query_id string, terms array<string>, mode string",
+    )
+    q = stream_percolate(spark, src, queries, out)
+    q.awaitTermination(180)
+    got = {
+        (r["query_id"], r["doc_id"]): r["hits"]
+        for r in spark.read.parquet(os.path.join(out, "alerts")).collect()
+    }
+    docs = spark.read.parquet(src).selectExpr("url as doc_id", "text")
+    want = {
+        (r["query_id"], r["doc_id"]): r["hits"]
+        for r in percolate(queries, docs).collect()
+    }
+    assert got == want and got
