@@ -1885,6 +1885,29 @@ def q_suggest_terms(spark, sf_dir):
     return suggest_terms(r, SUGGEST_INPUT, max_edits=2, size=5)
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.2}  # es/zh -> default 0
+PACK_BUDGET = 2048
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-mix construction):
+    multiplicative-hash Bernoulli per doc id, per-lang keep rates —
+    exactly reproducible integer arithmetic in both engines."""
+    from engine.textstats import sample_stratified
+
+    return sample_stratified(_docs(spark, sf_dir), SAMPLE_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def q_pack_tokens(spark, sf_dir):
+    """Fixed-budget sequence packing within source groups (frozen
+    exclusive-prefix-sum bin rule; one shuffle on the group key)."""
+    from engine.textstats import pack_token_budget
+
+    return pack_token_budget(_docs(spark, sf_dir), PACK_BUDGET, group_col="source")
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -1978,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
         "stats_repetition": q_stats_repetition,
+        "sample_stratified": q_sample_stratified,
+        "pack_tokens": q_pack_tokens,
         "stats_pii_scrub": q_stats_pii_scrub,
         "sim_cosine_topk": q_cosine_topk,
         "dedup_embedding_pairs": q_embedding_near_dup,
@@ -2283,6 +2308,21 @@ SELECT base.doc_id, n_tokens, n_distinct,
        round(coalesce(top, 0)::DOUBLE / greatest(n_tokens - 1, 1), 6)
          AS top_bigram_frac
 FROM base LEFT JOIN t USING (doc_id)""",
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 % 10000 < "
+            "(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.2 ELSE 0.0 END) * 10000"
+        ),
+        "pack_tokens": _toks_cte() + """,
+d AS (SELECT t.doc_id, doc.source, len(t.toks)::BIGINT AS n_tokens
+      FROM toks t JOIN documents doc USING (doc_id)),
+e AS (SELECT doc_id, source, n_tokens,
+        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS excl
+      FROM d)
+SELECT doc_id, source, n_tokens,
+       (excl // 2048)::BIGINT AS bin, (excl % 2048)::BIGINT AS offset_in_bin
+FROM e""",
         "stats_pii_scrub": f"""
 WITH aug AS (
   SELECT doc_id,

@@ -208,3 +208,82 @@ def doc_fingerprint(
 
     sh = ngram_shingles(docs, n, id_col, text_col)
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+# frozen multiplicative-hash constant (Knuth): the sampling bucket must be
+# reproducible in ANY engine with 64-bit integer arithmetic, so the rule is
+# pure BIGINT math — no engine-specific hash function
+SAMPLE_HASH_MULT = 2654435761
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing: keep a
+    doc iff bucket(id) < rate(key) * 10000, where bucket(id) =
+    (id * 2654435761) % 2^32 % 10000 — a seeded multiplicative-hash
+    Bernoulli that is exactly reproducible in any engine with 64-bit
+    integers (the SQL oracle runs the same arithmetic verbatim),
+    independent of partitioning and row order, and stable across re-runs:
+    the dataset-versioning property real mixing pipelines need (re-running
+    the pipeline reselects the SAME docs; raising a rate only ADDS docs).
+    Requires an integer id column. Keys absent from `rates` fall back to
+    default_rate (0 = drop). Pure column ops; the filter participates in
+    scan pushdown."""
+    bucket = (
+        (F.col(id_col).cast("long") * F.lit(SAMPLE_HASH_MULT))
+        % F.lit(2**32)
+    ) % F.lit(SAMPLE_BUCKETS)
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(float(v))).otherwise(rate)
+    return docs.filter(bucket < rate * SAMPLE_BUCKETS)
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training: assign docs to consecutive
+    fixed-token-budget bins WITHIN each group (frozen rule: docs ordered
+    by id inside the group; bin = floor(exclusive-prefix-token-sum /
+    budget), so a doc straddling a boundary belongs to the bin its first
+    token falls in — the streaming-packing convention where straddlers
+    are split/truncated downstream).
+
+    Scale shape: one shuffle on group_col, a running sum inside each
+    group's window — per-group work, no global ordering (a corpus-global
+    cumsum would serialize the job; group = the natural packing unit,
+    e.g. source shard or language). Returns (doc_id, group, n_tokens,
+    bin, offset_in_bin)."""
+    from pyspark.sql import Window
+
+    from engine.textnorm import standard_tokenize_col
+
+    t = F.col(text_col)
+    d = docs.filter(t.isNotNull() & (t != "")).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.size(standard_tokenize_col(F.lower(t))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.floor(excl / budget).cast("long").alias("bin"),
+        (excl % budget).cast("long").alias("offset_in_bin"),
+    )

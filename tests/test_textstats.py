@@ -60,3 +60,45 @@ def test_pii_scrub_order_and_counts(spark):
     assert got[3]["scrubbed"] == "both: [EMAIL] / [PHONE]"
     assert (got[4]["n_emails"], got[4]["n_phones"]) == (0, 0)
     assert got[4]["scrubbed"] == rows[3][1]
+
+
+def test_sample_stratified_deterministic_and_monotone(spark):
+    """Frozen sampling properties: re-runs select the SAME docs; raising
+    a rate only ADDS docs; keep fraction tracks the rate; keys without a
+    rate drop entirely."""
+    from engine.textstats import sample_stratified
+
+    rows = [(i, "en" if i % 2 else "de", "t") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = {r["doc_id"] for r in sample_stratified(df, {"en": 0.3}).collect()}
+    b = {r["doc_id"] for r in sample_stratified(df, {"en": 0.3}).collect()}
+    assert a == b  # reproducible
+    c = {r["doc_id"] for r in sample_stratified(df, {"en": 0.6}).collect()}
+    assert a < c  # monotone: higher rate is a superset
+    n_en = sum(1 for i in range(10_000) if i % 2)
+    assert abs(len(a) / n_en - 0.3) < 0.03
+    assert all(i % 2 for i in a)  # de (no rate) fully dropped
+
+
+def test_pack_token_budget_invariants(spark):
+    """Packing: bins are consecutive per group, offsets equal the
+    exclusive prefix sum mod budget, and every doc's first token falls in
+    its bin (offset < budget)."""
+    from engine.textstats import pack_token_budget
+
+    rows = [
+        (i, "g1" if i < 6 else "g2", "w " * (10 * (i + 1)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_token_budget(df, budget=50, group_col="source")
+    got = sorted(
+        (r["source"], r["doc_id"], r["n_tokens"], r["bin"], r["offset_in_bin"])
+        for r in out.collect()
+    )
+    for grp in ("g1", "g2"):
+        excl = 0
+        for g, _i, n, b, off in [x for x in got if x[0] == grp]:
+            assert b == excl // 50 and off == excl % 50, (g, _i)
+            assert off < 50
+            excl += n
