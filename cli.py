@@ -17,6 +17,7 @@ Commands:
                [--buckets N]   (append one incremental segment)
   merge-segments --dir <streamdir> [--shards N] [--buckets N]
                (Lucene-merge analog: segments -> standard queryable index)
+  analyze      --text "..." [--analyzer standard|elastic|...]  (ES _analyze)
   stats        --index <dir>   (index summary: ES _cat/indices)
   count        --index <dir> [--terms "w1 w2"] [--mode or|and]  (ES _count)
   agg          --index <dir> --type terms|stats|histogram|cardinality|
@@ -102,6 +103,13 @@ def main() -> None:
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
 
+    an = sub.add_parser("analyze", help="ES _analyze: tokens for a text")
+    an.add_argument("--text", required=True)
+    an.add_argument("--analyzer", default="standard", choices=[
+        "standard", "simple", "elastic", "whitespace", "unique_tf",
+        "limit_first", "startswith", "no_ws_punc", "keyword_sort",
+        "edge_ngram", "alphakey"])
+
     st = sub.add_parser("stats", help="index-level summary (ES _cat/indices)")
     st.add_argument("--index", required=True)
 
@@ -150,6 +158,27 @@ def main() -> None:
     s.add_argument("--queries", type=int, default=20, help="frozen queries to time after the build")
 
     args = ap.parse_args()
+
+    if args.cmd == "analyze":  # pure-Python analyzers: no Spark session
+        from engine import textnorm as tn
+
+        fns = {
+            "standard": lambda t: tn.standard_tokenize_py(t.lower()),
+            "simple": tn.simple_tokenize_py,
+            "elastic": tn.analyzer_elastic_py,
+            "whitespace": tn.analyzer_whitespace_token_py,
+            "unique_tf": tn.analyzer_unique_tf_py,
+            "limit_first": tn.analyzer_limit_first_py,
+            "startswith": tn.analyzer_startswith_py,
+            "no_ws_punc": tn.startswith_no_ws_punc_py,
+            "keyword_sort": tn.analyzer_keyword_token_sort_py,
+            "edge_ngram": tn.analyzer_edge_ngram_py,
+            "alphakey": tn.alphakey_py,
+        }
+        out = fns[args.analyzer](args.text)
+        out = list(out) if isinstance(out, tuple) else (out if isinstance(out, list) else [out])
+        print(json.dumps({"analyzer": args.analyzer, "tokens": out}))
+        return
 
     from engine.session import get_spark
 
