@@ -1885,6 +1885,54 @@ def q_suggest_terms(spark, sf_dir):
     return suggest_terms(r, SUGGEST_INPUT, max_edits=2, size=5)
 
 
+def _federated_index_dirs(spark, sf_dir):
+    """Two half-corpus member indexes (doc_id parity split) for the
+    federated driver query; same content-fingerprint cache discipline as
+    _wand_index_dir."""
+    import hashlib
+
+    from engine.index_build import build_index
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    h = hashlib.md5((src + "|layout=fed1").encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, fn) for r, _, fns in os.walk(src) for fn in fns
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    key = h.hexdigest()[:16]
+    dirs = []
+    for par in (0, 1):
+        out_dir = os.path.join(tempfile.gettempdir(), f"sparkft_fed{par}_{key}")
+        if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+            d = (
+                _docs(spark, sf_dir)
+                .filter(F.col("doc_id") % 2 == par)
+                .select(F.col("doc_id").cast("string").alias("url"), "text")
+            )
+            build_index(spark, d, out_dir, n_shards=2, n_buckets=8)
+            os.utime(out_dir)
+        dirs.append(out_dir)
+    return dirs
+
+
+def q_bm25_federated(spark, sf_dir):
+    """Federated BM25 over two half-corpus indexes with global stats (ES
+    dfs_query_then_fetch) — the oracle is the SAME relational BM25 over
+    the whole corpus, because global-stats federation over a partition of
+    the corpus is score-identical to one index over the union."""
+    from engine.query import IndexReader, multi_index_topk
+
+    readers = [IndexReader(spark, d) for d in _federated_index_dirs(spark, sf_dir)]
+    top = multi_index_topk(readers, BM25_TERMS, k=25)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.2}  # es/zh -> default 0
 PACK_BUDGET = 2048
 
@@ -2033,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight_topk": q_bm25_highlight,
         "search_count_filtered": q_search_count,
         "bm25_mlt_topk": q_bm25_mlt,
+        "bm25_federated_topk": q_bm25_federated,
         "percolate_matches": q_percolate,
         "termvectors_doc": q_termvectors,
         "explain_doc": q_explain_doc,
@@ -2577,6 +2626,7 @@ SELECT term, tf, df,
              * (tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))), 6)
          AS contribution
 FROM x""",
+        "bm25_federated_topk": _bm25_sql(BM25_TERMS),
         "suggest_terms": _toks_cte() + f""",
 alltf AS (
   SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM toks)

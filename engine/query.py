@@ -1048,6 +1048,7 @@ def bm25_topk(
     lookup: str = "auto",
     execution: str = "auto",
     filters=(),
+    stats_override=None,
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -1079,7 +1080,8 @@ def bm25_topk(
     bm25_topk_rows returns the same winners as plain tuples without the
     result-DataFrame round-trip — the serving-path API."""
     kind, payload = _bm25_topk_impl(
-        reader, query, k, mode, algo, field_opts, lookup, execution, filters
+        reader, query, k, mode, algo, field_opts, lookup, execution, filters,
+        stats_override,
     )
     if kind == "df":
         return payload
@@ -1130,6 +1132,7 @@ def _bm25_topk_impl(
     lookup: str,
     execution: str,
     filters=(),
+    stats_override=None,
 ):
     """Shared top-k engine. Returns ("rows", [(url, doc_id, score), ...])
     when the result is materialized driver-side (local kernels and/or local
@@ -1187,8 +1190,20 @@ def _bm25_topk_impl(
         shard_filter = build_shard_filter(reader, filters)
         algo = "taat"
 
-    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
-    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    if stats_override is None:
+        idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
+        avgdl = reader.avgdl
+    else:
+        # federated scoring (multi_index_topk): corpus-global idf/avgdl
+        # replace this index's local stats. Stored block-max impacts are
+        # local-avgdl-baked, so their bounds are unsound under override —
+        # exact TAAT only.
+        g_idfs, g_avgdl = stats_override
+        idfs = {t: float(g_idfs[t]) for t in terms}
+        avgdl = float(g_avgdl)
+        if algo in ("wand", "wand_daat"):
+            algo = "taat"
+    k1, b = reader.k1, reader.b
     n_terms = len(terms)
     tomb = reader.tombstones()  # {} on an index with no deletes
 
@@ -1324,8 +1339,20 @@ def bm25_dismax_topk(
     )
     if not terms:
         return empty
-    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
-    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    if stats_override is None:
+        idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
+        avgdl = reader.avgdl
+    else:
+        # federated scoring (multi_index_topk): corpus-global idf/avgdl
+        # replace this index's local stats. Stored block-max impacts are
+        # local-avgdl-baked, so their bounds are unsound under override —
+        # exact TAAT only.
+        g_idfs, g_avgdl = stats_override
+        idfs = {t: float(g_idfs[t]) for t in terms}
+        avgdl = float(g_avgdl)
+        if algo in ("wand", "wand_daat"):
+            algo = "taat"
+    k1, b = reader.k1, reader.b
 
     tomb = reader.tombstones()
 
@@ -2021,3 +2048,61 @@ def index_stats(reader: "IndexReader") -> dict:
         "analyzer": reader.manifest.get("analyzer", ""),
         "codec": reader.manifest.get("codec", ""),
     }
+
+
+def multi_index_topk(
+    readers: list,
+    query: "str | list[str]",
+    k: int = 10,
+    mode: str = "or",
+) -> "DataFrame":
+    """Federated BM25 across several indexes with GLOBAL statistics —
+    ES's dfs_query_then_fetch over an alias: a stats phase combines the
+    per-index dictionaries (df summed per term, n_docs and sum_dl summed,
+    one pruned term_stats read per index), then EACH index scores its own
+    postings with the corpus-global idf/avgdl (the exact TAAT kernels via
+    bm25_topk's stats_override; block-max bounds are local-avgdl-baked so
+    pruning stays single-index) and only per-index top-k rows merge.
+
+    Because the indexes partition the corpus, global-stats federation is
+    score-identical to querying one index built over the union — the
+    segment-merge identity WITHOUT rewriting a byte (tested: federated
+    == merged, rank and score). Doc-id (url) uniqueness across member
+    indexes is the caller's contract, exactly as with ES aliases.
+    k1/b must agree across members (asserted)."""
+    from engine.oracle import analyze_query_py as _aq
+
+    assert readers, "multi_index_topk needs at least one reader"
+    k1b = {(float(r.k1), float(r.b)) for r in readers}
+    assert len(k1b) == 1, f"members disagree on k1/b: {k1b}"
+    terms = _aq(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    df_g: dict[str, int] = {}
+    for r in readers:
+        for t, d in r.term_stats(terms).items():
+            df_g[t] = df_g.get(t, 0) + int(d)
+    live = [t for t in terms if df_g.get(t)]
+    spark = readers[0].spark
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return empty
+    n_g = sum(int(r.n_docs) for r in readers)
+    sum_dl = sum(int(r.manifest["sum_dl"]) for r in readers)
+    avgdl_g = sum_dl / n_g
+    idfs_g = {t: float(P.bm25_idf(df_g[t], n_g)) for t in live}
+    parts = [
+        bm25_topk(
+            r, live, k=k, mode=mode, algo="taat",
+            stats_override=(idfs_g, avgdl_g),
+        )
+        for r in readers
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    # cross-index merge: scores are globally comparable by construction;
+    # url is the only cross-index total tiebreak (doc_ids are per-index)
+    return out.orderBy(F.desc("score"), F.asc("url")).limit(k)

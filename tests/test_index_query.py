@@ -773,3 +773,35 @@ def test_index_stats_summary(spark, index):
     assert st["postings_bytes"] > 0 and st["docmap_bytes"] > 0
     assert st["tombstones"] == 0 and st["snapshots"] == 0
     assert st["analyzer"] and st["codec"]
+
+
+def test_federated_equals_single_index(spark, index, corpus, tmp_path_factory):
+    """dfs_query_then_fetch federation: two parity-split member indexes
+    queried with global stats must be rank- AND score-identical to the
+    one index built over the whole corpus (the segment-merge identity
+    without rewriting a byte)."""
+    from engine.query import IndexReader, bm25_topk, multi_index_topk
+
+    out, _m = index
+    full = IndexReader(spark, out)
+    docs = spark.read.parquet(corpus)
+    members = []
+    for par in (0, 1):
+        d = str(tmp_path_factory.mktemp(f"fed{par}") / "idx")
+        half = docs.filter(
+            (F.length("url") % 2 == par)
+        )
+        build_index(spark, half, d, n_shards=2, n_buckets=4)
+        members.append(IndexReader(spark, d))
+    assert full.n_docs == sum(r.n_docs for r in members)
+    for q in synth.frozen_queries():
+        mode = synth.MODE_BY_KIND[q["kind"]]
+        if mode == "prefix":
+            continue  # rewrites are single-index (dictionary-local)
+        got = multi_index_topk(members, q["terms"], k=q["k"], mode=mode).collect()
+        want = bm25_topk(full, q["terms"], k=q["k"], mode=mode, algo="taat").collect()
+        gs = sorted(((x["url"], x["score"]) for x in got), key=lambda t: (-t[1], t[0]))
+        ws = sorted(((x["url"], x["score"]) for x in want), key=lambda t: (-t[1], t[0]))
+        assert [u for u, _ in gs] == [u for u, _ in ws], q
+        for (gu, gsc), (wu, wsc) in zip(gs, ws):
+            assert gsc == pytest.approx(wsc, abs=1e-9), (q, gu, wu)
