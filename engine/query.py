@@ -1339,20 +1339,8 @@ def bm25_dismax_topk(
     )
     if not terms:
         return empty
-    if stats_override is None:
-        idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
-        avgdl = reader.avgdl
-    else:
-        # federated scoring (multi_index_topk): corpus-global idf/avgdl
-        # replace this index's local stats. Stored block-max impacts are
-        # local-avgdl-baked, so their bounds are unsound under override —
-        # exact TAAT only.
-        g_idfs, g_avgdl = stats_override
-        idfs = {t: float(g_idfs[t]) for t in terms}
-        avgdl = float(g_avgdl)
-        if algo in ("wand", "wand_daat"):
-            algo = "taat"
-    k1, b = reader.k1, reader.b
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
 
     tomb = reader.tombstones()
 
