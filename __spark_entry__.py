@@ -1915,6 +1915,20 @@ def _federated_index_dirs(spark, sf_dir):
             )
             build_index(spark, d, out_dir, n_shards=2, n_buckets=8)
             os.utime(out_dir)
+            import glob
+            import shutil
+
+            # bound the cache like the wand/evt siblings: keep the newest
+            # 4 per parity prefix, drop older corpus generations
+            sibs = sorted(
+                glob.glob(
+                    os.path.join(tempfile.gettempdir(), f"sparkft_fed{par}_*")
+                ),
+                key=os.path.getmtime,
+                reverse=True,
+            )
+            for stale in sibs[4:]:
+                shutil.rmtree(stale, ignore_errors=True)
         dirs.append(out_dir)
     return dirs
 

@@ -437,6 +437,9 @@ def main() -> None:
         if args.output:
             with open(args.output, "w") as f:
                 f.write(line + "\n")
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)  # scaling legs leak ~GBs otherwise
 
     spark.stop()
 
