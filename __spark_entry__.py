@@ -230,6 +230,7 @@ def _bm25_sql(
     corpus_filter: str | None = None,
     result_filter: str | None = None,
     docvalue_filter: str | None = None,
+    boost_sql: str | None = None,
 ) -> str:
     """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
     (compaction semantics — the docs never existed); result_filter: docs
@@ -246,9 +247,12 @@ def _bm25_sql(
         impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     base = "text IS NOT NULL AND text != ''"
     cte = _toks_cte(f"{base} AND {corpus_filter}" if corpus_filter else base)
-    res_join = " JOIN documents USING (doc_id)" if docvalue_filter else ""
+    res_join = (
+        " JOIN documents USING (doc_id)" if (docvalue_filter or boost_sql) else ""
+    )
     wh = result_filter or docvalue_filter
     res_where = f"WHERE {wh}" if wh else ""
+    score_expr = f"score_raw + {boost_sql}" if boost_sql else "score_raw"
     return f"""
 {cte},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -266,8 +270,8 @@ scored AS (
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY doc_id
 )
-SELECT doc_id, round(score_raw, 6) AS score
-FROM scored{res_join} {res_where} ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+SELECT doc_id, round({score_expr}, 6) AS score
+FROM scored{res_join} {res_where} ORDER BY round({score_expr}, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1947,6 +1951,26 @@ def q_bm25_federated(spark, sf_dir):
     )
 
 
+BOOST_WEIGHT = 0.05  # function_score field_value_factor weight
+
+
+def q_bm25_boosted(spark, sf_dir):
+    """ES function_score (field_value_factor, modifier ln(1+v),
+    boost_mode=sum): final = bm25 + 0.05 * ln(1 + n_chars) — EXACT (every
+    matched doc competes with its boosted score before the top-k cut, not
+    an ES rescore window; boosted totals exceed stored block-max bounds,
+    so the engine routes to the exact TAAT kernel)."""
+    from engine.query import IndexReader, bm25_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(
+        r, BM25_TERMS, k=25, boost=("n_chars", BOOST_WEIGHT)
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.2}  # es/zh -> default 0
 PACK_BUDGET = 2048
 
@@ -2096,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count_filtered": q_search_count,
         "bm25_mlt_topk": q_bm25_mlt,
         "bm25_federated_topk": q_bm25_federated,
+        "bm25_boosted_topk": q_bm25_boosted,
         "percolate_matches": q_percolate,
         "termvectors_doc": q_termvectors,
         "explain_doc": q_explain_doc,
@@ -2641,6 +2666,9 @@ SELECT term, tf, df,
          AS contribution
 FROM x""",
         "bm25_federated_topk": _bm25_sql(BM25_TERMS),
+        "bm25_boosted_topk": _bm25_sql(
+            BM25_TERMS, boost_sql=f"{BOOST_WEIGHT} * ln(1.0 + n_chars)"
+        ),
         "suggest_terms": _toks_cte() + f""",
 alltf AS (
   SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM toks)

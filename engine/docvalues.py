@@ -134,3 +134,31 @@ def build_shard_filter(reader, filters):
         return filter_mask(tbl, filters)
 
     return shard_filter
+
+
+def build_shard_boost(reader, field: str, weight: float):
+    """(shard, sorted_local_ids) -> additive per-doc boost array for the
+    query kernels — ES function_score with field_value_factor
+    (modifier=ln(1 + value), boost_mode=sum, frozen): boost = weight *
+    ln(1 + docvalue), null docvalues contribute 0 (ES missing-value
+    behavior). Same candidates-only gather as the filter context."""
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    if field not in dv_cols:
+        raise ValueError(
+            f"boost field {field!r} not in index docvalues {dv_cols}; "
+            f"rebuild with build_index(..., docvalue_cols=[...])"
+        )
+    index_dir = reader.dir
+    w = float(weight)
+
+    def shard_boost(shard: int, local_ids: np.ndarray) -> np.ndarray:
+        tbl = gather_docvalues(index_dir, int(shard), [field], local_ids)
+        v = np.nan_to_num(
+            tbl.column(field).to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        )
+        out = w * np.log(1.0 + v)
+        # null -> 0 boost exactly (log(1+0)=0 already, but keep explicit)
+        return out
+
+    return shard_boost

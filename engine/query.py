@@ -827,7 +827,7 @@ def _bmw_shard_topk(
 def _taat_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
     field_opts: str = "default", dels: np.ndarray | None = None,
-    local_filter=None,
+    local_filter=None, local_boost=None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time accumulation over one shard.
 
@@ -871,6 +871,11 @@ def _taat_shard_topk(
     if local_filter is not None and uniq.size:
         keep = local_filter(uniq)
         uniq, scores = uniq[keep], scores[keep]
+    if local_boost is not None and uniq.size:
+        # function_score: additive per-doc boost from docvalues, applied
+        # after accumulation and BEFORE the top-k cut (exact — not an ES
+        # rescore window; every matched doc competes with its final score)
+        scores = scores + local_boost(uniq)
     if uniq.size == 0:
         return []
     kk = min(k, uniq.size)
@@ -1049,6 +1054,7 @@ def bm25_topk(
     execution: str = "auto",
     filters=(),
     stats_override=None,
+    boost=None,
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -1081,7 +1087,7 @@ def bm25_topk(
     result-DataFrame round-trip — the serving-path API."""
     kind, payload = _bm25_topk_impl(
         reader, query, k, mode, algo, field_opts, lookup, execution, filters,
-        stats_override,
+        stats_override, boost,
     )
     if kind == "df":
         return payload
@@ -1133,6 +1139,7 @@ def _bm25_topk_impl(
     execution: str,
     filters=(),
     stats_override=None,
+    boost=None,
 ):
     """Shared top-k engine. Returns ("rows", [(url, doc_id, score), ...])
     when the result is materialized driver-side (local kernels and/or local
@@ -1189,6 +1196,14 @@ def _bm25_topk_impl(
         # post-accumulation docvalue mask is the correct kernel
         shard_filter = build_shard_filter(reader, filters)
         algo = "taat"
+    shard_boost = None
+    if boost is not None:
+        from engine.docvalues import build_shard_boost
+
+        # function_score: boosted totals exceed the stored block-max
+        # bounds, so pruning is unsound -> exact TAAT
+        shard_boost = build_shard_boost(reader, boost[0], boost[1])
+        algo = "taat"
 
     if stats_override is None:
         idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
@@ -1219,8 +1234,11 @@ def _bm25_topk_impl(
         lf = None
         if shard_filter is not None:
             lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
+        lb = None
+        if shard_boost is not None:
+            lb = lambda u, s=shard: shard_boost(s, u)  # noqa: E731
         return _taat_shard_topk(
-            rows, idfs, k, k1, b, avgdl, mode, field_opts, dels, lf
+            rows, idfs, k, k1, b, avgdl, mode, field_opts, dels, lf, lb
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -650,3 +650,33 @@ def test_significant_terms_vs_brute(spark, agg_index, docs_pdf, execution):
         assert x["score"] == pytest.approx(round(s, 6), abs=1e-6)
     # the query terms themselves are trivially significant (ES keeps them)
     assert set(Q) & {x["term"] for x in got}
+
+
+def test_function_score_boost_exact(spark, agg_index, docs_pdf):
+    """function_score: boosted top-k == (unboosted full ranking + boost
+    recomposed client-side) — exact, every matched doc competes."""
+    import math
+
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, agg_index)
+    full = bm25_topk(r, Q, k=10**6, algo="taat").collect()
+    nchars = docs_pdf.set_index("doc_id")["n_chars"]
+    want = sorted(
+        (
+            (x["url"], x["score"] + 0.05 * math.log(1.0 + nchars[int(x["url"])]))
+            for x in full
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    for execution in ("local", "spark"):
+        got = bm25_topk(
+            r, Q, k=10, boost=("n_chars", 0.05), execution=execution
+        ).collect()
+        gs = sorted(((x["url"], x["score"]) for x in got), key=lambda t: (-t[1], t[0]))
+        assert [u for u, _ in gs] == [u for u, _ in want], execution
+        for (gu, gsc), (_wu, wsc) in zip(gs, want):
+            assert gsc == pytest.approx(wsc, abs=1e-9), (execution, gu)
+    # the boost actually reorders vs the unboosted ranking (non-vacuous)
+    unboosted = [x["url"] for x in full[:10]]
+    assert [u for u, _ in want] != unboosted
