@@ -1220,8 +1220,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """simhash near-dup resolver: 4x16-bit band blocking + exact hamming."""
-    out = simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM)
+    """simhash near-dup resolver: 4x16-bit band blocking + exact hamming.
+    max_band_df=None pins the exact uncapped blocking for the oracle; the
+    pipeline-facing default is the "auto" hot-band cap (identical below
+    the 1024-doc floor)."""
+    out = simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=SIMHASH_MAXHAM, max_band_df=None
+    )
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -2035,57 +2040,14 @@ def q_stats_pii_scrub(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver correctness gate certifies exactly the
+    # FIRST 50 dict entries. Round 4 rotates the gate (round-3 verdict ask
+    # #1): the 43 queries the driver never hard-checked in rounds 1-3 come
+    # first, new round-4 queries next, then sentinel rows from the
+    # previously-certified set fill to 50; everything after slot 50 stays
+    # covered by the full self-certification run (CORRECTNESS_SELF.json).
     return {
-        "p_reject_filter": q_reject_filter,
-        "p_keyword_ignore_above": q_keyword_ignore_above,
-        "t_name_split_alphakey": q_t1_split_alphakey,
-        "t_es_document": q_es_document,
-        "l1_startswith_key": q_l1_startswith,
-        "l2_no_ws_punc_key": q_l2_no_ws_punc,
-        "l4_limit_first": q_l4_limit_first,
-        "l5_elastic_tokens": q_l5_elastic_tokens,
-        "l6_whitespace_tokens": q_l6_whitespace_tokens,
-        "l6_fold_tokens": q_l6_fold_tokens,
-        "l8_edge_ngrams_fold": q_l8_edge_ngrams_fold,
-        "l7_keyword_sort_key": q_l7_keyword_sort,
-        "o1_alpha_paging": q_alpha_paging,
-        "a1_metrics_totals": q_metrics_totals,
-        "l8_edge_ngrams": q_l8_edge_ngrams,
-        "l9_simple_tokens": q_l9_simple_tokens,
-        "a3_term_tf": q_term_tf,
-        "a4_term_df": q_term_df,
-        "a5_doc_stats": q_doc_stats,
-        "a6_unique_tf": q_unique_tf,
-        "a7_token_counts": q_token_counts,
-        "bm25_relational_topk": q_bm25_relational,
-        "bm25_wand_topk": q_bm25_wand,
-        "bm25_nonorms_topk": q_bm25_nonorms,
-        "bm25_doconly_topk": q_bm25_doconly,
-        "bm25_prefix_topk": q_bm25_prefix,
-        "bm25_dismax_topk": q_bm25_dismax,
-        "bm25_deleted_topk": q_bm25_deleted,
-        "bm25_compacted_topk": q_bm25_compacted,
-        "bm25_wildcard_topk": q_bm25_wildcard,
-        "bm25_regexp_topk": q_bm25_regexp,
-        "bm25_fuzzy_topk": q_bm25_fuzzy,
-        "bm25_bool_topk": q_bm25_bool,
-        "bm25_msm_topk": q_bm25_msm,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sig": q_dedup_minhash,
-        "dedup_jaccard_pairs": q_dedup_jaccard,
-        "dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_simhash_capped": q_dedup_simhash_capped,
-        "dedup_lsh_pairs": q_dedup_lsh,
-        "dedup_keep_first": q_dedup_keep_first,
-        "dedup_components": q_dedup_components,
-        "t_validate_rejects": q_validate_rejects,
-        "t_transform_company": q_transform_company,
-        "t7_export_json": q_t7_export_json,
-        "stats_lang_id": q_lang_id,
-        "stats_quality_score": q_quality_score,
-        "stats_doc_fingerprint": q_doc_fingerprint,
+        # --- 43 queries driver-certified for the first time this round ---
         "stats_repetition": q_stats_repetition,
         "sample_stratified": q_sample_stratified,
         "pack_tokens": q_pack_tokens,
@@ -2129,6 +2091,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
+        # --- new round-4 queries (driver-certified on first appearance) ---
+        # --- sentinel rows from the r1-r3 driver-certified set -----------
+        "t_name_split_alphakey": q_t1_split_alphakey,
+        "t7_export_json": q_t7_export_json,
+        "a5_doc_stats": q_doc_stats,
+        "bm25_wand_topk": q_bm25_wand,
+        "bm25_relational_topk": q_bm25_relational,
+        "dedup_lsh_pairs": q_dedup_lsh,
+        "l8_edge_ngrams": q_l8_edge_ngrams,
+        # ---------------- driver gate boundary (50 entries) ----------------
+        "p_reject_filter": q_reject_filter,
+        "p_keyword_ignore_above": q_keyword_ignore_above,
+        "t_es_document": q_es_document,
+        "l1_startswith_key": q_l1_startswith,
+        "l2_no_ws_punc_key": q_l2_no_ws_punc,
+        "l4_limit_first": q_l4_limit_first,
+        "l5_elastic_tokens": q_l5_elastic_tokens,
+        "l6_whitespace_tokens": q_l6_whitespace_tokens,
+        "l6_fold_tokens": q_l6_fold_tokens,
+        "l8_edge_ngrams_fold": q_l8_edge_ngrams_fold,
+        "l7_keyword_sort_key": q_l7_keyword_sort,
+        "o1_alpha_paging": q_alpha_paging,
+        "a1_metrics_totals": q_metrics_totals,
+        "l9_simple_tokens": q_l9_simple_tokens,
+        "a3_term_tf": q_term_tf,
+        "a4_term_df": q_term_df,
+        "a6_unique_tf": q_unique_tf,
+        "a7_token_counts": q_token_counts,
+        "bm25_nonorms_topk": q_bm25_nonorms,
+        "bm25_doconly_topk": q_bm25_doconly,
+        "bm25_prefix_topk": q_bm25_prefix,
+        "bm25_dismax_topk": q_bm25_dismax,
+        "bm25_deleted_topk": q_bm25_deleted,
+        "bm25_compacted_topk": q_bm25_compacted,
+        "bm25_wildcard_topk": q_bm25_wildcard,
+        "bm25_regexp_topk": q_bm25_regexp,
+        "bm25_fuzzy_topk": q_bm25_fuzzy,
+        "bm25_bool_topk": q_bm25_bool,
+        "bm25_msm_topk": q_bm25_msm,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash,
+        "dedup_jaccard_pairs": q_dedup_jaccard,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_capped": q_dedup_simhash_capped,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_components": q_dedup_components,
+        "t_validate_rejects": q_validate_rejects,
+        "t_transform_company": q_transform_company,
+        "stats_lang_id": q_lang_id,
+        "stats_quality_score": q_quality_score,
+        "stats_doc_fingerprint": q_doc_fingerprint,
     }
 
 

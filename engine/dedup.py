@@ -93,7 +93,10 @@ def ngram_shingles(
 
 
 def cap_shingle_df(
-    sh: DataFrame, max_shingle_df: int, count_dropped: bool | None = None
+    sh: DataFrame,
+    max_shingle_df: int,
+    count_dropped: bool | None = None,
+    _sdf: DataFrame | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Drop boilerplate shingles with document frequency > max_shingle_df
     before any shingle self-join (standard near-dup practice): one head
@@ -102,8 +105,10 @@ def cap_shingle_df(
     Returns (capped shingle table, number of shingles dropped); the drop
     count is logged so bounded coverage is never silent — counting costs
     one extra aggregate pass, so it runs only when INFO logging is on (or
-    count_dropped=True is forced, e.g. in tests)."""
-    sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    count_dropped=True is forced, e.g. in tests). _sdf: a precomputed
+    (shingle, sdf) table to reuse, so callers that also derive an auto
+    cap pay for the shingle aggregate once, not twice."""
+    sdf = _sdf if _sdf is not None else sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
     hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
     if count_dropped is None:
         count_dropped = log.isEnabledFor(logging.INFO)
@@ -118,17 +123,61 @@ def cap_shingle_df(
     return sh.join(hot, "shingle", "left_anti"), n_dropped
 
 
-def auto_shingle_df_cap(sh: DataFrame, floor: int = 1024, q: float = 0.9999) -> int:
-    """Pick a boilerplate-shingle df threshold from the data: the q-quantile
-    of the shingle-df distribution (approxQuantile — a sampled sketch pass,
-    the same rationale as the index's head-term salting threshold), floored
-    so the cap only ever bites shingles shared by >= `floor` docs — by
-    construction boilerplate, never a legitimate near-dup signal. One cheap
-    aggregate over the (already materialized) shingle table."""
-    sdf = sh.groupBy("shingle").agg(F.count("*").cast("double").alias("sdf"))
-    qv = sdf.approxQuantile("sdf", [q], 0.01)
-    est = int(qv[0]) if qv else 0
-    return max(floor, est)
+def _pair_budget_cap(
+    counts: DataFrame, size_col: str, floor: int, pairs_per_row: float
+) -> int:
+    """Data-derived hot-bucket threshold for a bucketed self-join, by PAIR
+    BUDGET: the largest cap such that candidate pairs contributed by kept
+    buckets (sum of m^2 over buckets with m <= cap) stay within
+    pairs_per_row * total_rows — i.e. the join's output is LINEAR in the
+    corpus by construction, never quadratic. A quantile cannot give this
+    guarantee: on a degenerate corpus (every doc near-identical) the hot
+    buckets ARE the upper quantiles, so any q-quantile floats up to the
+    degenerate size and the guard never bites. Buckets at or below `floor`
+    are always kept (legitimate near-dup clusters live there), so the
+    returned cap is >= floor.
+
+    Cost: one tiny aggregate-of-an-aggregate — the (size, n_buckets)
+    histogram of an already-reduced per-bucket count table — collected to
+    the driver (distinct bucket sizes of a count distribution: at most a
+    few thousand rows at any corpus scale)."""
+    hist = (
+        counts.groupBy(size_col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(size_col)
+        .collect()
+    )
+    total_rows = sum(int(r[size_col]) * int(r["n"]) for r in hist)
+    budget = pairs_per_row * total_rows
+    acc = 0.0
+    cap = floor
+    for r in hist:
+        m = int(r[size_col])
+        acc += float(m) * m * int(r["n"])
+        if acc > budget and m > floor:
+            break
+        cap = max(cap, m)
+    return max(floor, cap)
+
+
+def auto_shingle_df_cap(
+    sh: DataFrame,
+    floor: int = 1024,
+    pairs_per_row: float = 32.0,
+    _sdf: DataFrame | None = None,
+) -> int:
+    """Pick the boilerplate-shingle df threshold from the data by pair
+    budget (_pair_budget_cap): keep the largest cap whose shingle buckets
+    contribute at most pairs_per_row * corpus-rows candidate pairs to the
+    shingle self-join, floored so shingles shared by < `floor` docs are
+    never dropped — below that a shared shingle is a legitimate near-dup
+    signal, above it boilerplate. Pass _sdf to reuse a precomputed
+    (shingle, sdf) aggregate so the histogram reads the already-reduced
+    table."""
+    sdf = _sdf if _sdf is not None else sh.groupBy("shingle").agg(
+        F.count("*").alias("sdf")
+    )
+    return _pair_budget_cap(sdf, "sdf", floor, pairs_per_row)
 
 
 def _jaccard_over_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -295,7 +344,7 @@ def minhash_lsh_pairs(
 
     max_shingle_df: the pipeline-facing DEFAULT is "auto" — the verify
     join drops boilerplate shingles above a data-derived df threshold
-    (auto_shingle_df_cap: sampled quantile, floored at 1024 docs), so a
+    (auto_shingle_df_cap: pair-budget rule, floored at 1024 docs), so a
     mass-shared shingle can never make the verify join quadratic. Pass an
     int to pin the threshold, or None for exact uncapped semantics (the
     oracle baseline; below the floor both are identical anyway).
@@ -310,15 +359,22 @@ def minhash_lsh_pairs(
     try:
         cand = lsh_candidate_pairs(docs, k, bands, n, id_col, text_col, _shingles=sh)
         vsh = sh
-        if max_shingle_df == "auto":
-            max_shingle_df = auto_shingle_df_cap(sh)
         if max_shingle_df is not None:
-            vsh, _ = cap_shingle_df(sh, max_shingle_df)
+            # ONE aggregate pass over the persisted shingle table feeds
+            # both the auto-cap histogram and the hot-shingle filter (the
+            # round-3 version ran the groupBy twice — once inside
+            # auto_shingle_df_cap, once inside cap_shingle_df).
+            sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).persist()
+            if max_shingle_df == "auto":
+                max_shingle_df = auto_shingle_df_cap(sh, _sdf=sdf)
+            vsh, _ = cap_shingle_df(sh, max_shingle_df, _sdf=sdf)
         out = (
             _jaccard_over_pairs(cand, vsh, threshold)
             .select("a", "b", "jaccard")
             .localCheckpoint(eager=True)
         )
+        if max_shingle_df is not None:
+            sdf.unpersist()
     finally:
         sh.unpersist()
     return out
@@ -353,8 +409,22 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return wide.select("doc_id", fp.alias("simhash"))
 
 
+def auto_band_df_cap(
+    bdf: DataFrame, floor: int = 1024, pairs_per_row: float = 32.0
+) -> int:
+    """Simhash twin of auto_shingle_df_cap: pick the hot-band threshold by
+    pair budget (_pair_budget_cap) over the (band, key) bucket-size
+    distribution, floored so buckets holding < `floor` docs — ordinary
+    near-dup groups — are never dropped. Takes the already-aggregated
+    (band, key, bdf) table, so the histogram reads a tiny reduced input."""
+    return _pair_budget_cap(bdf, "bdf", floor, pairs_per_row)
+
+
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_band_df: int | None = None, **kw
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_band_df: int | None | str = "auto",
+    **kw,
 ) -> DataFrame:
     """Near-dup candidates via 4x16-bit band blocking (any identical band ->
     candidate; guaranteed to catch all pairs with hamming <= 3), verified by
@@ -363,55 +433,75 @@ def simhash_near_dup_pairs(
     max_band_df: hot-band guard (the simhash twin of cap_shingle_df) — a
     degenerate corpus (mass-produced boilerplate, or near-empty docs all
     hashing to the same fingerprint) can put m docs in one (band, key)
-    bucket and make m^2 candidate rows in the self-join. When set, buckets
-    with more than max_band_df members are dropped BEFORE the join with a
-    logged drop count; pairs found through the remaining bands are still
-    verified exactly. Recall note: a hamming<=3 pair agrees on >= 1 of the
-    4 bands, so it survives unless ALL its agreeing bands are hot — which
-    at max_band_df >> expected cluster size only happens for boilerplate
-    clusters that exact_dedup should collapse first. None = exact
-    blocking (the oracle baseline)."""
-    sh = simhash64(docs, **kw)
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(*[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1) for i in range(4)])
-        ).alias("band", "key"),
-    )
-    if max_band_df is not None:
-        bdf = bands.groupBy("band", "key").agg(F.count("*").alias("bdf"))
-        hot = bdf.filter(F.col("bdf") > max_band_df).select("band", "key")
-        if log.isEnabledFor(logging.INFO):
-            n_hot = hot.count()
-            log.info(
-                "simhash_near_dup_pairs: dropping %d hot (band, key) buckets "
-                "with df > %d", n_hot, max_band_df,
+    bucket and make m^2 candidate rows in the self-join. The pipeline-facing
+    DEFAULT is "auto": the threshold is derived from a pair budget over
+    the bucket-size distribution (auto_band_df_cap, floored at 1024), so the
+    self-join can never go quadratic on a degenerate corpus — mirroring
+    minhash_lsh_pairs. Buckets above the threshold are dropped BEFORE the
+    join with a logged drop count; pairs found through the remaining bands
+    are still verified exactly. Recall note: a hamming<=3 pair agrees on
+    >= 1 of the 4 bands, so it survives unless ALL its agreeing bands are
+    hot — which at a cap >> expected cluster size only happens for
+    boilerplate clusters that exact_dedup should collapse first. Pass an
+    int to pin the threshold, or None for exact uncapped blocking (the
+    oracle baseline; below the floor both are identical anyway)."""
+    # The fingerprint table is persisted while the plan runs: the band
+    # self-join reads it twice (x/y) and the auto cap once more — without
+    # the persist each would recompute the wide simhash64 aggregate. The
+    # (a, b, hamming) result is tiny, so it is localCheckpoint-ed eagerly
+    # and the fingerprint cache released before returning (same contract
+    # as minhash_lsh_pairs: no storage pinned across calls).
+    sh = simhash64(docs, **kw).persist()
+    try:
+        bands = sh.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(*[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND((1 << 16) - 1) for i in range(4)])
+            ).alias("band", "key"),
+        )
+        if max_band_df is not None:
+            # One aggregate pass feeds both the auto threshold and the hot
+            # filter; the reduced (band, key, bdf) table is at most 4x
+            # n_docs rows and the histogram runs over it, not over bands.
+            bdf = bands.groupBy("band", "key").agg(F.count("*").alias("bdf"))
+            if max_band_df == "auto":
+                max_band_df = auto_band_df_cap(bdf)
+            hot = bdf.filter(F.col("bdf") > max_band_df).select("band", "key")
+            if log.isEnabledFor(logging.INFO):
+                n_hot = hot.count()
+                log.info(
+                    "simhash_near_dup_pairs: dropping %d hot (band, key) buckets "
+                    "with df > %d", n_hot, max_band_df,
+                )
+            bands = bands.join(hot, ["band", "key"], "left_anti")
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
             )
-        bands = bands.join(hot, ["band", "key"], "left_anti")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            .select(
+                F.col("x.doc_id").alias("a"),
+                F.col("y.doc_id").alias("b"),
+                F.col("x.simhash").alias("ha"),
+                F.col("y.simhash").alias("hb"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+        xor = F.col("ha").bitwiseXOR(F.col("hb"))
+        ham = sum(F.shiftright(xor, j).bitwiseAND(1) for j in range(64))
+        out = (
+            cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-    )
-    xor = F.col("ha").bitwiseXOR(F.col("hb"))
-    ham = sum(F.shiftright(xor, j).bitwiseAND(1) for j in range(64))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-    )
+    finally:
+        sh.unpersist()
+    return out
 
 
 def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

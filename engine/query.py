@@ -1916,10 +1916,10 @@ def explain_score(
     by_shard = reader.postings_local(live)
     if by_shard is not None:
         rows = by_shard.get(shard, [])
-    else:  # non-local postings: one tiny pruned Spark read
-        rows = [
-            r for r in reader.postings(live).collect() if int(r.shard) == shard
-        ]
+    else:  # non-local postings: one tiny pruned Spark read — the shard
+        # predicate is pushed into the parquet scan (PushedFilters), so a
+        # head term never pulls other shards' posting rows to the driver.
+        rows = reader.postings(live).filter(F.col("shard") == shard).collect()
     n, avgdl, k1, b = (
         float(reader.n_docs),
         float(reader.avgdl),

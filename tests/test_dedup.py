@@ -186,6 +186,26 @@ def test_simhash_band_cap_bounds_degenerate_corpus(spark):
     assert all(a >= 100 for a, _ in capped_pairs), capped_pairs
 
 
+def test_simhash_default_auto_cap_bounds_degenerate_corpus(spark):
+    """The pipeline DEFAULT (max_band_df='auto') must bound candidates on a
+    degenerate same-fingerprint corpus: 1100 identical docs put every band
+    bucket above the 1024-doc auto floor, so the cluster contributes zero
+    pairs instead of ~600k, while an ordinary small near-dup pair (bucket
+    df=2, far below any derived threshold) is still found."""
+    from engine.dedup import simhash_near_dup_pairs
+
+    boiler = [(i, "identical boilerplate text shared by the whole crawl") for i in range(1100)]
+    uniq = [
+        (5000, "rare alpha beta gamma delta epsilon zeta"),
+        (5001, "rare alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(boiler + uniq, "doc_id long, text string")
+    got = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (5000, 5001) in pairs
+    assert all(a >= 5000 for a, _ in pairs), f"boilerplate pairs leaked: {len(pairs)}"
+
+
 def test_lsh_pairs_auto_cap_matches_exact_below_floor(spark, docs):
     """The pipeline default (max_shingle_df='auto') must be identical to
     the exact uncapped verify on a corpus smaller than the cap floor."""

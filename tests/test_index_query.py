@@ -721,6 +721,32 @@ def test_explain_score_sums_to_kernel_score(spark, index, corpus):
     assert explain_score(r, ["zzznothing"], url).count() == 0
 
 
+def test_explain_score_fallback_prunes_shard_and_matches_local(spark, index):
+    """The non-local explain fallback (postings_local unavailable) must
+    (a) return exactly the local path's rows and (b) push the target-shard
+    predicate into the postings parquet scan — a head-term explain must
+    never pull other shards' posting rows to the driver."""
+    from engine.query import IndexReader, bm25_topk, explain_score
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    q = synth.frozen_queries()[0]
+    url = bm25_topk(r, q["terms"], k=1).collect()[0]["url"]
+    local_rows = sorted(map(tuple, explain_score(r, q["terms"], url).collect()))
+    r.postings_local = lambda terms: None  # force the Spark fallback
+    spark_rows = sorted(map(tuple, explain_score(r, q["terms"], url).collect()))
+    assert spark_rows == local_rows
+    # the exact read shape the fallback uses: shard filter must reach the scan
+    plan = (
+        r.postings(q["terms"])
+        .filter(F.col("shard") == 0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "shard" in plan.split("PushedFilters", 1)[1][:200], plan
+
+
 def test_suggest_terms_both_paths_match_brute(spark, index, oracle):
     """Term suggester: (distance asc, df desc, term asc) top-k vs brute;
     cached-vocab and distributed dictionary paths identical."""
