@@ -75,6 +75,7 @@ from engine.events import (
 K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
 WAND_TERMS = ["dup", "key", "fast"]
+PHRASE_Q = "table hash"  # frozen match_phrase query (adjacent-bigram)
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
 PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
 WILDCARD_Q = "s*a*"  # scan/small/spark/stream... on this corpus
@@ -866,6 +867,63 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+def _phrase_sql(terms: list[str], k: int = 10) -> str:
+    """match_phrase oracle (declarative twin of engine/query.py
+    match_phrase_topk / _phrase_shard_topk): positions from
+    generate_subscripts over the frozen tokenization; phrase frequency =
+    adjacency self-joins (slot i at pos+i); Lucene PhraseQuery scoring —
+    the phrase is ONE pseudo-term with tf = phrase_freq and idf = the sum
+    of member-term idfs (duplicate slots counted)."""
+    joins, conds = [], []
+    for i, _t in enumerate(terms[1:], start=1):
+        joins.append(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+            f"AND p{i}.term = '{terms[i]}'"
+        )
+    join_sql = "\n       ".join(joins)
+    tl = ", ".join(f"'{t}'" for t in dict.fromkeys(terms))
+    # idf sum counts duplicate slots: sum over slots of idf(term_of_slot)
+    slot_counts: dict[str, int] = {}
+    for t in terms:
+        slot_counts[t] = slot_counts.get(t, 0) + 1
+    idf_terms = " + ".join(
+        f"{c} * ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        for i, (t, c) in enumerate(slot_counts.items())
+    )
+    df_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(slot_counts)
+    )
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN ({tl}) GROUP BY term
+),
+dfw AS (SELECT {df_cols} FROM dfreq),
+pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS pf
+  FROM pos p0
+       {join_sql}
+  WHERE p0.term = '{terms[0]}'
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfw
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _round_rerank(df, k: int = 10):
     """Deterministic top-k under float-sum noise: both engines' aggregate
     SUM order is nondeterministic (parallel hash agg), so raw near-ties at
@@ -939,6 +997,64 @@ def _wand_index_dir(spark, sf_dir):
         for stale in sibs[8:]:
             shutil.rmtree(stale, ignore_errors=True)
     return out_dir
+
+
+def _phrase_index_dir(spark, sf_dir):
+    """Positional index (index_options='positions') over the documents
+    table for the match_phrase driver query — separate from the shared
+    freqs index so the frozen freqs layout and its 20+ green queries stay
+    byte-identical. Same content-fingerprint cache discipline as
+    _wand_index_dir."""
+    import hashlib
+
+    from engine.index_build import build_index
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    h = hashlib.md5((src + "|layout=pos1").encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, fn) for r, _, fns in os.walk(src) for fn in fns
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkft_pos_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"), "text"
+        )
+        build_index(
+            spark, d, out_dir, n_shards=4, n_buckets=8,
+            index_options="positions",
+        )
+        os.utime(out_dir)
+        import glob
+        import shutil
+
+        sibs = sorted(
+            glob.glob(os.path.join(tempfile.gettempdir(), "sparkft_pos_*")),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in sibs[4:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    return out_dir
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """ES match_phrase (slop=0) over the positional index: exact adjacency
+    verified from the pos_bin stream, Lucene PhraseQuery scoring (phrase =
+    one pseudo-term, tf = phrase freq, idf = sum of member idfs)."""
+    from engine.query import IndexReader, match_phrase_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = match_phrase_topk(reader, PHRASE_Q, k=40)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
 
 
 # deterministic delete rule for the deletes driver queries: tombstone every
@@ -2092,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
         # --- new round-4 queries (driver-certified on first appearance) ---
+        "bm25_phrase_topk": q_bm25_phrase,
         # --- sentinel rows from the r1-r3 driver-certified set -----------
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
@@ -2099,8 +2216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand,
         "bm25_relational_topk": q_bm25_relational,
         "dedup_lsh_pairs": q_dedup_lsh,
-        "l8_edge_ngrams": q_l8_edge_ngrams,
         # ---------------- driver gate boundary (50 entries) ----------------
+        "l8_edge_ngrams": q_l8_edge_ngrams,
         "p_reject_filter": q_reject_filter,
         "p_keyword_ignore_above": q_keyword_ignore_above,
         "t_es_document": q_es_document,
@@ -2267,6 +2384,7 @@ FROM grams
         ),
         "bm25_relational_topk": _bm25_sql(BM25_TERMS),
         "bm25_wand_topk": _bm25_sql(WAND_TERMS),
+        "bm25_phrase_topk": _phrase_sql(PHRASE_Q.split(), k=25),
         "bm25_nonorms_topk": _bm25_sql(BM25_TERMS, field_opts="nonorms"),
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),

@@ -94,6 +94,43 @@ def main() -> None:
     queries["index_build"] = round(dt, 3)
     aux["index_docs"] = manifest["n_docs"]
     aux["index_docs_per_sec"] = round(manifest["n_docs"] / dt, 1)
+    freqs_build_sec = dt
+
+    # ---- positional build (positions cost) + match_phrase latency ----------
+    # same corpus/params with index_options="positions": the delta vs the
+    # freqs build is the storage/encode price of the position stream — the
+    # number a 100 TB deployment needs before opting a field into phrases.
+    from engine.query import match_phrase_topk
+
+    idx_pos = os.path.join(work, "idx_pos")
+    t0 = time.time()
+    build_index(
+        spark, corpus, idx_pos, n_shards=n_shards, n_buckets=32,
+        bucket_chunk=32, index_options="positions",
+    )
+    dtp = time.time() - t0
+    queries["index_build_pos"] = round(dtp, 3)
+    aux["pos_build_overhead_pct"] = round(100.0 * (dtp - dt) / dt, 1)
+    preader = IndexReader(spark, idx_pos)
+    # deterministic phrases: adjacent token runs from the frozen corpus
+    sample = spark.read.parquet(corpus).select("text").limit(8).collect()
+    phrases: list[str] = []
+    for r in sample:
+        toks = r["text"].split()
+        if len(toks) >= 12:
+            phrases.append(" ".join(toks[5:7]))     # bigram
+            phrases.append(" ".join(toks[8:11]))    # trigram
+    phrases = phrases[:10]
+    match_phrase_topk(preader, phrases[0], k=10).collect()  # warm
+    lat = []
+    for ph in phrases:
+        t0 = time.time()
+        match_phrase_topk(preader, ph, k=10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    queries["phrase_p50"] = round(lat[len(lat) // 2], 3)
+    aux["phrase_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+    dt = freqs_build_sec  # restore for downstream readers of the build time
 
     # ---- BM25 top-10 latency over the built index --------------------------
     reader = IndexReader(spark, idx)

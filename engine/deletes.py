@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 
 from engine import postings as P
 from engine.hashing import term_bucket
-from engine.index_build import POSTING_SCHEMA, _local_df
+from engine.index_build import POSTING_SCHEMA, POSTING_SCHEMA_POS, _local_df
 
 
 def _tomb_dir(index_dir: str) -> str:
@@ -213,18 +213,26 @@ def load_tombstones(
     return out
 
 
-def _make_rewriter(deleted: dict[int, np.ndarray], avgdl: float, k1: float, b: float):
+def _make_rewriter(
+    deleted: dict[int, np.ndarray], avgdl: float, k1: float, b: float,
+    positions: bool = False,
+):
     """mapInPandas posting rewriter: decode -> drop deleted docs -> shift
     local ids down by the count of deleted ids below them (prefix-sum via
     searchsorted over the shard's sorted tombstone array) -> re-encode
     with the compacted index's avgdl. Rows are independent (one per
-    (bucket, shard, term)), so no group-carry is needed."""
+    (bucket, shard, term)), so no group-carry is needed.
+
+    positions=True (positional src index): the token-position stream is
+    carried through compaction — decode to absolute positions, drop the
+    occurrence slices of deleted postings, re-derive within-posting deltas
+    from the survivors, re-encode alongside the other streams."""
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             buckets, shards, terms = [], [], []
             starts: list[int] = []
-            d_parts, t_parts, l_parts = [], [], []
+            d_parts, t_parts, l_parts, p_parts = [], [], [], []
             off = 0
             for row in pdf.itertuples(index=False):
                 blocks = [
@@ -236,11 +244,18 @@ def _make_rewriter(deleted: dict[int, np.ndarray], avgdl: float, k1: float, b: f
                 d, t, l = P.decode_term_postings(
                     row.docs_bin, row.tfs_bin, row.dls_bin, blocks
                 )
+                pos = None
+                if positions:
+                    pos = P.decode_term_positions(
+                        t, row.pos_bin, list(row.pos_offs), blocks
+                    )
                 dels = deleted.get(int(row.shard))
                 if dels is not None and dels.size:
                     keep = ~np.isin(d, dels, assume_unique=True)
                     if not keep.any():
                         continue  # term vanishes from this shard
+                    if pos is not None:
+                        pos = pos[np.repeat(keep, t.astype(np.int64))]
                     d, t, l = d[keep], t[keep], l[keep]
                     d = d - np.searchsorted(dels, d, side="left")
                 buckets.append(row.bucket)
@@ -250,6 +265,17 @@ def _make_rewriter(deleted: dict[int, np.ndarray], avgdl: float, k1: float, b: f
                 d_parts.append(d)
                 t_parts.append(t)
                 l_parts.append(l)
+                if pos is not None:
+                    # re-derive within-posting deltas over the survivors
+                    pos = pos.astype(np.int64)
+                    pd_ = np.empty(pos.size, dtype=np.uint32)
+                    if pos.size:
+                        pd_[1:] = (pos[1:] - pos[:-1]).astype(np.uint32)
+                        run_start = np.concatenate(
+                            ([0], np.cumsum(t.astype(np.int64))[:-1])
+                        )
+                        pd_[run_start] = pos[run_start].astype(np.uint32)
+                    p_parts.append(pd_)
                 off += d.size
             if not starts:
                 continue
@@ -259,20 +285,25 @@ def _make_rewriter(deleted: dict[int, np.ndarray], avgdl: float, k1: float, b: f
                 np.concatenate(l_parts),
                 np.asarray(starts, dtype=np.int64),
                 avgdl, k1, b,
+                pos_deltas=(
+                    np.concatenate(p_parts).astype(np.uint32) if positions else None
+                ),
             )
-            yield pd.DataFrame(
-                {
-                    "bucket": np.asarray(buckets, dtype=np.int64),
-                    "shard": np.asarray(shards, dtype=np.int64),
-                    "term": np.asarray(terms, dtype=object),
-                    "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
-                    "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
-                    "docs_bin": [o["docs_bin"] for o in outs],
-                    "tfs_bin": [o["tfs_bin"] for o in outs],
-                    "dls_bin": [o["dls_bin"] for o in outs],
-                    "blocks": [o["blocks"] for o in outs],
-                }
-            )
+            cols = {
+                "bucket": np.asarray(buckets, dtype=np.int64),
+                "shard": np.asarray(shards, dtype=np.int64),
+                "term": np.asarray(terms, dtype=object),
+                "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
+                "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
+                "docs_bin": [o["docs_bin"] for o in outs],
+                "tfs_bin": [o["tfs_bin"] for o in outs],
+                "dls_bin": [o["dls_bin"] for o in outs],
+                "blocks": [o["blocks"] for o in outs],
+            }
+            if positions:
+                cols["pos_bin"] = [o["pos_bin"] for o in outs]
+                cols["pos_offs"] = [o["pos_offs"] for o in outs]
+            yield pd.DataFrame(cols)
 
     return rewrite
 
@@ -344,10 +375,12 @@ def compact_index(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     )
 
     # ---- postings: one independent rewrite pass (no shuffle) -------------
+    with_pos = manifest.get("index_options", "freqs") == "positions"
     post = spark.read.parquet(os.path.join(src_dir, "postings"))
-    rewriter = _make_rewriter(deleted, avgdl, k1, b)
+    rewriter = _make_rewriter(deleted, avgdl, k1, b, positions=with_pos)
+    schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
     (
-        post.mapInPandas(rewriter, POSTING_SCHEMA)
+        post.mapInPandas(rewriter, schema)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path("postings"))

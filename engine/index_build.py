@@ -88,6 +88,19 @@ POSTING_SCHEMA = T.StructType(
     ]
 )
 
+# positional indexes (index_options="positions") append a token-position
+# stream: pos_bin = per-block svb streams of within-posting position
+# deltas (first raw, rest gaps — Lucene layout), pos_offs = per-block byte
+# offsets into pos_bin (parallel to blocks, NOT folded into the frozen
+# block struct so every freqs-index reader/kernel is untouched).
+POSTING_SCHEMA_POS = T.StructType(
+    POSTING_SCHEMA.fields
+    + [
+        T.StructField("pos_bin", T.BinaryType()),
+        T.StructField("pos_offs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
 
 # ---------------------------------------------------------------------------
 # driver-side small tables: ALWAYS pandas-backed (Arrow -> LocalRelation).
@@ -168,10 +181,12 @@ def assign_doc_ids(valid: DataFrame, n_shards: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _make_encoder(avgdl: float, k1: float, b: float):
+def _make_encoder(avgdl: float, k1: float, b: float, positions: bool = False):
     """Arrow-native (mapInArrow) posting encoder: ZERO Python objects on the
     hot path. Input rows are RAW exploded tokens (one row per occurrence,
-    no tf column) sorted by (shard, term, local_id):
+    no tf column) sorted by (shard, term, local_id) — plus, for positional
+    indexes, a `pos` column (token position within the doc) with `pos` as
+    the final sort key, emitted as the pos_bin/pos_offs stream:
 
     - a map-side hash aggregation over the nearly-unique (shard, term,
       local_id) key costs more than it saves (measured), and the reduce
@@ -218,8 +233,17 @@ def _make_encoder(avgdl: float, k1: float, b: float):
         run_start = np.flatnonzero(change)
         tf = np.diff(np.append(run_start, n))
         dedup_starts = np.flatnonzero(is_new_group[run_start])
+        pos_deltas = None
+        if positions:
+            # within-posting deltas: first occurrence raw, rest gaps —
+            # rows arrive pos-sorted within each (term, doc) run
+            pos = arrs["pos"]
+            pos_deltas = np.empty(n, dtype=np.uint32)
+            pos_deltas[1:] = (pos[1:] - pos[:-1]).astype(np.uint32)
+            pos_deltas[run_start] = pos[run_start].astype(np.uint32)
         c = P.encode_groups_columnar(
-            local[run_start], tf, arrs["dl"][run_start], dedup_starts, avgdl, k1, b
+            local[run_start], tf, arrs["dl"][run_start], dedup_starts, avgdl, k1, b,
+            pos_deltas=pos_deltas,
         )
         idx = pa.array(starts)
         blocks_flat = pa.StructArray.from_arrays(
@@ -237,23 +261,31 @@ def _make_encoder(avgdl: float, k1: float, b: float):
         blocks = pa.ListArray.from_arrays(
             pa.array(c["blk_group_off"].astype(np.int32)), blocks_flat
         )
-        return pa.record_batch(
-            [
-                pa.array(arrs["bucket"][starts].astype(np.int32)),
-                pa.array(arrs["shard"][starts].astype(np.int32)),
-                term.take(idx),
-                pa.array(c["df"].astype(np.int32)),
-                pa.array(c["cf"]),
-                _bin_array(c["docs_buf"], c["docs_off"]),
-                _bin_array(c["tfs_buf"], c["tfs_off"]),
-                _bin_array(c["dls_buf"], c["dls_off"]),
-                blocks,
-            ],
-            names=["bucket", "shard", "term", "df_local", "cf_local",
-                   "docs_bin", "tfs_bin", "dls_bin", "blocks"],
-        )
+        cols = [
+            pa.array(arrs["bucket"][starts].astype(np.int32)),
+            pa.array(arrs["shard"][starts].astype(np.int32)),
+            term.take(idx),
+            pa.array(c["df"].astype(np.int32)),
+            pa.array(c["cf"]),
+            _bin_array(c["docs_buf"], c["docs_off"]),
+            _bin_array(c["tfs_buf"], c["tfs_off"]),
+            _bin_array(c["dls_buf"], c["dls_off"]),
+            blocks,
+        ]
+        names = ["bucket", "shard", "term", "df_local", "cf_local",
+                 "docs_bin", "tfs_bin", "dls_bin", "blocks"]
+        if positions:
+            cols.append(_bin_array(c["pos_buf"], c["pos_off"]))
+            cols.append(
+                pa.ListArray.from_arrays(
+                    pa.array(c["blk_group_off"].astype(np.int32)),
+                    pa.array(c["blk_pos_off"]),
+                )
+            )
+            names += ["pos_bin", "pos_offs"]
+        return pa.record_batch(cols, names=names)
 
-    _NUM = ("bucket", "shard", "local_id", "dl")
+    _NUM = ("bucket", "shard", "local_id", "dl") + (("pos",) if positions else ())
 
     def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         carry_term: "pa.Array | None" = None
@@ -396,8 +428,17 @@ def build_index(
     bucket_chunk: int = 4,
     persist_tokens: bool | None = None,
     docvalue_cols: list[str] | None = None,
+    index_options: str = "freqs",
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
+
+    index_options: "freqs" (default — the frozen layout, byte-identical to
+    prior rounds) or "positions": adds the pos_bin/pos_offs token-position
+    stream to every posting row (Lucene positions analog) so match_phrase
+    can verify term adjacency from the index. Freqs-only indexes answer
+    every non-positional query identically; the query layer refuses phrase
+    queries against a freqs index with a clear error (ES parity: a field
+    indexed without positions rejects phrase queries).
 
     docvalue_cols: extra source columns stored per doc in the docmap — the
     Lucene-docvalues analog backing aggregations (engine/aggs.py). They ride
@@ -428,6 +469,7 @@ def build_index(
         return _build_index_locked(
             spark, pages, out_dir, n_shards, n_buckets, k1, b, job_id,
             resume, bucket_chunk, persist_tokens, docvalue_cols,
+            index_options,
         )
     finally:
         _release_build_lock(fd, lock)
@@ -446,7 +488,10 @@ def _build_index_locked(
     bucket_chunk: int,
     persist_tokens: bool | None = None,
     docvalue_cols: list[str] | None = None,
+    index_options: str = "freqs",
 ) -> dict:
+    assert index_options in ("freqs", "positions"), index_options
+    with_pos = index_options == "positions"
     dv_cols = list(docvalue_cols or [])
     if isinstance(pages, str):
         if persist_tokens is None:
@@ -560,8 +605,13 @@ def _build_index_locked(
     #  - chunked: materialize the tf table partitioned by bucket once, then
     #    encode bucket chunks with per-bucket checkpoints — the resumable
     #    path for very large corpora (re-tokenization would dwarf the IO).
+    tok_col = (
+        [F.posexplode("tokens").alias("pos", "term")]
+        if with_pos
+        else [F.explode("tokens").alias("term")]
+    )
     tf = (
-        docs.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
+        docs.select("shard", "local_id", "dl", *tok_col)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
     chunked = bucket_chunk < n_buckets
@@ -581,7 +631,9 @@ def _build_index_locked(
             if d.startswith("bucket=") and int(d.split("=")[1]) not in done_buckets:
                 shutil.rmtree(os.path.join(post_dir, d))
 
-    encoder = _make_encoder(avgdl, k1, b)
+    encoder = _make_encoder(avgdl, k1, b, positions=with_pos)
+    posting_schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
+    sort_keys = ["shard", "term", "local_id"] + (["pos"] if with_pos else [])
     tf_src = spark.read.parquet(path("tf_table")) if chunked else tf
     default_par = spark.sparkContext.defaultParallelism
     for i in range(0, len(missing), bucket_chunk):
@@ -595,8 +647,8 @@ def _build_index_locked(
         (
             src.observe(obs, F.count(F.lit(1)).alias("postings"))
             .repartition(n_parts, "bucket", "shard")
-            .sortWithinPartitions("shard", "term", "local_id")
-            .mapInArrow(encoder, POSTING_SCHEMA)
+            .sortWithinPartitions(*sort_keys)
+            .mapInArrow(encoder, posting_schema)
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(post_dir)
@@ -659,6 +711,7 @@ def _build_index_locked(
         "shard_offsets": shard_offsets,
         "job_id": job_id,
         "docvalue_cols": dv_cols,
+        "index_options": index_options,
     }
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -190,6 +190,7 @@ def encode_groups_columnar(
     avgdl: float,
     k1: float = K1,
     b: float = B,
+    pos_deltas: np.ndarray | None = None,
 ) -> dict:
     """Vectorized encode of MANY doc-sorted (shard, term) groups at once —
     the hot loop of the index build (SURVEY.md 7.4: no per-row Python).
@@ -208,6 +209,17 @@ def encode_groups_columnar(
       blk_max                     float64[B]
       blk_group_off               int64[g+1] block range per group
     Byte-identical to encode_term_postings run per group.
+
+    pos_deltas (optional, positional indexes): per-OCCURRENCE token
+    position deltas, length sum(tfs), in posting order — within each
+    posting the first occurrence's value is its raw token position, the
+    rest are gaps to the previous occurrence (Lucene positions layout).
+    The position stream is cut on the SAME 128-doc block boundaries as
+    the other streams (a block's positions = the occurrences of its
+    docs), so block-skipping skips positions too. Adds to the result:
+      pos_buf                     bytes   (all groups' position binaries)
+      pos_off                     int64[g+1] group offsets into pos_buf
+      blk_pos_off                 int32[B]  block offsets WITHIN the group
     """
     n = local_ids.size
     if n == 0:
@@ -215,7 +227,7 @@ def encode_groups_columnar(
         # path) so callers indexing by key never see a bare list
         i64, i32 = np.empty(0, np.int64), np.empty(0, np.int32)
         zero_off = np.zeros(1, np.int64)
-        return {
+        out = {
             "df": i64, "cf": i64,
             "docs_buf": b"", "tfs_buf": b"", "dls_buf": b"",
             "docs_off": zero_off, "tfs_off": zero_off, "dls_off": zero_off,
@@ -223,6 +235,9 @@ def encode_groups_columnar(
             "blk_doc_off": i32, "blk_tf_off": i32, "blk_dl_off": i32,
             "blk_max": np.empty(0, np.float64), "blk_group_off": zero_off,
         }
+        if pos_deltas is not None:
+            out.update({"pos_buf": b"", "pos_off": zero_off, "blk_pos_off": i32})
+        return out
     local_ids = np.ascontiguousarray(local_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.uint32)
     dls = np.ascontiguousarray(dls, dtype=np.uint32)
@@ -287,7 +302,30 @@ def encode_groups_columnar(
     t_buf, tf_off, t_gro = _assemble(t_ctrl, t_data, t_coff, t_doff)
     l_buf, dl_off, l_gro = _assemble(l_ctrl, l_data, l_coff, l_doff)
 
+    pos_extra = None
+    if pos_deltas is not None:
+        # occurrence-space twins of the posting-space block boundaries:
+        # block b's positions are the occurrences of its postings, i.e.
+        # occ_cum[block_start[b]] .. occ_cum[block_end[b]]
+        pos_deltas = np.ascontiguousarray(pos_deltas, dtype=np.uint32)
+        occ_cum = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        assert pos_deltas.size == int(occ_cum[-1]), "pos_deltas != sum(tfs)"
+        oblock_start = occ_cum[block_start]
+        oblock_n = occ_cum[block_end] - oblock_start
+        oblock_of_value = np.repeat(np.arange(total_blocks), oblock_n)
+        pos_in_oblock = np.arange(pos_deltas.size) - oblock_start[oblock_of_value]
+        p_ctrl, p_data, p_coff, p_doff = _svb_streams(
+            pos_deltas, oblock_start, oblock_n, pos_in_oblock
+        )
+        p_buf, pos_blk_off, p_gro = _assemble(p_ctrl, p_data, p_coff, p_doff)
+        pos_extra = {
+            "pos_buf": p_buf,
+            "pos_off": p_gro.astype(np.int64),
+            "blk_pos_off": pos_blk_off.astype(np.int32),
+        }
+
     return {
+        **(pos_extra or {}),
         "df": group_len.astype(np.int64),
         "cf": cfs.astype(np.int64),
         "docs_buf": d_buf,
@@ -315,13 +353,18 @@ def encode_groups(
     avgdl: float,
     k1: float = K1,
     b: float = B,
+    pos_deltas: np.ndarray | None = None,
 ) -> list[dict]:
     """Row-oriented wrapper over encode_groups_columnar: one dict per group
     with the same keys as encode_term_postings (used by the segment merger
-    and tests; the index-build hot path consumes the columnar form)."""
+    and tests; the index-build hot path consumes the columnar form).
+    With pos_deltas (positional indexes), each dict also carries
+    pos_bin/pos_offs."""
     if np.asarray(local_ids).size == 0:
         return []
-    c = encode_groups_columnar(local_ids, tfs, dls, group_start, avgdl, k1, b)
+    c = encode_groups_columnar(
+        local_ids, tfs, dls, group_start, avgdl, k1, b, pos_deltas=pos_deltas
+    )
     g = c["df"].size
     fbg = c["blk_group_off"].tolist()
     fd, ld, bn = c["blk_first"].tolist(), c["blk_last"].tolist(), c["blk_n"].tolist()
@@ -331,19 +374,22 @@ def encode_groups(
     out: list[dict] = []
     for gi in range(g):
         b0, b1 = fbg[gi], fbg[gi + 1]
-        out.append(
-            {
-                "docs_bin": c["docs_buf"][dg[gi]:dg[gi + 1]],
-                "tfs_bin": c["tfs_buf"][tg[gi]:tg[gi + 1]],
-                "dls_bin": c["dls_buf"][lg[gi]:lg[gi + 1]],
-                "blocks": [
-                    (fd[i], ld[i], bn[i], do_[i], to_[i], lo_[i], bm[i])
-                    for i in range(b0, b1)
-                ],
-                "df": int(c["df"][gi]),
-                "cf": int(c["cf"][gi]),
-            }
-        )
+        rec = {
+            "docs_bin": c["docs_buf"][dg[gi]:dg[gi + 1]],
+            "tfs_bin": c["tfs_buf"][tg[gi]:tg[gi + 1]],
+            "dls_bin": c["dls_buf"][lg[gi]:lg[gi + 1]],
+            "blocks": [
+                (fd[i], ld[i], bn[i], do_[i], to_[i], lo_[i], bm[i])
+                for i in range(b0, b1)
+            ],
+            "df": int(c["df"][gi]),
+            "cf": int(c["cf"][gi]),
+        }
+        if pos_deltas is not None:
+            pg = c["pos_off"].tolist()
+            rec["pos_bin"] = c["pos_buf"][pg[gi]:pg[gi + 1]]
+            rec["pos_offs"] = [int(c["blk_pos_off"][i]) for i in range(b0, b1)]
+        out.append(rec)
     return out
 
 
@@ -380,3 +426,40 @@ def decode_term_postings(
         np.concatenate([p[1] for p in parts]),
         np.concatenate([p[2] for p in parts]),
     )
+
+
+def decode_term_positions(
+    tfs: np.ndarray, pos_bin: bytes, pos_offs, blocks: list
+) -> np.ndarray:
+    """Decode one (shard, term)'s token positions -> flat uint32 array of
+    ABSOLUTE positions in posting order (posting i's occurrences are
+    positions[cum_tf[i]:cum_tf[i+1]]).
+
+    tfs: the term's already-decoded tf array (decode_term_postings) — the
+    position stream carries no lengths of its own because each posting's
+    position count IS its tf. pos_offs: per-block byte offsets within
+    pos_bin (the blk_pos_off column); blocks: the standard block metadata
+    (for per-block posting counts). Deltas are cumulative within each
+    posting: first value raw, rest gaps — undone vectorized with one
+    cumsum per block and a per-posting rebase."""
+    n_blocks = len(blocks)
+    if n_blocks == 0 or len(pos_bin) == 0:
+        return np.empty(0, dtype=np.uint32)
+    pos_offs = list(pos_offs)
+    out: list[np.ndarray] = []
+    mv = memoryview(pos_bin)
+    t0 = 0
+    for i in range(n_blocks):
+        n_post = int(blocks[i][2])
+        tf_blk = np.asarray(tfs[t0 : t0 + n_post], dtype=np.int64)
+        t0 += n_post
+        n_occ = int(tf_blk.sum())
+        off = int(pos_offs[i])
+        end = int(pos_offs[i + 1]) if i + 1 < n_blocks else len(pos_bin)
+        deltas = svb_decode(mv[off:end], n_occ).astype(np.int64)
+        c = np.cumsum(deltas)
+        # rebase each posting: pos = C - C[last index of previous posting]
+        run_end = np.cumsum(tf_blk)
+        base = np.concatenate(([0], c[run_end[:-1] - 1]))
+        out.append((c - np.repeat(base, tf_blk)).astype(np.uint32))
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint32)

@@ -85,6 +85,8 @@ class IndexReader:
         self.k1 = self.manifest["k1"]
         self.b = self.manifest["b"]
         self.n_buckets = self.manifest["n_buckets"]
+        # "freqs" (default, pre-positions indexes) or "positions"
+        self.index_options = self.manifest.get("index_options", "freqs")
         self._ts_df: DataFrame | None = None
         self._dm_df: DataFrame | None = None
         self._pa_ds: dict = {}  # cached pyarrow dataset handles per subdir
@@ -421,6 +423,30 @@ class IndexReader:
             )
         return by_shard
 
+    def postings_pos_local(self, terms: list[str]):
+        """postings_local twin for positional indexes: same pruned pyarrow
+        read plus the pos_bin/pos_offs position stream (match_phrase's
+        input). None when the postings aren't a local directory."""
+        p = os.path.join(self.dir, "postings")
+        if not os.path.isdir(p):
+            return None
+        import pyarrow.dataset as ds
+
+        names = ("shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks",
+                 "pos_bin", "pos_offs")
+        tbl = self._pa_dataset("postings").to_table(
+            filter=ds.field("bucket").isin(self._bucket_of(terms))
+            & ds.field("term").isin(terms),
+            columns=list(names),
+        )
+        by_shard: dict[int, list] = {}
+        cols = [tbl.column(c).to_pylist() for c in names]
+        for shard, term, d_bin, t_bin, l_bin, blocks, p_bin, p_offs in zip(*cols):
+            by_shard.setdefault(int(shard), []).append(
+                _PosRow(term, d_bin, t_bin, l_bin, blocks, p_bin, p_offs)
+            )
+        return by_shard
+
     def docmap_lookup_local(
         self, shards: list[int], local_ids: list[int]
     ) -> "dict[tuple[int, int], str] | None":
@@ -511,6 +537,9 @@ class IndexReader:
 _BLOCK_KEYS = ("first_doc", "last_doc", "n", "doc_off", "tf_off", "dl_off", "max_impact")
 
 _PostRow = namedtuple("_PostRow", ["term", "docs_bin", "tfs_bin", "dls_bin", "blocks"])
+_PosRow = namedtuple(
+    "_PosRow", ["term", "docs_bin", "tfs_bin", "dls_bin", "blocks", "pos_bin", "pos_offs"]
+)
 
 
 def _lev_within(a: str, b: str, d: int) -> bool:
@@ -2014,6 +2043,192 @@ def suggest_terms(
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(size)
         .select(F.col("term").alias("suggestion"), "df", "distance")
+    )
+
+
+def _phrase_shard_topk(
+    rows: list,
+    phrase_terms: list[str],
+    idf_sum: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dels: "np.ndarray | None",
+) -> list[tuple[int, float]]:
+    """Per-shard exact match_phrase kernel over positional postings.
+
+    rows: posting rows (with pos_bin/pos_offs) for the phrase's DISTINCT
+    terms in this shard. Candidates = the conjunctive doc intersection;
+    each candidate is verified by intersecting its per-slot position sets
+    shifted by the slot offset (slot i's positions minus i) — the
+    survivors' count is the phrase frequency. Lucene PhraseQuery scoring:
+    the whole phrase behaves as ONE pseudo-term with tf = phrase_freq and
+    idf = the sum of the member terms' idfs (duplicate slots counted),
+    score = idf_sum * pf / (pf + k1*(1 - b + b*dl/avgdl)).
+
+    Work is O(decoded postings of the rarest-term-bounded candidate set);
+    the intersection prunes before any position work, so a selective slot
+    keeps the position pass tiny even when another slot is a head term."""
+    distinct = list(dict.fromkeys(phrase_terms))
+    by_term: dict[str, tuple] = {}
+    for r in rows:
+        blocks = _norm_blocks(r.blocks)
+        docs, tfs, dls = P.decode_term_postings(
+            r.docs_bin, r.tfs_bin, r.dls_bin, blocks
+        )
+        pos = P.decode_term_positions(tfs, r.pos_bin, list(r.pos_offs), blocks)
+        occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        by_term[r.term] = (docs, dls, pos, occ)
+    if any(t not in by_term for t in distinct):
+        return []  # conjunctive: a term absent from this shard -> no match
+    # doc intersection, rarest-first (sorted arrays -> searchsorted chain)
+    order = sorted(distinct, key=lambda t: by_term[t][0].size)
+    cand = by_term[order[0]][0]
+    for t in order[1:]:
+        d = by_term[t][0]
+        idx = np.searchsorted(d, cand)
+        np.minimum(idx, d.size - 1, out=idx)
+        cand = cand[d[idx] == cand]
+        if cand.size == 0:
+            return []
+    mask = _live_mask(cand, dels)
+    if mask is not None:
+        cand = cand[mask]
+    if cand.size == 0:
+        return []
+    # per-candidate posting index in each term's doc list
+    slot_idx = {t: np.searchsorted(by_term[t][0], cand) for t in distinct}
+    locals_out: list[int] = []
+    scores_out: list[float] = []
+    dls0 = by_term[distinct[0]][1]
+    idx0 = slot_idx[distinct[0]]
+    for ci in range(cand.size):
+        inter: np.ndarray | None = None
+        for i, t in enumerate(phrase_terms):
+            _docs, _dls, pos, occ = by_term[t]
+            j = int(slot_idx[t][ci])
+            p = pos[occ[j] : occ[j + 1]].astype(np.int64) - i
+            inter = p if inter is None else np.intersect1d(
+                inter, p, assume_unique=True
+            )
+            if inter.size == 0:
+                break
+        pf = 0 if inter is None else int(inter.size)
+        if pf == 0:
+            continue
+        dl = float(dls0[idx0[ci]])
+        score = idf_sum * (pf / (pf + k1 * (1.0 - b + b * dl / avgdl)))
+        locals_out.append(int(cand[ci]))
+        scores_out.append(score)
+    if not locals_out:
+        return []
+    uniq = np.asarray(locals_out, dtype=np.int64)
+    sc = np.asarray(scores_out, dtype=np.float64)
+    sel = _topk_order(uniq, sc, k)
+    return [(int(uniq[i]), float(sc[i])) for i in sel]
+
+
+def match_phrase_topk(
+    reader: "IndexReader",
+    phrase: str | list[str],
+    k: int = 10,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES `match_phrase` (slop=0, exact adjacency) top-k over a POSITIONAL
+    index: (url, doc_id, score), score desc / doc_id asc.
+
+    The phrase analyzer keeps duplicates and order (unlike the bag-of-words
+    queries): "the cat the hat" is four slots. A slot term missing from the
+    dictionary means zero hits (conjunctive, ES behavior). Scoring is the
+    Lucene PhraseQuery model — the phrase is one pseudo-term whose tf is
+    the exact phrase frequency and whose idf is the sum of member idfs.
+
+    Execution mirrors bm25_topk: driver-local pyarrow read + in-process
+    kernel when the index is local and the distinct terms' postings fit
+    LOCAL_MAX_POSTINGS, else ONE Spark scatter-gather (per-shard kernels
+    via applyInPandas, <= k rows back per shard); winner urls via the
+    pruned docmap lookup. Requires index_options="positions" (build_index;
+    a freqs index raises ValueError — ES parity: a field indexed without
+    positions rejects phrase queries)."""
+    if reader.index_options != "positions":
+        raise ValueError(
+            f"match_phrase needs a positional index; {reader.dir} was built "
+            "with index_options="
+            f"{reader.index_options!r} (rebuild with index_options='positions')"
+        )
+    from engine.textnorm import standard_tokenize_py
+
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    spark = reader.spark
+
+    def _empty() -> DataFrame:
+        return spark.range(0).select(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("double").alias("score"),
+        )
+
+    if not terms:
+        return _empty()
+    distinct = list(dict.fromkeys(terms))
+    stats = reader.term_stats(distinct)
+    if any(t not in stats for t in distinct):
+        return _empty()
+    idf_sum = float(
+        sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
+    )
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    tomb = reader.tombstones()
+    heap_rows: list[tuple[int, int, float]] | None = None
+    total_postings = sum(stats[t] for t in distinct)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_pos_local(distinct)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in _phrase_shard_topk(
+                    rows, terms, idf_sum, k, k1, b, avgdl, tomb.get(shard)
+                )
+            ]
+    if heap_rows is None:
+
+        def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            top = _phrase_shard_topk(
+                list(pdf.itertuples()), terms, idf_sum, k, k1, b, avgdl,
+                tomb.get(int(pdf_key[0])),
+            )
+            return pd.DataFrame(
+                {
+                    "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                    "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                    "score": np.array([t[1] for t in top], dtype=np.float64),
+                }
+            )
+
+        per_shard = (
+            reader.postings(distinct)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return _empty()
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
     )
 
 
