@@ -203,9 +203,12 @@ def _agg_matched_cte(mode: str = "or", terms=None, result_filter: str | None = N
     )
 
 
-def _toks_cte(extra_filter: str = "text IS NOT NULL AND text != ''") -> str:
+def _toks_cte(
+    extra_filter: str = "text IS NOT NULL AND text != ''",
+    text_expr: str = "text",
+) -> str:
     return (
-        f"WITH toks AS (SELECT doc_id, {TOK.format(c='text')} AS toks "
+        f"WITH toks AS (SELECT doc_id, {TOK.format(c=text_expr)} AS toks "
         f"FROM documents WHERE {extra_filter})"
     )
 
@@ -232,6 +235,7 @@ def _bm25_sql(
     result_filter: str | None = None,
     docvalue_filter: str | None = None,
     boost_sql: str | None = None,
+    text_expr: str = "text",
 ) -> str:
     """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
     (compaction semantics — the docs never existed); result_filter: docs
@@ -247,7 +251,9 @@ def _bm25_sql(
     else:
         impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     base = "text IS NOT NULL AND text != ''"
-    cte = _toks_cte(f"{base} AND {corpus_filter}" if corpus_filter else base)
+    cte = _toks_cte(
+        f"{base} AND {corpus_filter}" if corpus_filter else base, text_expr
+    )
     res_join = (
         " JOIN documents USING (doc_id)" if (docvalue_filter or boost_sql) else ""
     )
@@ -1054,6 +1060,65 @@ def q_bm25_phrase(spark, sf_dir):
     top = match_phrase_topk(reader, PHRASE_Q, k=40)
     return _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+# deterministic upsert rule for the upsert driver query: every doc with
+# doc_id % UPSERT_MOD == UPSERT_REM is REPLACED with UPSERT_TEXT (fixed,
+# SQL-expressible). The query terms deliberately do NOT occur in
+# UPSERT_TEXT: identical replacement text gives every upserted doc an
+# identical score for any term it contains, and a ~N/7-doc tie group
+# straddling the k boundary cannot be resolved by over-fetch. Querying
+# around the sentinel still verifies the upsert exactly — the old
+# versions must vanish from the ranking and every surviving score must
+# reflect the POST-upsert df/avgdl (fresh-build stats), which the oracle
+# recomputes over the CASE-replaced corpus.
+UPSERT_MOD, UPSERT_REM = 7, 2
+UPSERT_TEXT = "sentinel upsert fast key table content body fast"
+UPSERT_QTERMS = ["dup", "join", "scan"]
+
+
+def _upserted_index_dir(spark, sf_dir):
+    """upsert_docs over the shared wand index: replace the UPSERT_MOD-rule
+    docs' text with UPSERT_TEXT (docvalues carried from the source rows).
+    Built atomically (tmp + rename), keyed off the base dir like the
+    delete/compact variants."""
+    import shutil
+
+    from engine.upsert import upsert_docs
+
+    base = _wand_index_dir(spark, sf_dir)
+    out = base + "_ups"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        batch = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % UPSERT_MOD == UPSERT_REM)
+            .select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.lit(UPSERT_TEXT).alias("text"),
+                "lang", "source", "n_chars",
+                F.when(F.col("lang") != "de", F.col("lang")).alias("lang_opt"),
+            )
+        )
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        upsert_docs(spark, base, batch, tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
+
+
+def q_bm25_upserted(spark, sf_dir):
+    """BM25 over the UPSERTED index (replace-by-url): stats and scores
+    must equal a fresh build over the corpus with the UPSERT_MOD-rule
+    replacements applied — the oracle recomputes BM25 over exactly that
+    corpus in SQL (text_expr CASE)."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _upserted_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, UPSERT_QTERMS, k=25, mode="or", algo="wand")
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
     )
 
 
@@ -2209,14 +2274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
         # --- new round-4 queries (driver-certified on first appearance) ---
         "bm25_phrase_topk": q_bm25_phrase,
+        "bm25_upserted_topk": q_bm25_upserted,
         # --- sentinel rows from the r1-r3 driver-certified set -----------
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_relational_topk": q_bm25_relational,
-        "dedup_lsh_pairs": q_dedup_lsh,
         # ---------------- driver gate boundary (50 entries) ----------------
+        "dedup_lsh_pairs": q_dedup_lsh,
         "l8_edge_ngrams": q_l8_edge_ngrams,
         "p_reject_filter": q_reject_filter,
         "p_keyword_ignore_above": q_keyword_ignore_above,
@@ -2385,6 +2451,13 @@ FROM grams
         "bm25_relational_topk": _bm25_sql(BM25_TERMS),
         "bm25_wand_topk": _bm25_sql(WAND_TERMS),
         "bm25_phrase_topk": _phrase_sql(PHRASE_Q.split(), k=25),
+        "bm25_upserted_topk": _bm25_sql(
+            UPSERT_QTERMS,
+            text_expr=(
+                f"(CASE WHEN doc_id % {UPSERT_MOD} = {UPSERT_REM} "
+                f"THEN '{UPSERT_TEXT}' ELSE text END)"
+            ),
+        ),
         "bm25_nonorms_topk": _bm25_sql(BM25_TERMS, field_opts="nonorms"),
         "bm25_doconly_topk": _bm25_sql(WAND_TERMS, field_opts="doconly"),
         "bm25_prefix_topk": _bm25_prefix_sql(PREFIX_Q),

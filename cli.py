@@ -25,6 +25,11 @@ Commands:
   suggest      --index <dir> --term <w> [--max-edits 2] [--size 5]
   explain      --index <dir> --terms "w1 w2" --url <doc>  (per-term BM25)
   mlt          --index <dir> --like "text" [--max-terms 5] [--k 10]
+  upsert       --index <dir> --input <batch.parquet> --output <dir>
+               (replace-by-url into a NEW index, score-identical to a
+               fresh build over the updated corpus)
+  swap-index   --input <pages.parquet> --live <dir>  (build aside +
+               atomic rename publish; stale readers error cleanly)
   bench-build  --docs N --output <json>   (synth corpus; for scaling runs)
 
 Reference parity: replaces run-elastic-search.sh:84-133 (index lifecycle
@@ -102,6 +107,19 @@ def main() -> None:
     cp = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
+
+    up = sub.add_parser("upsert", help="replace-by-url: merge a batch into a new index")
+    up.add_argument("--index", required=True)
+    up.add_argument("--input", required=True, help="parquet with url/text (+docvalue cols)")
+    up.add_argument("--output", required=True)
+
+    sw = sub.add_parser("swap-index",
+                        help="zero-downtime replace: build aside, atomic rename publish")
+    sw.add_argument("--input", required=True)
+    sw.add_argument("--live", required=True, help="live index dir (the alias)")
+    sw.add_argument("--shards", type=int, default=32)
+    sw.add_argument("--buckets", type=int, default=32)
+    sw.add_argument("--docvalues", default="")
 
     an = sub.add_parser("analyze", help="ES _analyze: tokens for a text")
     an.add_argument("--text", required=True)
@@ -310,6 +328,34 @@ def main() -> None:
         manifest = compact_index(spark, args.index, args.output)
         print(json.dumps({
             "compacted": args.output,
+            "n_docs": manifest["n_docs"],
+            "sec": round(time.time() - t0, 2),
+        }))
+
+    elif args.cmd == "upsert":
+        from engine.upsert import upsert_docs
+
+        t0 = time.time()
+        manifest = upsert_docs(
+            spark, args.index, spark.read.parquet(args.input), args.output
+        )
+        print(json.dumps({
+            "upserted": args.output,
+            "n_docs": manifest["n_docs"],
+            "sec": round(time.time() - t0, 2),
+        }))
+
+    elif args.cmd == "swap-index":
+        from engine.index_build import swap_index
+
+        t0 = time.time()
+        manifest = swap_index(
+            spark, args.input, args.live, n_shards=args.shards,
+            n_buckets=args.buckets,
+            docvalue_cols=[c for c in args.docvalues.split(",") if c] or None,
+        )
+        print(json.dumps({
+            "live": args.live,
             "n_docs": manifest["n_docs"],
             "sec": round(time.time() - t0, 2),
         }))

@@ -718,3 +718,39 @@ def _build_index_locked(
     if persist_tokens:
         docs.unpersist()
     return manifest
+
+
+def swap_index(
+    spark: SparkSession,
+    pages: DataFrame | str,
+    live_dir: str,
+    **build_kwargs,
+) -> dict:
+    """Zero-downtime index replace — the reference's delete-then-create
+    lifecycle (run-elastic-search.sh:84-104: DELETE index -> PUT from DDL
+    -> run loader) re-expressed as a build-aside + atomic publish:
+
+      1. the new generation builds in <live>.next (readers of live_dir
+         are untouched the whole time — never a wiped live index);
+      2. publish = two renames: live -> <live>.old, <live>.next -> live
+         (each rename atomic; the sub-ms window between them affects only
+         brand-new opens, never an already-open reader);
+      3. <live>.old is removed after publish.
+
+    Already-open IndexReaders pinned to the old generation fail CLEANLY on
+    next use: the manifest-mtime generation guard (_check_generation)
+    raises instead of silently mixing old cached dictionaries with new
+    postings. Fresh IndexReaders serve the new generation. Crash safety:
+    a crash before the first rename leaves live untouched (+ a .next to
+    garbage-collect); between renames, live is momentarily absent but
+    both generations exist on disk; after, the swap is complete."""
+    live_dir = os.path.abspath(live_dir).rstrip("/")
+    nxt, old = live_dir + ".next", live_dir + ".old"
+    shutil.rmtree(nxt, ignore_errors=True)
+    manifest = build_index(spark, pages, nxt, **build_kwargs)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live_dir):
+        os.rename(live_dir, old)
+    os.rename(nxt, live_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return manifest

@@ -163,3 +163,42 @@ def test_cli_search_surface(corpus, tmp_path_factory):
              "if line table row the and scan", "--k", "3")
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+
+
+def test_cli_swap_and_upsert(corpus, tmp_path_factory):
+    """swap-index: build aside + atomic publish over an existing live dir;
+    upsert: replace-by-url into a new index — both as real subprocesses."""
+    work = tmp_path_factory.mktemp("cliswap")
+    live = str(work / "live")
+    r = _run("swap-index", "--input", corpus, "--live", live,
+             "--shards", "2", "--buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_docs"] > 250 and os.path.isdir(live)
+    # second swap replaces in place; no .next/.old residue
+    r = _run("swap-index", "--input", corpus, "--live", live,
+             "--shards", "2", "--buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not os.path.exists(live + ".next") and not os.path.exists(live + ".old")
+    r = _run("query", "--index", live, "--terms", "the data", "--k", "3")
+    assert r.returncode == 0 and json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+
+    # upsert: replace one url's text, then the new content must be findable
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batch = str(work / "batch.parquet")
+    pq.write_table(
+        pa.table({
+            "url": ["https://upserted.example/new"],
+            "text": ["xylophone quartz unique replacement tokens"],
+        }),
+        batch,
+    )
+    up = str(work / "upserted")
+    r = _run("upsert", "--index", live, "--input", batch, "--output", up)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_docs"] == out["n_docs"] + 1
+    r = _run("query", "--index", up, "--terms", "xylophone quartz", "--k", "3")
+    hits = json.loads(r.stdout.strip().splitlines()[-1])["hits"]
+    assert [h["url"] for h in hits] == ["https://upserted.example/new"]
