@@ -41,6 +41,7 @@ import time
 from engine import postings as P
 from engine.index_build import (
     POSTING_SCHEMA,
+    POSTING_SCHEMA_POS,
     _append_metrics,
     _local_df,
     _make_encoder,
@@ -78,6 +79,7 @@ def ingest_batch(
     k1: float = P.K1,
     b: float = P.B,
     docvalue_cols: list[str] | None = None,
+    index_options: str = "freqs",
 ) -> dict:
     """Encode one micro-batch as an append-only segment. Returns the updated
     state. Doc ids continue each shard's counter from the state file, so ids
@@ -85,9 +87,23 @@ def ingest_batch(
 
     docvalue_cols: extra batch columns stored per doc in the segment
     docmap (same contract as build_index) — merge_segments carries them
-    into the merged index so aggregations work on streamed corpora."""
+    into the merged index so aggregations work on streamed corpora.
+    index_options: "freqs" or "positions" (same contract as build_index);
+    the stream's FIRST segment fixes it, later segments must match, and
+    merge_segments produces an index of the same kind (positional streams
+    merge their position streams and serve match_phrase)."""
     os.makedirs(out_dir, exist_ok=True)
     state = _read_state(out_dir, n_shards)
+    fixed = state.get("index_options") or (
+        state["segments"][0].get("index_options", "freqs")
+        if state["segments"] else None
+    )
+    if fixed is not None and fixed != index_options:
+        raise ValueError(
+            f"stream at {out_dir} is {fixed!r}; segment {seg_id} requested "
+            f"{index_options!r} — index_options is fixed by the first segment"
+        )
+    state["index_options"] = index_options
     if seg_id in [s["seg_id"] for s in state["segments"]]:
         return state  # idempotent re-delivery (foreachBatch replays)
     t_seg = time.monotonic()
@@ -127,16 +143,23 @@ def ingest_batch(
     run_docs = state["n_docs"] + seg_docs
     run_avgdl = (state["sum_dl"] + int(seg_sum_dl)) / run_docs if run_docs else 0.0
 
+    with_pos = index_options == "positions"
+    tok_col = (
+        [F.posexplode("tokens").alias("pos", "term")]
+        if with_pos
+        else [F.explode("tokens").alias("term")]
+    )
     tf = (
-        d.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
+        d.select("shard", "local_id", "dl", *tok_col)
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
     )
-    encoder = _make_encoder(run_avgdl, k1, b)
+    encoder = _make_encoder(run_avgdl, k1, b, positions=with_pos)
+    sort_keys = ["shard", "term", "local_id"] + (["pos"] if with_pos else [])
     n_parts = max(1, min(n_buckets * n_shards, 2 * spark.sparkContext.defaultParallelism))
     (
         tf.repartition(n_parts, "bucket", "shard")
-        .sortWithinPartitions("shard", "term", "local_id")
-        .mapInArrow(encoder, POSTING_SCHEMA)
+        .sortWithinPartitions(*sort_keys)
+        .mapInArrow(encoder, POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(seg_dir, "postings"))
@@ -205,24 +228,32 @@ def stream_ingest(
 # ---------------------------------------------------------------------------
 
 
-def _make_merger(avgdl: float, k1: float, b: float):
+def _make_merger(avgdl: float, k1: float, b: float, positions: bool = False):
     """mapInPandas: rows = per-segment postings sorted by (shard, term);
     decode each run, merge doc-sorted runs per group, re-encode vectorized.
-    Groups straddling Arrow batches are carried like the build encoder."""
+    Groups straddling Arrow batches are carried like the build encoder.
+
+    positions=True (positional segments/indexes): the token-position
+    stream merges too — decoded to absolute positions, the occurrence
+    slices are gathered in the merged posting order (doc ids are disjoint
+    across segments, so no same-doc position-list union is ever needed),
+    and within-posting deltas are re-derived before re-encode."""
+    cols = ["bucket", "shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"]
+    if positions:
+        cols += ["pos_bin", "pos_offs"]
 
     def _emit(rows: list[tuple]) -> pd.DataFrame:
-        # rows: (bucket, shard, term, docs_bin, tfs_bin, dls_bin, blocks)
-        out_groups: list[np.ndarray] = []
         starts: list[int] = []
         buckets, shards, terms = [], [], []
         l_parts: list[np.ndarray] = []
         t_parts: list[np.ndarray] = []
         d_parts: list[np.ndarray] = []
+        p_parts: list[np.ndarray] = []
         off = 0
         i = 0
         while i < len(rows):
             j = i
-            ls, ts, ds = [], [], []
+            ls, ts, ds, ps = [], [], [], []
             while j < len(rows) and rows[j][1] == rows[i][1] and rows[j][2] == rows[i][2]:
                 blocks = [
                     tuple(blk[k] for k in ("first_doc", "last_doc", "n", "doc_off",
@@ -234,12 +265,33 @@ def _make_merger(avgdl: float, k1: float, b: float):
                 ds.append(d_)
                 ts.append(t_)
                 ls.append(l_)
+                if positions:
+                    ps.append(
+                        P.decode_term_positions(t_, rows[j][7], list(rows[j][8]), blocks)
+                    )
                 j += 1
             d_all = np.concatenate(ds)
+            t_all = np.concatenate(ts)
             order = np.argsort(d_all, kind="stable")
             l_parts.append(np.concatenate(ls)[order])
-            t_parts.append(np.concatenate(ts)[order])
+            t_parts.append(t_all[order])
             d_parts.append(d_all[order])
+            if positions:
+                # gather occurrence slices in the merged posting order
+                pos_all = np.concatenate(ps).astype(np.int64)
+                tf64 = t_all.astype(np.int64)
+                occ_off = np.concatenate(([0], np.cumsum(tf64)))[:-1]
+                lens = tf64[order]
+                srcs = occ_off[order]
+                head = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.int64)
+                n_occ = int(lens.sum())
+                idx = np.arange(n_occ) - np.repeat(head, lens) + np.repeat(srcs, lens)
+                pos_perm = pos_all[idx]
+                pdl = np.empty(n_occ, dtype=np.uint32)
+                if n_occ:
+                    pdl[1:] = (pos_perm[1:] - pos_perm[:-1]).astype(np.uint32)
+                    pdl[head] = pos_perm[head].astype(np.uint32)
+                p_parts.append(pdl)
             buckets.append(rows[i][0])
             shards.append(rows[i][1])
             terms.append(rows[i][2])
@@ -249,28 +301,30 @@ def _make_merger(avgdl: float, k1: float, b: float):
         outs = P.encode_groups(
             np.concatenate(d_parts), np.concatenate(t_parts), np.concatenate(l_parts),
             np.asarray(starts, dtype=np.int64), avgdl, k1, b,
+            pos_deltas=(
+                np.concatenate(p_parts).astype(np.uint32) if positions else None
+            ),
         )
-        return pd.DataFrame(
-            {
-                "bucket": np.asarray(buckets, dtype=np.int64),
-                "shard": np.asarray(shards, dtype=np.int64),
-                "term": np.asarray(terms, dtype=object),
-                "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
-                "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
-                "docs_bin": [o["docs_bin"] for o in outs],
-                "tfs_bin": [o["tfs_bin"] for o in outs],
-                "dls_bin": [o["dls_bin"] for o in outs],
-                "blocks": [o["blocks"] for o in outs],
-            }
-        )
+        out_cols = {
+            "bucket": np.asarray(buckets, dtype=np.int64),
+            "shard": np.asarray(shards, dtype=np.int64),
+            "term": np.asarray(terms, dtype=object),
+            "df_local": np.array([o["df"] for o in outs], dtype=np.int64),
+            "cf_local": np.array([o["cf"] for o in outs], dtype=np.int64),
+            "docs_bin": [o["docs_bin"] for o in outs],
+            "tfs_bin": [o["tfs_bin"] for o in outs],
+            "dls_bin": [o["dls_bin"] for o in outs],
+            "blocks": [o["blocks"] for o in outs],
+        }
+        if positions:
+            out_cols["pos_bin"] = [o["pos_bin"] for o in outs]
+            out_cols["pos_offs"] = [o["pos_offs"] for o in outs]
+        return pd.DataFrame(out_cols)
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: list[tuple] = []
         for pdf in batches:
-            rows = carry + list(
-                pdf[["bucket", "shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"]]
-                .itertuples(index=False, name=None)
-            )
+            rows = carry + list(pdf[cols].itertuples(index=False, name=None))
             if not rows:
                 continue
             # hold back the trailing (shard, term) group — it may straddle
@@ -341,12 +395,13 @@ def merge_segments(
     avgdl = state["sum_dl"] / n_docs if n_docs else 0.0
 
     post = _union_read("postings")
-    merger = _make_merger(avgdl, k1, b)
+    with_pos = state.get("index_options", "freqs") == "positions"
+    merger = _make_merger(avgdl, k1, b, positions=with_pos)
     n_parts = max(1, min(n_buckets * n_shards, 2 * spark.sparkContext.defaultParallelism))
     (
         post.repartition(n_parts, "bucket", "shard")
         .sortWithinPartitions("shard", "term")
-        .mapInPandas(merger, POSTING_SCHEMA)
+        .mapInPandas(merger, POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "postings"))
@@ -378,6 +433,7 @@ def merge_segments(
         "codec": "svb_delta_block128_v1",
         "shard_offsets": [offsets[s] for s in range(n_shards)],
         "job_id": f"merge-of-{len(seg_dirs)}-segments",
+        "index_options": state.get("index_options", "freqs"),
         "docvalue_cols": [
             c for c in dm.columns
             if c not in {"shard", "local_id", "doc_id", "url", "dl"}

@@ -27,9 +27,10 @@ posting ROWS (not postings) per (bucket, shard) cell. At 10^12 docs with
 a small update batch the cost is dominated by rewriting the touched
 posting rows — the same bound Lucene segment merging pays.
 
-Positional indexes (index_options="positions") are not upsertable yet —
-the segment merger carries no position stream; a clear error is raised
-(delete + rebuild, or keep phrase fields in batch-built indexes).
+Positional indexes (index_options="positions") upsert the same way: the
+main rewrite, the delta encode, and the merge all carry the token-position
+stream, so match_phrase over an upserted index is score-identical to a
+fresh positional build (tested).
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ from engine import postings as P
 from engine.deletes import _make_rewriter, load_tombstones
 from engine.index_build import (
     POSTING_SCHEMA,
+    POSTING_SCHEMA_POS,
     _local_df,
     _make_encoder,
     split_rejects,
@@ -67,11 +69,8 @@ def upsert_docs(
     the caller's CDC layer, not the index). Returns the new manifest."""
     with open(os.path.join(src_dir, "MANIFEST.json")) as f:
         manifest = json.load(f)
-    if manifest.get("index_options", "freqs") == "positions":
-        raise NotImplementedError(
-            "upsert over a positional index is not supported (the segment "
-            "merger carries no position stream); rebuild with build_index"
-        )
+    with_pos = manifest.get("index_options", "freqs") == "positions"
+    schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
     n_shards, n_buckets = manifest["n_shards"], manifest["n_buckets"]
     k1, b = manifest["k1"], manifest["b"]
     dv_cols = list(manifest.get("docvalue_cols") or [])
@@ -193,10 +192,15 @@ def upsert_docs(
         # ---- postings: rewrite main (no shuffle) ++ encode delta, merge -
         main_post = spark.read.parquet(os.path.join(src_dir, "postings"))
         rewritten = main_post.mapInPandas(
-            _make_rewriter(deleted, avgdl, k1, b), POSTING_SCHEMA
+            _make_rewriter(deleted, avgdl, k1, b, positions=with_pos), schema
+        )
+        tok_col = (
+            [F.posexplode("tokens").alias("pos", "term")]
+            if with_pos
+            else [F.explode("tokens").alias("term")]
         )
         tf = (
-            delta.select("shard", "local_id", "dl", F.explode("tokens").alias("term"))
+            delta.select("shard", "local_id", "dl", *tok_col)
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
             )
@@ -204,17 +208,18 @@ def upsert_docs(
         n_parts = max(
             1, min(n_buckets * n_shards, 2 * spark.sparkContext.defaultParallelism)
         )
+        sort_keys = ["shard", "term", "local_id"] + (["pos"] if with_pos else [])
         delta_post = (
             tf.repartition(n_parts, "bucket", "shard")
-            .sortWithinPartitions("shard", "term", "local_id")
-            .mapInArrow(_make_encoder(avgdl, k1, b), POSTING_SCHEMA)
+            .sortWithinPartitions(*sort_keys)
+            .mapInArrow(_make_encoder(avgdl, k1, b, positions=with_pos), schema)
         )
-        merger = _make_merger(avgdl, k1, b)
+        merger = _make_merger(avgdl, k1, b, positions=with_pos)
         (
             rewritten.unionByName(delta_post)
             .repartition(n_parts, "bucket", "shard")
             .sortWithinPartitions("shard", "term")
-            .mapInPandas(merger, POSTING_SCHEMA)
+            .mapInPandas(merger, schema)
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(path("postings"))

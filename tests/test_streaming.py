@@ -110,3 +110,54 @@ def test_stream_percolate_matches_batch(spark, split_corpus, tmp_path_factory):
         for r in percolate(queries, docs).collect()
     }
     assert got == want and got
+
+
+def test_positional_stream_ingest_merge_serves_phrases(spark, tmp_path_factory):
+    """Positional segments (ingest_batch index_options='positions') merge
+    into a positional index whose match_phrase results are score-identical
+    to a one-shot positional batch build over the union corpus; mixing
+    index_options within one stream is rejected."""
+    import pytest
+
+    from engine.index_build import build_index
+    from engine.query import IndexReader, match_phrase_topk
+    from engine.streaming import ingest_batch, merge_segments
+
+    docs = [
+        ("s1", "quick brown fox jumps high"),
+        ("s2", "brown fox quick reversed text"),
+        ("s3", "the quick brown fox again quick brown fox"),
+        ("s4", "no animals in this one"),
+        ("s5", "quick brown fox tail content words"),
+        ("s6", "fox quick brown shuffled every time"),
+    ]
+    work = tmp_path_factory.mktemp("posstream")
+    out = str(work / "stream")
+    df = spark.createDataFrame(docs, "url string, text string")
+    ingest_batch(spark, df.filter("url <= 's3'"), out, seg_id=0,
+                 n_shards=2, n_buckets=4, index_options="positions")
+    ingest_batch(spark, df.filter("url > 's3'"), out, seg_id=1,
+                 n_shards=2, n_buckets=4, index_options="positions")
+    with pytest.raises(ValueError, match="index_options"):
+        ingest_batch(spark, df.limit(1), out, seg_id=2,
+                     n_shards=2, n_buckets=4)  # freqs into a positional stream
+    m = merge_segments(spark, out, n_shards=2, n_buckets=4)
+    assert m["index_options"] == "positions"
+
+    batch_idx = str(work / "batch")
+    build_index(spark, df, batch_idx, n_shards=2, n_buckets=4,
+                index_options="positions")
+    for phrase in ("quick brown fox", "brown fox", "fox quick"):
+        a = [
+            (x["url"], round(x["score"], 9))
+            for x in match_phrase_topk(IndexReader(spark, out), phrase, k=10).collect()
+        ]
+        b = [
+            (x["url"], round(x["score"], 9))
+            for x in match_phrase_topk(
+                IndexReader(spark, batch_idx), phrase, k=10
+            ).collect()
+        ]
+        assert sorted(a, key=lambda t: (-t[1], t[0])) == sorted(
+            b, key=lambda t: (-t[1], t[0])
+        ), (phrase, a, b)

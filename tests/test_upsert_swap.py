@@ -111,21 +111,45 @@ def test_upsert_honors_existing_tombstones_and_rejects_dups(spark, tmp_path):
         )
 
 
-def test_upsert_positional_index_rejected(spark, tmp_path):
+def test_upsert_positional_index_carries_positions(spark, tmp_path):
+    """Upsert over a positional index: the position stream survives the
+    main rewrite + delta encode + merge, so match_phrase over the upserted
+    index is score-identical to a fresh positional build over the updated
+    corpus (incl. a phrase only the REPLACED content contains)."""
+    from engine.query import match_phrase_topk
     from engine.upsert import upsert_docs
 
     src = str(tmp_path / "possrc")
     build_index(
         spark,
-        spark.createDataFrame(BASE[:3], "url string, text string"),
+        spark.createDataFrame(BASE, "url string, text string"),
         src, n_shards=2, n_buckets=4, index_options="positions",
     )
-    with pytest.raises(NotImplementedError, match="positional"):
-        upsert_docs(
-            spark, src,
-            spark.createDataFrame(BATCH[:1], "url string, text string"),
-            str(tmp_path / "posout"),
-        )
+    out = str(tmp_path / "posout")
+    m = upsert_docs(
+        spark, src, spark.createDataFrame(BATCH, "url string, text string"), out
+    )
+    assert m["index_options"] == "positions"
+    fresh = str(tmp_path / "posfresh")
+    build_index(
+        spark,
+        spark.createDataFrame(UPDATED, "url string, text string"),
+        fresh, n_shards=2, n_buckets=4, index_options="positions",
+    )
+    for phrase in ("alpha beta", "zeta eta theta", "alpha gamma pair"):
+        up = [
+            (x["url"], round(x["score"], 9))
+            for x in match_phrase_topk(IndexReader(spark, out), phrase, k=10).collect()
+        ]
+        fr = [
+            (x["url"], round(x["score"], 9))
+            for x in match_phrase_topk(IndexReader(spark, fresh), phrase, k=10).collect()
+        ]
+        assert sorted(up, key=lambda t: (-t[1], t[0])) == sorted(
+            fr, key=lambda t: (-t[1], t[0])
+        ), (phrase, up, fr)
+        if phrase == "zeta eta theta":  # only u2's REPLACED content has it
+            assert [x[0] for x in up] == ["u2"]
 
 
 def test_swap_index_atomic_publish(spark):
