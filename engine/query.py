@@ -2067,9 +2067,13 @@ def _phrase_shard_topk(
     idf = the sum of the member terms' idfs (duplicate slots counted),
     score = idf_sum * pf / (pf + k1*(1 - b + b*dl/avgdl)).
 
-    Work is O(decoded postings of the rarest-term-bounded candidate set);
-    the intersection prunes before any position work, so a selective slot
-    keeps the position pass tiny even when another slot is a head term."""
+    Work is O(decoded postings of the rarest-term-bounded candidate set)
+    and FULLY vectorized: after the conjunctive doc intersection, every
+    slot's candidate occurrences become 64-bit (doc << 32 | pos - slot)
+    keys and the phrase starts are one iterated sorted-set intersection
+    over the whole shard — no per-candidate Python loop, so a head-bigram
+    phrase with thousands of matching docs costs a handful of numpy
+    passes."""
     distinct = list(dict.fromkeys(phrase_terms))
     by_term: dict[str, tuple] = {}
     for r in rows:
@@ -2079,7 +2083,7 @@ def _phrase_shard_topk(
         )
         pos = P.decode_term_positions(tfs, r.pos_bin, list(r.pos_offs), blocks)
         occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-        by_term[r.term] = (docs, dls, pos, occ)
+        by_term[r.term] = (docs, tfs.astype(np.int64), dls, pos, occ)
     if any(t not in by_term for t in distinct):
         return []  # conjunctive: a term absent from this shard -> no match
     # doc intersection, rarest-first (sorted arrays -> searchsorted chain)
@@ -2099,34 +2103,39 @@ def _phrase_shard_topk(
         return []
     # per-candidate posting index in each term's doc list
     slot_idx = {t: np.searchsorted(by_term[t][0], cand) for t in distinct}
-    locals_out: list[int] = []
-    scores_out: list[float] = []
-    dls0 = by_term[distinct[0]][1]
-    idx0 = slot_idx[distinct[0]]
-    for ci in range(cand.size):
-        inter: np.ndarray | None = None
-        for i, t in enumerate(phrase_terms):
-            _docs, _dls, pos, occ = by_term[t]
-            j = int(slot_idx[t][ci])
-            p = pos[occ[j] : occ[j + 1]].astype(np.int64) - i
-            inter = p if inter is None else np.intersect1d(
-                inter, p, assume_unique=True
-            )
-            if inter.size == 0:
-                break
-        pf = 0 if inter is None else int(inter.size)
-        if pf == 0:
-            continue
-        dl = float(dls0[idx0[ci]])
-        score = idf_sum * (pf / (pf + k1 * (1.0 - b + b * dl / avgdl)))
-        locals_out.append(int(cand[ci]))
-        scores_out.append(score)
-    if not locals_out:
+
+    def _slot_keys(i: int, t: str) -> np.ndarray:
+        """(doc << 32 | pos - i) keys of slot i's candidate occurrences,
+        sorted ascending (occurrences are doc- then position-ordered and
+        the shift preserves both orders within the kept subset)."""
+        _docs, tfs, _dls, pos, occ = by_term[t]
+        j = slot_idx[t]
+        lens = tfs[j]
+        srcs = occ[j]
+        n_occ = int(lens.sum())
+        head = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        gather = np.arange(n_occ) - np.repeat(head, lens) + np.repeat(srcs, lens)
+        p = pos[gather].astype(np.int64)
+        d = np.repeat(cand, lens)
+        keep = p >= i  # a phrase starting before the doc head can't exist
+        return (d[keep] << 32) | (p[keep] - i)
+
+    inter = _slot_keys(0, phrase_terms[0])
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        if inter.size == 0:
+            return []
+        inter = np.intersect1d(inter, _slot_keys(i, t), assume_unique=True)
+    if inter.size == 0:
         return []
-    uniq = np.asarray(locals_out, dtype=np.int64)
-    sc = np.asarray(scores_out, dtype=np.float64)
-    sel = _topk_order(uniq, sc, k)
-    return [(int(uniq[i]), float(sc[i])) for i in sel]
+    # phrase frequency per doc = count of surviving start keys
+    match_docs, pf = np.unique(inter >> 32, return_counts=True)
+    # dl per matched doc from the first distinct term's postings
+    d0, _tf0, dls0, _p0, _o0 = by_term[distinct[0]]
+    dl = dls0[np.searchsorted(d0, match_docs)].astype(np.float64)
+    pf = pf.astype(np.float64)
+    scores = idf_sum * (pf / (pf + k1 * (1.0 - b + b * dl / avgdl)))
+    sel = _topk_order(match_docs, scores, k)
+    return [(int(match_docs[i]), float(scores[i])) for i in sel]
 
 
 def match_phrase_topk(
