@@ -25,6 +25,7 @@ Commands:
   suggest      --index <dir> --term <w> [--max-edits 2] [--size 5]
   explain      --index <dir> --terms "w1 w2" --url <doc>  (per-term BM25)
   mlt          --index <dir> --like "text" [--max-terms 5] [--k 10]
+  search       --index <dir> --body '<ES _search JSON>'  (DSL front-end)
   upsert       --index <dir> --input <batch.parquet> --output <dir>
                (replace-by-url into a NEW index, score-identical to a
                fresh build over the updated corpus)
@@ -107,6 +108,10 @@ def main() -> None:
     cp = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
     cp.add_argument("--index", required=True)
     cp.add_argument("--output", required=True)
+
+    se = sub.add_parser("search", help="ES _search JSON body against an index")
+    se.add_argument("--index", required=True)
+    se.add_argument("--body", required=True, help="ES _search JSON body")
 
     up = sub.add_parser("upsert", help="replace-by-url: merge a batch into a new index")
     up.add_argument("--index", required=True)
@@ -331,6 +336,13 @@ def main() -> None:
             "n_docs": manifest["n_docs"],
             "sec": round(time.time() - t0, 2),
         }))
+
+    elif args.cmd == "search":
+        from engine.dsl import search as dsl_search
+        from engine.query import IndexReader
+
+        resp = dsl_search(IndexReader(spark, args.index), json.loads(args.body))
+        print(json.dumps(resp, default=str))
 
     elif args.cmd == "upsert":
         from engine.upsert import upsert_docs

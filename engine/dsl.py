@@ -1,0 +1,373 @@
+"""ES `_search` JSON DSL front-end — the migration-facing API.
+
+A user of the reference system talks to Elasticsearch with JSON query
+bodies; this module accepts that JSON (the subset the engine implements —
+which covers every query shape the reference's index can answer) and
+routes it to the engine's native operators, returning an ES-shaped
+response dict. Nothing here computes: it is a pure dispatcher, so every
+semantic stays defined (and tested) exactly once in the operator modules.
+
+Supported body keys: query (match_all / match / match_phrase / term /
+terms / prefix / wildcard / regexp / fuzzy / bool with must+should+
+must_not+filter+minimum_should_match / dis_max / more_like_this /
+function_score.field_value_factor), size, from, sort + search_after,
+aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
+histogram / date_histogram / stats / cardinality / percentiles / missing
+/ composite / filters), track_total_hits.
+
+Deliberate divergences (documented, raise cleanly):
+- `highlight` needs the source text, which the index does not store —
+  pass the corpus DataFrame via search(..., corpus=...) to enable it.
+- bool bodies that combine `filter` context with `should`/`must_not`
+  scoring clauses are not composed (the filtered kernel and the bool
+  kernel are separate paths); ES users split these across two requests.
+- from+size paging is served by over-fetch (from+size <= 10k, the same
+  guardrail ES ships); deep paging belongs to sort+search_after.
+"""
+
+from __future__ import annotations
+
+import time
+
+from engine.docvalues import ExistsFilter, RangeFilter, TermFilter
+
+
+def _clause_filters(clauses: list) -> tuple:
+    out = []
+    for c in clauses:
+        if "term" in c:
+            ((f, v),) = c["term"].items()
+            out.append(TermFilter(f, v["value"] if isinstance(v, dict) else v))
+        elif "range" in c:
+            ((f, spec),) = c["range"].items()
+            out.append(RangeFilter(f, gte=spec.get("gte"), lt=spec.get("lt")))
+        elif "exists" in c:
+            out.append(ExistsFilter(c["exists"]["field"]))
+        else:
+            raise ValueError(f"unsupported filter clause: {list(c)[0]}")
+    return tuple(out)
+
+
+def _match_terms(clause: dict) -> tuple[list[str], str, int | None]:
+    """(terms, operator, minimum_should_match) of a match/term/terms
+    clause on the text field."""
+    from engine.oracle import analyze_query_py
+
+    if "match" in clause:
+        ((fld, spec),) = clause["match"].items()
+        if fld != "text":
+            raise ValueError(f"match on non-text field {fld!r} (index one text field)")
+        if isinstance(spec, dict):
+            msm = spec.get("minimum_should_match")
+            return (
+                analyze_query_py(spec["query"]),
+                spec.get("operator", "or"),
+                int(msm) if msm is not None else None,
+            )
+        return analyze_query_py(spec), "or", None
+    if "term" in clause:
+        ((fld, spec),) = clause["term"].items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        if fld != "text":
+            raise ValueError("term query on a docvalue field belongs in filter context")
+        return [str(v)], "or", None
+    if "terms" in clause:
+        ((fld, vals),) = clause["terms"].items()
+        if fld != "text":
+            raise ValueError("terms query on a docvalue field belongs in filter context")
+        return [str(v) for v in vals], "or", None
+    raise ValueError(f"unsupported scoring clause: {list(clause)[0]}")
+
+
+def _compile_agg(spec: dict):
+    """One named agg spec -> engine agg object."""
+    from engine.aggs import (
+        CardinalityAgg,
+        CompositeAgg,
+        DateHistogramAgg,
+        FiltersAgg,
+        HistogramAgg,
+        MissingAgg,
+        PercentilesAgg,
+        RangeAgg,
+        StatsAgg,
+        TermsAgg,
+        TopHitsAgg,
+    )
+
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    if "terms" in spec:
+        t = spec["terms"]
+        if sub:
+            ((_n, s),) = sub.items()
+            if "stats" in s:
+                return TermsAgg(t["field"], t.get("size", 10), s["stats"]["field"])
+            if "top_hits" in s:
+                th = s["top_hits"]
+                srt = th.get("sort", [])
+                fld, order = "", "asc"
+                if srt:
+                    ((fld, o),) = srt[0].items()
+                    order = o.get("order", "asc") if isinstance(o, dict) else o
+                return TopHitsAgg(
+                    t["field"], t.get("size", 10), fld,
+                    th.get("size", 3), order == "asc",
+                )
+            raise ValueError(f"unsupported terms sub-agg: {list(s)[0]}")
+        return TermsAgg(t["field"], t.get("size", 10))
+    if "range" in spec:
+        r = spec["range"]
+        return RangeAgg(
+            r["field"],
+            tuple((x.get("from"), x.get("to")) for x in r["ranges"]),
+        )
+    if "histogram" in spec:
+        h = spec["histogram"]
+        return HistogramAgg(h["field"], h["interval"])
+    if "date_histogram" in spec:
+        h = spec["date_histogram"]
+        return DateHistogramAgg(
+            h["field"], h.get("calendar_interval", h.get("interval", "day"))
+        )
+    if "stats" in spec:
+        return StatsAgg(spec["stats"]["field"])
+    if "cardinality" in spec:
+        return CardinalityAgg(spec["cardinality"]["field"])
+    if "percentiles" in spec:
+        p = spec["percentiles"]
+        return PercentilesAgg(
+            p["field"], tuple(p.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0)))
+        )
+    if "missing" in spec:
+        return MissingAgg(spec["missing"]["field"])
+    if "composite" in spec:
+        c = spec["composite"]
+        sources = tuple(
+            fld for src in c["sources"] for fld in (list(src.values())[0]["field"],)
+        )
+        after = c.get("after")
+        return CompositeAgg(
+            sources, c.get("size", 10), tuple(after) if after is not None else None
+        )
+    if "filters" in spec:
+        named = tuple(
+            (name, _clause_filters(cl if isinstance(cl, list) else [cl]))
+            for name, cl in spec["filters"]["filters"].items()
+        )
+        return FiltersAgg(named)
+    raise ValueError(f"unsupported aggregation: {sorted(spec)}")
+
+
+def _hits_df(reader, query: dict, k: int, filters: tuple):
+    """Compile + run the scoring query -> (url, doc_id, score) DataFrame
+    (None for match_all: the caller decides between sort/agg/id paging)."""
+    from engine.query import (
+        bm25_bool_topk,
+        bm25_dismax_topk,
+        bm25_topk,
+        match_phrase_topk,
+        mlt_topk,
+    )
+
+    if "match_all" in query:
+        return None
+    if "match_phrase" in query:
+        ((fld, spec),) = query["match_phrase"].items()
+        if fld != "text":
+            raise ValueError("match_phrase supports the text field")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
+            raise ValueError("slop > 0 is not implemented (exact adjacency only)")
+        if filters:
+            raise ValueError("match_phrase + filter context is not composed yet")
+        return match_phrase_topk(reader, text, k=k)
+    if "bool" in query:
+        b = query["bool"]
+        filt = _clause_filters(b.get("filter", [])) + filters
+        must_c = b.get("must", [])
+        must_c = must_c if isinstance(must_c, list) else [must_c]
+        should_c = b.get("should", [])
+        should_c = should_c if isinstance(should_c, list) else [should_c]
+        not_c = b.get("must_not", [])
+        not_c = not_c if isinstance(not_c, list) else [not_c]
+        must = [t for c in must_c for t in _match_terms(c)[0]]
+        should = [t for c in should_c for t in _match_terms(c)[0]]
+        must_not = [t for c in not_c for t in _match_terms(c)[0]]
+        if filt and (should or must_not):
+            raise ValueError(
+                "bool with filter context + should/must_not is not composed; "
+                "split the request (documented divergence)"
+            )
+        if filt or not (should or must_not):
+            return bm25_topk(reader, must, k=k, mode="and", filters=filt)
+        return bm25_bool_topk(
+            reader, must=must, should=should, must_not=must_not, k=k,
+            minimum_should_match=b.get("minimum_should_match"),
+        )
+    if "dis_max" in query:
+        d = query["dis_max"]
+        terms = [t for c in d["queries"] for t in _match_terms(c)[0]]
+        return bm25_dismax_topk(
+            reader, terms, k=k, tie_breaker=d.get("tie_breaker", 0.0)
+        )
+    if "more_like_this" in query:
+        m = query["more_like_this"]
+        like = m["like"] if isinstance(m["like"], str) else m["like"][0]
+        return mlt_topk(
+            reader, like, max_query_terms=m.get("max_query_terms", 5), k=k
+        )
+    if "function_score" in query:
+        f = query["function_score"]
+        fvf = f["field_value_factor"]
+        inner = f.get("query", {"match_all": {}})
+        terms, op, _ = _match_terms(inner) if "match_all" not in inner else ([], "or", None)
+        if not terms:
+            raise ValueError("function_score needs a match/term query")
+        return bm25_topk(
+            reader, terms, k=k, mode=op, filters=filters,
+            boost=(fvf["field"], fvf.get("factor", 1.0)),
+        )
+    for kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        if kind in query:
+            ((fld, spec),) = query[kind].items()
+            if fld != "text":
+                raise ValueError(f"{kind} supports the text field")
+            v = spec["value"] if isinstance(spec, dict) else spec
+            if filters:
+                raise ValueError(f"{kind} + filter context is not composed yet")
+            return bm25_topk(reader, v, k=k, mode=kind)
+    terms, op, msm = _match_terms(query)
+    if msm is not None:
+        from engine.query import bm25_bool_topk as _bool
+
+        if filters:
+            raise ValueError("minimum_should_match + filter context is not composed yet")
+        return _bool(reader, should=terms, k=k, minimum_should_match=msm)
+    return bm25_topk(reader, terms, k=k, mode=op, filters=filters)
+
+
+def _query_terms_or_none(query: dict):
+    """The analyzed term list driving aggs/sort/count for this query, or
+    None for match_all. Raises for query kinds whose matched set is not a
+    plain term query (phrase/dis_max/mlt aggs are not composed yet)."""
+    if "match_all" in query:
+        return None, "or"
+    if "bool" in query:
+        b = query["bool"]
+        must_c = b.get("must", [])
+        must_c = must_c if isinstance(must_c, list) else [must_c]
+        terms = [t for c in must_c for t in _match_terms(c)[0]]
+        return terms, "and"
+    terms, op, _msm = _match_terms(query)
+    return terms, op
+
+
+def search(reader, body: dict, corpus=None) -> dict:
+    """Run an ES `_search`-shaped JSON body against the index; returns an
+    ES-shaped response dict (hits + optional aggregations). corpus: the
+    source DataFrame carrying (url, text), required only for `highlight`
+    (the index stores no text)."""
+    from engine.aggs import search_aggs, search_count, search_sort
+
+    t0 = time.time()
+    query = body.get("query", {"match_all": {}})
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    if frm + size > 10_000:
+        raise ValueError("from+size > 10000; use sort + search_after")
+    filters = ()
+    out: dict = {}
+
+    sort_spec = body.get("sort")
+    if sort_spec:
+        terms, mode = _query_terms_or_none(query)
+        ((fld, o),) = (
+            sort_spec[0].items() if isinstance(sort_spec[0], dict)
+            else ((sort_spec[0], "asc"),)
+        )
+        order = o.get("order", "asc") if isinstance(o, dict) else o
+        after = body.get("search_after")
+        rows = search_sort(
+            reader, terms, fld, k=frm + size, mode=mode,
+            ascending=order == "asc",
+            search_after=tuple(after) if after else None,
+            filters=_clause_filters(query.get("bool", {}).get("filter", []))
+            if "bool" in query else (),
+        ).collect()[frm:]
+        hits = [
+            {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
+            for r in rows
+        ]
+    else:
+        df = _hits_df(reader, query, frm + size, filters)
+        if df is None:  # match_all: first `size` live docs in url order
+            from pyspark.sql import functions as F
+
+            dm = reader.docmap()
+            tomb = reader.tombstones()
+            if tomb:
+                tdf = reader.spark.createDataFrame(
+                    [(int(s), int(l)) for s, arr in tomb.items() for l in arr],
+                    "shard int, local_id long",
+                )
+                dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+            rows = dm.select("url").orderBy("url").limit(frm + size).collect()[frm:]
+            hits = [{"_id": r["url"], "_score": 1.0} for r in rows]
+        else:
+            rows = df.collect()[frm:]
+            hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
+            if body.get("highlight"):
+                if corpus is None:
+                    raise ValueError(
+                        "highlight needs the source corpus: search(..., corpus=df)"
+                    )
+                from engine.query import highlight_fragments
+
+                hl = body["highlight"]
+                terms, _mode = _query_terms_or_none(query)
+                frags = {
+                    r["url"]: r["fragment"]
+                    for r in highlight_fragments(
+                        df, corpus, terms, id_col="url",
+                        pre_tag=hl.get("pre_tags", ["<em>"])[0],
+                        post_tag=hl.get("post_tags", ["</em>"])[0],
+                    ).collect()
+                }
+                for h in hits:
+                    if h["_id"] in frags:
+                        h["highlight"] = {"text": [frags[h["_id"]]]}
+
+    if body.get("track_total_hits"):
+        terms, mode = _query_terms_or_none(query)
+        total = search_count(
+            reader, terms, mode,
+            filters=_clause_filters(query.get("bool", {}).get("filter", []))
+            if "bool" in query else (),
+        ).collect()[0]["doc_count"]
+        relation = "eq"
+    else:
+        total, relation = len(hits), "gte" if len(hits) == size else "eq"
+
+    aggs_spec = body.get("aggs") or body.get("aggregations") or {}
+    if aggs_spec:
+        terms, mode = _query_terms_or_none(query)
+        filt = (
+            _clause_filters(query.get("bool", {}).get("filter", []))
+            if "bool" in query else ()
+        )
+        out["aggregations"] = {}
+        for name, spec in aggs_spec.items():
+            agg = _compile_agg(spec)
+            rows = search_aggs(reader, terms, agg, mode=mode, filters=filt).collect()
+            out["aggregations"][name] = {"buckets": [r.asDict() for r in rows]}
+
+    out.update(
+        {
+            "took": int((time.time() - t0) * 1000),
+            "hits": {
+                "total": {"value": int(total), "relation": relation},
+                "hits": hits,
+            },
+        }
+    )
+    return out

@@ -1767,9 +1767,8 @@ def highlight_fragments(
 
     lows = list(dict.fromkeys(t.lower() for t in terms))
     hay = F.lower(F.col(text_col))
-    pos = F.least(
-        *[F.when(F.locate(t, hay) > 0, F.locate(t, hay)) for t in lows]
-    )
+    locs = [F.when(F.locate(t, hay) > 0, F.locate(t, hay)) for t in lows]
+    pos = locs[0] if len(locs) == 1 else F.least(*locs)  # least() needs >= 2
     start = F.greatest(F.lit(1), pos - F.lit(pad))
     frag = F.substring(F.col(text_col), start, F.lit(frag_size))
     alt = "|".join(_re.escape(t) for t in lows)

@@ -202,3 +202,24 @@ def test_cli_swap_and_upsert(corpus, tmp_path_factory):
     r = _run("query", "--index", up, "--terms", "xylophone quartz", "--k", "3")
     hits = json.loads(r.stdout.strip().splitlines()[-1])["hits"]
     assert [h["url"] for h in hits] == ["https://upserted.example/new"]
+
+
+def test_cli_search_dsl(corpus, tmp_path_factory):
+    """ES _search JSON body through the CLI: hits + aggregations come back
+    ES-shaped from a real subprocess."""
+    idx = str(tmp_path_factory.mktemp("clidsl") / "idx")
+    r = _run("build-index", "--input", corpus, "--output", idx,
+             "--shards", "2", "--buckets", "4", "--docvalues", "lang")
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = json.dumps({
+        "query": {"match": {"text": "the data"}},
+        "size": 5,
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}},
+        "track_total_hits": True,
+    })
+    r = _run("search", "--index", idx, "--body", body)
+    assert r.returncode == 0, r.stderr[-2000:]
+    resp = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < len(resp["hits"]["hits"]) <= 5
+    assert resp["hits"]["total"]["value"] >= len(resp["hits"]["hits"])
+    assert resp["aggregations"]["langs"]["buckets"]

@@ -1,0 +1,203 @@
+"""ES `_search` JSON DSL front-end: the dispatcher must return exactly
+what the native operators return, reshaped into the ES response form —
+every semantic is defined once in the operator modules, so these tests
+assert dispatch identity, not recomputed ranking."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.dsl import search
+from engine.index_build import build_index
+from engine.query import IndexReader, bm25_topk
+
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def dsl_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dslidx") / "idx")
+    d = spark.read.parquet(os.path.join(SF001, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"),
+        "text", "lang", "source", "n_chars",
+    )
+    build_index(
+        spark, d, out, n_shards=4, n_buckets=8,
+        docvalue_cols=["lang", "source", "n_chars"],
+    )
+    return out
+
+
+def _ids(resp):
+    return [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]]
+
+
+def test_match_query_matches_operator(spark, dsl_index):
+    r = IndexReader(spark, dsl_index)
+    resp = search(r, {"query": {"match": {"text": "hash join"}}, "size": 7})
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_topk(r, ["hash", "join"], k=7).collect()
+    ]
+    assert _ids(resp) == want
+    assert resp["hits"]["total"]["value"] == 7
+
+    # operator=and == conjunctive mode
+    resp = search(
+        r,
+        {"query": {"match": {"text": {"query": "hash join", "operator": "and"}}}},
+    )
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_topk(r, ["hash", "join"], k=10, mode="and").collect()
+    ]
+    assert _ids(resp) == want
+
+
+def test_from_size_slices_the_ranking(spark, dsl_index):
+    r = IndexReader(spark, dsl_index)
+    full = search(r, {"query": {"match": {"text": "hash"}}, "size": 10})
+    page2 = search(r, {"query": {"match": {"text": "hash"}}, "size": 4, "from": 4})
+    assert _ids(page2) == _ids(full)[4:8]
+    with pytest.raises(ValueError, match="search_after"):
+        search(r, {"query": {"match_all": {}}, "from": 10_000, "size": 10})
+
+
+def test_bool_filter_and_function_score(spark, dsl_index):
+    from engine.docvalues import RangeFilter
+
+    r = IndexReader(spark, dsl_index)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "hash join"}}],
+                "filter": [{"range": {"n_chars": {"gte": 200}}}],
+            }
+        }
+    }
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_topk(
+            r, ["hash", "join"], k=10, mode="and",
+            filters=(RangeFilter("n_chars", gte=200),),
+        ).collect()
+    ]
+    assert _ids(search(r, body)) == want
+
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"text": "hash join"}},
+                "field_value_factor": {"field": "n_chars", "factor": 0.001},
+            }
+        }
+    }
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_topk(r, ["hash", "join"], k=10, boost=("n_chars", 0.001)).collect()
+    ]
+    assert _ids(search(r, body)) == want
+
+
+def test_bool_should_mustnot_and_rewrites(spark, dsl_index):
+    from engine.query import bm25_bool_topk
+
+    r = IndexReader(spark, dsl_index)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "hash"}}],
+                "should": [{"match": {"text": "join table"}}],
+                "must_not": [{"term": {"text": "slow"}}],
+            }
+        }
+    }
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_bool_topk(
+            r, must=["hash"], should=["join", "table"], must_not=["slow"], k=10
+        ).collect()
+    ]
+    assert _ids(search(r, body)) == want
+    # dictionary-rewrite kinds route to the matching mode
+    for kind, q in (("prefix", "ha"), ("wildcard", "ha*h"), ("fuzzy", "hsah")):
+        got = search(r, {"query": {kind: {"text": {"value": q}}}})
+        want = [
+            (x["url"], round(x["score"], 9))
+            for x in bm25_topk(r, q, k=10, mode=kind).collect()
+        ]
+        assert _ids(got) == want, kind
+
+
+def test_aggs_sort_count_and_match_all(spark, dsl_index):
+    from engine.aggs import TermsAgg, search_aggs, search_sort
+
+    r = IndexReader(spark, dsl_index)
+    resp = search(
+        r,
+        {
+            "query": {"match": {"text": "hash join"}},
+            "size": 3,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 5}}},
+            "track_total_hits": True,
+        },
+    )
+    want = [
+        x.asDict() for x in search_aggs(r, ["hash", "join"], TermsAgg("lang", 5)).collect()
+    ]
+    assert resp["aggregations"]["langs"]["buckets"] == want
+    assert resp["hits"]["total"]["value"] > 3  # exact count, not page size
+
+    resp = search(
+        r,
+        {
+            "query": {"match": {"text": "hash"}},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "size": 5,
+        },
+    )
+    want = [
+        (x["url"], x["sort_val"])
+        for x in search_sort(r, ["hash"], "n_chars", k=5, ascending=False).collect()
+    ]
+    assert [(h["_id"], h["sort"][0]) for h in resp["hits"]["hits"]] == want
+
+    resp = search(r, {"query": {"match_all": {}}, "size": 4})
+    assert len(resp["hits"]["hits"]) == 4
+    assert resp["hits"]["hits"][0]["_score"] == 1.0
+
+
+def test_phrase_highlight_and_divergences(spark, dsl_index):
+    r = IndexReader(spark, dsl_index)
+    # phrase needs a positional index -> the operator's error surfaces
+    with pytest.raises(ValueError, match="positional"):
+        search(r, {"query": {"match_phrase": {"text": "hash join"}}})
+    # highlight without a corpus is a clear error
+    with pytest.raises(ValueError, match="corpus"):
+        search(
+            r,
+            {"query": {"match": {"text": "hash"}},
+             "highlight": {"fields": {"text": {}}}},
+        )
+    corpus = spark.read.parquet(os.path.join(SF001, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    resp = search(
+        r,
+        {"query": {"match": {"text": "hash"}}, "size": 3,
+         "highlight": {"fields": {"text": {}}}},
+        corpus=corpus,
+    )
+    assert all("<em>" in h["highlight"]["text"][0] for h in resp["hits"]["hits"])
+    # documented divergence: filter + should is not composed
+    with pytest.raises(ValueError, match="not composed"):
+        search(
+            r,
+            {"query": {"bool": {
+                "should": [{"match": {"text": "hash"}}],
+                "filter": [{"exists": {"field": "lang"}}],
+            }}},
+        )
