@@ -415,17 +415,72 @@ def decode_block(
     return doc_ids, tfs, dls
 
 
+def svb_decode_blocks(
+    buf: bytes | memoryview, block_off: np.ndarray, ns: np.ndarray
+) -> np.ndarray:
+    """Decode MANY independent StreamVByte streams at once: block i
+    occupies buf[block_off[i]:...] laid out ctrl||data with ns[i] values.
+    Returns the concatenation of every block's values — byte-compatible
+    with svb_decode run per block, but a fixed number of numpy passes
+    instead of one Python call per block (the full-list decode hot path:
+    TAAT/phrase kernels, the compaction rewriter, the segment merger).
+    The inverse bookkeeping of _svb_streams."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    block_off = np.asarray(block_off, dtype=np.int64)
+    nb = ns.size
+    n_ctrl = (ns + 3) // 4
+    # ctrl bytes are contiguous per block: global index = block_off + intra
+    ctrl_cum = np.concatenate(([0], np.cumsum(n_ctrl)))
+    intra_c = np.arange(int(ctrl_cum[-1])) - np.repeat(ctrl_cum[:-1], n_ctrl)
+    ctrl = raw[np.repeat(block_off, n_ctrl) + intra_c]
+    # 4 codes per ctrl byte, grouped per block; keep the first ns[i] slots
+    codes_all = ((ctrl[:, None] >> _SHIFTS) & 3).reshape(-1)
+    slots = 4 * n_ctrl
+    slot_cum = np.concatenate(([0], np.cumsum(slots)))
+    slot_in_block = np.arange(int(slot_cum[-1])) - np.repeat(slot_cum[:-1], slots)
+    keep = slot_in_block < np.repeat(ns, slots)
+    lens = codes_all[keep].astype(np.int64) + 1
+    # per-value data start: block data begins after the ctrl section
+    csum = np.cumsum(lens)
+    excl = csum - lens
+    val_cum = np.concatenate(([0], np.cumsum(ns)))
+    base_excl = excl[val_cum[:-1]]
+    val_block = np.repeat(np.arange(nb), ns)
+    data_start = (
+        (block_off + n_ctrl)[val_block] + (excl - base_excl[val_block])
+    )
+    mat = np.zeros((total, 4), dtype=np.uint8)
+    for j in range(4):
+        m = lens > j
+        mat[m, j] = raw[data_start[m] + j]
+    return mat.view("<u4").ravel()
+
+
 def decode_term_postings(
     docs_bin: bytes, tfs_bin: bytes, dls_bin: bytes, blocks: list
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode all blocks of one (shard, term). Blocks are independent svb
-    streams (each with its own control section), so decode block-by-block."""
-    parts = [decode_block(docs_bin, tfs_bin, dls_bin, blocks, i) for i in range(len(blocks))]
-    return (
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
-    )
+    """Decode all blocks of one (shard, term) — batched across blocks
+    (svb_decode_blocks). Doc ids reconstruct with ONE global cumsum: the
+    first delta of each block is stored relative to the previous block's
+    last doc (-1 before block 0), so the concatenated delta stream
+    telescopes across block boundaries."""
+    nb = len(blocks)
+    if nb == 0:
+        e = np.empty(0, dtype=np.uint32)
+        return e.astype(np.int64), e, e
+    ns = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=nb)
+    d_off = np.fromiter((b[3] for b in blocks), dtype=np.int64, count=nb)
+    t_off = np.fromiter((b[4] for b in blocks), dtype=np.int64, count=nb)
+    l_off = np.fromiter((b[5] for b in blocks), dtype=np.int64, count=nb)
+    deltas = svb_decode_blocks(docs_bin, d_off, ns)
+    doc_ids = np.cumsum(deltas.astype(np.int64)) - 1
+    tfs = svb_decode_blocks(tfs_bin, t_off, ns)
+    dls = svb_decode_blocks(dls_bin, l_off, ns)
+    return doc_ids, tfs, dls
 
 
 def decode_term_positions(
@@ -445,21 +500,18 @@ def decode_term_positions(
     n_blocks = len(blocks)
     if n_blocks == 0 or len(pos_bin) == 0:
         return np.empty(0, dtype=np.uint32)
-    pos_offs = list(pos_offs)
-    out: list[np.ndarray] = []
-    mv = memoryview(pos_bin)
-    t0 = 0
-    for i in range(n_blocks):
-        n_post = int(blocks[i][2])
-        tf_blk = np.asarray(tfs[t0 : t0 + n_post], dtype=np.int64)
-        t0 += n_post
-        n_occ = int(tf_blk.sum())
-        off = int(pos_offs[i])
-        end = int(pos_offs[i + 1]) if i + 1 < n_blocks else len(pos_bin)
-        deltas = svb_decode(mv[off:end], n_occ).astype(np.int64)
-        c = np.cumsum(deltas)
-        # rebase each posting: pos = C - C[last index of previous posting]
-        run_end = np.cumsum(tf_blk)
-        base = np.concatenate(([0], c[run_end[:-1] - 1]))
-        out.append((c - np.repeat(base, tf_blk)).astype(np.uint32))
-    return np.concatenate(out) if out else np.empty(0, dtype=np.uint32)
+    # batched decode: per-block occurrence counts are the block's tf sums
+    # (posting runs never straddle blocks), then ONE global cumsum + a
+    # per-posting rebase undoes the within-posting deltas for every
+    # posting of every block at once.
+    tf64 = np.asarray(tfs, dtype=np.int64)
+    ns_post = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=n_blocks)
+    post_cum = np.concatenate(([0], np.cumsum(ns_post)))
+    occ_cum_post = np.concatenate(([0], np.cumsum(tf64)))
+    n_occ_blk = occ_cum_post[post_cum[1:]] - occ_cum_post[post_cum[:-1]]
+    offs = np.asarray(list(pos_offs), dtype=np.int64)
+    deltas = svb_decode_blocks(pos_bin, offs, n_occ_blk).astype(np.int64)
+    c = np.cumsum(deltas)
+    run_end = np.cumsum(tf64)
+    base = np.concatenate(([0], c[run_end[:-1] - 1]))
+    return (c - np.repeat(base, tf64)).astype(np.uint32)
