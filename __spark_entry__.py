@@ -1520,10 +1520,23 @@ def _events_df(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _events_cents(spark, sf_dir):
+    """events with value scaled to exact integer cents (still double):
+    the source values have 2 decimals, so round(value*100) sums are
+    integer-valued doubles far below 2^53 — order-independent and
+    bit-exact across engines and partitionings. The raw-double form hit
+    a last-ulp avg flip at sf0.1 (6dp rounding boundary under parallel
+    sum order); the operators under test are unchanged, only the driver
+    contract's value unit is cents."""
+    return _events_df(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100)
+    )
+
+
 def q_ev_windowed_stats(spark, sf_dir):
     """Tumbling-window event stats (the ST1 metrics tick generalized;
     streaming twin with watermark in engine.events.stream_windowed_stats)."""
-    return windowed_event_stats(_events_df(spark, sf_dir), window_s=EV_WINDOW_S)
+    return windowed_event_stats(_events_cents(spark, sf_dir), window_s=EV_WINDOW_S)
 
 
 def q_ev_sessionize(spark, sf_dir):
@@ -1534,7 +1547,7 @@ def q_ev_sessionize(spark, sf_dir):
 
 def q_ev_session_stats(spark, sf_dir):
     """Per-session rollup over the sessionized events."""
-    return session_stats(_events_df(spark, sf_dir), gap_s=EV_GAP_S)
+    return session_stats(_events_cents(spark, sf_dir), gap_s=EV_GAP_S)
 
 
 def q_ev_props_extract(spark, sf_dir):
@@ -1546,7 +1559,7 @@ def q_ev_sliding_stats(spark, sf_dir):
     """Sliding-window stats (width 6h, slide 3h — each event in 2 windows)."""
     from engine.events import sliding_event_stats
 
-    return sliding_event_stats(_events_df(spark, sf_dir), window_s=EV_WINDOW_S)
+    return sliding_event_stats(_events_cents(spark, sf_dir), window_s=EV_WINDOW_S)
 
 
 def q_ev_session_window(spark, sf_dir):
@@ -1554,7 +1567,7 @@ def q_ev_session_window(spark, sf_dir):
     end-exclusive boundaries; oracle compares at micros)."""
     from engine.events import session_window_stats
 
-    return session_window_stats(_events_df(spark, sf_dir), gap_s=EV_GAP_S)
+    return session_window_stats(_events_cents(spark, sf_dir), gap_s=EV_GAP_S)
 
 
 def q_l5_elastic_tokens(spark, sf_dir):
@@ -2658,13 +2671,14 @@ WHERE round(list_dot_product(a.v, b.v)
         "ev_windowed_stats": f"""
 SELECT (floor(epoch(ts)/{EV_WINDOW_S})*{EV_WINDOW_S})::BIGINT AS ws, event_type,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-       round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+       round(sum(round(value*100)), 6) AS sum_value,
+       round(avg(round(value*100)), 6) AS avg_value
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
         "ev_sessionize": EV_SESSIONIZE_SQL,
         "ev_session_stats": f"""
 WITH s AS ({EV_SESSIONIZE_SQL}),
-j AS (SELECT s.*, e.value FROM s JOIN events e USING (event_id))
+j AS (SELECT s.*, round(e.value*100) AS value FROM s JOIN events e USING (event_id))
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ts_epoch) AS start_epoch, max(ts_epoch) AS end_epoch,
        (max(ts_epoch) - min(ts_epoch)) AS duration_s,
@@ -2685,7 +2699,8 @@ WITH e AS (
 ),
 x AS (SELECT event_type, value, base - k*{EV_WINDOW_S // 2} AS ws
       FROM e, unnest([0, 1]) AS t(k))
-SELECT ws, event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+SELECT ws, event_type, count(*) AS n_events,
+       round(sum(round(value*100)), 6) AS sum_value
 FROM x GROUP BY 1, 2
 """,
         # native session_window semantics: split at diff > gap (boundary
@@ -2694,7 +2709,7 @@ FROM x GROUP BY 1, 2
         # integer seconds, so floor(last+gap) == floor(last)+gap)
         "ev_session_window": f"""
 WITH e AS (
-  SELECT user_id, value, event_id, epoch_us(ts) AS tu,
+  SELECT user_id, round(value*100) AS value, event_id, epoch_us(ts) AS tu,
          floor(epoch(ts))::BIGINT AS ts_s
   FROM events WHERE ts IS NOT NULL
 ),
