@@ -7,8 +7,9 @@ routes it to the engine's native operators, returning an ES-shaped
 response dict. Nothing here computes: it is a pure dispatcher, so every
 semantic stays defined (and tested) exactly once in the operator modules.
 
-Supported body keys: query (match_all / match / match_phrase / term /
-terms / prefix / wildcard / regexp / fuzzy / bool with must+should+
+Supported body keys: query (match_all / match / match_phrase [+slop] /
+match_phrase_prefix [+slop, max_expansions] / term / terms / prefix /
+wildcard / regexp / fuzzy / bool with must+should+
 must_not+filter+minimum_should_match / dis_max / more_like_this /
 function_score.field_value_factor), size, from, sort + search_after,
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
@@ -165,6 +166,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         bm25_bool_topk,
         bm25_dismax_topk,
         bm25_topk,
+        match_phrase_prefix_topk,
         match_phrase_topk,
         mlt_topk,
     )
@@ -176,11 +178,24 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         if fld != "text":
             raise ValueError("match_phrase supports the text field")
         text = spec["query"] if isinstance(spec, dict) else spec
-        if isinstance(spec, dict) and spec.get("slop", 0) != 0:
-            raise ValueError("slop > 0 is not implemented (exact adjacency only)")
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         if filters:
             raise ValueError("match_phrase + filter context is not composed yet")
-        return match_phrase_topk(reader, text, k=k)
+        return match_phrase_topk(reader, text, k=k, slop=slop)
+    if "match_phrase_prefix" in query:
+        ((fld, spec),) = query["match_phrase_prefix"].items()
+        if fld != "text":
+            raise ValueError("match_phrase_prefix supports the text field")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        if filters:
+            raise ValueError("match_phrase_prefix + filter context is not composed yet")
+        return match_phrase_prefix_topk(
+            reader, text, k=k,
+            slop=int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
+            max_expansions=(
+                int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50
+            ),
+        )
     if "bool" in query:
         b = query["bool"]
         filt = _clause_filters(b.get("filter", [])) + filters

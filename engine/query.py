@@ -2045,9 +2045,114 @@ def suggest_terms(
     )
 
 
+def _phrase_candidates(rows: list, slots: list[list[str]], dels):
+    """Decode positional posting rows and intersect the slots' doc lists
+    (conjunctive, live-filtered). Each slot is a list of alternative terms
+    (singletons for plain match_phrase; the expansion set for the
+    match_phrase_prefix last slot) — a candidate doc must contain at least
+    one alternative of EVERY slot. Returns (by_term, cand) or None when
+    the phrase cannot match in this shard."""
+    by_term: dict[str, tuple] = {}
+    for r in rows:
+        blocks = _norm_blocks(r.blocks)
+        docs, tfs, dls = P.decode_term_postings(
+            r.docs_bin, r.tfs_bin, r.dls_bin, blocks
+        )
+        pos = P.decode_term_positions(tfs, r.pos_bin, list(r.pos_offs), blocks)
+        occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+        by_term[r.term] = (docs, tfs.astype(np.int64), dls, pos, occ)
+    slot_docs = []
+    for alts in dict.fromkeys(tuple(s) for s in slots):  # distinct slots
+        present = [by_term[t][0] for t in alts if t in by_term]
+        if not present:
+            return None  # conjunctive: slot absent from this shard
+        slot_docs.append(
+            present[0] if len(present) == 1 else np.unique(np.concatenate(present))
+        )
+    # doc intersection, rarest-first (sorted arrays -> searchsorted chain)
+    slot_docs.sort(key=lambda d: d.size)
+    cand = slot_docs[0]
+    for d in slot_docs[1:]:
+        idx = np.searchsorted(d, cand)
+        np.minimum(idx, d.size - 1, out=idx)
+        cand = cand[d[idx] == cand]
+        if cand.size == 0:
+            return None
+    mask = _live_mask(cand, dels)
+    if mask is not None:
+        cand = cand[mask]
+    if cand.size == 0:
+        return None
+    return by_term, cand
+
+
+def _slot_occurrences(
+    by_term: dict, cand: np.ndarray, alts: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(doc, pos) arrays of one slot's occurrences inside the candidate
+    docs, sorted by (doc, pos). Single-term slots come out sorted for free
+    (postings are doc- then position-ordered); multi-alternative slots
+    (prefix expansions) are merged with one lexsort."""
+    ds, ps = [], []
+    for t in alts:
+        if t not in by_term:
+            continue
+        docs, tfs, _dls, pos, occ = by_term[t]
+        j = np.searchsorted(docs, cand)
+        np.minimum(j, docs.size - 1, out=j)
+        j = j[docs[j] == cand] if docs.size else j[:0]
+        lens = tfs[j]
+        srcs = occ[j]
+        n_occ = int(lens.sum())
+        head = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        gather = np.arange(n_occ) - np.repeat(head, lens) + np.repeat(srcs, lens)
+        keep_docs = docs[j]
+        ds.append(np.repeat(keep_docs, lens))
+        ps.append(pos[gather].astype(np.int64))
+    if not ds:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if len(ds) == 1:
+        return ds[0], ps[0]
+    d = np.concatenate(ds)
+    p = np.concatenate(ps)
+    order = np.lexsort((p, d))
+    return d[order], p[order]
+
+
+def _phrase_score_rows(
+    by_term: dict,
+    slots: list[list[str]],
+    match_docs: np.ndarray,
+    pf: np.ndarray,
+    idf_sum: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> list[tuple[int, float]]:
+    """Shared phrase-scoring tail: dl lookup from the first slot whose
+    term carries the matched docs, Lucene pseudo-term saturation, top-k."""
+    dl = np.zeros(match_docs.size, dtype=np.float64)
+    found = np.zeros(match_docs.size, dtype=bool)
+    for t in dict.fromkeys(t for s in slots for t in s):
+        if t not in by_term:
+            continue
+        docs, _tfs, dls, _pos, _occ = by_term[t]
+        j = np.searchsorted(docs, match_docs)
+        np.minimum(j, docs.size - 1, out=j)
+        hit = (~found) & (docs[j] == match_docs)
+        dl[hit] = dls[j[hit]]
+        found |= hit
+        if found.all():
+            break
+    scores = idf_sum * (pf / (pf + k1 * (1.0 - b + b * dl / avgdl)))
+    sel = _topk_order(match_docs, scores, k)
+    return [(int(match_docs[i]), float(scores[i])) for i in sel]
+
+
 def _phrase_shard_topk(
     rows: list,
-    phrase_terms: list[str],
+    slots: list[list[str]],
     idf_sum: float,
     k: int,
     k1: float,
@@ -2058,12 +2163,14 @@ def _phrase_shard_topk(
     """Per-shard exact match_phrase kernel over positional postings.
 
     rows: posting rows (with pos_bin/pos_offs) for the phrase's DISTINCT
-    terms in this shard. Candidates = the conjunctive doc intersection;
-    each candidate is verified by intersecting its per-slot position sets
-    shifted by the slot offset (slot i's positions minus i) — the
-    survivors' count is the phrase frequency. Lucene PhraseQuery scoring:
-    the whole phrase behaves as ONE pseudo-term with tf = phrase_freq and
-    idf = the sum of the member terms' idfs (duplicate slots counted),
+    terms in this shard; slots: one term-alternative list per phrase slot
+    (singletons except the match_phrase_prefix expansion slot). Candidates
+    = the conjunctive doc intersection; each candidate is verified by
+    intersecting its per-slot position sets shifted by the slot offset
+    (slot i's positions minus i) — the survivors' count is the phrase
+    frequency. Lucene PhraseQuery scoring: the whole phrase behaves as ONE
+    pseudo-term with tf = phrase_freq and idf = the sum of the member
+    terms' idfs (duplicate slots counted),
     score = idf_sum * pf / (pf + k1*(1 - b + b*dl/avgdl)).
 
     Work is O(decoded postings of the rarest-term-bounded candidate set)
@@ -2073,127 +2180,146 @@ def _phrase_shard_topk(
     over the whole shard — no per-candidate Python loop, so a head-bigram
     phrase with thousands of matching docs costs a handful of numpy
     passes."""
-    distinct = list(dict.fromkeys(phrase_terms))
-    by_term: dict[str, tuple] = {}
-    for r in rows:
-        blocks = _norm_blocks(r.blocks)
-        docs, tfs, dls = P.decode_term_postings(
-            r.docs_bin, r.tfs_bin, r.dls_bin, blocks
-        )
-        pos = P.decode_term_positions(tfs, r.pos_bin, list(r.pos_offs), blocks)
-        occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-        by_term[r.term] = (docs, tfs.astype(np.int64), dls, pos, occ)
-    if any(t not in by_term for t in distinct):
-        return []  # conjunctive: a term absent from this shard -> no match
-    # doc intersection, rarest-first (sorted arrays -> searchsorted chain)
-    order = sorted(distinct, key=lambda t: by_term[t][0].size)
-    cand = by_term[order[0]][0]
-    for t in order[1:]:
-        d = by_term[t][0]
-        idx = np.searchsorted(d, cand)
-        np.minimum(idx, d.size - 1, out=idx)
-        cand = cand[d[idx] == cand]
-        if cand.size == 0:
-            return []
-    mask = _live_mask(cand, dels)
-    if mask is not None:
-        cand = cand[mask]
-    if cand.size == 0:
+    got = _phrase_candidates(rows, slots, dels)
+    if got is None:
         return []
-    # per-candidate posting index in each term's doc list
-    slot_idx = {t: np.searchsorted(by_term[t][0], cand) for t in distinct}
+    by_term, cand = got
 
-    def _slot_keys(i: int, t: str) -> np.ndarray:
+    def _slot_keys(i: int, alts: list[str]) -> np.ndarray:
         """(doc << 32 | pos - i) keys of slot i's candidate occurrences,
         sorted ascending (occurrences are doc- then position-ordered and
         the shift preserves both orders within the kept subset)."""
-        _docs, tfs, _dls, pos, occ = by_term[t]
-        j = slot_idx[t]
-        lens = tfs[j]
-        srcs = occ[j]
-        n_occ = int(lens.sum())
-        head = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        gather = np.arange(n_occ) - np.repeat(head, lens) + np.repeat(srcs, lens)
-        p = pos[gather].astype(np.int64)
-        d = np.repeat(cand, lens)
+        d, p = _slot_occurrences(by_term, cand, alts)
         keep = p >= i  # a phrase starting before the doc head can't exist
         return (d[keep] << 32) | (p[keep] - i)
 
-    inter = _slot_keys(0, phrase_terms[0])
-    for i, t in enumerate(phrase_terms[1:], start=1):
+    inter = _slot_keys(0, slots[0])
+    for i, alts in enumerate(slots[1:], start=1):
         if inter.size == 0:
             return []
-        inter = np.intersect1d(inter, _slot_keys(i, t), assume_unique=True)
+        inter = np.intersect1d(inter, _slot_keys(i, alts), assume_unique=True)
     if inter.size == 0:
         return []
     # phrase frequency per doc = count of surviving start keys
     match_docs, pf = np.unique(inter >> 32, return_counts=True)
-    # dl per matched doc from the first distinct term's postings
-    d0, _tf0, dls0, _p0, _o0 = by_term[distinct[0]]
-    dl = dls0[np.searchsorted(d0, match_docs)].astype(np.float64)
-    pf = pf.astype(np.float64)
-    scores = idf_sum * (pf / (pf + k1 * (1.0 - b + b * dl / avgdl)))
-    sel = _topk_order(match_docs, scores, k)
-    return [(int(match_docs[i]), float(scores[i])) for i in sel]
+    return _phrase_score_rows(
+        by_term, slots, match_docs, pf.astype(np.float64), idf_sum, k, k1, b, avgdl
+    )
 
 
-def match_phrase_topk(
+def _phrase_slop_shard_topk(
+    rows: list,
+    slots: list[list[str]],
+    slop: int,
+    idf_sum: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dels: "np.ndarray | None",
+) -> list[tuple[int, float]]:
+    """Per-shard sloppy match_phrase kernel (frozen span semantics).
+
+    Frozen spec (divergence from Lucene's SloppyPhraseScorer, which
+    enumerates matches greedily — repeated-token docs can count fewer
+    matches there): a match is ONE occurrence choice per slot whose
+    ADJUSTED positions (pos - slot index) span at most `slop` — exactly
+    ES's metric, where a swapped bigram costs 2 and one intervening token
+    costs 1; slots sharing a term must take pairwise-distinct token
+    positions; matches are counted combinatorially, each weighted
+    1 / (1 + span) (Lucene's sloppyFreq weight), and the phrase tf is the
+    weight sum. slop=0 reduces exactly to the adjacency kernel (span 0
+    <=> all adjusted positions equal; property-tested). Scoring is the
+    same pseudo-term model as _phrase_shard_topk. The combinatorial count
+    is order-independent and expressible as a positions self-join, which
+    is what makes the DuckDB oracle twin exact.
+
+    Vectorized as an iterative constrained join: states after slot i are
+    parallel arrays (doc, adj-min, adj-max, chosen positions); slot i+1's
+    occurrences are range-looked-up per state via searchsorted over
+    (doc << 32 | adj + bias) keys. The window [adj_max - slop,
+    adj_min + slop] preserves the span invariant, so no post-filter is
+    needed. Work is O(assignments), bounded per doc by
+    tf_slot0 * (2*slop + 1)^(n_slots - 1)."""
+    got = _phrase_candidates(rows, slots, dels)
+    if got is None:
+        return []
+    by_term, cand = got
+    n = len(slots)
+    bias = n + slop + 1  # keeps every packed adj key strictly positive
+    keys0 = None
+    occs = []
+    for i, alts in enumerate(slots):
+        d, p = _slot_occurrences(by_term, cand, alts)
+        adj = p - i
+        occs.append(((d << 32) | (adj + bias), adj, p))
+    keys0, adj0, pos0 = occs[0]
+    s_doc = keys0 >> 32
+    if s_doc.size == 0:
+        return []
+    s_mn, s_mx = adj0.copy(), adj0.copy()
+    s_pos = [pos0]  # absolute positions per processed slot (dup-term guard)
+    for i in range(1, n):
+        keys, adj, p = occs[i]
+        lo = np.searchsorted(keys, (s_doc << 32) | (s_mx - slop + bias), side="left")
+        hi = np.searchsorted(keys, (s_doc << 32) | (s_mn + slop + bias), side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return []
+        parent = np.repeat(np.arange(s_doc.size), cnt)
+        head = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        offs = np.arange(tot) - np.repeat(head, cnt) + np.repeat(lo, cnt)
+        a = adj[offs]
+        new_pos = p[offs]
+        keep = np.ones(tot, dtype=bool)
+        same = set(slots[i])
+        for j in range(i):
+            if same & set(slots[j]):  # shared term alternatives
+                keep &= s_pos[j][parent] != new_pos
+        if not keep.all():
+            parent, a, new_pos = parent[keep], a[keep], new_pos[keep]
+            if parent.size == 0:
+                return []
+        s_mn = np.minimum(s_mn[parent], a)
+        s_mx = np.maximum(s_mx[parent], a)
+        s_doc = s_doc[parent]
+        s_pos = [sp[parent] for sp in s_pos] + [new_pos]
+    w = 1.0 / (1.0 + (s_mx - s_mn).astype(np.float64))
+    match_docs, inv = np.unique(s_doc, return_inverse=True)
+    pf = np.bincount(inv, weights=w)
+    return _phrase_score_rows(
+        by_term, slots, match_docs, pf, idf_sum, k, k1, b, avgdl
+    )
+
+
+def _phrase_slots_topk(
     reader: "IndexReader",
-    phrase: str | list[str],
-    k: int = 10,
-    execution: str = "auto",
-    lookup: str = "auto",
+    slots: list[list[str]],
+    idf_sum: float,
+    k: int,
+    slop: int,
+    execution: str,
+    lookup: str,
 ) -> DataFrame:
-    """ES `match_phrase` (slop=0, exact adjacency) top-k over a POSITIONAL
-    index: (url, doc_id, score), score desc / doc_id asc.
-
-    The phrase analyzer keeps duplicates and order (unlike the bag-of-words
-    queries): "the cat the hat" is four slots. A slot term missing from the
-    dictionary means zero hits (conjunctive, ES behavior). Scoring is the
-    Lucene PhraseQuery model — the phrase is one pseudo-term whose tf is
-    the exact phrase frequency and whose idf is the sum of member idfs.
-
-    Execution mirrors bm25_topk: driver-local pyarrow read + in-process
-    kernel when the index is local and the distinct terms' postings fit
-    LOCAL_MAX_POSTINGS, else ONE Spark scatter-gather (per-shard kernels
-    via applyInPandas, <= k rows back per shard); winner urls via the
-    pruned docmap lookup. Requires index_options="positions" (build_index;
-    a freqs index raises ValueError — ES parity: a field indexed without
-    positions rejects phrase queries)."""
-    if reader.index_options != "positions":
-        raise ValueError(
-            f"match_phrase needs a positional index; {reader.dir} was built "
-            "with index_options="
-            f"{reader.index_options!r} (rebuild with index_options='positions')"
-        )
-    from engine.textnorm import standard_tokenize_py
-
-    terms = (
-        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
-        else list(phrase)
-    )
+    """Shared phrase executor: run the exact (slop=0) or sloppy kernel per
+    shard over the slots' distinct terms, local pyarrow or ONE Spark
+    scatter-gather, finalize via the pruned docmap lookup."""
     spark = reader.spark
-
-    def _empty() -> DataFrame:
-        return spark.range(0).select(
-            F.lit(None).cast("string").alias("url"),
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast("double").alias("score"),
-        )
-
-    if not terms:
-        return _empty()
-    distinct = list(dict.fromkeys(terms))
-    stats = reader.term_stats(distinct)
-    if any(t not in stats for t in distinct):
-        return _empty()
-    idf_sum = float(
-        sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
-    )
+    distinct = list(dict.fromkeys(t for s in slots for t in s))
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     tomb = reader.tombstones()
+
+    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
+        if slop:
+            return _phrase_slop_shard_topk(
+                rows, slots, slop, idf_sum, k, k1, b, avgdl, dels
+            )
+        return _phrase_shard_topk(rows, slots, idf_sum, k, k1, b, avgdl, dels)
+
     heap_rows: list[tuple[int, int, float]] | None = None
-    total_postings = sum(stats[t] for t in distinct)
+    stats = reader.term_stats(distinct)
+    total_postings = sum(stats.get(t, 0) for t in distinct)
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
@@ -2202,17 +2328,12 @@ def match_phrase_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in _phrase_shard_topk(
-                    rows, terms, idf_sum, k, k1, b, avgdl, tomb.get(shard)
-                )
+                for local, score in run_kernel(rows, tomb.get(shard))
             ]
     if heap_rows is None:
 
         def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            top = _phrase_shard_topk(
-                list(pdf.itertuples()), terms, idf_sum, k, k1, b, avgdl,
-                tomb.get(int(pdf_key[0])),
-            )
+            top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
             return pd.DataFrame(
                 {
                     "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -2233,11 +2354,161 @@ def match_phrase_topk(
     if kind == "df":
         return payload
     if not payload:
-        return _empty()
+        return _empty_topk(spark)
     return spark.createDataFrame(
         pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
         "url string, doc_id long, score double",
     )
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+
+
+def _require_positions(reader: "IndexReader", what: str) -> None:
+    if reader.index_options != "positions":
+        raise ValueError(
+            f"{what} needs a positional index; {reader.dir} was built "
+            "with index_options="
+            f"{reader.index_options!r} (rebuild with index_options='positions')"
+        )
+
+
+def match_phrase_topk(
+    reader: "IndexReader",
+    phrase: str | list[str],
+    k: int = 10,
+    slop: int = 0,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES `match_phrase` top-k over a POSITIONAL index: (url, doc_id,
+    score), score desc / doc_id asc.
+
+    The phrase analyzer keeps duplicates and order (unlike the bag-of-words
+    queries): "the cat the hat" is four slots. A slot term missing from the
+    dictionary means zero hits (conjunctive, ES behavior). Scoring is the
+    Lucene PhraseQuery model — the phrase is one pseudo-term whose tf is
+    the exact phrase frequency and whose idf is the sum of member idfs.
+
+    slop=0 is exact adjacency; slop>0 matches ES's proximity metric —
+    adjusted positions (pos - slot) may span up to `slop`, so one
+    intervening token costs 1 and a swapped bigram costs 2 — with the
+    frozen combinatorial sloppyFreq documented on _phrase_slop_shard_topk.
+
+    Execution mirrors bm25_topk: driver-local pyarrow read + in-process
+    kernel when the index is local and the distinct terms' postings fit
+    LOCAL_MAX_POSTINGS, else ONE Spark scatter-gather (per-shard kernels
+    via applyInPandas, <= k rows back per shard); winner urls via the
+    pruned docmap lookup. Requires index_options="positions" (build_index;
+    a freqs index raises ValueError — ES parity: a field indexed without
+    positions rejects phrase queries)."""
+    _require_positions(reader, "match_phrase")
+    from engine.textnorm import standard_tokenize_py
+
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        return _empty_topk(reader.spark)
+    distinct = list(dict.fromkeys(terms))
+    stats = reader.term_stats(distinct)
+    if any(t not in stats for t in distinct):
+        return _empty_topk(reader.spark)
+    idf_sum = float(
+        sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
+    )
+    return _phrase_slots_topk(
+        reader, [[t] for t in terms], idf_sum, k, slop, execution, lookup
+    )
+
+
+def match_phrase_prefix_topk(
+    reader: "IndexReader",
+    phrase: str | list[str],
+    k: int = 10,
+    slop: int = 0,
+    max_expansions: int = 50,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES `match_phrase_prefix` top-k: the LAST slot matches every
+    dictionary term with that prefix (df-ordered, capped at
+    max_expansions — ES default 50), the earlier slots are exact.
+
+    Frozen scoring spec (divergence from Lucene's MultiPhraseQuery, whose
+    idf SUMS every expansion's idf so the score inflates with the
+    expansion count): the prefix slot is ONE pseudo-term whose df is the
+    number of docs containing ANY expansion — computed exactly (shards
+    partition docs, so the per-shard union-doc counts sum), deterministic,
+    oracle-expressible (`term LIKE 'pre%'` in SQL), and stable as the
+    vocabulary grows. tf is the phrase frequency over the expanded last
+    slot; everything else is the match_phrase model (slop supported)."""
+    _require_positions(reader, "match_phrase_prefix")
+    from engine.textnorm import standard_tokenize_py
+
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        return _empty_topk(reader.spark)
+    head, pre = terms[:-1], terms[-1]
+    expansions = reader.expand_prefix(pre, max_expansions=max_expansions)
+    if not expansions:
+        return _empty_topk(reader.spark)
+    stats = reader.term_stats(list(dict.fromkeys(head)))
+    if any(t not in stats for t in head):
+        return _empty_topk(reader.spark)
+    # exact union df of the prefix slot: shards partition the doc space,
+    # so the per-shard distinct-doc counts of the expansions' merged
+    # postings sum to the global df. Local indexes read it with the same
+    # pruned pyarrow pass the kernel uses; remote dirs decode docs_bin in
+    # one tiny distributed pass over just those terms' postings.
+    by_shard = reader.postings_pos_local(expansions)
+    if by_shard is not None:
+        df_union = 0
+        for rows in by_shard.values():
+            docs = [
+                P.decode_term_postings(
+                    r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+                )[0]
+                for r in rows
+            ]
+            if docs:
+                df_union += int(np.unique(np.concatenate(docs)).size)
+    else:
+
+        def _count(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [
+                P.decode_term_postings(
+                    r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+                )[0]
+                for r in pdf.itertuples()
+            ]
+            n = int(np.unique(np.concatenate(parts)).size) if parts else 0
+            return pd.DataFrame({"n": [n]})
+
+        rows = (
+            reader.postings(expansions)
+            .groupBy("shard")
+            .applyInPandas(_count, "n long")
+            .collect()
+        )
+        df_union = int(sum(r["n"] for r in rows))
+    if df_union == 0:
+        return _empty_topk(reader.spark)
+    idf_sum = float(
+        sum(P.bm25_idf(stats[t], reader.n_docs) for t in head)
+        + P.bm25_idf(df_union, reader.n_docs)
+    )
+    slots = [[t] for t in head] + [list(expansions)]
+    return _phrase_slots_topk(reader, slots, idf_sum, k, slop, execution, lookup)
 
 
 def index_stats(reader: "IndexReader") -> dict:

@@ -201,3 +201,38 @@ def test_phrase_highlight_and_divergences(spark, dsl_index):
                 "filter": [{"exists": {"field": "lang"}}],
             }}},
         )
+
+
+def test_phrase_slop_and_prefix_dispatch(spark, tmp_path_factory):
+    """match_phrase slop + match_phrase_prefix route to the positional
+    operators with identical results."""
+    from engine.query import match_phrase_prefix_topk, match_phrase_topk
+
+    docs = [
+        ("u1", "the quick brown fox jumps over the lazy dog"),
+        ("u2", "quick red fox and a quick clever brown fox"),
+        ("u3", "brown quick fox reversed order here"),
+        ("u4", "foxglove foxes and a quick foxtrot"),
+    ]
+    out = str(tmp_path_factory.mktemp("dslpos") / "idx")
+    build_index(
+        spark, spark.createDataFrame(docs, "url string, text string"),
+        out, n_shards=2, n_buckets=4, index_options="positions",
+    )
+    r = IndexReader(spark, out)
+
+    resp = search(r, {"query": {"match_phrase": {"text": {"query": "quick fox", "slop": 1}}}})
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in match_phrase_topk(r, "quick fox", k=10, slop=1).collect()
+    ]
+    assert _ids(resp) == want and want  # non-empty: u2's gap match
+
+    resp = search(
+        r, {"query": {"match_phrase_prefix": {"text": {"query": "quick fox", "slop": 1}}}}
+    )
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in match_phrase_prefix_topk(r, "quick fox", k=10, slop=1).collect()
+    ]
+    assert _ids(resp) == want and "u4" in {u for u, _ in want}  # foxtrot expands
