@@ -76,6 +76,11 @@ K1, B = 1.2, 0.75
 BM25_TERMS = ["hash", "join", "table"]
 WAND_TERMS = ["dup", "key", "fast"]
 PHRASE_Q = "table hash"  # frozen match_phrase query (adjacent-bigram)
+SLOP_PHRASE_Q = "hash table"  # frozen sloppy phrase: catches the swap too
+SLOP_N = 2  # ES slop metric: one gap costs 1, a swapped bigram costs 2
+PPREFIX_HEAD, PPREFIX_PRE = "hash", "s"  # match_phrase_prefix "hash s*"
+# 's' expands to small/scan/slow/stream/sort/spark on this corpus (6 << 50,
+# so the ES max_expansions=50 cap is not binding and the LIKE oracle is exact)
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
 PREFIX_MAX_EXPANSIONS = 128  # Lucene-style top_terms_N rewrite bound
 WILDCARD_Q = "s*a*"  # scan/small/spark/stream... on this corpus
@@ -930,6 +935,102 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_span_sql(
+    terms: list[str], slop: int, k: int = 10, prefix: str | None = None
+) -> str:
+    """Sloppy match_phrase / match_phrase_prefix oracle (declarative twin
+    of engine/query.py _phrase_slop_shard_topk, and of the exact kernel at
+    slop=0): positions self-join with the frozen span semantics — one
+    occurrence per slot, adjusted positions (pos - slot) spanning <= slop,
+    pairwise-distinct positions for slots sharing a term, each match
+    weighted 1/(1 + span), phrase tf = the weight sum. With `prefix`, the
+    LAST slot matches any term LIKE 'prefix%' and its idf uses the exact
+    union doc count (the engine's frozen pseudo-term spec)."""
+    slots: list[tuple[str, str | None]] = [(t, None) for t in terms]
+    if prefix is not None:
+        slots.append(("", prefix))
+    n = len(slots)
+    adj = [f"(p{i}.pos - {i})" for i in range(n)]
+    span = f"greatest({', '.join(adj)}) - least({', '.join(adj)})"
+
+    def _shares(i: int, j: int) -> bool:
+        ti, pi = slots[i]
+        tj, pj = slots[j]
+        if pi is None and pj is None:
+            return ti == tj
+        if pi is not None and pj is not None:
+            return True  # two prefix slots of the same prefix
+        t, p = (tj, pi) if pi is not None else (ti, pj)
+        return t.startswith(p)
+
+    joins = []
+    for i in range(1, n):
+        t, p = slots[i]
+        term_pred = f"p{i}.term LIKE '{p}%'" if p is not None else f"p{i}.term = '{t}'"
+        conds = [
+            f"p{i}.doc_id = p0.doc_id",
+            term_pred,
+            f"{adj[i]} BETWEEN {adj[0]} - {slop} AND {adj[0]} + {slop}",
+        ]
+        conds += [
+            f"p{i}.pos <> p{j}.pos" for j in range(i) if _shares(i, j)
+        ]
+        joins.append(f"JOIN pos p{i} ON " + " AND ".join(conds))
+    join_sql = "\n       ".join(joins)
+    # idf: exact slots as pseudo-terms with their term df (duplicate slots
+    # counted), the prefix slot with the union df
+    slot_counts: dict[str, int] = {}
+    for t in terms:
+        slot_counts[t] = slot_counts.get(t, 0) + 1
+    tl = ", ".join(f"'{t}'" for t in slot_counts)
+    idf_parts = [
+        f"{c} * ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        for i, (t, c) in enumerate(slot_counts.items())
+    ]
+    df_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(slot_counts)
+    )
+    extra_cte = ""
+    cross_extra = ""
+    if prefix is not None:
+        idf_parts.append("ln(1.0 + (n_docs - dfu + 0.5) / (dfu + 0.5))")
+        extra_cte = (
+            f",\ndfu AS (SELECT count(DISTINCT doc_id)::BIGINT AS dfu "
+            f"FROM pos WHERE term LIKE '{prefix}%')"
+        )
+        cross_extra = " CROSS JOIN dfu"
+    idf_terms = " + ".join(idf_parts)
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN ({tl}) GROUP BY term
+),
+dfw AS (SELECT {df_cols} FROM dfreq){extra_cte},
+pf AS (
+  SELECT p0.doc_id, sum(1.0 / (1 + {span})) AS pf
+  FROM pos p0
+       {join_sql}
+  WHERE p0.term = '{terms[0]}' AND {span} <= {slop}
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfw{cross_extra}
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _round_rerank(df, k: int = 10):
     """Deterministic top-k under float-sum noise: both engines' aggregate
     SUM order is nondeterministic (parallel hash agg), so raw near-ties at
@@ -1058,6 +1159,37 @@ def q_bm25_phrase(spark, sf_dir):
 
     reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
     top = match_phrase_topk(reader, PHRASE_Q, k=40)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_bm25_phrase_slop(spark, sf_dir):
+    """ES match_phrase with slop>0 over the positional index: frozen span
+    semantics (adjusted positions within slop, combinatorial sloppyFreq
+    with 1/(1+span) weights) — 'hash table' at slop 2 also catches the
+    swapped 'table hash' (a swap costs 2 in the ES metric)."""
+    from engine.query import IndexReader, match_phrase_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = match_phrase_topk(reader, SLOP_PHRASE_Q, k=40, slop=SLOP_N)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_bm25_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix over the positional index: the last slot
+    expands from the term dictionary ('s' -> small/scan/slow/stream/sort/
+    spark here) and is scored as ONE pseudo-term whose df is the exact
+    union doc count (frozen divergence from Lucene's expansion-summed
+    MultiPhraseQuery idf, documented on match_phrase_prefix_topk)."""
+    from engine.query import IndexReader, match_phrase_prefix_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = match_phrase_prefix_topk(
+        reader, f"{PPREFIX_HEAD} {PPREFIX_PRE}", k=40
+    )
     return _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
     )
@@ -2288,13 +2420,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries (driver-certified on first appearance) ---
         "bm25_phrase_topk": q_bm25_phrase,
         "bm25_upserted_topk": q_bm25_upserted,
+        "bm25_phrase_slop_topk": q_bm25_phrase_slop,
+        "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         # --- sentinel rows from the r1-r3 driver-certified set -----------
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
+        # ---------------- driver gate boundary (50 entries) ----------------
         "bm25_wand_topk": q_bm25_wand,
         "bm25_relational_topk": q_bm25_relational,
-        # ---------------- driver gate boundary (50 entries) ----------------
         "dedup_lsh_pairs": q_dedup_lsh,
         "l8_edge_ngrams": q_l8_edge_ngrams,
         "p_reject_filter": q_reject_filter,
@@ -2464,6 +2598,12 @@ FROM grams
         "bm25_relational_topk": _bm25_sql(BM25_TERMS),
         "bm25_wand_topk": _bm25_sql(WAND_TERMS),
         "bm25_phrase_topk": _phrase_sql(PHRASE_Q.split(), k=25),
+        "bm25_phrase_slop_topk": _phrase_span_sql(
+            SLOP_PHRASE_Q.split(), SLOP_N, k=25
+        ),
+        "bm25_phrase_prefix_topk": _phrase_span_sql(
+            [PPREFIX_HEAD], 0, k=25, prefix=PPREFIX_PRE
+        ),
         "bm25_upserted_topk": _bm25_sql(
             UPSERT_QTERMS,
             text_expr=(
