@@ -2045,13 +2045,15 @@ def suggest_terms(
     )
 
 
-def _phrase_candidates(rows: list, slots: list[list[str]], dels):
+def _phrase_candidates(rows: list, slots: list[list[str]], dels, allow=None):
     """Decode positional posting rows and intersect the slots' doc lists
     (conjunctive, live-filtered). Each slot is a list of alternative terms
     (singletons for plain match_phrase; the expansion set for the
     match_phrase_prefix last slot) — a candidate doc must contain at least
-    one alternative of EVERY slot. Returns (by_term, cand) or None when
-    the phrase cannot match in this shard."""
+    one alternative of EVERY slot. `allow` (sorted local ids) restricts
+    candidates to an explicit doc set — the rescore-window / query-tree
+    hook. Returns (by_term, cand) or None when the phrase cannot match in
+    this shard."""
     by_term: dict[str, tuple] = {}
     for r in rows:
         blocks = _norm_blocks(r.blocks)
@@ -2081,6 +2083,10 @@ def _phrase_candidates(rows: list, slots: list[list[str]], dels):
     mask = _live_mask(cand, dels)
     if mask is not None:
         cand = cand[mask]
+    if allow is not None and cand.size:
+        idx = np.searchsorted(allow, cand)
+        np.minimum(idx, allow.size - 1, out=idx)
+        cand = cand[allow[idx] == cand] if allow.size else cand[:0]
     if cand.size == 0:
         return None
     return by_term, cand
@@ -2159,6 +2165,7 @@ def _phrase_shard_topk(
     b: float,
     avgdl: float,
     dels: "np.ndarray | None",
+    allow: "np.ndarray | None" = None,
 ) -> list[tuple[int, float]]:
     """Per-shard exact match_phrase kernel over positional postings.
 
@@ -2180,31 +2187,95 @@ def _phrase_shard_topk(
     over the whole shard — no per-candidate Python loop, so a head-bigram
     phrase with thousands of matching docs costs a handful of numpy
     passes."""
-    got = _phrase_candidates(rows, slots, dels)
+    got = _phrase_freqs(rows, slots, 0, dels, allow)
     if got is None:
         return []
-    by_term, cand = got
-
-    def _slot_keys(i: int, alts: list[str]) -> np.ndarray:
-        """(doc << 32 | pos - i) keys of slot i's candidate occurrences,
-        sorted ascending (occurrences are doc- then position-ordered and
-        the shift preserves both orders within the kept subset)."""
-        d, p = _slot_occurrences(by_term, cand, alts)
-        keep = p >= i  # a phrase starting before the doc head can't exist
-        return (d[keep] << 32) | (p[keep] - i)
-
-    inter = _slot_keys(0, slots[0])
-    for i, alts in enumerate(slots[1:], start=1):
-        if inter.size == 0:
-            return []
-        inter = np.intersect1d(inter, _slot_keys(i, alts), assume_unique=True)
-    if inter.size == 0:
-        return []
-    # phrase frequency per doc = count of surviving start keys
-    match_docs, pf = np.unique(inter >> 32, return_counts=True)
+    by_term, match_docs, pf = got
     return _phrase_score_rows(
-        by_term, slots, match_docs, pf.astype(np.float64), idf_sum, k, k1, b, avgdl
+        by_term, slots, match_docs, pf, idf_sum, k, k1, b, avgdl
     )
+
+
+def _phrase_freqs(
+    rows: list,
+    slots: list[list[str]],
+    slop: int,
+    dels: "np.ndarray | None",
+    allow: "np.ndarray | None" = None,
+) -> "tuple[dict, np.ndarray, np.ndarray] | None":
+    """Shared phrase-frequency core: (by_term, match_docs, pf) for one
+    shard's positional posting rows, or None when nothing matches. slop=0
+    is the exact-adjacency start-key intersection; slop>0 the frozen span
+    semantics (see the two kernel docstrings). `allow` restricts the
+    candidate docs (rescore window / query-string tree evaluation) — the
+    frequencies of the surviving docs are unchanged."""
+    got = _phrase_candidates(rows, slots, dels, allow)
+    if got is None:
+        return None
+    by_term, cand = got
+    if slop == 0:
+
+        def _slot_keys(i: int, alts: list[str]) -> np.ndarray:
+            # (doc << 32 | pos - i) keys of slot i's candidate occurrences,
+            # sorted ascending (occurrences are doc- then position-ordered
+            # and the shift preserves both orders within the kept subset)
+            d, p = _slot_occurrences(by_term, cand, alts)
+            keep = p >= i  # a phrase starting before the doc head can't exist
+            return (d[keep] << 32) | (p[keep] - i)
+
+        inter = _slot_keys(0, slots[0])
+        for i, alts in enumerate(slots[1:], start=1):
+            if inter.size == 0:
+                return None
+            inter = np.intersect1d(inter, _slot_keys(i, alts), assume_unique=True)
+        if inter.size == 0:
+            return None
+        # phrase frequency per doc = count of surviving start keys
+        match_docs, pf = np.unique(inter >> 32, return_counts=True)
+        return by_term, match_docs, pf.astype(np.float64)
+    n = len(slots)
+    bias = n + slop + 1  # keeps every packed adj key strictly positive
+    occs = []
+    for i, alts in enumerate(slots):
+        d, p = _slot_occurrences(by_term, cand, alts)
+        adj = p - i
+        occs.append(((d << 32) | (adj + bias), adj, p))
+    keys0, adj0, pos0 = occs[0]
+    s_doc = keys0 >> 32
+    if s_doc.size == 0:
+        return None
+    s_mn, s_mx = adj0.copy(), adj0.copy()
+    s_pos = [pos0]  # absolute positions per processed slot (dup-term guard)
+    for i in range(1, n):
+        keys, adj, p = occs[i]
+        lo = np.searchsorted(keys, (s_doc << 32) | (s_mx - slop + bias), side="left")
+        hi = np.searchsorted(keys, (s_doc << 32) | (s_mn + slop + bias), side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot == 0:
+            return None
+        parent = np.repeat(np.arange(s_doc.size), cnt)
+        head = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        offs = np.arange(tot) - np.repeat(head, cnt) + np.repeat(lo, cnt)
+        a = adj[offs]
+        new_pos = p[offs]
+        keep = np.ones(tot, dtype=bool)
+        same = set(slots[i])
+        for j in range(i):
+            if same & set(slots[j]):  # shared term alternatives
+                keep &= s_pos[j][parent] != new_pos
+        if not keep.all():
+            parent, a, new_pos = parent[keep], a[keep], new_pos[keep]
+            if parent.size == 0:
+                return None
+        s_mn = np.minimum(s_mn[parent], a)
+        s_mx = np.maximum(s_mx[parent], a)
+        s_doc = s_doc[parent]
+        s_pos = [sp[parent] for sp in s_pos] + [new_pos]
+    w = 1.0 / (1.0 + (s_mx - s_mn).astype(np.float64))
+    match_docs, inv = np.unique(s_doc, return_inverse=True)
+    pf = np.bincount(inv, weights=w)
+    return by_term, match_docs, pf
 
 
 def _phrase_slop_shard_topk(
@@ -2217,6 +2288,7 @@ def _phrase_slop_shard_topk(
     b: float,
     avgdl: float,
     dels: "np.ndarray | None",
+    allow: "np.ndarray | None" = None,
 ) -> list[tuple[int, float]]:
     """Per-shard sloppy match_phrase kernel (frozen span semantics).
 
@@ -2240,54 +2312,13 @@ def _phrase_slop_shard_topk(
     (doc << 32 | adj + bias) keys. The window [adj_max - slop,
     adj_min + slop] preserves the span invariant, so no post-filter is
     needed. Work is O(assignments), bounded per doc by
-    tf_slot0 * (2*slop + 1)^(n_slots - 1)."""
-    got = _phrase_candidates(rows, slots, dels)
+    tf_slot0 * (2*slop + 1)^(n_slots - 1). The frequency core lives in
+    _phrase_freqs (shared with the exact kernel, the rescore window, and
+    the query-string tree evaluator)."""
+    got = _phrase_freqs(rows, slots, slop, dels, allow)
     if got is None:
         return []
-    by_term, cand = got
-    n = len(slots)
-    bias = n + slop + 1  # keeps every packed adj key strictly positive
-    keys0 = None
-    occs = []
-    for i, alts in enumerate(slots):
-        d, p = _slot_occurrences(by_term, cand, alts)
-        adj = p - i
-        occs.append(((d << 32) | (adj + bias), adj, p))
-    keys0, adj0, pos0 = occs[0]
-    s_doc = keys0 >> 32
-    if s_doc.size == 0:
-        return []
-    s_mn, s_mx = adj0.copy(), adj0.copy()
-    s_pos = [pos0]  # absolute positions per processed slot (dup-term guard)
-    for i in range(1, n):
-        keys, adj, p = occs[i]
-        lo = np.searchsorted(keys, (s_doc << 32) | (s_mx - slop + bias), side="left")
-        hi = np.searchsorted(keys, (s_doc << 32) | (s_mn + slop + bias), side="right")
-        cnt = hi - lo
-        tot = int(cnt.sum())
-        if tot == 0:
-            return []
-        parent = np.repeat(np.arange(s_doc.size), cnt)
-        head = np.concatenate(([0], np.cumsum(cnt)))[:-1]
-        offs = np.arange(tot) - np.repeat(head, cnt) + np.repeat(lo, cnt)
-        a = adj[offs]
-        new_pos = p[offs]
-        keep = np.ones(tot, dtype=bool)
-        same = set(slots[i])
-        for j in range(i):
-            if same & set(slots[j]):  # shared term alternatives
-                keep &= s_pos[j][parent] != new_pos
-        if not keep.all():
-            parent, a, new_pos = parent[keep], a[keep], new_pos[keep]
-            if parent.size == 0:
-                return []
-        s_mn = np.minimum(s_mn[parent], a)
-        s_mx = np.maximum(s_mx[parent], a)
-        s_doc = s_doc[parent]
-        s_pos = [sp[parent] for sp in s_pos] + [new_pos]
-    w = 1.0 / (1.0 + (s_mx - s_mn).astype(np.float64))
-    match_docs, inv = np.unique(s_doc, return_inverse=True)
-    pf = np.bincount(inv, weights=w)
+    by_term, match_docs, pf = got
     return _phrase_score_rows(
         by_term, slots, match_docs, pf, idf_sum, k, k1, b, avgdl
     )
@@ -2509,6 +2540,132 @@ def match_phrase_prefix_topk(
     )
     slots = [[t] for t in head] + [list(expansions)]
     return _phrase_slots_topk(reader, slots, idf_sum, k, slop, execution, lookup)
+
+
+def rescore_topk(
+    reader: "IndexReader",
+    query: str | list[str],
+    rescore_phrase: str | list[str],
+    k: int = 10,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    slop: int = 0,
+    mode: str = "or",
+) -> DataFrame:
+    """ES `rescore` (query rescorer, score_mode=total): re-rank the top
+    `window_size` hits of the base BM25 query by blending in a
+    match_phrase score — (url, doc_id, score), score desc / doc_id asc.
+
+    Reference parity: the ES _search `rescore` block with a `match_phrase`
+    rescore query — the classic precision pass over a cheap recall query.
+    final = query_weight * base + rescore_weight * phrase for window docs
+    the phrase matches; window docs it does not match keep
+    query_weight * base. Docs outside the window are never re-ranked (and
+    never returned: k <= window_size, ES behavior).
+
+    Frozen determinism spec (divergence from ES, which rescores per-shard
+    windows): the window is GLOBAL — the top window_size docs by 6-dp
+    ROUNDED base score with doc_id tiebreak (the same float-sum-noise
+    guard as the oracle harness; raw parallel-sum near-ties at the window
+    boundary would otherwise flip between runs). Phrase scores are exact
+    (same kernels as match_phrase_topk, restricted to the window via the
+    candidate allowlist — the phrase never ranks docs the base query
+    didn't admit, so a head-phrase rescore costs O(window) verification,
+    not a corpus-wide phrase search)."""
+    _require_positions(reader, "rescore (phrase rescorer)")
+    from engine.textnorm import standard_tokenize_py
+
+    if k > window_size:
+        raise ValueError(f"k={k} > window_size={window_size}")
+    # over-fetch so the rounded window boundary region is fully present
+    base = bm25_topk_rows(reader, query, k=window_size + 16, mode=mode)
+    if not base:
+        return _empty_topk(reader.spark)
+    base.sort(key=lambda r: (-round(r[2], 6), r[1]))
+    window = base[:window_size]
+    offs = np.asarray(reader.shard_offsets(), dtype=np.int64)
+    doc_ids = np.asarray([r[1] for r in window], dtype=np.int64)
+    shards = np.searchsorted(offs, doc_ids, side="right") - 1
+    locals_ = doc_ids - offs[shards]
+    allow_by_shard: dict[int, np.ndarray] = {
+        int(s): np.sort(locals_[shards == s]) for s in np.unique(shards)
+    }
+
+    terms = (
+        standard_tokenize_py(rescore_phrase.lower())
+        if isinstance(rescore_phrase, str)
+        else list(rescore_phrase)
+    )
+    phrase_scores: dict[tuple[int, int], float] = {}
+    distinct = list(dict.fromkeys(terms))
+    stats = reader.term_stats(distinct)
+    if terms and all(t in stats for t in distinct):
+        idf_sum = float(sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms))
+        slots = [[t] for t in terms]
+        k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+        tomb = reader.tombstones()
+        by_shard = reader.postings_pos_local(distinct)
+        if by_shard is not None:  # local index dir: in-process verification
+            for shard, rows in by_shard.items():
+                allow = allow_by_shard.get(int(shard))
+                if allow is None:
+                    continue
+                top = _phrase_slop_shard_topk(
+                    rows, slots, slop, idf_sum, allow.size, k1, b, avgdl,
+                    tomb.get(shard), allow,
+                ) if slop else _phrase_shard_topk(
+                    rows, slots, idf_sum, allow.size, k1, b, avgdl,
+                    tomb.get(shard), allow,
+                )
+                for local, sc in top:
+                    phrase_scores[(int(shard), int(local))] = sc
+        else:  # remote dir: ONE scatter-gather, window allowlist broadcast
+            allow_b = {s: a.tolist() for s, a in allow_by_shard.items()}
+
+            def shard_scores(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                shard = int(pdf_key[0])
+                allow = allow_b.get(shard)
+                if allow is None:
+                    return pd.DataFrame({"shard": [], "local_id": [], "score": []}).astype(
+                        {"shard": np.int32, "local_id": np.int64, "score": np.float64}
+                    )
+                arr = np.asarray(allow, dtype=np.int64)
+                rows = list(pdf.itertuples())
+                top = _phrase_slop_shard_topk(
+                    rows, slots, slop, idf_sum, arr.size, k1, b, avgdl,
+                    tomb.get(shard), arr,
+                ) if slop else _phrase_shard_topk(
+                    rows, slots, idf_sum, arr.size, k1, b, avgdl,
+                    tomb.get(shard), arr,
+                )
+                return pd.DataFrame(
+                    {
+                        "shard": np.full(len(top), shard, dtype=np.int32),
+                        "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                        "score": np.array([t[1] for t in top], dtype=np.float64),
+                    }
+                )
+
+            got = (
+                reader.postings(distinct)
+                .groupBy("shard")
+                .applyInPandas(shard_scores, "shard int, local_id long, score double")
+                .collect()
+            )
+            phrase_scores = {
+                (r["shard"], r["local_id"]): r["score"] for r in got
+            }
+
+    out = []
+    for (url, doc_id, base_sc), shard, local in zip(window, shards, locals_):
+        ph = phrase_scores.get((int(shard), int(local)), 0.0)
+        out.append((url, int(doc_id), query_weight * base_sc + rescore_weight * ph))
+    out.sort(key=lambda r: (-r[2], r[1]))
+    return reader.spark.createDataFrame(
+        pd.DataFrame(out[:k], columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
 
 
 def index_stats(reader: "IndexReader") -> dict:
