@@ -79,6 +79,12 @@ PHRASE_Q = "table hash"  # frozen match_phrase query (adjacent-bigram)
 SLOP_PHRASE_Q = "hash table"  # frozen sloppy phrase: catches the swap too
 SLOP_N = 2  # ES slop metric: one gap costs 1, a swapped bigram costs 2
 PPREFIX_HEAD, PPREFIX_PRE = "hash", "s"  # match_phrase_prefix "hash s*"
+RESCORE_QW, RESCORE_RW = 1.0, 2.0  # ES rescore query/rescore_query weights
+# rescore window sized past any test corpus so it covers the whole matched
+# set — the oracle is then the exact blend over every base-matching doc
+# (window-EXCLUSION semantics are pytest-frozen in tests/test_rescore.py,
+# where the engine tiebreak key is observable)
+RESCORE_WINDOW = 1_000_000
 # 's' expands to small/scan/slow/stream/sort/spark on this corpus (6 << 50,
 # so the ES max_expansions=50 cap is not binding and the LIKE oracle is exact)
 PREFIX_Q = "s"  # expands to small/scan/slow/sort/spark/stream on this corpus
@@ -1193,6 +1199,97 @@ def q_bm25_phrase_prefix(spark, sf_dir):
     return _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
     )
+
+
+def q_bm25_rescore(spark, sf_dir):
+    """ES rescore (phrase rescorer, score_mode=total) over the positional
+    index: the BM25_TERMS recall query's top window is re-ranked by
+    blending RESCORE_RW x the PHRASE_Q match_phrase score (engine/query.py
+    rescore_topk). RESCORE_WINDOW covers every matched doc at test scale,
+    so the oracle is the exact blend over all base-matching docs; the
+    window-exclusion semantics are pytest-frozen (tests/test_rescore.py)."""
+    from engine.query import IndexReader, rescore_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = rescore_topk(
+        reader, BM25_TERMS, PHRASE_Q, k=40, window_size=RESCORE_WINDOW,
+        query_weight=RESCORE_QW, rescore_weight=RESCORE_RW,
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def _bm25_rescore_sql(
+    base_terms: list[str], phrase: list[str], qw: float, rw: float, k: int
+) -> str:
+    """rescore oracle: the relational BM25 CTE (base recall scores) LEFT
+    JOINed to the exact-adjacency phrase CTE (_phrase_sql semantics), final
+    score = qw * base + rw * coalesce(phrase, 0) — valid because the
+    driver query's window covers the whole matched set."""
+    tl = ", ".join(f"'{t}'" for t in base_terms)
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    joins = [
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+        f"AND p{i}.term = '{phrase[i]}'"
+        for i in range(1, len(phrase))
+    ]
+    join_sql = "\n       ".join(joins)
+    slot_counts: dict[str, int] = {}
+    for t in phrase:
+        slot_counts[t] = slot_counts.get(t, 0) + 1
+    ptl = ", ".join(f"'{t}'" for t in slot_counts)
+    idf_terms = " + ".join(
+        f"{c} * ln(1.0 + (n_docs - pdf_{i} + 0.5) / (pdf_{i} + 0.5))"
+        for i, (t, c) in enumerate(slot_counts.items())
+    )
+    pdf_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN df END) AS pdf_{i}"
+        for i, t in enumerate(slot_counts)
+    )
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+base AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS bs
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+pdfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN ({ptl}) GROUP BY term
+),
+pdfw AS (SELECT {pdf_cols} FROM pdfreq),
+pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS pf
+  FROM pos p0
+       {join_sql}
+  WHERE p0.term = '{phrase[0]}'
+  GROUP BY p0.doc_id
+),
+phr AS (
+  SELECT pf.doc_id,
+         ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS ps
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN pdfw
+)
+SELECT doc_id, round({qw} * bs + {rw} * coalesce(ps, 0.0), 6) AS score
+FROM base LEFT JOIN phr USING (doc_id)
+ORDER BY round({qw} * bs + {rw} * coalesce(ps, 0.0), 6) DESC, doc_id ASC
+LIMIT {k}
+"""
 
 
 # deterministic upsert rule for the upsert driver query: every doc with
@@ -2422,11 +2519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_upserted_topk": q_bm25_upserted,
         "bm25_phrase_slop_topk": q_bm25_phrase_slop,
         "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
+        "bm25_rescore_topk": q_bm25_rescore,
         # --- sentinel rows from the r1-r3 driver-certified set -----------
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
-        "a5_doc_stats": q_doc_stats,
         # ---------------- driver gate boundary (50 entries) ----------------
+        "a5_doc_stats": q_doc_stats,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_relational_topk": q_bm25_relational,
         "dedup_lsh_pairs": q_dedup_lsh,
@@ -2603,6 +2701,9 @@ FROM grams
         ),
         "bm25_phrase_prefix_topk": _phrase_span_sql(
             [PPREFIX_HEAD], 0, k=25, prefix=PPREFIX_PRE
+        ),
+        "bm25_rescore_topk": _bm25_rescore_sql(
+            BM25_TERMS, PHRASE_Q.split(), RESCORE_QW, RESCORE_RW, k=25
         ),
         "bm25_upserted_topk": _bm25_sql(
             UPSERT_QTERMS,
