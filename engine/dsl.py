@@ -14,7 +14,8 @@ must_not+filter+minimum_should_match / dis_max / more_like_this /
 function_score.field_value_factor), size, from, sort + search_after,
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
 histogram / date_histogram / stats / cardinality / percentiles / missing
-/ composite / filters), track_total_hits.
+/ composite / filters), track_total_hits, rescore (match_phrase
+rescorer over a match/term base query — needs a positional index).
 
 Deliberate divergences (documented, raise cleanly):
 - `highlight` needs the source text, which the index does not store —
@@ -261,6 +262,36 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     return bm25_topk(reader, terms, k=k, mode=op, filters=filters)
 
 
+def _rescore_df(reader, query: dict, spec, k: int):
+    """Compile the ES `rescore` block (query rescorer, phrase rescore
+    query) to engine.query.rescore_topk over the base match/term query."""
+    from engine.query import rescore_topk
+
+    if isinstance(spec, list):  # ES accepts a list of rescorers; one supported
+        if len(spec) != 1:
+            raise ValueError("exactly one rescore block is supported")
+        spec = spec[0]
+    q = spec["query"]
+    rq = q["rescore_query"]
+    if "match_phrase" not in rq:
+        raise ValueError("rescore_query supports match_phrase (phrase rescorer)")
+    ((fld, pspec),) = rq["match_phrase"].items()
+    if fld != "text":
+        raise ValueError("match_phrase rescorer supports the text field")
+    text = pspec["query"] if isinstance(pspec, dict) else pspec
+    slop = int(pspec.get("slop", 0)) if isinstance(pspec, dict) else 0
+    terms, op, msm = _match_terms(query)
+    if msm is not None:
+        raise ValueError("rescore over minimum_should_match is not composed")
+    return rescore_topk(
+        reader, terms, text, k=k,
+        window_size=int(spec.get("window_size", 10)),
+        query_weight=float(q.get("query_weight", 1.0)),
+        rescore_weight=float(q.get("rescore_query_weight", 1.0)),
+        slop=slop, mode=op,
+    )
+
+
 def _query_terms_or_none(query: dict):
     """The analyzed term list driving aggs/sort/count for this query, or
     None for match_all. Raises for query kinds whose matched set is not a
@@ -313,6 +344,10 @@ def search(reader, body: dict, corpus=None) -> dict:
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
             for r in rows
         ]
+    elif body.get("rescore"):
+        df = _rescore_df(reader, query, body["rescore"], frm + size)
+        rows = df.collect()[frm:]
+        hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
     else:
         df = _hits_df(reader, query, frm + size, filters)
         if df is None:  # match_all: first `size` live docs in url order

@@ -171,3 +171,36 @@ def test_rescore_k_beyond_window_rejected(spark, res_index):
     r = IndexReader(spark, res_index)
     with pytest.raises(ValueError, match="window_size"):
         rescore_topk(r, ["hash"], ["hash", "table"], k=20, window_size=10)
+
+
+def test_dsl_rescore_dispatch_identity(spark, res_index):
+    """The _search `rescore` block returns exactly rescore_topk's ranking
+    (dispatch identity — the DSL computes nothing itself)."""
+    from engine.dsl import search
+
+    r = IndexReader(spark, res_index)
+    body = {
+        "query": {"match": {"text": "hash table"}},
+        "rescore": {
+            "window_size": 5,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": {"query": "hash table"}}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.5,
+            },
+        },
+        "size": 4,
+    }
+    resp = search(r, body)
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in rescore_topk(
+            r, ["hash", "table"], "hash table", k=4, window_size=5,
+            query_weight=0.7, rescore_weight=1.5,
+        ).collect()
+    ]
+    assert [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]] == want
+    # a list-shaped rescore (ES accepts a list) dispatches the same
+    body["rescore"] = [body["rescore"]]
+    resp2 = search(r, body)
+    assert resp2["hits"]["hits"] == resp["hits"]["hits"]
