@@ -1292,6 +1292,103 @@ LIMIT {k}
 """
 
 
+# frozen simple_query_string driver query: one clause of each kind —
+# exact phrase, plain term, negation, prefix ('b' expands to batch/big on
+# this corpus, far under the 50-expansion cap, so the LIKE oracle is exact)
+SQS_Q = '"hash table" merge -dup b*'
+
+
+def q_sqs_topk(spark, sf_dir):
+    """ES simple_query_string (frozen flag subset PHRASE|PREFIX|NOT|
+    WHITESPACE, default_operator=or) over the positional index: score =
+    sum of matching positive clause scores (term BM25 + phrase pseudo-term
+    + scoring_boolean prefix expansion), docs matching the -clause
+    excluded (engine/querystring.py)."""
+    from engine.query import IndexReader
+    from engine.querystring import simple_query_string_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = simple_query_string_topk(reader, SQS_Q, k=40)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def _sqs_sql(phrase: list[str], term: str, prefix: str, neg: str, k: int) -> str:
+    """Driver-query twin of q_sqs_topk's frozen clause set (one exact
+    phrase + one term + one prefix + one negated term, OR mode): each
+    clause scored by its own CTE (term/prefix = BM25 over tf, phrase =
+    the adjacency-join pseudo-term), UNION ALL + per-doc sum, must_not as
+    an anti-semijoin."""
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    joins = "\n       ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i} "
+        f"AND p{i}.term = '{phrase[i]}'"
+        for i in range(1, len(phrase))
+    )
+    slot_counts: dict[str, int] = {}
+    for t in phrase:
+        slot_counts[t] = slot_counts.get(t, 0) + 1
+    ptl = ", ".join(f"'{t}'" for t in slot_counts)
+    idf_terms = " + ".join(
+        f"{c} * ln(1.0 + (n_docs - pdf_{i} + 0.5) / (pdf_{i} + 0.5))"
+        for i, (t, c) in enumerate(slot_counts.items())
+    )
+    pdf_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN df END) AS pdf_{i}"
+        for i, t in enumerate(slot_counts)
+    )
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+tfall AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+dfall AS (SELECT term, count(*)::BIGINT AS df FROM tfall GROUP BY term),
+term_s AS (
+  SELECT doc_id, {idf} * {impact} AS s
+  FROM tfall JOIN dfall USING (term) CROSS JOIN stats
+  WHERE term = '{term}'
+),
+pre_s AS (
+  SELECT doc_id, sum({idf} * {impact}) AS s
+  FROM tfall JOIN dfall USING (term) CROSS JOIN stats
+  WHERE term LIKE '{prefix}%'
+  GROUP BY doc_id
+),
+pdfw AS (SELECT {pdf_cols} FROM dfall WHERE term IN ({ptl})),
+pf AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS pf
+  FROM pos p0
+       {joins}
+  WHERE p0.term = '{phrase[0]}'
+  GROUP BY p0.doc_id
+),
+phr_s AS (
+  SELECT pf.doc_id,
+         ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS s
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN pdfw
+),
+contrib AS (
+  SELECT * FROM term_s UNION ALL SELECT * FROM pre_s UNION ALL SELECT * FROM phr_s
+),
+agg AS (SELECT doc_id, sum(s) AS score_raw FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM agg
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tfall WHERE term = '{neg}')
+ORDER BY round(score_raw, 6) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # deterministic upsert rule for the upsert driver query: every doc with
 # doc_id % UPSERT_MOD == UPSERT_REM is REPLACED with UPSERT_TEXT (fixed,
 # SQL-expressible). The query terms deliberately do NOT occur in
@@ -2520,10 +2617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_slop_topk": q_bm25_phrase_slop,
         "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "bm25_rescore_topk": q_bm25_rescore,
-        # --- sentinel rows from the r1-r3 driver-certified set -----------
+        "sqs_topk": q_sqs_topk,
+        # --- sentinel row from the r1-r3 driver-certified set -------------
         "t_name_split_alphakey": q_t1_split_alphakey,
-        "t7_export_json": q_t7_export_json,
         # ---------------- driver gate boundary (50 entries) ----------------
+        "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
         "bm25_wand_topk": q_bm25_wand,
         "bm25_relational_topk": q_bm25_relational,
@@ -2705,6 +2803,7 @@ FROM grams
         "bm25_rescore_topk": _bm25_rescore_sql(
             BM25_TERMS, PHRASE_Q.split(), RESCORE_QW, RESCORE_RW, k=25
         ),
+        "sqs_topk": _sqs_sql(["hash", "table"], "merge", "b", "dup", k=25),
         "bm25_upserted_topk": _bm25_sql(
             UPSERT_QTERMS,
             text_expr=(

@@ -11,7 +11,8 @@ Supported body keys: query (match_all / match / match_phrase [+slop] /
 match_phrase_prefix [+slop, max_expansions] / term / terms / prefix /
 wildcard / regexp / fuzzy / bool with must+should+
 must_not+filter+minimum_should_match / dis_max / more_like_this /
-function_score.field_value_factor), size, from, sort + search_after,
+function_score.field_value_factor / simple_query_string), size, from,
+sort + search_after,
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
 histogram / date_histogram / stats / cardinality / percentiles / missing
 / composite / filters), track_total_hits, rescore (match_phrase
@@ -219,6 +220,21 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return bm25_bool_topk(
             reader, must=must, should=should, must_not=must_not, k=k,
             minimum_should_match=b.get("minimum_should_match"),
+        )
+    if "simple_query_string" in query:
+        s = query["simple_query_string"]
+        flds = s.get("fields", ["text"])
+        if flds not in (["text"], ["text^1.0"]):
+            raise ValueError("simple_query_string supports the text field")
+        if filters:
+            raise ValueError(
+                "simple_query_string + filter context is not composed yet"
+            )
+        from engine.querystring import simple_query_string_topk
+
+        return simple_query_string_topk(
+            reader, s["query"], k=k,
+            default_operator=s.get("default_operator", "or").lower(),
         )
     if "dis_max" in query:
         d = query["dis_max"]
