@@ -1389,6 +1389,58 @@ LIMIT {k}
 """
 
 
+def q_collapse_lang(spark, sf_dir):
+    """ES collapse on the lang docvalue over docs matching BM25_TERMS:
+    one hit per language — the best-scoring doc of each group — ranked
+    by 6-dp rounded score, doc_id tiebreak (engine/aggs.py
+    collapse_topk's frozen spec, which makes the DuckDB window twin
+    exact)."""
+    from engine.aggs import collapse_topk
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = collapse_topk(r, BM25_TERMS, "lang", k=10)
+    return top.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "score",
+        F.col("collapse_val").alias("lang"),
+    )
+
+
+def _collapse_sql(terms: list[str], field: str, k: int) -> str:
+    """collapse oracle: the relational BM25 CTE rounded to 6 dp, joined
+    to the document attribute, one row per group via a QUALIFY window
+    (best score, doc_id tiebreak), top-k groups."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.score, docs.{field} AS {field}
+FROM scored s JOIN documents docs USING (doc_id)
+QUALIFY row_number() OVER (
+  PARTITION BY docs.{field} ORDER BY s.score DESC, s.doc_id ASC
+) = 1
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+"""
+
+
 # deterministic upsert rule for the upsert driver query: every doc with
 # doc_id % UPSERT_MOD == UPSERT_REM is REPLACED with UPSERT_TEXT (fixed,
 # SQL-expressible). The query terms deliberately do NOT occur in
@@ -2618,9 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "bm25_rescore_topk": q_bm25_rescore,
         "sqs_topk": q_sqs_topk,
-        # --- sentinel row from the r1-r3 driver-certified set -------------
-        "t_name_split_alphakey": q_t1_split_alphakey,
+        "collapse_lang": q_collapse_lang,
         # ---------------- driver gate boundary (50 entries) ----------------
+        "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
         "bm25_wand_topk": q_bm25_wand,
@@ -2804,6 +2856,7 @@ FROM grams
             BM25_TERMS, PHRASE_Q.split(), RESCORE_QW, RESCORE_RW, k=25
         ),
         "sqs_topk": _sqs_sql(["hash", "table"], "merge", "b", "dup", k=25),
+        "collapse_lang": _collapse_sql(BM25_TERMS, "lang", k=10),
         "bm25_upserted_topk": _bm25_sql(
             UPSERT_QTERMS,
             text_expr=(

@@ -853,6 +853,191 @@ def search_sort(
     )
 
 
+def collapse_topk(
+    reader: IndexReader,
+    query: str | list[str],
+    field: str,
+    k: int = 10,
+    mode: str = "or",
+    execution: str = "auto",
+    filters=(),
+) -> DataFrame:
+    """ES `collapse`: rank the matched docs by BM25, keep only the BEST
+    doc per `field` value (the others are collapsed away), return the
+    top-k groups as (url, doc_id, score, collapse_val) ordered score
+    desc / doc_id asc.
+
+    Frozen spec: group selection AND final ranking use the 6-dp ROUNDED
+    score with doc_id tiebreak (the same float-sum-noise guard the
+    oracle harness applies — raw parallel-sum near-ties inside a group
+    would otherwise flip which doc represents it between runs); null
+    field values form ONE group (SQL window semantics, what the DuckDB
+    twin computes); `inner_hits` is not implemented (divergence — the
+    collapsed group members are droppable by definition here).
+
+    Scale shape: each shard TAAT-scores its own matched docs (exact
+    kernel, same decode path as bm25_topk), gathers the collapse
+    docvalue for exactly those ordinals (streamed read), and reduces to
+    ONE candidate row per (shard, value) — only n_shards x |values|
+    rows leave the executors; the driver merge and the pruned docmap
+    lookup are O(values + k)."""
+    spark = reader.spark
+    filters = tuple(filters)
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    missing = [f for f in [field] + filter_fields(filters) if f not in dv_cols]
+    if missing:
+        raise ValueError(
+            f"collapse/filter field(s) {missing} not in index docvalues {dv_cols}"
+        )
+    vt = _vtype(reader, field)
+    out_schema = f"url string, doc_id long, score double, collapse_val {vt}"
+
+    terms = (
+        analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    )
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return spark.createDataFrame([], out_schema)
+    n_terms = len(live)
+    n_docs, k1, b, avgdl = reader.n_docs, reader.k1, reader.b, reader.avgdl
+    idfs = {t: float(P.bm25_idf(stats[t], n_docs)) for t in live}
+    tomb = reader.tombstones()
+    index_dir, mode_b = reader.dir, mode
+    gat_fields = list(dict.fromkeys([field] + filter_fields(filters)))
+
+    def shard_best(shard: int, rows: list) -> pd.DataFrame:
+        """One candidate row (local_id, score, v) per field value."""
+        empty = pd.DataFrame(
+            {"local_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64),
+             "v": pd.Series([], dtype=object)}
+        )
+        dels = tomb.get(shard)
+        locs_parts, contrib_parts, term_docs = [], [], []
+        for r in rows:
+            idf = idfs.get(r.term)
+            if idf is None:
+                continue
+            d, t, l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+            locs_parts.append(d)
+            contrib_parts.append(idf * P.bm25_impact(t, l, avgdl, k1, b))
+            term_docs.append(d)
+        if not locs_parts or (mode_b == "and" and len(locs_parts) < n_terms):
+            return empty
+        locs = np.concatenate(locs_parts)
+        uniq, inv = np.unique(locs, return_inverse=True)
+        scores = np.bincount(
+            inv, weights=np.concatenate(contrib_parts), minlength=uniq.size
+        )
+        if mode_b == "and" and len(term_docs) > 1:
+            hits = np.zeros(uniq.size, dtype=np.int64)
+            for d in term_docs:
+                hits[np.searchsorted(uniq, d)] += 1
+            m = hits == n_terms
+            uniq, scores = uniq[m], scores[m]
+        if uniq.size == 0:
+            return empty
+        tbl = gather_docvalues(index_dir, shard, gat_fields, uniq)
+        if filters:
+            fm = np.asarray(filter_mask(tbl, filters))
+            tbl = tbl.filter(pa.array(fm))
+            uniq, scores = uniq[fm], scores[fm]
+            if uniq.size == 0:
+                return empty
+        pdf = pd.DataFrame(
+            {
+                "local_id": uniq,
+                "score": np.round(scores, 6),
+                "v": tbl.column(field).to_pylist(),
+            }
+        )
+        # best per value: score desc then local asc, first row of each
+        # group (NaN/None values form one group via dropna=False)
+        pdf = pdf.sort_values(
+            ["score", "local_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pdf[~pdf["v"].duplicated()]
+
+    pschema = f"shard int, local_id long, score double, v {vt}"
+    cand: pd.DataFrame | None = None
+    total_postings = sum(stats[t] for t in live)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(live)
+        if by_shard is not None:
+            frames = []
+            for shard, rows in by_shard.items():
+                f_ = shard_best(shard, rows)
+                if len(f_):
+                    f_ = f_.copy()
+                    f_.insert(0, "shard", np.int32(shard))
+                    frames.append(f_)
+            cand = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=["shard", "local_id", "score", "v"])
+            )
+        elif execution == "local":
+            raise ValueError("execution='local' needs a local postings directory")
+    if cand is None:
+
+        def shard_partials(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            f_ = shard_best(int(pdf_key[0]), list(pdf.itertuples()))
+            f_ = f_.copy()
+            f_.insert(0, "shard", np.int32(pdf_key[0]))
+            return f_
+
+        cand = (
+            reader.postings(live)
+            .groupBy("shard")
+            .applyInPandas(shard_partials, pschema)
+            .toPandas()
+        )
+    if not len(cand):
+        return spark.createDataFrame([], out_schema)
+    # global best per value (cross-shard), then top-k groups
+    offsets = reader.shard_offsets()
+    cand = cand.assign(
+        doc_id=[offsets[int(s)] + int(l) for s, l in zip(cand["shard"], cand["local_id"])]
+    )
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    winners = cand[~cand["v"].duplicated()].head(k)
+    shards = sorted({int(s) for s in winners["shard"]})
+    locals_ = sorted({int(l) for l in winners["local_id"]})
+    urls = reader.docmap_lookup_local(shards, locals_)
+    if urls is not None:
+        out = pd.DataFrame(
+            {
+                "url": [urls[(int(s), int(l))] for s, l in
+                        zip(winners["shard"], winners["local_id"])],
+                "doc_id": winners["doc_id"].to_numpy(),
+                "score": winners["score"].to_numpy(),
+                "collapse_val": winners["v"].to_numpy(),
+            }
+        )
+        return spark.createDataFrame(out, out_schema)
+    win_df = spark.createDataFrame(
+        winners[["shard", "local_id", "doc_id", "score", "v"]],
+        f"shard int, local_id long, doc_id long, score double, v {vt}",
+    )
+    dm = reader.docmap_pruned(shards, locals_)
+    return (
+        dm.select("shard", "local_id", "url")
+        .join(F.broadcast(win_df), ["shard", "local_id"])
+        .select("url", "doc_id", "score", F.col("v").alias("collapse_val"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def matched_urls(
     reader: IndexReader,
     query: str | list[str] | None,

@@ -12,7 +12,7 @@ match_phrase_prefix [+slop, max_expansions] / term / terms / prefix /
 wildcard / regexp / fuzzy / bool with must+should+
 must_not+filter+minimum_should_match / dis_max / more_like_this /
 function_score.field_value_factor / simple_query_string), size, from,
-sort + search_after,
+sort + search_after, collapse (best doc per docvalue group),
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
 histogram / date_histogram / stats / cardinality / percentiles / missing
 / composite / filters), track_total_hits, rescore (match_phrase
@@ -358,6 +358,26 @@ def search(reader, body: dict, corpus=None) -> dict:
         ).collect()[frm:]
         hits = [
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
+            for r in rows
+        ]
+    elif body.get("collapse"):
+        from engine.aggs import collapse_topk
+
+        terms, mode = _query_terms_or_none(query)
+        if terms is None:
+            raise ValueError("collapse needs a scoring query (match/term)")
+        filt = (
+            _clause_filters(query.get("bool", {}).get("filter", []))
+            if "bool" in query else ()
+        )
+        rows = collapse_topk(
+            reader, terms, body["collapse"]["field"], k=frm + size,
+            mode=mode, filters=filt,
+        ).collect()[frm:]
+        fld = body["collapse"]["field"]
+        hits = [
+            {"_id": r["url"], "_score": r["score"],
+             "fields": {fld: [r["collapse_val"]]}}
             for r in rows
         ]
     elif body.get("rescore"):
