@@ -16,7 +16,9 @@ sort + search_after, collapse (best doc per docvalue group),
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
 histogram / date_histogram / stats / cardinality / percentiles / missing
 / composite / filters), track_total_hits, rescore (match_phrase
-rescorer over a match/term base query — needs a positional index).
+rescorer over a match/term base query — needs a positional index),
+knn (top-level vector search over the embeddings table: exact cosine,
+or the LSH-ANN scale path when num_candidates bounds the search).
 
 Deliberate divergences (documented, raise cleanly):
 - `highlight` needs the source text, which the index does not store —
@@ -324,14 +326,53 @@ def _query_terms_or_none(query: dict):
     return terms, op
 
 
-def search(reader, body: dict, corpus=None) -> dict:
+def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
+    """ES top-level `knn` block -> hits by cosine similarity over the
+    embeddings table (vec_id, embedding). Exact brute-force when
+    num_candidates is absent or >= the ES default ceiling; the
+    LSH-bucketed ANN path otherwise (the documented scale path —
+    candidates ~ bucket collisions, exact re-rank)."""
+    from engine.simsearch import cosine_topk, lsh_ann_topk
+
+    if embeddings is None:
+        raise ValueError("knn needs the embeddings table: search(..., embeddings=df)")
+    vec = [float(x) for x in spec["query_vector"]]
+    k = int(spec.get("k", 10))
+    probes = spark.createDataFrame(
+        [(-1, vec)], "probe_id long, embedding array<float>"
+    )
+    nc = spec.get("num_candidates")
+    if nc is not None and int(nc) < 10_000:
+        top = lsh_ann_topk(embeddings, probes, dim=len(vec), k=k)
+    else:
+        top = cosine_topk(embeddings, probes, k=k)
+    return [
+        {"_id": r["neighbor_id"], "_score": r["cos"]}
+        for r in top.orderBy("rank").collect()
+    ]
+
+
+def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     """Run an ES `_search`-shaped JSON body against the index; returns an
     ES-shaped response dict (hits + optional aggregations). corpus: the
     source DataFrame carrying (url, text), required only for `highlight`
-    (the index stores no text)."""
+    (the index stores no text). embeddings: the (vec_id, embedding)
+    table, required only for the top-level `knn` block (vectors live
+    beside the index, not in it — frozen layout)."""
     from engine.aggs import search_aggs, search_count, search_sort
 
     t0 = time.time()
+    if "knn" in body:
+        if "query" in body:
+            raise ValueError("knn + query blending is not composed (divergence)")
+        hits = _knn_hits(reader.spark, body["knn"], embeddings)
+        return {
+            "took": int((time.time() - t0) * 1000),
+            "hits": {
+                "total": {"value": len(hits), "relation": "eq"},
+                "hits": hits,
+            },
+        }
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))

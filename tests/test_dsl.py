@@ -236,3 +236,49 @@ def test_phrase_slop_and_prefix_dispatch(spark, tmp_path_factory):
         for x in match_phrase_prefix_topk(r, "quick fox", k=10, slop=1).collect()
     ]
     assert _ids(resp) == want and "u4" in {u for u, _ in want}  # foxtrot expands
+
+
+def test_knn_block(spark, dsl_index):
+    """Top-level knn: dispatch identity with cosine_topk (exact path) and
+    lsh_ann_topk (num_candidates-bounded path); query+knn blending is a
+    documented divergence and raises."""
+    import numpy as np
+
+    from engine.dsl import search
+    from engine.query import IndexReader
+    from engine.simsearch import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = IndexReader(spark, dsl_index)
+    q = [float(x) for x in rng.normal(size=8)]
+
+    resp = search(r, {"knn": {"query_vector": q, "k": 5}}, embeddings=emb)
+    probes = spark.createDataFrame([(-1, q)], "probe_id long, embedding array<float>")
+    want = [
+        (x["neighbor_id"], x["cos"])
+        for x in cosine_topk(emb, probes, k=5).orderBy("rank").collect()
+    ]
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert got == want and len(got) == 5
+
+    # ANN path returns a subset ranked identically (exact re-rank)
+    resp2 = search(
+        r, {"knn": {"query_vector": q, "k": 5, "num_candidates": 50}},
+        embeddings=emb,
+    )
+    ann = [(h["_id"], h["_score"]) for h in resp2["hits"]["hits"]]
+    assert [a for a in ann if a in want] == [w for w in want if w in ann]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="embeddings"):
+        search(r, {"knn": {"query_vector": q, "k": 5}})
+    with _pt.raises(ValueError, match="blending"):
+        search(
+            r,
+            {"knn": {"query_vector": q, "k": 2},
+             "query": {"match": {"text": "hash"}}},
+            embeddings=emb,
+        )
