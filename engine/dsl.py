@@ -10,7 +10,7 @@ semantic stays defined (and tested) exactly once in the operator modules.
 Supported body keys: query (match_all / match / match_phrase [+slop] /
 match_phrase_prefix [+slop, max_expansions] / term / terms / prefix /
 wildcard / regexp / fuzzy / bool with must+should+
-must_not+filter+minimum_should_match / dis_max / more_like_this /
+must_not+filter+minimum_should_match / dis_max / boosting / more_like_this /
 function_score.field_value_factor / simple_query_string), size, from,
 sort + search_after, collapse (best doc per docvalue group),
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
@@ -237,6 +237,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return simple_query_string_topk(
             reader, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
+        )
+    if "boosting" in query:
+        bq = query["boosting"]
+        pos, _op, _m = _match_terms(bq["positive"])
+        neg, _op2, _m2 = _match_terms(bq["negative"])
+        if filters:
+            raise ValueError("boosting + filter context is not composed yet")
+        from engine.query import bm25_boosting_topk
+
+        return bm25_boosting_topk(
+            reader, pos, neg, negative_boost=float(bq.get("negative_boost", 0.5)),
+            k=k,
         )
     if "dis_max" in query:
         d = query["dis_max"]

@@ -1550,6 +1550,138 @@ def bm25_bool_topk(
     )
 
 
+def _boosting_shard_topk(
+    rows,
+    idfs: dict[str, float],
+    neg_set: frozenset[str],
+    negative_boost: float,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dels: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES boosting query over one shard: positive terms score like the
+    OR TAAT kernel; docs also containing ANY negative term keep their
+    positive score multiplied by negative_boost (demotion, not
+    exclusion — the distinction from bool must_not). Same vectorized
+    shape as _bool_shard_topk: one decode per term, unique/bincount
+    accumulation, one isin demote mask."""
+    locs_parts, contrib_parts, neg_parts = [], [], []
+    for r in rows:
+        blocks = _norm_blocks(r.blocks)
+        if r.term in neg_set:
+            d, _, _ = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+            neg_parts.append(d)
+            continue
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+        keep = _live_mask(d, dels)
+        if keep is not None:
+            d, t, l = d[keep], t[keep], l[keep]
+        locs_parts.append(d)
+        contrib_parts.append(idf * P.bm25_impact(t, l, avgdl, k1, b))
+    if not locs_parts:
+        return []
+    locs = np.concatenate(locs_parts)
+    uniq, inv = np.unique(locs, return_inverse=True)
+    scores = np.bincount(
+        inv, weights=np.concatenate(contrib_parts), minlength=uniq.size
+    )
+    if neg_parts:
+        demote = np.isin(uniq, np.concatenate(neg_parts))
+        scores = np.where(demote, scores * negative_boost, scores)
+    order = _topk_order(uniq, scores, min(k, uniq.size))
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def bm25_boosting_topk(
+    reader: IndexReader,
+    positive: str | list[str],
+    negative: str | list[str],
+    negative_boost: float = 0.5,
+    k: int = 10,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES `boosting` query top-k: rank by the positive query's BM25 (OR
+    over its analyzed terms, the frozen subset — ES allows any subquery),
+    demoting docs that also match the negative query by multiplying
+    their score with negative_boost in [0, 1). Unlike bool must_not the
+    negative docs stay in the ranking — ES's 'relevance backoff' for
+    disfavored-but-valid results. Adaptive local/Spark execution, pruned
+    docmap lookup, tombstone-masked; ties doc_id asc."""
+    if not (0.0 <= negative_boost < 1.0):
+        raise ValueError(f"negative_boost must be in [0, 1), got {negative_boost}")
+
+    def _analyze(q) -> list[str]:
+        if isinstance(q, str):
+            return analyze_query_py(q)
+        return list(dict.fromkeys(q))
+
+    pos_terms = _analyze(positive)
+    neg_terms = [t for t in _analyze(negative) if t not in set(pos_terms)]
+    spark = reader.spark
+    stats = reader.term_stats(pos_terms + neg_terms)
+    pos_terms = [t for t in pos_terms if t in stats]
+    neg_terms = [t for t in neg_terms if t in stats]
+    if not pos_terms:
+        return _empty_topk(spark)
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in pos_terms}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    neg_set = frozenset(neg_terms)
+    tomb = reader.tombstones()
+
+    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        return _boosting_shard_topk(
+            rows, idfs, neg_set, negative_boost, k, k1, b, avgdl, dels
+        )
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    all_terms = pos_terms + neg_terms
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto"
+        and sum(stats[t] for t in all_terms) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(all_terms)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(rows, tomb.get(shard))
+            ]
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(all_terms)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return _empty_topk(spark)
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
 def bm25_topk_batch(
     reader: IndexReader,
     queries: dict[int, list[str]],
