@@ -130,6 +130,25 @@ def main() -> None:
     lat.sort()
     queries["phrase_p50"] = round(lat[len(lat) // 2], 3)
     aux["phrase_p95"] = round(lat[int(len(lat) * 0.95)], 3)
+
+    # simple_query_string latency: phrase + term + prefix + negation per
+    # query (the search-box shape — exercises the clause-combine kernel
+    # over the same positional index)
+    from engine.querystring import simple_query_string_topk
+
+    sqs_queries = []
+    for i, ph in enumerate(phrases[:6]):
+        toks = ph.split()
+        neg = phrases[(i + 3) % len(phrases)].split()[0]  # not in the phrase
+        sqs_queries.append(f'"{ph}" {toks[0][:2]}* -{neg}')
+    simple_query_string_topk(preader, sqs_queries[0], k=10).collect()  # warm
+    lat = []
+    for sq in sqs_queries:
+        t0 = time.time()
+        simple_query_string_topk(preader, sq, k=10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["sqs_p50"] = round(lat[len(lat) // 2], 3)
     dt = freqs_build_sec  # restore for downstream readers of the build time
 
     # ---- BM25 top-10 latency over the built index --------------------------
