@@ -79,6 +79,11 @@ PHRASE_Q = "table hash"  # frozen match_phrase query (adjacent-bigram)
 SLOP_PHRASE_Q = "hash table"  # frozen sloppy phrase: catches the swap too
 SLOP_N = 2  # ES slop metric: one gap costs 1, a swapped bigram costs 2
 PPREFIX_HEAD, PPREFIX_PRE = "hash", "s"  # match_phrase_prefix "hash s*"
+SPAN_TERMS = ["hash", "table"]  # frozen span_near clauses (unordered)
+SPAN_SLOP = 2
+SPAN_ORD_TERMS = ["table", "hash", "join"]  # frozen ordered span_near
+SPAN_ORD_SLOP = 4
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 12  # head-of-doc matches only
 RESCORE_QW, RESCORE_RW = 1.0, 2.0  # ES rescore query/rescore_query weights
 # rescore window sized past any test corpus so it covers the whole matched
 # set — the oracle is then the exact blend over every base-matching doc
@@ -1037,6 +1042,111 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _span_near_sql(terms: list[str], slop: int, in_order: bool, k: int = 10) -> str:
+    """span_near oracle (declarative twin of engine/spans.py
+    _span_near_freqs): positions self-join under the frozen span
+    semantics — one occurrence per clause, width = greatest(pos) -
+    least(pos) - (n-1) <= slop (Lucene matchWidth for unit-length term
+    spans), same-term clauses at pairwise-distinct positions, in_order
+    adds strictly increasing positions; each match weighted 1/(1+width),
+    tf = the weight sum; pseudo-term BM25 with idf = the sum of member
+    idfs (duplicate clauses counted)."""
+    n = len(terms)
+    W = slop + n - 1
+    cols = ", ".join(f"p{i}.pos" for i in range(n))
+    raw_span = f"greatest({cols}) - least({cols})"
+    joins = []
+    for i in range(1, n):
+        conds = [
+            f"p{i}.doc_id = p0.doc_id",
+            f"p{i}.term = '{terms[i]}'",
+            f"p{i}.pos BETWEEN p0.pos - {W} AND p0.pos + {W}",
+        ]
+        if in_order:
+            conds.append(f"p{i}.pos > p{i - 1}.pos")
+        else:
+            conds += [
+                f"p{i}.pos <> p{j}.pos"
+                for j in range(i)
+                if terms[j] == terms[i]
+            ]
+        joins.append(f"JOIN pos p{i} ON " + " AND ".join(conds))
+    join_sql = "\n       ".join(joins)
+    slot_counts: dict[str, int] = {}
+    for t in terms:
+        slot_counts[t] = slot_counts.get(t, 0) + 1
+    tl = ", ".join(f"'{t}'" for t in slot_counts)
+    idf_terms = " + ".join(
+        f"{c} * ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        for i, (t, c) in enumerate(slot_counts.items())
+    )
+    df_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN df END) AS df_{i}"
+        for i, t in enumerate(slot_counts)
+    )
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN ({tl}) GROUP BY term
+),
+dfw AS (SELECT {df_cols} FROM dfreq),
+pf AS (
+  SELECT p0.doc_id, sum(1.0 / (1 + {raw_span} - {n - 1})) AS pf
+  FROM pos p0
+       {join_sql}
+  WHERE p0.term = '{terms[0]}' AND {raw_span} <= {W}
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfw
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _span_first_sql(term: str, end: int, k: int = 10) -> str:
+    """span_first oracle (twin of engine/spans.py _span_first_shard_topk):
+    tf = the count of the term's occurrences whose span end is <= `end`.
+    DuckDB's generate_subscripts is 1-based, which IS the Lucene span end
+    (0-based token position + 1), so the predicate is `pos <= end`; the
+    idf uses the term's full-corpus df (the window restricts tf only)."""
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+dfq AS (
+  SELECT count(DISTINCT doc_id)::BIGINT AS df FROM pos WHERE term = '{term}'
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS pf FROM pos
+  WHERE term = '{term}' AND pos <= {end}
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _round_rerank(df, k: int = 10):
     """Deterministic top-k under float-sum noise: both engines' aggregate
     SUM order is nondeterministic (parallel hash agg), so raw near-ties at
@@ -1179,6 +1289,51 @@ def q_bm25_phrase_slop(spark, sf_dir):
 
     reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
     top = match_phrase_topk(reader, SLOP_PHRASE_Q, k=40, slop=SLOP_N)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_span_near(spark, sf_dir):
+    """ES span_near (unordered) over the positional index: 'hash' and
+    'table' within width <= 2 in either order, combinatorial sloppyFreq
+    with 1/(1+width) weights (engine/spans.py frozen span semantics)."""
+    from engine.query import IndexReader
+    from engine.spans import span_near_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_near_topk(
+        reader, SPAN_TERMS, k=40, slop=SPAN_SLOP, in_order=False
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_span_near_ordered(spark, sf_dir):
+    """ES span_near (in_order=true, the ES default) over the positional
+    index: 'table' < 'hash' < 'join' positions, width <= 4."""
+    from engine.query import IndexReader
+    from engine.spans import span_near_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_near_topk(
+        reader, SPAN_ORD_TERMS, k=40, slop=SPAN_ORD_SLOP, in_order=True
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_span_first(spark, sf_dir):
+    """ES span_first over the positional index: occurrences of 'spark'
+    whose span end (position + 1) is <= 12 — a head-of-document match
+    amplifier; tf counts only the qualifying occurrences."""
+    from engine.query import IndexReader
+    from engine.spans import span_first_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_first_topk(reader, SPAN_FIRST_TERM, end=SPAN_FIRST_END, k=40)
     return _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
     )
@@ -2679,8 +2834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- 43 queries driver-certified for the first time this round ---
         "stats_repetition": q_stats_repetition,
-        "sample_stratified": q_sample_stratified,
-        "pack_tokens": q_pack_tokens,
         "stats_pii_scrub": q_stats_pii_scrub,
         "sim_cosine_topk": q_cosine_topk,
         "dedup_embedding_pairs": q_embedding_near_dup,
@@ -2729,12 +2882,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_topk": q_sqs_topk,
         "collapse_lang": q_collapse_lang,
         "bm25_boosting_topk": q_bm25_boosting,
+        "span_near_topk": q_span_near,
+        "span_first_topk": q_span_first,
         # ---------------- driver gate boundary (50 entries) ----------------
-        # (the gate is saturated with first-time certifications; the
-        # sentinel continuity rows from the r1-r3 driver-certified set sit
-        # just below, and bm25_phrase_prefix_topk rides self-certification —
-        # its sibling bm25_phrase_slop_topk exercises the same span kernel
-        # in-gate)
+        # (the gate is saturated with first-time certifications;
+        # sample_stratified / pack_tokens moved just below — both were
+        # independently judge-replayed green in round 3 — to make room for
+        # the new span queries; the sentinel continuity rows from the
+        # r1-r3 driver-certified set follow. bm25_phrase_prefix_topk and
+        # span_near_ordered_topk ride self-certification — their siblings
+        # bm25_phrase_slop_topk / span_near_topk exercise the same kernels
+        # in-gate.)
+        "sample_stratified": q_sample_stratified,
+        "pack_tokens": q_pack_tokens,
+        "span_near_ordered_topk": q_span_near_ordered,
         "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
@@ -2915,6 +3076,15 @@ FROM grams
         ),
         "bm25_phrase_prefix_topk": _phrase_span_sql(
             [PPREFIX_HEAD], 0, k=25, prefix=PPREFIX_PRE
+        ),
+        "span_near_topk": _span_near_sql(
+            SPAN_TERMS, SPAN_SLOP, in_order=False, k=25
+        ),
+        "span_near_ordered_topk": _span_near_sql(
+            SPAN_ORD_TERMS, SPAN_ORD_SLOP, in_order=True, k=25
+        ),
+        "span_first_topk": _span_first_sql(
+            SPAN_FIRST_TERM, SPAN_FIRST_END, k=25
         ),
         "bm25_rescore_topk": _bm25_rescore_sql(
             BM25_TERMS, PHRASE_Q.split(), RESCORE_QW, RESCORE_RW, k=25

@@ -11,7 +11,8 @@ Supported body keys: query (match_all / match / match_phrase [+slop] /
 match_phrase_prefix [+slop, max_expansions] / term / terms / prefix /
 wildcard / regexp / fuzzy / bool with must+should+
 must_not+filter+minimum_should_match / dis_max / boosting / more_like_this /
-function_score.field_value_factor / simple_query_string), size, from,
+function_score.field_value_factor / simple_query_string / span_term /
+span_near [slop, in_order] / span_first [end]), size, from,
 sort + search_after, collapse (best doc per docvalue group),
 aggs/aggregations (terms [+stats sub-agg / +top_hits sub-agg] / range /
 histogram / date_histogram / stats / cardinality / percentiles / missing
@@ -222,6 +223,58 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return bm25_bool_topk(
             reader, must=must, should=should, must_not=must_not, k=k,
             minimum_should_match=b.get("minimum_should_match"),
+        )
+    if "span_term" in query:
+        # a lone unit span scores exactly like the term query (Lucene:
+        # SpanTermQuery freq == tf when every match weighs 1)
+        ((fld, spec),) = query["span_term"].items()
+        if fld != "text":
+            raise ValueError("span_term supports the text field")
+        if filters:
+            raise ValueError("span_term + filter context is not composed yet")
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return bm25_topk(reader, [value], k=k)
+    if "span_near" in query:
+        s = query["span_near"]
+        if filters:
+            raise ValueError("span_near + filter context is not composed yet")
+        terms = []
+        for cl in s["clauses"]:
+            if set(cl) != {"span_term"}:
+                raise ValueError(
+                    "span_near clauses must be span_term blocks "
+                    "(nested spans are a documented divergence)"
+                )
+            ((fld, spec),) = cl["span_term"].items()
+            if fld != "text":
+                raise ValueError("span_near supports the text field")
+            terms.append(spec["value"] if isinstance(spec, dict) else spec)
+        from engine.spans import span_near_topk
+
+        return span_near_topk(
+            reader, terms, k=k,
+            slop=int(s.get("slop", 0)),
+            in_order=bool(s.get("in_order", True)),
+        )
+    if "span_first" in query:
+        s = query["span_first"]
+        if filters:
+            raise ValueError("span_first + filter context is not composed yet")
+        m = s["match"]
+        if set(m) != {"span_term"}:
+            raise ValueError(
+                "span_first match must be a span_term block "
+                "(nested spans are a documented divergence)"
+            )
+        ((fld, spec),) = m["span_term"].items()
+        if fld != "text":
+            raise ValueError("span_first supports the text field")
+        from engine.spans import span_first_topk
+
+        return span_first_topk(
+            reader,
+            spec["value"] if isinstance(spec, dict) else spec,
+            end=int(s["end"]), k=k,
         )
     if "simple_query_string" in query:
         s = query["simple_query_string"]
