@@ -291,6 +291,24 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             reader, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
         )
+    if "query_string" in query:
+        s = query["query_string"]
+        flds = s.get("fields", ["text"])
+        if flds not in (["text"], ["text^1.0"]) or s.get(
+            "default_field", "text"
+        ) != "text":
+            raise ValueError("query_string supports the text field")
+        if filters:
+            raise ValueError(
+                "query_string + filter context is not composed yet"
+            )
+        from engine.querystring import query_string_topk
+
+        return query_string_topk(
+            reader, s["query"], k=k,
+            default_operator=s.get("default_operator", "or").lower(),
+            max_expansions=int(s.get("fuzzy_max_expansions", 50)),
+        )
     if "boosting" in query:
         bq = query["boosting"]
         pos, _op, _m = _match_terms(bq["positive"])

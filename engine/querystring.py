@@ -117,6 +117,29 @@ def parse_simple_query_string(query: str) -> list[Clause]:
 #   ("phrase", slots, slop, idf_sum)   phrase clause; slots = ((t,), ...)
 
 
+def _freq_cache(by_row: dict, dels):
+    """Memoized (docs, tfs, dls) decoder over a shard's posting rows —
+    the shared per-shard decode core for the clause evaluators."""
+    cache: dict[str, tuple | None] = {}
+
+    def freq(t):
+        if t not in cache:
+            r = by_row.get(t)
+            if r is None:
+                cache[t] = None
+            else:
+                d, tf, dl = P.decode_term_postings(
+                    r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+                )
+                keep = _live_mask(d, dels)
+                if keep is not None:
+                    d, tf, dl = d[keep], tf[keep], dl[keep]
+                cache[t] = (d, tf, dl)
+        return cache[t]
+
+    return freq
+
+
 def _clause_eval(spec, by_row, freq, dels):
     """(docs, scores) of one clause within a shard — docs unique per
     clause (the AND hit-counting invariant). Empty arrays = no match."""
@@ -173,25 +196,8 @@ def _sqs_shard_topk(
     apply the AND hit-count mask and the must_not exclusion, top-k.
     Vectorized like the bool kernel: np.unique/bincount accumulation,
     searchsorted hit counting, no per-doc Python."""
-    by_row: dict[str, object] = {}
-    for r in rows:
-        by_row[r.term] = r
-    cache: dict[str, tuple | None] = {}
-
-    def freq(t):
-        if t not in cache:
-            r = by_row.get(t)
-            if r is None:
-                cache[t] = None
-            else:
-                d, tf, dl = P.decode_term_postings(
-                    r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
-                )
-                keep = _live_mask(d, dels)
-                if keep is not None:
-                    d, tf, dl = d[keep], tf[keep], dl[keep]
-                cache[t] = (d, tf, dl)
-        return cache[t]
+    by_row = {r.term: r for r in rows}
+    freq = _freq_cache(by_row, dels)
 
     doc_parts, score_parts = [], []
     for spec in pos_specs:
@@ -304,13 +310,32 @@ def simple_query_string_topk(
             else [t for slot in s[1] for t in slot]
         )
     ))
-    tomb = reader.tombstones()
-
     def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
         return _sqs_shard_topk(rows, pos_specs, neg_specs, and_mode, k, dels)
 
-    heap_rows: list[tuple[int, int, float]] | None = None
     total_postings = sum(stats.get(t, 0) for t in distinct)
+    return _scatter_topk(
+        reader, distinct, needs_pos, run_kernel, total_postings, k,
+        lookup, execution,
+    )
+
+
+def _scatter_topk(
+    reader: IndexReader,
+    distinct: list[str],
+    needs_pos: bool,
+    run_kernel,
+    total_postings: int,
+    k: int,
+    lookup: str,
+    execution: str,
+):
+    """Shared execution scaffold for the query-language kernels: local
+    pyarrow path when the postings footprint allows (same adaptive gate
+    as bm25_topk), else ONE Spark scatter-gather where only per-shard
+    top-k rows leave the executors; winner docmap lookup pruned."""
+    tomb = reader.tombstones()
+    heap_rows: list[tuple[int, int, float]] | None = None
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
@@ -353,4 +378,447 @@ def simple_query_string_topk(
     return reader.spark.createDataFrame(
         pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
         "url string, doc_id long, score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ES `query_string` — the full Lucene query grammar.
+#
+# Reference parity: the ES _search endpoint the loader's index serves
+# accepts `query_string` bodies (the power-user twin of the
+# simple_query_string search box above). Frozen grammar subset, all
+# divergences explicit:
+#
+#   expr      := andChain ((OR | implicit) andChain)*
+#   andChain  := clause (AND clause)*
+#   clause    := [+ | - | NOT | !] primary [^boost]
+#   primary   := '(' expr ')' | '"phrase"'[~slop] | term[~fuzz] | field:primary
+#
+# - Precedence is frozen clean: NOT/+/- bind to one clause, AND binds
+#   tighter than OR/implicit. (Lucene's classic parser resolves mixed
+#   operators left-associatively with well-known quirks; this engine
+#   freezes the unsurprising grammar instead — documented divergence.)
+# - `default_operator` chooses the implicit conjunction ("or"/"and"),
+#   exactly ES's query_string option.
+# - Occurs: at an OR level a bare clause is SHOULD; inside an AND chain
+#   it is MUST; `+` forces MUST, `-`/`NOT`/`!` force MUST_NOT. Lucene
+#   BooleanQuery semantics apply: MUST clauses gate and score, SHOULD
+#   clauses gate only when no MUST exists (else score-only), MUST_NOT
+#   excludes and never scores. A group's score is the SUM of its
+#   matching scoring clauses (Lucene ≥6: no coord), times its boost.
+# - Leaves reuse the engine's frozen rewrites: term = BM25; `term~N` /
+#   `term~` = fuzzy (classic Levenshtein, AUTO for bare ~, df-ordered
+#   scoring_boolean cap at max_expansions — bm25_topk mode="fuzzy");
+#   `stem*` = prefix; embedded `*`/`?` = wildcard; `"..."~N` = the
+#   frozen sloppy-phrase pseudo-term. Boost multiplies the leaf score.
+# - `field:` accepts only the index's analyzed text field ("text") —
+#   single-field index, anything else raises (frozen divergence from
+#   multi-field ES).
+# - A query whose every scoring path sits under MUST_NOT raises, like
+#   simple_query_string (pure exclusion belongs to the filter path).
+#
+# AST nodes (plain picklable tuples):
+#   ("term", term, fuzzy, boost)   fuzzy: None | "auto" | 0 | 1 | 2
+#   ("prefix", stem, boost)
+#   ("wild", pattern, boost)
+#   ("phrase", text, slop, boost)
+#   ("bool", ((occur, node), ...), boost)   occur: should|must|must_not
+# ---------------------------------------------------------------------------
+
+_QS_TOK_RE = re.compile(r'\(|\)|"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|[^\s()"]+')
+_QS_BOOST_TOK = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_QS_PHRASE = re.compile(r'^"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?$')
+_QS_FUZZ = re.compile(r"~(\d?)$")
+_QS_FIELD = re.compile(r"^(\w+):(.*)$", re.S)
+
+DEFAULT_FIELD = "text"
+
+
+def _qs_boosted(node, b: float):
+    if b == 1.0 or node is None:
+        return node
+    return node[:-1] + (node[-1] * b,)
+
+
+def _qs_phrase_node(tok: str):
+    m = _QS_PHRASE.match(tok)
+    if m is None:
+        raise ValueError(f"unterminated phrase {tok!r}")
+    return (
+        "phrase", m.group(1), int(m.group(2) or 0), float(m.group(3) or 1.0),
+    )
+
+
+def _qs_leaf(tok: str, default_operator: str):
+    """One word token -> leaf node (or None when it analyzes away)."""
+    boost = 1.0
+    m = _QS_BOOST_TOK.search(tok)
+    if m and m.start() > 0:
+        boost = float(m.group(1))
+        tok = tok[: m.start()]
+    fuzzy = None
+    m = _QS_FUZZ.search(tok)
+    if m and m.start() > 0:
+        fuzzy = "auto" if m.group(1) == "" else min(int(m.group(1)), 2)
+        tok = tok[: m.start()]
+    low = tok.lower()
+    if "*" in low or "?" in low:
+        if fuzzy is not None:
+            raise ValueError(f"fuzzy + wildcard unsupported: {tok!r}")
+        if (
+            low.endswith("*")
+            and len(low) > 1
+            and "*" not in low[:-1]
+            and "?" not in low[:-1]
+        ):
+            return ("prefix", low[:-1], boost)
+        return ("wild", low, boost)
+    toks = standard_tokenize_py(low)
+    if not toks:
+        return None
+    if fuzzy is not None:
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy on a multi-token term {tok!r} "
+                "(frozen: one analyzed token)"
+            )
+        return ("term", toks[0], fuzzy, boost)
+    if len(toks) == 1:
+        return ("term", toks[0], None, boost)
+    occ = "must" if default_operator == "and" else "should"
+    return (
+        "bool",
+        tuple((occ, ("term", t, None, 1.0)) for t in toks),
+        boost,
+    )
+
+
+def _qs_resolve(entries, default_operator: str):
+    """Entry list [(conj, occur, node)] -> one node, applying the frozen
+    precedence: AND chains fuse into MUST groups, OR/implicit separate
+    children at the outer level."""
+    if not entries:
+        return None
+    or_children: list[tuple[str, tuple]] = []
+    chain: list[tuple[str | None, tuple]] = []
+
+    def flush():
+        if not chain:
+            return
+        if len(chain) == 1:
+            occ, nd = chain[0]
+            or_children.append((occ or "should", nd))
+        else:
+            kids = tuple((occ or "must", nd) for occ, nd in chain)
+            or_children.append(("should", ("bool", kids, 1.0)))
+        chain.clear()
+
+    for conj, occur, node in entries:
+        c = conj or default_operator
+        if c == "or" and chain:
+            flush()
+        chain.append((occur, node))
+    flush()
+    if len(or_children) == 1 and or_children[0][0] == "should":
+        return or_children[0][1]
+    return ("bool", tuple(or_children), 1.0)
+
+
+def parse_query_string(
+    query: str,
+    default_operator: str = "or",
+    default_field: str = DEFAULT_FIELD,
+):
+    """Parse a Lucene query_string into the AST (module comment has the
+    frozen grammar). Raises ValueError on unbalanced parens, unknown
+    fields, and unsupported leaf combinations; tokens that analyze to
+    nothing drop silently (their pending operators drop with them)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be or/and, got {default_operator!r}"
+        )
+    toks = _QS_TOK_RE.findall(query)
+    n = len(toks)
+    i = 0
+
+    def level(depth: int):
+        nonlocal i
+        entries: list[tuple] = []
+        conj: str | None = None
+        occur: str | None = None
+        closed = False
+        while i < n:
+            t = toks[i]
+            if t == ")":
+                if depth == 0:
+                    raise ValueError("unbalanced ')'")
+                i += 1
+                closed = True
+                break
+            i += 1
+            if t in ("AND", "&&"):
+                conj = "and"
+                continue
+            if t in ("OR", "||"):
+                conj = "or"
+                continue
+            if t in ("NOT", "!"):
+                occur = "must_not"
+                continue
+            if t == "+":
+                occur = "must"
+                continue
+            if t == "-":
+                occur = "must_not"
+                continue
+            node = None
+            if t == "(":
+                node = level(depth + 1)
+                if i < n and _QS_BOOST_TOK.fullmatch(toks[i]):
+                    node = _qs_boosted(node, float(toks[i][1:]))
+                    i += 1
+            elif t.startswith('"'):
+                node = _qs_phrase_node(t)
+            else:
+                while t[:1] in "+-!" and len(t) > 1:
+                    occur = "must" if t[0] == "+" else "must_not"
+                    t = t[1:]
+                fm = _QS_FIELD.match(t)
+                if fm:
+                    if fm.group(1) != default_field:
+                        raise ValueError(
+                            f"unknown field {fm.group(1)!r} "
+                            "(single-field index, frozen)"
+                        )
+                    rest = fm.group(2)
+                    if rest:
+                        t = rest
+                    elif i < n and toks[i].startswith('"'):
+                        node = _qs_phrase_node(toks[i])
+                        i += 1
+                    elif i < n and toks[i] == "(":
+                        i += 1
+                        node = level(depth + 1)
+                        if i < n and _QS_BOOST_TOK.fullmatch(toks[i]):
+                            node = _qs_boosted(node, float(toks[i][1:]))
+                            i += 1
+                    else:
+                        raise ValueError(f"dangling field prefix {t!r}")
+                if node is None and not fm or node is None and fm and rest:
+                    node = _qs_leaf(t, default_operator)
+            if node is None:
+                conj = None
+                occur = None
+                continue
+            entries.append((conj, occur, node))
+            conj = None
+            occur = None
+        if depth > 0 and not closed:
+            raise ValueError("unbalanced '('")
+        return _qs_resolve(entries, default_operator)
+
+    root = level(0)
+    if i < n:
+        raise ValueError("unbalanced ')'")
+    return root
+
+
+def _qs_has_positive(node) -> bool:
+    if node is None:
+        return False
+    if node[0] != "bool":
+        return True
+    return any(
+        occ != "must_not" and _qs_has_positive(ch) for occ, ch in node[1]
+    )
+
+
+def _qs_expand(reader: IndexReader, node, max_expansions: int, acc: set):
+    """AST -> raw spec tree with dictionary rewrites resolved (driver
+    side), collecting every referenced term into `acc`. Raw leaves:
+    ("sumraw", terms, boost) | ("phraseraw", slots, slop, boost)."""
+    kind = node[0]
+    if kind == "term":
+        _, t, fuzzy, boost = node
+        if fuzzy is None:
+            ts = [t]
+        else:
+            ts = reader.expand_fuzzy(
+                t, None if fuzzy == "auto" else fuzzy, max_expansions
+            )
+        acc.update(ts)
+        return ("sumraw", tuple(ts), boost)
+    if kind == "prefix":
+        ts = reader.expand_prefix(node[1], max_expansions)
+        acc.update(ts)
+        return ("sumraw", tuple(ts), node[2])
+    if kind == "wild":
+        ts = reader.expand_wildcard(node[1], max_expansions)
+        acc.update(ts)
+        return ("sumraw", tuple(ts), node[2])
+    if kind == "phrase":
+        slots = tuple(standard_tokenize_py(node[1].lower()))
+        if not slots:
+            return None
+        acc.update(slots)
+        if len(slots) == 1:
+            return ("sumraw", slots, node[3])
+        return ("phraseraw", slots, node[2], node[3])
+    kids = []
+    for occ, ch in node[1]:
+        e = _qs_expand(reader, ch, max_expansions, acc)
+        if e is not None:
+            kids.append((occ, e))
+    if not kids:
+        return None
+    return ("bool", tuple(kids), node[2])
+
+
+def _qs_spec(raw, stats, n_docs, k1, b, avgdl):
+    """Raw spec tree -> kernel spec tree with global idfs folded in
+    (boost multiplies idf, so the kernels stay boost-blind)."""
+    if raw[0] == "sumraw":
+        known = tuple(
+            (t, raw[2] * float(P.bm25_idf(stats[t], n_docs)), k1, b, avgdl)
+            for t in raw[1]
+            if t in stats
+        )
+        return ("sum", known) if known else ("none",)
+    if raw[0] == "phraseraw":
+        if any(t not in stats for t in raw[1]):
+            return ("none",)
+        idf_sum = raw[3] * float(
+            sum(P.bm25_idf(stats[t], n_docs) for t in raw[1])
+        )
+        return (
+            "phrase", tuple((t,) for t in raw[1]), raw[2], idf_sum,
+            k1, b, avgdl,
+        )
+    kids = tuple(
+        (occ, _qs_spec(ch, stats, n_docs, k1, b, avgdl)) for occ, ch in raw[1]
+    )
+    return ("bool", kids, raw[2])
+
+
+def _qs_eval(spec, by_row, freq, dels):
+    """(docs, scores) of one spec-tree node within a shard. Doc-sharded
+    postings make per-shard intersection/exclusion globally correct.
+    Docs are unique and sorted at every level (leaf invariant preserved
+    by intersect/unique)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    kind = spec[0]
+    if kind == "none":
+        return empty
+    if kind != "bool":
+        return _clause_eval(spec, by_row, freq, dels)
+    _, children, boost = spec
+    must_res: list[tuple] = []
+    should_res: list[tuple] = []
+    not_specs: list[tuple] = []
+    for occ, ch in children:
+        if occ == "must_not":
+            not_specs.append(ch)
+            continue
+        d, s = _qs_eval(ch, by_row, freq, dels)
+        if occ == "must":
+            if d.size == 0:
+                return empty
+            must_res.append((d, s))
+        elif d.size:
+            should_res.append((d, s))
+    if must_res:
+        base = must_res[0][0]
+        for d, _s in must_res[1:]:
+            base = np.intersect1d(base, d, assume_unique=True)
+    elif should_res:
+        base = np.unique(np.concatenate([d for d, _s in should_res]))
+    else:
+        return empty
+    if base.size == 0:
+        return empty
+    scores = np.zeros(base.size, dtype=np.float64)
+    for d, s in must_res + should_res:
+        j = np.searchsorted(base, d)
+        ok = j < base.size
+        jj, dd, ss = j[ok], d[ok], s[ok]
+        hit = base[jj] == dd
+        scores[jj[hit]] += ss[hit]  # unique docs per child: plain add
+    for ch in not_specs:
+        d, _s = _qs_eval(ch, by_row, freq, dels)
+        if d.size:
+            keep = ~np.isin(base, d, assume_unique=True)
+            base, scores = base[keep], scores[keep]
+            if base.size == 0:
+                return empty
+    if boost != 1.0:
+        scores = scores * boost
+    return base, scores
+
+
+def _qs_shard_topk(rows, root_spec, k: int, dels) -> list[tuple[int, float]]:
+    by_row = {r.term: r for r in rows}
+    freq = _freq_cache(by_row, dels)
+    d, s = _qs_eval(root_spec, by_row, freq, dels)
+    if d.size == 0:
+        return []
+    order = _topk_order(d, s, min(k, d.size))
+    return [(int(d[i]), float(s[i])) for i in order]
+
+
+def query_string_topk(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    execution: str = "auto",
+    lookup: str = "auto",
+):
+    """Top-k (url, doc_id, score) for a full Lucene query_string — see
+    the section comment above for the frozen grammar and semantics.
+    Scale shape identical to simple_query_string_topk: dictionary
+    rewrites + global idfs on the driver, one pruned postings read,
+    per-shard numpy tree evaluation, only top-k rows collected."""
+    root = parse_query_string(query, default_operator)
+    if root is None:
+        return _empty_topk(reader.spark)
+    if not _qs_has_positive(root):
+        raise ValueError(
+            "query_string needs at least one positive clause "
+            "(pure negation is served by the filter path, frozen divergence)"
+        )
+    acc: set[str] = set()
+    raw = _qs_expand(reader, root, max_expansions, acc)
+    if raw is None or not _qs_has_positive(raw):
+        if raw is not None and not _qs_has_positive(raw):
+            raise ValueError(
+                "query_string needs at least one positive clause "
+                "(pure negation is served by the filter path, "
+                "frozen divergence)"
+            )
+        return _empty_topk(reader.spark)
+
+    def _needs_pos(r) -> bool:
+        if r[0] == "phraseraw":
+            return True
+        return r[0] == "bool" and any(_needs_pos(ch) for _o, ch in r[1])
+
+    needs_pos = _needs_pos(raw)
+    if needs_pos:
+        _require_positions(reader, "query_string (phrase clause)")
+    stats = reader.term_stats(sorted(acc))
+    spec = _qs_spec(
+        raw, stats, reader.n_docs, reader.k1, reader.b, reader.avgdl
+    )
+    distinct = sorted(t for t in acc if t in stats)
+    if not distinct:
+        return _empty_topk(reader.spark)
+
+    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
+        return _qs_shard_topk(rows, spec, k, dels)
+
+    total_postings = sum(stats.get(t, 0) for t in distinct)
+    return _scatter_topk(
+        reader, distinct, needs_pos, run_kernel, total_postings, k,
+        lookup, execution,
     )
