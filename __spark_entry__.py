@@ -1180,8 +1180,9 @@ def _wand_index_dir(spark, sf_dir):
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     # layout salt: bumping it retires caches built before an index-layout
     # change (dv2 = + lang_opt, the NULLIF-derived nullable docvalue the
-    # missing-agg query counts)
-    h = hashlib.md5((src + "|layout=dv2").encode())
+    # missing-agg query counts; dv3 = + weight, the deterministic
+    # (n_chars % 7) + 1 numeric the weighted_avg agg weighs by)
+    h = hashlib.md5((src + "|layout=dv3").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -1199,10 +1200,12 @@ def _wand_index_dir(spark, sf_dir):
             # deterministic nullable docvalue (corpus has no nulls):
             # lang_opt IS NULL <=> lang = 'de', the missing-agg oracle rule
             F.when(F.col("lang") != "de", F.col("lang")).alias("lang_opt"),
+            # deterministic second numeric for the weighted_avg agg
+            ((F.col("n_chars") % 7) + 1).cast("long").alias("weight"),
         )
         build_index(
             spark, d, out_dir, n_shards=4, n_buckets=8,
-            docvalue_cols=["lang", "source", "n_chars", "lang_opt"],
+            docvalue_cols=["lang", "source", "n_chars", "lang_opt", "weight"],
         )
         os.utime(out_dir)
         # bound the cache: every corpus regeneration mints a new key, so
@@ -2562,6 +2565,62 @@ def q_agg_stats_matchall(spark, sf_dir):
     return search_aggs(r, None, StatsAgg("n_chars"))
 
 
+def q_agg_multi_terms(spark, sf_dir):
+    """multi_terms agg: buckets keyed by the (lang, source) docvalue TUPLE
+    over docs matching BM25_TERMS — ES bucket order (doc_count desc, then
+    compound key asc), exact cross-shard counts (engine/aggs.py
+    MultiTermsAgg)."""
+    from engine.aggs import MultiTermsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, BM25_TERMS, MultiTermsAgg(("lang", "source"), size=10))
+
+
+def q_agg_subterms(spark, sf_dir):
+    """nested bucket agg: terms on lang with a terms sub-aggregation on
+    source inside each bucket (size 5 parents x 3 sub-buckets), both
+    levels exact under the shard-partial combine (engine/aggs.py
+    SubTermsAgg)."""
+    from engine.aggs import SubTermsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(
+        r, BM25_TERMS, SubTermsAgg("lang", "source", size=5, sub_size=3)
+    )
+
+
+def q_agg_extended_stats(spark, sf_dir):
+    """extended_stats agg on n_chars: stats plus sum_of_squares /
+    variance / std_deviation under the frozen population-variance formula
+    (engine/aggs.py ExtendedStatsAgg). variance/std round to 6 decimals in
+    both twins — the sums themselves are exact (integral docvalues below
+    2^53), the rounding only guards the final double expressions."""
+    from engine.aggs import ExtendedStatsAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_aggs(r, BM25_TERMS, ExtendedStatsAgg("n_chars"))
+    return out.select(
+        "v_count", "v_min", "v_max", "v_sum", "v_avg", "sum_of_squares",
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+    )
+
+
+def q_agg_weighted_avg(spark, sf_dir):
+    """weighted_avg agg under match_all: sum(value*weight)/sum(weight)
+    over the whole docmap with NO postings read (pure DataFrame plan,
+    engine/aggs.py WeightedAvgAgg) — weight is the deterministic
+    (n_chars % 7) + 1 docvalue baked into the shared index build."""
+    from engine.aggs import WeightedAvgAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return search_aggs(r, None, WeightedAvgAgg("n_chars", "weight"))
+
+
 COMPOSITE_AFTER = ("en", "src12")  # mid-keyspace cursor: page crosses en->es
 
 
@@ -3010,6 +3069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # self-certification — their siblings span_near_topk /
         # bm25_phrase_slop_topk exercise the same kernels in-gate.)
         "span_first_topk": q_span_first,
+        "agg_multi_terms": q_agg_multi_terms,
+        "agg_subterms": q_agg_subterms,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_weighted_avg": q_agg_weighted_avg,
         "sample_stratified": q_sample_stratified,
         "pack_tokens": q_pack_tokens,
         "span_near_ordered_topk": q_span_near_ordered,
@@ -3733,6 +3796,40 @@ FROM p WHERE pos IS NOT NULL""",
             "min(n_chars)::BIGINT AS v_min, max(n_chars)::BIGINT AS v_max, "
             "sum(n_chars)::BIGINT AS v_sum, "
             "(sum(n_chars)::DOUBLE / count(n_chars)) AS v_avg "
+            "FROM documents WHERE text IS NOT NULL AND text != ''"
+        ),
+        "agg_multi_terms": _agg_matched_cte() + (
+            " SELECT lang, source, count(*)::BIGINT AS doc_count FROM m "
+            "GROUP BY lang, source "
+            "ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 10"
+        ),
+        "agg_subterms": _agg_matched_cte() + (
+            ", b AS (SELECT lang AS key, count(*)::BIGINT AS doc_count "
+            "FROM m GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 5), "
+            "s0 AS (SELECT lang AS key, source AS sub_key, "
+            "count(*)::BIGINT AS sub_doc_count FROM m GROUP BY lang, source), "
+            "s AS (SELECT *, row_number() OVER (PARTITION BY key "
+            "ORDER BY sub_doc_count DESC, sub_key ASC) AS rk FROM s0) "
+            "SELECT b.key, b.doc_count, s.sub_key, s.sub_doc_count "
+            "FROM b JOIN s USING (key) WHERE s.rk <= 3"
+        ),
+        "agg_extended_stats": _agg_matched_cte() + (
+            " SELECT count(n_chars)::BIGINT AS v_count, "
+            "min(n_chars)::BIGINT AS v_min, max(n_chars)::BIGINT AS v_max, "
+            "sum(n_chars)::BIGINT AS v_sum, "
+            "(sum(n_chars)::DOUBLE / count(n_chars)) AS v_avg, "
+            "sum(n_chars::DOUBLE * n_chars::DOUBLE) AS sum_of_squares, "
+            "round((sum(n_chars::DOUBLE * n_chars::DOUBLE) "
+            "- (sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE) "
+            "/ count(n_chars)) / count(n_chars), 6) AS variance, "
+            "round(sqrt((sum(n_chars::DOUBLE * n_chars::DOUBLE) "
+            "- (sum(n_chars)::DOUBLE * sum(n_chars)::DOUBLE) "
+            "/ count(n_chars)) / count(n_chars)), 6) AS std_deviation "
+            "FROM m"
+        ),
+        "agg_weighted_avg": (
+            "SELECT (sum(n_chars::DOUBLE * ((n_chars % 7) + 1)::DOUBLE) "
+            "/ sum(((n_chars % 7) + 1)::DOUBLE)) AS value "
             "FROM documents WHERE text IS NOT NULL AND text != ''"
         ),
     }

@@ -45,6 +45,14 @@ ES semantic notes (frozen by tests):
 - date_histogram: calendar floor to 'hour' | 'day' | 'month'.
 - stats: count/min/max/sum/avg; avg = sum/count in one division (when
   the field is integral the sum is exact int64, so avg is bit-stable).
+- multi_terms: buckets keyed by a TUPLE of docvalues, doc_count desc
+  then compound key asc; docs null in ANY key field are skipped.
+- nested terms->terms (SubTermsAgg): exact at both levels; the sub-rank
+  window runs only over the winning parents (broadcast semi prune).
+- extended_stats: stats + sum_of_squares / population variance /
+  std_deviation under the frozen formula
+  `(sum_sq - sum*sum/count) / count` (exact partial sums below 2^53).
+- weighted_avg: sum(v*w)/sum(w) over docs non-null in BOTH fields.
 """
 
 from __future__ import annotations
@@ -84,6 +92,60 @@ class TermsAgg:
     field: str
     size: int = 10
     stats_of: str | None = None
+
+
+@dataclass(frozen=True)
+class MultiTermsAgg:
+    """ES `multi_terms` aggregation: buckets keyed by a TUPLE of
+    docvalues, doc_count desc then keys asc (ES order); docs with a
+    null in any key field are skipped (ES missing-value default).
+    Exact cross-shard counts like TermsAgg — partials are never
+    truncated."""
+
+    fields: tuple
+    size: int = 10
+
+
+@dataclass(frozen=True)
+class SubTermsAgg:
+    """ES nested bucket aggregation: `terms` on `field` with a `terms`
+    sub-aggregation on `sub_field` inside each bucket. Parent buckets
+    order doc_count desc / key asc and keep `size`; within each parent
+    the sub-buckets order the same way and keep `sub_size`. Parent
+    doc_count counts every doc with a non-null parent key (a null
+    SUB-key drops only the sub-bucket row, matching ES). Exact at both
+    levels: shards emit full (key, sub_key) partials, the combine
+    truncates only after the global sums."""
+
+    field: str
+    sub_field: str
+    size: int = 10
+    sub_size: int = 10
+
+
+@dataclass(frozen=True)
+class ExtendedStatsAgg:
+    """ES `extended_stats`: count/min/max/sum/avg plus sum_of_squares,
+    variance and std_deviation. Frozen formula (= ES ExtendedStats):
+    variance = (sum_of_squares - sum*sum/count) / count, population
+    variance in IEEE double with exactly that parenthesization — the
+    DuckDB oracle spells the identical expression, so results are
+    bit-stable. Partial sums of squares ride as doubles: integral
+    docvalues keep them exact below 2^53."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class WeightedAvgAgg:
+    """ES `weighted_avg`: sum(value*weight) / sum(weight) over docs
+    where BOTH fields are non-null (ES skips docs missing either side
+    under the no-`missing`-param default). Partials carry exact double
+    sums; one final division keeps the result bit-stable for integral
+    inputs."""
+
+    value_field: str
+    weight_field: str
 
 
 @dataclass(frozen=True)
@@ -305,6 +367,49 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
             for c in ("vmin", "vmax", "vsum"):
                 out[c] = out[c].astype("Int64")
         return out
+    if isinstance(agg, MultiTermsAgg):
+        cols = list(agg.fields)
+        pdf = tbl.select(cols).to_pandas().dropna(subset=cols)
+        g = pdf.groupby(cols, sort=False).size().reset_index(name="cnt")
+        for c in cols:
+            g[c] = g[c].astype(str)
+        return g
+    if isinstance(agg, SubTermsAgg):
+        pdf = tbl.select([agg.field, agg.sub_field]).to_pandas()
+        pdf = pdf[pdf[agg.field].notna()]
+        # sub-null rows keep the parent count: dropna=False groups them
+        # under a null sub_key the combine drops from sub-buckets only
+        g = (
+            pdf.groupby([agg.field, agg.sub_field], sort=False, dropna=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["key"] = g[agg.field].astype(str)
+        sk = g[agg.sub_field]
+        g["sub_key"] = np.where(sk.isna(), None, sk.astype(str))
+        return g[["key", "sub_key", "cnt"]]
+    if isinstance(agg, ExtendedStatsAgg):
+        vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
+        if vals.size == 0:
+            return pd.DataFrame(
+                {"vcnt": [], "vmin": [], "vmax": [], "vsum": [], "vsumsq": []}
+            )
+        fv = vals.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "vcnt": [vals.size],
+                "vmin": [vals.min()],
+                "vmax": [vals.max()],
+                "vsum": [vals.sum()],
+                "vsumsq": [float((fv * fv).sum())],
+            }
+        )
+    if isinstance(agg, WeightedAvgAgg):
+        pdf = tbl.select([agg.value_field, agg.weight_field]).to_pandas()
+        pdf = pdf.dropna(subset=[agg.value_field, agg.weight_field])
+        v = pdf[agg.value_field].to_numpy(dtype=np.float64)
+        w = pdf[agg.weight_field].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"swv": [float((v * w).sum())], "sw": [float(w.sum())]})
     if isinstance(agg, CardinalityAgg):
         uniq = pc.unique(tbl.column(agg.field).drop_null())
         return pd.DataFrame({"v": [str(x) for x in uniq.to_pylist()]})
@@ -417,6 +522,12 @@ def _agg_fields(agg) -> list[str]:
     docmap id column, always present — not a docvalue)."""
     if isinstance(agg, CompositeAgg):
         return list(agg.sources)
+    if isinstance(agg, MultiTermsAgg):
+        return list(agg.fields)
+    if isinstance(agg, SubTermsAgg):
+        return [agg.field, agg.sub_field]
+    if isinstance(agg, WeightedAvgAgg):
+        return [agg.value_field, agg.weight_field]
     if isinstance(agg, TopHitsAgg):
         return [agg.field, agg.hits_sort, "url"]
     if isinstance(agg, FiltersAgg):
@@ -432,8 +543,8 @@ def _agg_vt(reader: IndexReader, agg):
         return tuple(_vtype(reader, s) for s in agg.sources)
     if isinstance(agg, TopHitsAgg):
         return _vtype(reader, agg.hits_sort)
-    if isinstance(agg, (MissingAgg, FiltersAgg)):
-        return ""
+    if isinstance(agg, (MissingAgg, FiltersAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg)):
+        return ""  # keys stringified / sums pre-doubled in the partial
     if isinstance(agg, PercentilesAgg):
         return "double"
     if isinstance(agg, TermsAgg):
@@ -488,6 +599,15 @@ def _partial_schema(agg, vt: str) -> str:
         return "bucket_us long, cnt long"
     if isinstance(agg, StatsAgg):
         return f"vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
+    if isinstance(agg, MultiTermsAgg):
+        keys = ", ".join(f"{c} string" for c in agg.fields)
+        return f"{keys}, cnt long"
+    if isinstance(agg, SubTermsAgg):
+        return "key string, sub_key string, cnt long"
+    if isinstance(agg, ExtendedStatsAgg):
+        return f"vcnt long, vmin {vt}, vmax {vt}, vsum {vt}, vsumsq double"
+    if isinstance(agg, WeightedAvgAgg):
+        return "swv double, sw double"
     raise ValueError(f"unknown agg spec {agg!r}")
 
 
@@ -602,6 +722,77 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
             F.max("vmax").alias("v_max"),
             F.sum("vsum").alias("v_sum"),
         ).withColumn("v_avg", avg)
+    if isinstance(agg, MultiTermsAgg):
+        cols = list(agg.fields)
+        return (
+            partials.groupBy(*cols)
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+            .limit(agg.size)
+        )
+    if isinstance(agg, SubTermsAgg):
+        from pyspark.sql import Window
+
+        parents = (
+            partials.groupBy("key")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+        w = Window.partitionBy("key").orderBy(
+            F.desc("sub_doc_count"), F.asc("sub_key")
+        )
+        # prune to the winning parents (broadcast semi) BEFORE the window:
+        # the rank runs over <= size keys' sub-buckets, not the full keyspace
+        ranked = (
+            partials.filter(F.col("sub_key").isNotNull())
+            .groupBy("key", "sub_key")
+            .agg(F.sum("cnt").alias("sub_doc_count"))
+            .join(F.broadcast(parents.select("key")), "key", "left_semi")
+            .withColumn("sub_rank", F.row_number().over(w))
+            .filter(F.col("sub_rank") <= agg.sub_size)
+        )
+        # left join (tiny broadcast right side): a parent whose sub-keys
+        # are all null still emits its bucket (one row, null sub_key) —
+        # ES renders it with empty subs
+        return (
+            parents.join(F.broadcast(ranked), "key", "left")
+            .select("key", "doc_count", "sub_key", "sub_doc_count")
+            .orderBy(
+                F.desc("doc_count"), F.asc("key"),
+                F.desc("sub_doc_count"), F.asc("sub_key"),
+            )
+        )
+    if isinstance(agg, ExtendedStatsAgg):
+        base = partials.agg(
+            F.coalesce(F.sum("vcnt"), F.lit(0)).alias("v_count"),
+            F.min("vmin").alias("v_min"),
+            F.max("vmax").alias("v_max"),
+            F.sum("vsum").alias("v_sum"),
+            F.sum("vsumsq").alias("sum_of_squares"),
+        )
+        s = F.col("v_sum").cast("double")
+        var = (F.col("sum_of_squares") - s * s / F.col("v_count")) / F.col(
+            "v_count"
+        )
+        return (
+            base.withColumn("v_avg", avg)
+            .withColumn("variance", var)
+            .withColumn("std_deviation", F.sqrt(F.col("variance")))
+            .select(
+                "v_count", "v_min", "v_max", "v_sum", "v_avg",
+                "sum_of_squares", "variance", "std_deviation",
+            )
+        )
+    if isinstance(agg, WeightedAvgAgg):
+        return (
+            partials.agg(F.sum("swv").alias("swv"), F.sum("sw").alias("sw"))
+            .select(
+                F.when(F.col("sw") != 0, F.col("swv") / F.col("sw")).alias(
+                    "value"
+                )
+            )
+        )
     raise ValueError(f"unknown agg spec {agg!r}")
 
 
@@ -1327,6 +1518,85 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
         return spark.createDataFrame(
             [(n, int(row[f"f{i}"])) for i, (n, _fs) in enumerate(agg.named)],
             "filter_key string, doc_count long",
+        )
+    if isinstance(agg, MultiTermsAgg):
+        cols = list(agg.fields)
+        out = dm
+        for s in cols:
+            out = out.filter(F.col(s).isNotNull())
+        return (
+            out.groupBy(*[F.col(s).cast("string").alias(s) for s in cols])
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), *[F.asc(s) for s in cols])
+            .limit(agg.size)
+        )
+    if isinstance(agg, SubTermsAgg):
+        from pyspark.sql import Window
+
+        keyed = dm.filter(F.col(agg.field).isNotNull()).withColumn(
+            "key", F.col(agg.field).cast("string")
+        )
+        parents = (
+            keyed.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(agg.size)
+        )
+        w = Window.partitionBy("key").orderBy(
+            F.desc("sub_doc_count"), F.asc("sub_key")
+        )
+        ranked = (
+            keyed.filter(F.col(agg.sub_field).isNotNull())
+            .groupBy("key", F.col(agg.sub_field).cast("string").alias("sub_key"))
+            .agg(F.count(F.lit(1)).alias("sub_doc_count"))
+            .join(F.broadcast(parents.select("key")), "key", "left_semi")
+            .withColumn("sub_rank", F.row_number().over(w))
+            .filter(F.col("sub_rank") <= agg.sub_size)
+        )
+        return (
+            parents.join(F.broadcast(ranked), "key", "left")
+            .select("key", "doc_count", "sub_key", "sub_doc_count")
+            .orderBy(
+                F.desc("doc_count"), F.asc("key"),
+                F.desc("sub_doc_count"), F.asc("sub_key"),
+            )
+        )
+    if isinstance(agg, ExtendedStatsAgg):
+        cd = F.col(agg.field).cast("double")
+        base = dm.agg(
+            F.count(agg.field).alias("v_count"),
+            F.min(agg.field).alias("v_min"),
+            F.max(agg.field).alias("v_max"),
+            F.sum(agg.field).alias("v_sum"),
+            F.sum(cd * cd).alias("sum_of_squares"),
+        )
+        s = F.col("v_sum").cast("double")
+        var = (F.col("sum_of_squares") - s * s / F.col("v_count")) / F.col(
+            "v_count"
+        )
+        return (
+            base.withColumn("v_avg", avg)
+            .withColumn("variance", var)
+            .withColumn("std_deviation", F.sqrt(F.col("variance")))
+            .select(
+                "v_count", "v_min", "v_max", "v_sum", "v_avg",
+                "sum_of_squares", "variance", "std_deviation",
+            )
+        )
+    if isinstance(agg, WeightedAvgAgg):
+        v = F.col(agg.value_field)
+        wt = F.col(agg.weight_field)
+        return (
+            dm.filter(v.isNotNull() & wt.isNotNull())
+            .agg(
+                F.sum(v.cast("double") * wt.cast("double")).alias("swv"),
+                F.sum(wt.cast("double")).alias("sw"),
+            )
+            .select(
+                F.when(F.col("sw") != 0, F.col("swv") / F.col("sw")).alias(
+                    "value"
+                )
+            )
         )
     c = F.col(agg.field)
     if isinstance(agg, RangeAgg):

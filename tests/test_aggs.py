@@ -680,3 +680,151 @@ def test_function_score_boost_exact(spark, agg_index, docs_pdf):
     # the boost actually reorders vs the unboosted ranking (non-vacuous)
     unboosted = [x["url"] for x in full[:10]]
     assert [u for u, _ in want] != unboosted
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_multi_terms_agg(spark, agg_index, docs_pdf, execution):
+    """multi_terms: tuple-keyed buckets == pandas groupby on the brute
+    matched set; ES order (doc_count desc, compound key asc) + size cut."""
+    from engine.aggs import MultiTermsAgg
+
+    r = IndexReader(spark, agg_index)
+    rows = search_aggs(
+        r, Q, MultiTermsAgg(("lang", "source"), size=10**6), execution=execution
+    ).collect()
+    got = {(x["lang"], x["source"]): x["doc_count"] for x in rows}
+    want = matched(docs_pdf).groupby(["lang", "source"]).size().to_dict()
+    assert got == {(str(a), str(b)): int(c) for (a, b), c in want.items()}
+    # ES ordering + cut: top-5 == the full ranking's first five
+    full_order = [(x["lang"], x["source"]) for x in rows]
+    exp = sorted(got, key=lambda k: (-got[k], k))
+    assert full_order == exp
+    top = search_aggs(
+        r, Q, MultiTermsAgg(("lang", "source"), size=5), execution=execution
+    ).collect()
+    assert [(x["lang"], x["source"]) for x in top] == exp[:5]
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_subterms_agg(spark, agg_index, docs_pdf, execution):
+    """nested terms->terms: parent counts, sub counts, both ES orderings
+    and both size cuts vs the brute matched set."""
+    from engine.aggs import SubTermsAgg
+
+    r = IndexReader(spark, agg_index)
+    rows = search_aggs(
+        r, Q, SubTermsAgg("lang", "source", size=3, sub_size=2),
+        execution=execution,
+    ).collect()
+    m = matched(docs_pdf)
+    pc_ = m.groupby("lang").size()
+    parents = sorted(pc_.items(), key=lambda t: (-t[1], t[0]))[:3]
+    want_rows = []
+    for k, dc in parents:
+        subs = m[m["lang"] == k].groupby("source").size()
+        top = sorted(subs.items(), key=lambda t: (-t[1], t[0]))[:2]
+        want_rows += [(str(k), int(dc), str(sk), int(sc)) for sk, sc in top]
+    got_rows = [
+        (x["key"], x["doc_count"], x["sub_key"], x["sub_doc_count"]) for x in rows
+    ]
+    assert got_rows == want_rows
+
+
+def test_multi_and_subterms_null_keys(spark, tmp_path_factory):
+    """Null semantics: multi_terms skips a doc null in ANY key field;
+    nested terms keeps the parent doc_count but drops the null sub-key
+    row (a parent with zero non-null subs still emits its bucket)."""
+    from engine.aggs import MultiTermsAgg, SubTermsAgg
+
+    rows = [
+        (
+            str(i),
+            "alpha common",
+            "p1" if i < 20 else "p2",
+            None if (i % 3 == 0 or i >= 20) else ("x" if i % 2 else "y"),
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, grp string, tag string")
+    out = str(tmp_path_factory.mktemp("aggnull2") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["grp", "tag"])
+    r = IndexReader(spark, out)
+    n_pairs = sum(1 for _, _, g, t in rows if t is not None)
+    mt = search_aggs(r, ["alpha"], MultiTermsAgg(("grp", "tag"), size=10)).collect()
+    assert sum(x["doc_count"] for x in mt) == n_pairs
+    assert all(x["tag"] is not None for x in mt)
+    st = search_aggs(r, ["alpha"], SubTermsAgg("grp", "tag", size=10)).collect()
+    by_parent = {}
+    for x in st:
+        by_parent.setdefault(x["key"], []).append(x)
+    # p2: all-null subs -> one row, null sub_key, full parent count
+    assert [x["sub_key"] for x in by_parent["p2"]] == [None]
+    assert by_parent["p2"][0]["doc_count"] == 10
+    # p1: parent count includes the null-sub docs; sub rows only non-null
+    assert by_parent["p1"][0]["doc_count"] == 20
+    assert sorted(x["sub_key"] for x in by_parent["p1"]) == ["x", "y"]
+    assert sum(x["sub_doc_count"] for x in by_parent["p1"]) == sum(
+        1 for _, _, g, t in rows if g == "p1" and t is not None
+    )
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_extended_stats_agg(spark, agg_index, docs_pdf, execution):
+    """extended_stats == numpy under the frozen population-variance
+    formula (sum_sq - sum*sum/count)/count; sums exact below 2^53."""
+    from engine.aggs import ExtendedStatsAgg
+
+    r = IndexReader(spark, agg_index)
+    row = search_aggs(
+        r, Q, ExtendedStatsAgg("n_chars"), execution=execution
+    ).collect()[0]
+    v = matched(docs_pdf)["n_chars"].to_numpy().astype(np.int64)
+    cnt, s = int(v.size), int(v.sum())
+    sos = float((v.astype(np.float64) ** 2).sum())
+    var = (sos - float(s) * float(s) / cnt) / cnt
+    assert (row["v_count"], row["v_min"], row["v_max"], row["v_sum"]) == (
+        cnt, int(v.min()), int(v.max()), s
+    )
+    assert row["sum_of_squares"] == sos
+    assert row["variance"] == pytest.approx(var, rel=1e-12)
+    assert row["std_deviation"] == pytest.approx(var**0.5, rel=1e-12)
+
+
+def test_weighted_avg_agg(spark, tmp_path_factory):
+    """weighted_avg: sum(v*w)/sum(w) over docs non-null in BOTH fields —
+    query context, match_all, and the null-skip rule."""
+    from engine.aggs import WeightedAvgAgg
+
+    rows = [
+        (
+            str(i),
+            "alpha common" if i % 2 else "beta common",
+            None if i % 5 == 0 else i + 1,
+            None if i % 7 == 0 else (i % 3) + 1,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, v long, w long")
+    out = str(tmp_path_factory.mktemp("wavg") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["v", "w"])
+    r = IndexReader(spark, out)
+
+    def brute(pred):
+        num = den = 0
+        for u, _t, v, w in rows:
+            if pred(u) and v is not None and w is not None:
+                num += v * w
+                den += w
+        return num / den
+
+    for query, pred in [
+        (["alpha"], lambda u: int(u) % 2 == 1),
+        (None, lambda u: True),
+    ]:
+        for execution in ("local", "spark"):
+            if query is None and execution == "local":
+                continue  # match_all is a single DataFrame plan
+            got = search_aggs(
+                r, query, WeightedAvgAgg("v", "w"), execution=execution
+            ).collect()[0]["value"]
+            assert got == pytest.approx(brute(pred), rel=1e-12), (query, execution)
