@@ -101,11 +101,28 @@ def _compile_agg(spec: dict):
         TopHitsAgg,
     )
 
+    from engine.aggs import ExtendedStatsAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg
+
     sub = spec.get("aggs") or spec.get("aggregations") or {}
+    if "multi_terms" in spec:
+        mt = spec["multi_terms"]
+        return MultiTermsAgg(
+            tuple(t["field"] for t in mt["terms"]), mt.get("size", 10)
+        )
+    if "extended_stats" in spec:
+        return ExtendedStatsAgg(spec["extended_stats"]["field"])
+    if "weighted_avg" in spec:
+        wa = spec["weighted_avg"]
+        return WeightedAvgAgg(wa["value"]["field"], wa["weight"]["field"])
     if "terms" in spec:
         t = spec["terms"]
         if sub:
             ((_n, s),) = sub.items()
+            if "terms" in s:
+                return SubTermsAgg(
+                    t["field"], s["terms"]["field"],
+                    t.get("size", 10), s["terms"].get("size", 10),
+                )
             if "stats" in s:
                 return TermsAgg(t["field"], t.get("size", 10), s["stats"]["field"])
             if "top_hits" in s:
@@ -465,7 +482,11 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     out: dict = {}
 
     sort_spec = body.get("sort")
-    if sort_spec:
+    if frm + size == 0:
+        # ES size:0 — the aggs/count-only request shape: no hits query at
+        # all (the matched set is still computed by the aggs/total paths)
+        hits = []
+    elif sort_spec:
         terms, mode = _query_terms_or_none(query)
         ((fld, o),) = (
             sort_spec[0].items() if isinstance(sort_spec[0], dict)
@@ -547,7 +568,9 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                     if h["_id"] in frags:
                         h["highlight"] = {"text": [frags[h["_id"]]]}
 
-    if body.get("track_total_hits"):
+    if body.get("track_total_hits") or frm + size == 0:
+        # ES reports hits.total even at size:0 (default track_total_hits
+        # caps at 10k; our count path is exact, so relation is "eq")
         terms, mode = _query_terms_or_none(query)
         total = search_count(
             reader, terms, mode,

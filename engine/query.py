@@ -818,8 +818,8 @@ def _bmw_shard_topk(
         return got
 
     for i in np.argsort(-ub, kind="stable"):
-        if len(heap) >= k and ub[i] < heap[0][0]:
-            continue  # strict skip: score==theta docs still get evaluated
+        if len(heap) >= k and (not heap or ub[i] < heap[0][0]):
+            continue  # strict skip: score==theta docs still get evaluated (k=0: skip all)
         locs_parts, contrib_parts = [], []
         for t, (jj, ov) in zip(terms, active):
             if not ov[i]:

@@ -282,3 +282,53 @@ def test_knn_block(spark, dsl_index):
              "query": {"match": {"text": "hash"}}},
             embeddings=emb,
         )
+
+
+def test_dsl_new_agg_types(spark, dsl_index):
+    """The _search aggs block compiles multi_terms / extended_stats /
+    weighted_avg / terms-in-terms to the matching engine specs."""
+    from engine.aggs import (
+        ExtendedStatsAgg,
+        MultiTermsAgg,
+        SubTermsAgg,
+        WeightedAvgAgg,
+        search_aggs,
+    )
+
+    r = IndexReader(spark, dsl_index)
+    cases = [
+        (
+            {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "source"}], "size": 5}},
+            MultiTermsAgg(("lang", "source"), 5),
+        ),
+        (
+            {"extended_stats": {"field": "n_chars"}},
+            ExtendedStatsAgg("n_chars"),
+        ),
+        (
+            {"weighted_avg": {
+                "value": {"field": "n_chars"}, "weight": {"field": "n_chars"}}},
+            WeightedAvgAgg("n_chars", "n_chars"),
+        ),
+        (
+            {"terms": {"field": "lang", "size": 3},
+             "aggs": {"srcs": {"terms": {"field": "source", "size": 2}}}},
+            SubTermsAgg("lang", "source", 3, 2),
+        ),
+    ]
+    for spec, agg in cases:
+        resp = search(
+            r,
+            {"query": {"match": {"text": "hash join"}}, "size": 0,
+             "aggs": {"a": spec}},
+        )
+        want = [
+            x.asDict()
+            for x in search_aggs(r, ["hash", "join"], agg).collect()
+        ]
+        assert resp["aggregations"]["a"]["buckets"] == want, spec
+        # ES size:0 still reports the (exact) matched total, no hits
+        assert resp["hits"]["hits"] == []
+        assert resp["hits"]["total"]["value"] > 0
+        assert resp["hits"]["total"]["relation"] == "eq"
