@@ -1808,6 +1808,7 @@ def _upserted_index_dir(spark, sf_dir):
                 F.lit(UPSERT_TEXT).alias("text"),
                 "lang", "source", "n_chars",
                 F.when(F.col("lang") != "de", F.col("lang")).alias("lang_opt"),
+                ((F.col("n_chars") % 7) + 1).cast("long").alias("weight"),
             )
         )
         tmp = out + ".tmp"
