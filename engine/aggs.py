@@ -95,6 +95,20 @@ class TermsAgg:
 
 
 @dataclass(frozen=True)
+class RareTermsAgg:
+    """ES `rare_terms` aggregation: the long-tail complement of `terms` —
+    buckets whose GLOBAL doc_count is <= max_doc_count, ordered
+    doc_count asc then key asc. EXACT, a deliberate divergence from ES
+    (CuckooFilter-based, approximate): shards emit full untruncated
+    (key, cnt) partials — the same exactness argument as TermsAgg — so
+    the global filter sees true counts. No `size` truncation (ES has
+    none either; the rarity bound itself limits the bucket count)."""
+
+    field: str
+    max_doc_count: int = 1
+
+
+@dataclass(frozen=True)
 class MultiTermsAgg:
     """ES `multi_terms` aggregation: buckets keyed by a TUPLE of
     docvalues, doc_count desc then keys asc (ES order); docs with a
@@ -335,6 +349,52 @@ def _spark_filter_conds(filters) -> list:
     return conds
 
 
+def live_docmap(reader: IndexReader, filters=()) -> DataFrame:
+    """The docmap minus tombstones, with filter clauses applied as
+    pushable Spark predicates — the shared entry for every match_all /
+    filter-context-only plan. Tombstones leave via a broadcast anti-join
+    (delete batches are small by the deletes-module contract)."""
+    dm = reader.docmap()
+    tomb = reader.tombstones()
+    if tomb:
+        rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
+        tdf = reader.spark.createDataFrame(rows, "shard int, local_id long")
+        dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+    for cond in _spark_filter_conds(filters):
+        dm = dm.filter(cond)
+    return dm
+
+
+def constant_score_topk(reader: IndexReader, filters=(), boost: float = 1.0,
+                        k: int = 10) -> DataFrame:
+    """ES `constant_score` (and the bare filter-ish queries — term /
+    range / exists in query context): every doc passing the filter scores
+    exactly `boost`. All scores tie, so the page is the frozen url-asc
+    tiebreak order — one docmap scan with the clauses pushed to the
+    parquet reader, TopK(k) global sort, no postings touched."""
+    return (
+        live_docmap(reader, tuple(filters))
+        .select("url")
+        .orderBy("url")
+        .limit(k)
+        .withColumn("score", F.lit(float(boost)))
+    )
+
+
+def ids_topk(reader: IndexReader, values, k: int = 10) -> DataFrame:
+    """ES `ids` query: fetch by document id (url). Constant score 1.0
+    (ES behavior), url-asc page order; the IN-list is a pushable
+    predicate over the docmap scan."""
+    return (
+        live_docmap(reader)
+        .filter(F.col("url").isin([str(v) for v in values]))
+        .select("url")
+        .orderBy("url")
+        .limit(k)
+        .withColumn("score", F.lit(1.0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # partial buckets (per shard) + global combine
 # ---------------------------------------------------------------------------
@@ -342,7 +402,9 @@ def _spark_filter_conds(filters) -> list:
 
 def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
     """One shard's partial buckets for `agg` over its matched docvalues."""
-    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+    if isinstance(agg, RareTermsAgg) or (
+        isinstance(agg, TermsAgg) and agg.stats_of is None
+    ):
         keys = tbl.column(agg.field).drop_null()
         vc = pc.value_counts(keys)
         return pd.DataFrame(
@@ -574,7 +636,9 @@ def _vtype(reader: IndexReader, fld: str) -> str:
 
 
 def _partial_schema(agg, vt: str) -> str:
-    if isinstance(agg, TermsAgg) and agg.stats_of is None:
+    if isinstance(agg, RareTermsAgg) or (
+        isinstance(agg, TermsAgg) and agg.stats_of is None
+    ):
         return "key string, cnt long"
     if isinstance(agg, TermsAgg):
         return f"key string, cnt long, vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
@@ -615,6 +679,13 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
     """Global combine of per-shard partials -> final bucket table. Runs as
     a DataFrame plan either way; partial inputs are tiny by construction."""
     avg = (F.col("v_sum").cast("double") / F.col("v_count")).alias("v_avg")
+    if isinstance(agg, RareTermsAgg):
+        return (
+            partials.groupBy("key")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .filter(F.col("doc_count") <= agg.max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc("key"))
+        )
     if isinstance(agg, TermsAgg) and agg.stats_of is None:
         return (
             partials.groupBy("key")
@@ -964,14 +1035,7 @@ def search_sort(
     pschema = f"url string, v {vt}"
 
     if query is None:
-        dm = reader.docmap()
-        tomb = reader.tombstones()
-        if tomb:
-            rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
-            tdf = spark.createDataFrame(rows, "shard int, local_id long")
-            dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
-        for cond in _spark_filter_conds(filters):
-            dm = dm.filter(cond)
+        dm = live_docmap(reader, filters)
         out = dm.select("url", F.col(sort_field).alias("v")).filter(
             F.col("v").isNotNull()
         )
@@ -1319,14 +1383,7 @@ def search_count(
     spark = reader.spark
     filters = tuple(filters)
     if query is None:
-        dm = reader.docmap()
-        tomb = reader.tombstones()
-        if tomb:
-            rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
-            tdf = spark.createDataFrame(rows, "shard int, local_id long")
-            dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
-        for cond in _spark_filter_conds(filters):
-            dm = dm.filter(cond)
+        dm = live_docmap(reader, filters)
         return dm.agg(F.count(F.lit(1)).alias("doc_count"))
     return matched_urls(reader, query, mode, execution, filters).agg(
         F.count(F.lit(1)).alias("doc_count")
@@ -1415,15 +1472,16 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
     Tombstones leave via a broadcast anti-join (delete batches are small
     by the deletes-module contract)."""
     spark = reader.spark
-    dm = reader.docmap()
-    tomb = reader.tombstones()
-    if tomb:
-        rows = [(int(s), int(l)) for s, arr in tomb.items() for l in arr]
-        tomb_df = spark.createDataFrame(rows, "shard int, local_id long")
-        dm = dm.join(F.broadcast(tomb_df), ["shard", "local_id"], "left_anti")
-    for cond in _spark_filter_conds(filters):
-        dm = dm.filter(cond)
+    dm = live_docmap(reader, filters)
     avg = (F.col("v_sum").cast("double") / F.col("v_count")).alias("v_avg")
+    if isinstance(agg, RareTermsAgg):
+        return (
+            dm.filter(F.col(agg.field).isNotNull())
+            .groupBy(F.col(agg.field).cast("string").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") <= agg.max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc("key"))
+        )
     if isinstance(agg, TermsAgg) and agg.stats_of is None:
         return (
             dm.filter(F.col(agg.field).isNotNull())

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import functions as F
+
 from engine.docvalues import ExistsFilter, RangeFilter, TermFilter
 
 
@@ -85,25 +87,135 @@ def _match_terms(clause: dict) -> tuple[list[str], str, int | None]:
     raise ValueError(f"unsupported scoring clause: {list(clause)[0]}")
 
 
+# ES single-metric aggs ride the StatsAgg kernel (one pass computes all
+# five); the post-projection keeps the response to the one ES value
+_METRIC_COL = {
+    "avg": "v_avg",
+    "sum": "v_sum",
+    "min": "v_min",
+    "max": "v_max",
+    "value_count": "v_count",
+}
+
+_PIPELINE_SUBS = (
+    "cumulative_sum", "derivative", "bucket_sort", "bucket_script",
+    "bucket_selector",
+)
+
+
+def _pipeline_post(parent_kind: str, sub: dict):
+    """Compile a parent bucket agg's pipeline sub-aggs (declaration
+    order) into one DataFrame->DataFrame transform. Sequential pipelines
+    (cumulative_sum / derivative) need a bucket sequence, so they require
+    a histogram-family parent — the ES restriction."""
+    from engine import pipeline as P
+
+    order_col = {"histogram": "bucket", "date_histogram": "bucket"}.get(
+        parent_kind
+    )
+    steps = []
+    for name, s in sub.items():
+        ((kind, body),) = s.items()
+        if kind in ("cumulative_sum", "derivative"):
+            if order_col is None:
+                raise ValueError(
+                    f"{kind} requires a histogram-family parent (ES rule)"
+                )
+            fn = P.cumulative_sum if kind == "cumulative_sum" else P.derivative
+            steps.append(
+                lambda df, fn=fn, p=body["buckets_path"], n=name: fn(
+                    df, p, order_col, out=n
+                )
+            )
+        elif kind == "bucket_sort":
+            sort = [
+                (c, (o.get("order", "asc") if isinstance(o, dict) else o) == "asc")
+                for item in body.get("sort", [])
+                for c, o in (
+                    item.items() if isinstance(item, dict) else [(item, "asc")]
+                )
+            ]
+            steps.append(
+                lambda df, s=sort, sz=body.get("size"), fr=body.get("from", 0):
+                P.bucket_sort(df, s or None, sz, fr)
+            )
+        elif kind == "bucket_script":
+            steps.append(
+                lambda df, b=body, n=name: P.bucket_script(
+                    df, b["buckets_path"], b["script"], out=n
+                )
+            )
+        elif kind == "bucket_selector":
+            steps.append(
+                lambda df, b=body: P.bucket_selector(
+                    df, b["buckets_path"], b["script"]
+                )
+            )
+        else:
+            raise ValueError(f"unsupported pipeline sub-agg: {kind}")
+
+    def post(df):
+        for s in steps:
+            df = s(df)
+        return df
+
+    return post
+
+
 def _compile_agg(spec: dict):
-    """One named agg spec -> engine agg object."""
+    """One named agg spec -> (engine agg object, optional post-transform
+    over the combined bucket DataFrame)."""
+    from engine.aggs import RareTermsAgg, StatsAgg
+
+    sub = spec.get("aggs") or spec.get("aggregations") or {}
+    pipe_sub = {
+        n: s for n, s in sub.items()
+        if isinstance(s, dict) and any(k in s for k in _PIPELINE_SUBS)
+    }
+    sub = {n: s for n, s in sub.items() if n not in pipe_sub}
+    for kind, col in _METRIC_COL.items():
+        if kind in spec:
+            fld = spec[kind]["field"]
+            return StatsAgg(fld), lambda df, c=col: df.select(
+                F.col(c).alias("value")
+            )
+    if "rare_terms" in spec:
+        r = spec["rare_terms"]
+        return RareTermsAgg(r["field"], r.get("max_doc_count", 1)), None
+    if pipe_sub:
+        (parent_kind,) = [k for k in spec if k not in ("aggs", "aggregations")]
+        post = _pipeline_post(parent_kind, pipe_sub)
+        agg, base_post = _compile_agg(
+            {k: v for k, v in spec.items() if k not in ("aggs", "aggregations")}
+            | ({"aggs": sub} if sub else {})
+        )
+        if base_post is not None:
+            prior = base_post
+            return agg, lambda df: post(prior(df))
+        return agg, post
+    return _compile_agg_obj(spec, sub), None
+
+
+def _compile_agg_obj(spec: dict, sub: dict):
+    """The non-pipeline, non-metric agg kinds -> engine agg object."""
     from engine.aggs import (
         CardinalityAgg,
         CompositeAgg,
         DateHistogramAgg,
+        ExtendedStatsAgg,
         FiltersAgg,
         HistogramAgg,
         MissingAgg,
+        MultiTermsAgg,
         PercentilesAgg,
         RangeAgg,
         StatsAgg,
+        SubTermsAgg,
         TermsAgg,
         TopHitsAgg,
+        WeightedAvgAgg,
     )
 
-    from engine.aggs import ExtendedStatsAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg
-
-    sub = spec.get("aggs") or spec.get("aggregations") or {}
     if "multi_terms" in spec:
         mt = spec["multi_terms"]
         return MultiTermsAgg(
@@ -195,6 +307,54 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
 
     if "match_all" in query:
         return None
+    if "multi_match" in query:
+        m = query["multi_match"]
+        flds = [f.split("^")[0] for f in m.get("fields", ["text"])]
+        if flds != ["text"]:
+            raise ValueError(
+                "multi_match supports the single indexed text field"
+            )
+        if m.get("type") == "phrase":
+            if filters:
+                raise ValueError(
+                    "multi_match phrase + filter context is not composed yet"
+                )
+            return match_phrase_topk(reader, m["query"], k=k)
+        # one indexed text field: best_fields / most_fields / cross_fields
+        # all degenerate to the single field's match score
+        from engine.oracle import analyze_query_py
+
+        return bm25_topk(
+            reader, analyze_query_py(m["query"]), k=k,
+            mode=m.get("operator", "or"), filters=filters,
+        )
+    if "constant_score" in query:
+        from engine.aggs import constant_score_topk
+
+        cs = query["constant_score"]
+        return constant_score_topk(
+            reader, _clause_filters([cs["filter"]]) + filters,
+            boost=float(cs.get("boost", 1.0)), k=k,
+        )
+    if "ids" in query:
+        from engine.aggs import ids_topk
+
+        if filters:
+            raise ValueError("ids + filter context is not composed yet")
+        return ids_topk(reader, query["ids"]["values"], k=k)
+    if "exists" in query or "range" in query:
+        # bare filter-ish queries in query context: constant score 1.0
+        from engine.aggs import constant_score_topk
+
+        return constant_score_topk(
+            reader, _clause_filters([query]) + filters, boost=1.0, k=k
+        )
+    if "term" in query and next(iter(query["term"])) != "text":
+        from engine.aggs import constant_score_topk
+
+        return constant_score_topk(
+            reader, _clause_filters([query]) + filters, boost=1.0, k=k
+        )
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
         if fld != "text":
@@ -532,16 +692,9 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     else:
         df = _hits_df(reader, query, frm + size, filters)
         if df is None:  # match_all: first `size` live docs in url order
-            from pyspark.sql import functions as F
+            from engine.aggs import live_docmap
 
-            dm = reader.docmap()
-            tomb = reader.tombstones()
-            if tomb:
-                tdf = reader.spark.createDataFrame(
-                    [(int(s), int(l)) for s, arr in tomb.items() for l in arr],
-                    "shard int, local_id long",
-                )
-                dm = dm.join(F.broadcast(tdf), ["shard", "local_id"], "left_anti")
+            dm = live_docmap(reader)
             rows = dm.select("url").orderBy("url").limit(frm + size).collect()[frm:]
             hits = [{"_id": r["url"], "_score": 1.0} for r in rows]
         else:
@@ -589,10 +742,39 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             if "bool" in query else ()
         )
         out["aggregations"] = {}
+        _SIBLINGS = (
+            "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+            "stats_bucket",
+        )
+        bucket_dfs: dict = {}
+        siblings = []
         for name, spec in aggs_spec.items():
-            agg = _compile_agg(spec)
-            rows = search_aggs(reader, terms, agg, mode=mode, filters=filt).collect()
-            out["aggregations"][name] = {"buckets": [r.asDict() for r in rows]}
+            sib = next((s for s in _SIBLINGS if s in spec), None)
+            if sib:
+                # sibling pipeline aggs reduce ANOTHER agg's bucket table;
+                # defer until the referenced parent has been compiled
+                siblings.append((name, sib, spec[sib]))
+                continue
+            agg, post = _compile_agg(spec)
+            df = search_aggs(reader, terms, agg, mode=mode, filters=filt)
+            if post is not None:
+                df = post(df)
+            bucket_dfs[name] = df
+            out["aggregations"][name] = {
+                "buckets": [r.asDict() for r in df.collect()]
+            }
+        for name, sib, body in siblings:
+            from engine.pipeline import sibling_bucket
+
+            parent, _, path = body["buckets_path"].partition(">")
+            if parent not in bucket_dfs:
+                raise ValueError(
+                    f"{sib} buckets_path references unknown agg {parent!r}"
+                )
+            df = sibling_bucket(bucket_dfs[parent], path or "_count", sib[:-7])
+            out["aggregations"][name] = {
+                "buckets": [r.asDict() for r in df.collect()]
+            }
 
     out.update(
         {
