@@ -458,6 +458,41 @@ ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _terms_set_sql(terms: list[str], k: int = 10) -> str:
+    """ES terms_set oracle: per-doc required-match threshold from the
+    weight docvalue ((n_chars % 7) + 1, the same derivation the index
+    stores), matching-term count >= greatest(required, 1), score = BM25
+    sum of the matching terms. Twin of engine/query.py
+    _terms_set_shard_topk."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ((n_chars % 7) + 1)::BIGINT AS req, {TOK.format(c='text')} AS toks
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+d AS (SELECT doc_id, req, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, req, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, req, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, req, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, req,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS score_raw,
+         count(*) AS hits
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id, req
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored WHERE hits >= greatest(req, 1)
+ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _minhash_wide_sql(k: int) -> str:
     params = _minhash_params(k)
     mins = ", ".join(
@@ -2697,6 +2732,91 @@ def q_ids_query(spark, sf_dir):
     return ids_topk(r, IDS_VALUES, k=10)
 
 
+TS_TERMS = ["hash", "join", "table", "key", "fast", "scan", "sort", "stream"]
+TS_FIELD = "weight"  # per-doc threshold docvalue: (n_chars % 7) + 1 in [1, 7]
+
+
+def q_terms_set(spark, sf_dir):
+    """ES terms_set query (Lucene CoveringQuery): docs matching at least
+    doc.weight of the TS_TERMS list, scored as the BM25 sum of the
+    matching terms — the per-DOC minimum_should_match variant of bool
+    (engine/query.py terms_set_topk; the threshold is gathered for
+    candidate docs only, never a docmap scan)."""
+    from engine.query import IndexReader, terms_set_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = terms_set_topk(r, TS_TERMS, TS_FIELD, k=25)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
+MBP_TEXT = "hash join s"  # leading exact terms + trailing prefix clause
+
+
+def q_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (search-box mid-word query): every token but
+    the last is an exact should clause, the last is a prefix clause
+    expanded df-ordered against the dictionary — one ranked OR union over
+    the shared kernels (engine/query.py match_bool_prefix_topk)."""
+    from engine.query import IndexReader, match_bool_prefix_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = match_bool_prefix_topk(r, MBP_TEXT, k=25)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
+COMPLETE_PREFIX = "s"
+
+
+def q_suggest_complete(spark, sf_dir):
+    """ES completion suggester: dictionary terms starting with the
+    prefix, ranked weight (= df) desc then term asc — served by the same
+    [prefix, prefix+1) range-pruned term_stats read as the prefix query
+    rewrite (engine/query.py suggest_complete)."""
+    from engine.query import IndexReader, suggest_complete
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return suggest_complete(r, COMPLETE_PREFIX, size=10).select(
+        "suggestion", F.col("weight").cast("long").alias("weight")
+    )
+
+
+RANKF_PIVOT, RANKF_BOOST = 3.0, 2.0
+DISTF_ORIGIN, DISTF_PIVOT, DISTF_BOOST = 500, 120.0, 1.5
+
+
+def q_rank_feature(spark, sf_dir):
+    """ES rank_feature query (saturation): static popularity ranking
+    boost * w / (w + pivot) over the weight docvalue, no text terms — a
+    docmap-only plan, predicates pushed (engine/aggs.py
+    rank_feature_topk). Ties url asc (frozen)."""
+    from engine.aggs import rank_feature_topk
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    df = rank_feature_topk(r, "weight", pivot=RANKF_PIVOT, boost=RANKF_BOOST, k=12)
+    return df.select("url", F.round("score", 6).alias("score"))
+
+
+def q_distance_feature(spark, sf_dir):
+    """ES distance_feature query: proximity-to-origin ranking
+    boost * pivot / (pivot + |n_chars - origin|) over a numeric docvalue
+    — recency/nearness boosting as a standalone docmap-only plan
+    (engine/aggs.py distance_feature_topk). Ties url asc (frozen)."""
+    from engine.aggs import distance_feature_topk
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    df = distance_feature_topk(
+        r, "n_chars", origin=DISTF_ORIGIN, pivot=DISTF_PIVOT,
+        boost=DISTF_BOOST, k=12,
+    )
+    return df.select("url", F.round("score", 6).alias("score"))
+
+
 COMPOSITE_AFTER = ("en", "src12")  # mid-keyspace cursor: page crosses en->es
 
 
@@ -3213,6 +3333,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lang_id": q_lang_id,
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
+        # --- round-4 late additions (after the 50-slot gate; covered by
+        # the full self-certification run) ---
+        "terms_set_topk": q_terms_set,
+        "mbp_topk": q_match_bool_prefix,
+        "suggest_complete": q_suggest_complete,
+        "rank_feature_topk": q_rank_feature,
+        "distance_feature_topk": q_distance_feature,
     }
 
 
@@ -3948,5 +4075,39 @@ FROM p WHERE pos IS NOT NULL""",
             "AND doc_id::VARCHAR IN ("
             + ", ".join(f"'{v}'" for v in IDS_VALUES)
             + ") ORDER BY url ASC LIMIT 10"
+        ),
+        "terms_set_topk": _terms_set_sql(TS_TERMS, k=10),
+        # match_bool_prefix = ranked OR over the leading exact terms plus
+        # the df-ordered dictionary expansion of the trailing prefix; the
+        # cap (128) is not binding on this corpus so the predicate union
+        # is the exact rewrite
+        "mbp_topk": _bm25_rewrite_sql(
+            "(term LIKE 's%' OR term IN ('hash', 'join'))", k=10
+        ),
+        "suggest_complete": (
+            _toks_cte()
+            + ", tf AS (SELECT doc_id, unnest(toks) AS term FROM toks), "
+            "dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS weight "
+            "FROM tf GROUP BY term) "
+            f"SELECT term AS suggestion, weight FROM dfreq "
+            f"WHERE term LIKE '{COMPLETE_PREFIX}%' "
+            "ORDER BY weight DESC, term ASC LIMIT 10"
+        ),
+        "rank_feature_topk": (
+            "SELECT doc_id::VARCHAR AS url, "
+            f"round({RANKF_BOOST} * w / (w + {RANKF_PIVOT}), 6) AS score "
+            "FROM (SELECT doc_id, ((n_chars % 7) + 1)::DOUBLE AS w "
+            "FROM documents WHERE text IS NOT NULL AND text != '') "
+            f"ORDER BY {RANKF_BOOST} * w / (w + {RANKF_PIVOT}) DESC, "
+            "doc_id::VARCHAR ASC LIMIT 12"
+        ),
+        "distance_feature_topk": (
+            "SELECT doc_id::VARCHAR AS url, "
+            f"round({DISTF_BOOST} * {DISTF_PIVOT} / "
+            f"({DISTF_PIVOT} + abs(n_chars::DOUBLE - {DISTF_ORIGIN})), 6) AS score "
+            "FROM documents WHERE text IS NOT NULL AND text != '' "
+            f"ORDER BY {DISTF_BOOST} * {DISTF_PIVOT} / "
+            f"({DISTF_PIVOT} + abs(n_chars::DOUBLE - {DISTF_ORIGIN})) DESC, "
+            "doc_id::VARCHAR ASC LIMIT 12"
         ),
     }

@@ -381,6 +381,52 @@ def constant_score_topk(reader: IndexReader, filters=(), boost: float = 1.0,
     )
 
 
+def rank_feature_topk(
+    reader: IndexReader, field: str, pivot: float, boost: float = 1.0,
+    k: int = 10, filters=(),
+) -> DataFrame:
+    """ES `rank_feature` query (saturation function, the default): every
+    live doc with a positive non-null `field` docvalue scores
+    boost * v / (v + pivot) — static quality/popularity ranking with NO
+    text terms. One docmap scan (predicates pushed), columnar score,
+    TopK(k); ties url asc (frozen — ES has no doc-order guarantee)."""
+    if pivot <= 0:
+        raise ValueError(f"rank_feature pivot must be > 0, got {pivot}")
+    dm = live_docmap(reader, tuple(filters))
+    v = F.col(field).cast("double")
+    return (
+        dm.filter(v.isNotNull() & (v > 0))
+        .withColumn("score", F.lit(float(boost)) * v / (v + F.lit(float(pivot))))
+        .select("url", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )
+
+
+def distance_feature_topk(
+    reader: IndexReader, field: str, origin, pivot, boost: float = 1.0,
+    k: int = 10, filters=(),
+) -> DataFrame:
+    """ES `distance_feature` query over a numeric/date docvalue: every
+    live doc with a non-null `field` scores
+    boost * pivot / (pivot + |value - origin|) — the closer to origin the
+    higher (recency/proximity ranking). Same docmap-only plan shape as
+    rank_feature_topk; ties url asc (frozen)."""
+    p = float(pivot)
+    if p <= 0:
+        raise ValueError(f"distance_feature pivot must be > 0, got {pivot}")
+    dm = live_docmap(reader, tuple(filters))
+    v = F.col(field).cast("double")
+    dist = F.abs(v - F.lit(float(origin)))
+    return (
+        dm.filter(v.isNotNull())
+        .withColumn("score", F.lit(float(boost)) * F.lit(p) / (F.lit(p) + dist))
+        .select("url", "score")
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )
+
+
 def ids_topk(reader: IndexReader, values, k: int = 10) -> DataFrame:
     """ES `ids` query: fetch by document id (url). Constant score 1.0
     (ES behavior), url-asc page order; the IN-list is a pushable

@@ -342,6 +342,50 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         if filters:
             raise ValueError("ids + filter context is not composed yet")
         return ids_topk(reader, query["ids"]["values"], k=k)
+    if "terms_set" in query:
+        from engine.query import terms_set_topk
+
+        ((fld, spec),) = query["terms_set"].items()
+        if fld != "text":
+            raise ValueError("terms_set supports the text field")
+        if filters:
+            raise ValueError("terms_set + filter context is not composed yet")
+        return terms_set_topk(
+            reader, list(spec["terms"]), spec["minimum_should_match_field"], k=k
+        )
+    if "match_bool_prefix" in query:
+        from engine.query import match_bool_prefix_topk
+
+        ((fld, spec),) = query["match_bool_prefix"].items()
+        if fld != "text":
+            raise ValueError("match_bool_prefix supports the text field")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        if filters:
+            raise ValueError(
+                "match_bool_prefix + filter context is not composed yet"
+            )
+        return match_bool_prefix_topk(reader, text, k=k)
+    if "rank_feature" in query:
+        from engine.aggs import rank_feature_topk
+
+        rf = query["rank_feature"]
+        pivot = rf.get("saturation", {}).get("pivot")
+        if pivot is None:
+            raise ValueError(
+                "rank_feature requires saturation.pivot (the frozen function)"
+            )
+        return rank_feature_topk(
+            reader, rf["field"], pivot=float(pivot),
+            boost=float(rf.get("boost", 1.0)), k=k, filters=filters,
+        )
+    if "distance_feature" in query:
+        df_ = query["distance_feature"]
+        from engine.aggs import distance_feature_topk
+
+        return distance_feature_topk(
+            reader, df_["field"], origin=df_["origin"], pivot=df_["pivot"],
+            boost=float(df_.get("boost", 1.0)), k=k, filters=filters,
+        )
     if "exists" in query or "range" in query:
         # bare filter-ish queries in query context: constant score 1.0
         from engine.aggs import constant_score_topk

@@ -1550,6 +1550,194 @@ def bm25_bool_topk(
     )
 
 
+def _terms_set_shard_topk(
+    rows,
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    required_fn,
+    shard: int,
+    dels: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """ES terms_set query over one shard (Lucene CoveringQuery): a doc
+    matches when it contains at least required(doc) of the query terms,
+    where required(doc) comes from a numeric docvalue
+    (minimum_should_match_field). Score = sum of the matching terms' BM25
+    contributions (each term scores like a should clause).
+
+    Frozen spec: required = max(1, docvalue) — a doc always needs at
+    least one matching term (Lucene's scorer iterates the clause union,
+    so a zero/negative field value can never admit a term-free doc); a
+    NULL docvalue excludes the doc (ES missing-field semantics).
+
+    Same vectorized shape as _bool_shard_topk: one decode per term,
+    unique/bincount accumulation; the per-doc threshold is gathered for
+    CANDIDATE docs only (uniq ids), never the shard's full docmap."""
+    locs_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    for r in rows:
+        idf = idfs.get(r.term)
+        if not idf:
+            continue
+        blocks = _norm_blocks(r.blocks)
+        d, t, l = P.decode_term_postings(r.docs_bin, r.tfs_bin, r.dls_bin, blocks)
+        keep = _live_mask(d, dels)
+        if keep is not None:
+            d, t, l = d[keep], t[keep], l[keep]
+        locs_parts.append(d)
+        contrib_parts.append(idf * P.bm25_impact(t, l, avgdl, k1, b))
+    if not locs_parts:
+        return []
+    locs = np.concatenate(locs_parts)
+    uniq, inv = np.unique(locs, return_inverse=True)
+    scores = np.bincount(
+        inv, weights=np.concatenate(contrib_parts), minlength=uniq.size
+    )
+    # each posting row is one distinct (term, doc) pair, so the bincount
+    # of inv IS the per-doc matching-term count
+    s_hits = np.bincount(inv, minlength=uniq.size)
+    req = required_fn(shard, uniq)
+    keep = ~np.isnan(req) & (s_hits >= np.maximum(req, 1.0))
+    uniq, scores = uniq[keep], scores[keep]
+    if uniq.size == 0:
+        return []
+    order = _topk_order(uniq, scores, min(k, uniq.size))
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
+def terms_set_topk(
+    reader: IndexReader,
+    terms: list[str],
+    minimum_should_match_field: str,
+    k: int = 10,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES terms_set query top-k (url, doc_id, score): docs containing at
+    least `doc[minimum_should_match_field]` of `terms`, scored as the
+    BM25 sum of their matching terms — the per-DOC msm variant of the
+    bool query (Lucene CoveringQuery). Frozen semantics in
+    _terms_set_shard_topk's docstring. Adaptive local/Spark execution,
+    pruned docmap lookup, tombstone-masked; ties doc_id asc."""
+    from engine.docvalues import gather_docvalues
+
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    if minimum_should_match_field not in dv_cols:
+        raise ValueError(
+            f"terms_set field {minimum_should_match_field!r} not in index "
+            f"docvalues {dv_cols}; rebuild with build_index(..., "
+            "docvalue_cols=[...])"
+        )
+    qterms = list(dict.fromkeys(terms))
+    spark = reader.spark
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    stats = reader.term_stats(qterms)
+    present = [t for t in qterms if t in stats]
+    if not present:
+        return empty
+    idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in present}
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    index_dir, field = reader.dir, minimum_should_match_field
+    tomb = reader.tombstones()
+
+    def required_fn(shard: int, uniq: np.ndarray) -> np.ndarray:
+        tbl = gather_docvalues(index_dir, int(shard), [field], uniq)
+        return (
+            tbl.column(field)
+            .cast("float64")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+
+    def run_kernel(shard: int, rows) -> list[tuple[int, float]]:
+        return _terms_set_shard_topk(
+            rows, idfs, k, k1, b, avgdl, required_fn, shard, tomb.get(shard)
+        )
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(int(pdf_key[0]), list(pdf.itertuples()))
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto"
+        and sum(stats[t] for t in present) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(present)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(shard, rows)
+            ]
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(present)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return empty
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
+def match_bool_prefix_topk(
+    reader: IndexReader,
+    text: str,
+    k: int = 10,
+    max_expansions: int = 128,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES match_bool_prefix query top-k: analyze the text; every token
+    but the last becomes a should term clause, the LAST token becomes a
+    prefix clause (the search-box "user is mid-word" query). Frozen
+    rewrite: the prefix clause expands df-ordered against the dictionary
+    (top_terms_{max_expansions}, same bound as mode="prefix"), each
+    expansion scoring as itself (scoring_boolean) — the whole query is
+    then one ranked OR union over leading terms + expansions, served by
+    the shared adaptive kernels. An empty expansion leaves the leading
+    terms ranking alone (ES: the prefix clause simply matches nothing
+    under OR semantics)."""
+    toks = analyze_query_py(text)
+    spark = reader.spark
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    if not toks:
+        return empty
+    lead, last = toks[:-1], toks[-1]
+    terms = list(dict.fromkeys(lead + reader.expand_prefix(last, max_expansions)))
+    if not terms:
+        return empty
+    return bm25_topk(
+        reader, terms, k=k, mode="or", execution=execution, lookup=lookup
+    )
+
+
 def _boosting_shard_topk(
     rows,
     idfs: dict[str, float],
@@ -2174,6 +2362,50 @@ def suggest_terms(
         .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
         .limit(size)
         .select(F.col("term").alias("suggestion"), "df", "distance")
+    )
+
+
+def suggest_complete(
+    reader: "IndexReader", prefix: str, size: int = 10
+) -> "DataFrame":
+    """ES completion suggester (frozen spec): dictionary terms starting
+    with the lowercased prefix, ranked weight desc then term asc, top
+    `size`, returned as (suggestion, weight) with weight = the term's df
+    (the engine has no per-suggestion weights field; document frequency
+    is the popularity signal, same ordering ES uses when weights tie).
+
+    Serving: local index dirs read term_stats with a [prefix, prefix+1)
+    pyarrow range filter (term-sorted row groups prune — the same pruned
+    read expand_prefix uses, FST-like in cost: never the whole
+    dictionary); remote dirs fall back to a range-pruned Spark scan."""
+    p = prefix.lower()
+    schema = "suggestion string, weight long"
+    if not p:
+        return reader.spark.createDataFrame([], schema)
+    hi = p[:-1] + chr(ord(p[-1]) + 1)
+    ts_dir = os.path.join(reader.dir, "term_stats")
+    if os.path.isdir(ts_dir):
+        import pyarrow.dataset as ds
+
+        tbl = reader._pa_dataset("term_stats").to_table(
+            filter=(ds.field("term") >= p) & (ds.field("term") < hi),
+            columns=["term", "df"],
+        )
+        pairs = [
+            (t, int(d))
+            for t, d in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            )
+            if t.startswith(p)
+        ]
+        pairs.sort(key=lambda x: (-x[1], x[0]))
+        return reader.spark.createDataFrame(pairs[:size], schema)
+    return (
+        reader._term_stats_df()
+        .filter((F.col("term") >= p) & (F.col("term") < hi))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(size)
+        .select(F.col("term").alias("suggestion"), F.col("df").alias("weight"))
     )
 
 
