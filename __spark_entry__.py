@@ -2895,6 +2895,42 @@ def q_agg_filters_named(spark, sf_dir):
     return search_aggs(r, BM25_TERMS, spec)
 
 
+def q_agg_adjacency(spark, sf_dir):
+    """ES adjacency_matrix agg: named filter buckets + pairwise
+    intersections ("a&b"), zero-count buckets dropped, key asc — cohort
+    overlap analysis over the matched set (engine/aggs.py
+    AdjacencyMatrixAgg; per-shard masks computed once, reused for the
+    pair counts)."""
+    from engine.aggs import AdjacencyMatrixAgg, search_aggs
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    spec = AdjacencyMatrixAgg((
+        ("en", (TermFilter("lang", "en"),)),
+        ("es", (TermFilter("lang", "es"),)),
+        ("short", (RangeFilter("n_chars", None, 300),)),
+    ))
+    return search_aggs(r, BM25_TERMS, spec)
+
+
+DR_EDGE1, DR_EDGE2 = "2024-01-10", "2024-01-20"
+
+
+def q_agg_date_range(spark, sf_dir):
+    """ES date_range agg on the events index's ts timestamp docvalue for
+    the 'click' term query: half-open ISO-dated buckets, every declared
+    range emits, declaration order (engine/aggs.py DateRangeAgg)."""
+    from engine.aggs import DateRangeAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _events_index_dir(spark, sf_dir))
+    return search_aggs(
+        r, ["click"],
+        DateRangeAgg("ts", ((None, DR_EDGE1), (DR_EDGE1, DR_EDGE2), (DR_EDGE2, None))),
+    )
+
+
 def q_agg_date_histogram(spark, sf_dir):
     """date_histogram (day) on the ts timestamp docvalue of the events
     index for the 'click' term query — closes the one agg that had no
@@ -3340,6 +3376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "rank_feature_topk": q_rank_feature,
         "distance_feature_topk": q_distance_feature,
+        "agg_adjacency": q_agg_adjacency,
+        "agg_date_range": q_agg_date_range,
     }
 
 
@@ -3952,6 +3990,26 @@ GROUP BY c.doc_id""",
             "SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS "
             "bucket_epoch, count(*)::BIGINT AS doc_count FROM events "
             "WHERE event_type = 'click' GROUP BY bucket_epoch"
+        ),
+        "agg_adjacency": _agg_matched_cte() + (
+            " SELECT key, doc_count FROM ("
+            "SELECT 'en' AS key, count(*) FILTER (WHERE lang = 'en')::BIGINT AS doc_count FROM m"
+            " UNION ALL SELECT 'es', count(*) FILTER (WHERE lang = 'es')::BIGINT FROM m"
+            " UNION ALL SELECT 'short', count(*) FILTER (WHERE n_chars < 300)::BIGINT FROM m"
+            " UNION ALL SELECT 'en&es', count(*) FILTER (WHERE lang = 'en' AND lang = 'es')::BIGINT FROM m"
+            " UNION ALL SELECT 'en&short', count(*) FILTER (WHERE lang = 'en' AND n_chars < 300)::BIGINT FROM m"
+            " UNION ALL SELECT 'es&short', count(*) FILTER (WHERE lang = 'es' AND n_chars < 300)::BIGINT FROM m"
+            ") WHERE doc_count > 0 ORDER BY key ASC"
+        ),
+        "agg_date_range": (
+            "SELECT range_key, doc_count FROM (VALUES "
+            f"('*-{DR_EDGE1}', (SELECT count(*) FROM events WHERE event_type = 'click' "
+            f"AND ts < TIMESTAMP '{DR_EDGE1}')), "
+            f"('{DR_EDGE1}-{DR_EDGE2}', (SELECT count(*) FROM events WHERE event_type = 'click' "
+            f"AND ts >= TIMESTAMP '{DR_EDGE1}' AND ts < TIMESTAMP '{DR_EDGE2}')), "
+            f"('{DR_EDGE2}-*', (SELECT count(*) FROM events WHERE event_type = 'click' "
+            f"AND ts >= TIMESTAMP '{DR_EDGE2}'))"
+            ") t(range_key, doc_count)"
         ),
         "agg_significant_terms": f"""
 {_toks_cte()},

@@ -266,6 +266,31 @@ class FiltersAgg:
 
 
 @dataclass(frozen=True)
+class AdjacencyMatrixAgg:
+    """ES `adjacency_matrix` aggregation: named filter buckets PLUS one
+    bucket per pairwise intersection, keyed "a&b" in declaration order
+    (i < j). Zero-count buckets are dropped and the result orders key asc
+    — both per ES. Clause lists are the same filter-context objects as
+    FiltersAgg; each shard computes every name's mask once and reuses it
+    for the pair counts (n masks, n*(n-1)/2 vectorized ANDs)."""
+
+    named: tuple  # ((name, (clause, ...)), ...)
+
+
+@dataclass(frozen=True)
+class DateRangeAgg:
+    """ES `date_range` aggregation over a timestamp docvalue:
+    [(from, to), ...] as ISO-8601 strings (None = open end), half-open
+    [from, to) like RangeAgg; bucket key is the literal "from-to" label
+    with '*' for open ends (frozen label format). Every declared range
+    emits (count 0 included), declaration order — same contract as
+    RangeAgg, just date-typed bounds."""
+
+    field: str
+    ranges: tuple = dc_field(default=())
+
+
+@dataclass(frozen=True)
 class CardinalityAgg:
     """Distinct count of a docvalue over the matched set — EXACT, unlike
     ES (HLL++, approximate above precision_threshold). Per-shard kernels
@@ -288,6 +313,10 @@ def _range_label(lo, hi) -> str:
 
 def _pct_name(p: float) -> str:
     return "p" + f"{float(p):g}".replace(".", "_")
+
+
+def _date_range_label(lo, hi) -> str:
+    return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
 
 
 # ---------------------------------------------------------------------------
@@ -583,6 +612,31 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
             int(np.count_nonzero(_fm(tbl, fs))) for _n, fs in agg.named
         ]
         return pd.DataFrame({"fidx": np.arange(len(cnts)), "cnt": cnts})
+    if isinstance(agg, AdjacencyMatrixAgg):
+        from engine.docvalues import filter_mask as _fm
+
+        names = [n for n, _fs in agg.named]
+        masks = [_fm(tbl, fs) for _n, fs in agg.named]
+        keys, cnts = [], []
+        for i, n in enumerate(names):
+            keys.append(n)
+            cnts.append(int(np.count_nonzero(masks[i])))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                keys.append(f"{names[i]}&{names[j]}")
+                cnts.append(int(np.count_nonzero(masks[i] & masks[j])))
+        return pd.DataFrame({"key": keys, "cnt": cnts})
+    if isinstance(agg, DateRangeAgg):
+        tv = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
+        cnts = []
+        for lo, hi in agg.ranges:
+            m = np.ones(tv.size, dtype=bool)
+            if lo is not None:
+                m &= tv >= np.datetime64(lo)
+            if hi is not None:
+                m &= tv < np.datetime64(hi)
+            cnts.append(int(np.count_nonzero(m)))
+        return pd.DataFrame({"ridx": np.arange(len(cnts)), "cnt": cnts})
     vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
     if isinstance(agg, PercentilesAgg):
         return pd.DataFrame({"v": vals.astype(np.float64)})
@@ -638,7 +692,7 @@ def _agg_fields(agg) -> list[str]:
         return [agg.value_field, agg.weight_field]
     if isinstance(agg, TopHitsAgg):
         return [agg.field, agg.hits_sort, "url"]
-    if isinstance(agg, FiltersAgg):
+    if isinstance(agg, (FiltersAgg, AdjacencyMatrixAgg)):
         return sorted({f.field for _n, fs in agg.named for f in fs})
     if isinstance(agg, TermsAgg):
         return [agg.field] + ([agg.stats_of] if agg.stats_of else [])
@@ -651,7 +705,8 @@ def _agg_vt(reader: IndexReader, agg):
         return tuple(_vtype(reader, s) for s in agg.sources)
     if isinstance(agg, TopHitsAgg):
         return _vtype(reader, agg.hits_sort)
-    if isinstance(agg, (MissingAgg, FiltersAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg)):
+    if isinstance(agg, (MissingAgg, FiltersAgg, AdjacencyMatrixAgg,
+                        DateRangeAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg)):
         return ""  # keys stringified / sums pre-doubled in the partial
     if isinstance(agg, PercentilesAgg):
         return "double"
@@ -701,7 +756,9 @@ def _partial_schema(agg, vt: str) -> str:
         return "cnt long"
     if isinstance(agg, FiltersAgg):
         return "fidx int, cnt long"
-    if isinstance(agg, RangeAgg):
+    if isinstance(agg, AdjacencyMatrixAgg):
+        return "key string, cnt long"
+    if isinstance(agg, (RangeAgg, DateRangeAgg)):
         return "ridx int, cnt long"
     if isinstance(agg, HistogramAgg):
         return "bucket double, cnt long"
@@ -804,9 +861,17 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
             .orderBy("fidx")
             .drop("fidx")
         )
-    if isinstance(agg, RangeAgg):
+    if isinstance(agg, AdjacencyMatrixAgg):
+        return (
+            partials.groupBy("key")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .filter(F.col("doc_count") > 0)
+            .orderBy(F.asc("key"))
+        )
+    if isinstance(agg, (RangeAgg, DateRangeAgg)):
+        label = _date_range_label if isinstance(agg, DateRangeAgg) else _range_label
         labels = spark.createDataFrame(
-            [(i, _range_label(lo, hi)) for i, (lo, hi) in enumerate(agg.ranges)],
+            [(i, label(lo, hi)) for i, (lo, hi) in enumerate(agg.ranges)],
             "ridx int, range_key string",
         )
         return (
@@ -1622,6 +1687,55 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
         return spark.createDataFrame(
             [(n, int(row[f"f{i}"])) for i, (n, _fs) in enumerate(agg.named)],
             "filter_key string, doc_count long",
+        )
+    if isinstance(agg, AdjacencyMatrixAgg):
+        names, conds_by_name = [], []
+        for _i, (n, fs) in enumerate(agg.named):
+            cl = _spark_filter_conds(fs)
+            cond = cl[0] if cl else F.lit(True)
+            for extra in cl[1:]:
+                cond &= extra
+            names.append(n)
+            conds_by_name.append(cond)
+        sums, keys = [], []
+        for i, n in enumerate(names):
+            keys.append(n)
+            sums.append(F.sum(F.when(conds_by_name[i], 1).otherwise(0)).alias(f"c{len(sums)}"))
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                keys.append(f"{names[i]}&{names[j]}")
+                sums.append(
+                    F.sum(
+                        F.when(conds_by_name[i] & conds_by_name[j], 1).otherwise(0)
+                    ).alias(f"c{len(sums)}")
+                )
+        row = dm.agg(*sums).collect()[0]
+        rows = [
+            (k, int(row[f"c{i}"]))
+            for i, k in enumerate(keys)
+            if int(row[f"c{i}"]) > 0
+        ]
+        return spark.createDataFrame(
+            sorted(rows), "key string, doc_count long"
+        )
+    if isinstance(agg, DateRangeAgg):
+        if not agg.ranges:
+            return spark.createDataFrame([], "range_key string, doc_count long")
+        sums = []
+        for i, (lo, hi) in enumerate(agg.ranges):
+            cond = F.col(agg.field).isNotNull()
+            if lo is not None:
+                cond &= F.col(agg.field) >= F.to_timestamp(F.lit(lo))
+            if hi is not None:
+                cond &= F.col(agg.field) < F.to_timestamp(F.lit(hi))
+            sums.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"r{i}"))
+        row = dm.agg(*sums).collect()[0]
+        return spark.createDataFrame(
+            [
+                (_date_range_label(lo, hi), int(row[f"r{i}"]))
+                for i, (lo, hi) in enumerate(agg.ranges)
+            ],
+            "range_key string, doc_count long",
         )
     if isinstance(agg, MultiTermsAgg):
         cols = list(agg.fields)

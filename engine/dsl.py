@@ -290,6 +290,22 @@ def _compile_agg_obj(spec: dict, sub: dict):
             for name, cl in spec["filters"]["filters"].items()
         )
         return FiltersAgg(named)
+    if "adjacency_matrix" in spec:
+        from engine.aggs import AdjacencyMatrixAgg
+
+        named = tuple(
+            (name, _clause_filters(cl if isinstance(cl, list) else [cl]))
+            for name, cl in spec["adjacency_matrix"]["filters"].items()
+        )
+        return AdjacencyMatrixAgg(named)
+    if "date_range" in spec:
+        from engine.aggs import DateRangeAgg
+
+        r = spec["date_range"]
+        return DateRangeAgg(
+            r["field"],
+            tuple((x.get("from"), x.get("to")) for x in r["ranges"]),
+        )
     raise ValueError(f"unsupported aggregation: {sorted(spec)}")
 
 

@@ -828,3 +828,118 @@ def test_weighted_avg_agg(spark, tmp_path_factory):
                 r, query, WeightedAvgAgg("v", "w"), execution=execution
             ).collect()[0]["value"]
             assert got == pytest.approx(brute(pred), rel=1e-12), (query, execution)
+
+
+def _brute_adjacency(m: pd.DataFrame) -> list[tuple[str, int]]:
+    en = m["lang"] == "en"
+    es = m["lang"] == "es"
+    short = m["n_chars"] < 300
+    raw = {
+        "en": en.sum(), "es": es.sum(), "short": short.sum(),
+        "en&es": (en & es).sum(), "en&short": (en & short).sum(),
+        "es&short": (es & short).sum(),
+    }
+    return sorted((k, int(v)) for k, v in raw.items() if v > 0)
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_adjacency_matrix_agg(spark, agg_index, docs_pdf, execution):
+    """Named buckets + pairwise intersections, zero buckets dropped,
+    key asc — vs a pandas brute over the same matched set."""
+    from engine.aggs import AdjacencyMatrixAgg
+    from engine.docvalues import RangeFilter, TermFilter
+
+    spec = AdjacencyMatrixAgg((
+        ("en", (TermFilter("lang", "en"),)),
+        ("es", (TermFilter("lang", "es"),)),
+        ("short", (RangeFilter("n_chars", None, 300),)),
+    ))
+    r = IndexReader(spark, agg_index)
+    got = [
+        (x["key"], x["doc_count"])
+        for x in search_aggs(r, Q, spec, execution=execution).collect()
+    ]
+    assert got == _brute_adjacency(matched(docs_pdf)) and got
+
+    # match_all path (single DataFrame plan over the docmap)
+    got = [
+        (x["key"], x["doc_count"]) for x in search_aggs(r, None, spec).collect()
+    ]
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    assert got == _brute_adjacency(ok)
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_date_range_agg(spark, pages_1k, tmp_path_factory, execution):
+    """Half-open ISO-dated buckets over a timestamp docvalue, every
+    declared range emitting in declaration order — vs pandas."""
+    from engine.aggs import DateRangeAgg
+
+    out = str(tmp_path_factory.mktemp("adrts") / "idx")
+    build_index(
+        spark, pages_1k, out, n_shards=4, n_buckets=8, docvalue_cols=["warc_ts"]
+    )
+    r = IndexReader(spark, out)
+    pdf = pd.read_parquet(pages_1k)
+    ok = pdf["text"].notna() & (pdf["text"] != "")
+    hit = pdf["text"].where(ok, "").map(lambda t: "if" in set(analyze_query_py(t)))
+    m = pdf[ok & hit]
+    ts = m["warc_ts"]
+    if getattr(ts.dt, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)
+    lo_edge = str(ts.quantile(0.33).floor("D").date())
+    hi_edge = str(ts.quantile(0.66).floor("D").date())
+    spec = DateRangeAgg(
+        "warc_ts", ((None, lo_edge), (lo_edge, hi_edge), (hi_edge, None))
+    )
+    got = [
+        (x["range_key"], x["doc_count"])
+        for x in search_aggs(r, ["if"], spec, execution=execution).collect()
+    ]
+    lo, hi = pd.Timestamp(lo_edge), pd.Timestamp(hi_edge)
+    want = [
+        (f"*-{lo_edge}", int((ts < lo).sum())),
+        (f"{lo_edge}-{hi_edge}", int(((ts >= lo) & (ts < hi)).sum())),
+        (f"{hi_edge}-*", int((ts >= hi).sum())),
+    ]
+    assert got == want and sum(c for _k, c in got) > 0
+
+    # match_all path: all valid docs
+    ts_all = pdf[ok]["warc_ts"]
+    if getattr(ts_all.dt, "tz", None) is not None:
+        ts_all = ts_all.dt.tz_localize(None)
+    got = [
+        (x["range_key"], x["doc_count"])
+        for x in search_aggs(r, None, spec).collect()
+    ]
+    want = [
+        (f"*-{lo_edge}", int((ts_all < lo).sum())),
+        (f"{lo_edge}-{hi_edge}", int(((ts_all >= lo) & (ts_all < hi)).sum())),
+        (f"{hi_edge}-*", int((ts_all >= hi).sum())),
+    ]
+    assert got == want
+
+
+def test_adjacency_and_date_range_dsl_dispatch(spark, agg_index, docs_pdf):
+    from engine.dsl import search
+
+    r = IndexReader(spark, agg_index)
+    resp = search(r, {
+        "query": {"match": {"text": " ".join(Q)}}, "size": 0,
+        "aggs": {"overlap": {"adjacency_matrix": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "es": {"term": {"lang": "es"}},
+            "short": {"range": {"n_chars": {"lt": 300}}},
+        }}}},
+    })
+    got = [
+        (b["key"], b["doc_count"])
+        for b in resp["aggregations"]["overlap"]["buckets"]
+    ]
+    assert got == _brute_adjacency(matched(docs_pdf))
+
+    resp = search(r, {
+        "query": {"match_all": {}}, "size": 0,
+        "aggs": {"spans": {"date_range": {"field": "n_chars", "ranges": []}}},
+    })
+    assert resp["aggregations"]["spans"]["buckets"] == []
