@@ -2591,6 +2591,24 @@ def q_sort_after_nchars(spark, sf_dir):
     return out.select(F.col("url").cast("long").alias("doc_id"), "sort_val")
 
 
+def q_pit_page_snapshot0(spark, sf_dir):
+    """Point-in-time search (ES PIT / Iceberg-style time travel): open
+    the DELETED index pinned at snapshot 0 (the base build, before the
+    DEL_MOD tombstone batch) and fetch the same sorted search_after page
+    as sort_after_nchars. The oracle is the FULL-corpus page — proving
+    the snapshot pin restores pre-delete results on an index whose
+    CURRENT state excludes the victims (engine/deletes.py
+    load_tombstones as_of; reader pinning engine/query.py IndexReader)."""
+    from engine.aggs import search_sort
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _deleted_index_dir(spark, sf_dir), snapshot_id=0)
+    out = search_sort(
+        r, BM25_TERMS, "n_chars", k=10, ascending=True, search_after=SORT_AFTER
+    )
+    return out.select(F.col("url").cast("long").alias("doc_id"), "sort_val")
+
+
 def q_agg_stats_matchall(spark, sf_dir):
     """stats agg with query=None (match_all): the postings are never read
     — a pure docmap DataFrame plan (plan-asserted in tests/test_aggs.py)."""
@@ -3378,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_feature_topk": q_distance_feature,
         "agg_adjacency": q_agg_adjacency,
         "agg_date_range": q_agg_date_range,
+        "pit_page_snapshot0": q_pit_page_snapshot0,
     }
 
 
@@ -4057,6 +4076,12 @@ FROM p WHERE pos IS NOT NULL""",
             "GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10"
         ),
         "sort_after_nchars": _agg_matched_cte() + (
+            f" SELECT doc_id, n_chars AS sort_val FROM m "
+            f"WHERE n_chars > {SORT_AFTER[0]} OR (n_chars = {SORT_AFTER[0]} "
+            f"AND doc_id::VARCHAR > '{SORT_AFTER[1]}') "
+            "ORDER BY n_chars ASC, doc_id::VARCHAR ASC LIMIT 10"
+        ),
+        "pit_page_snapshot0": _agg_matched_cte() + (
             f" SELECT doc_id, n_chars AS sort_val FROM m "
             f"WHERE n_chars > {SORT_AFTER[0]} OR (n_chars = {SORT_AFTER[0]} "
             f"AND doc_id::VARCHAR > '{SORT_AFTER[1]}') "

@@ -263,3 +263,36 @@ def test_compact_without_tombstones_is_identity(spark, index, tmp_path_factory):
     q = synth.frozen_queries()[0]
     assert bm25_topk_rows(r1, q["terms"], k=10) == bm25_topk_rows(r0, q["terms"], k=10)
     shutil.rmtree(out)
+
+
+def test_pit_sorted_page_restores_predelete(spark, corpus, tmp_path_factory):
+    """ES point-in-time search over the sorted-paging path: a reader
+    pinned at snapshot 0 serves the pre-delete page from an index whose
+    current state excludes tombstoned docs (the driver's
+    pit_page_snapshot0 contract)."""
+    from pyspark.sql import functions as F
+
+    from engine.aggs import search_sort
+
+    out = str(tmp_path_factory.mktemp("pit_idx") / "idx")
+    d = spark.read.parquet(corpus).select(
+        "url", "text", F.length("text").alias("n_chars")
+    )
+    build_index(spark, d, out, n_shards=4, n_buckets=8, docvalue_cols=["n_chars"])
+    q = synth.frozen_queries()[0]
+
+    def page(snap):
+        r = IndexReader(spark, out, snapshot_id=snap)
+        return [
+            (x["url"], x["sort_val"])
+            for x in search_sort(r, q["terms"], "n_chars", k=10).collect()
+        ]
+
+    base = page(None)
+    assert len(base) == 10
+    # tombstone the first three docs OF THE PAGE so the current state
+    # visibly differs
+    assert delete_docs(spark, out, [u for u, _v in base[:3]]) == 3
+    cur = page(None)
+    assert cur != base and not ({u for u, _v in cur} & {u for u, _v in base[:3]})
+    assert page(0) == base  # the PIT pin restores the pre-delete page
