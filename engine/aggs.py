@@ -303,6 +303,68 @@ class CardinalityAgg:
     field: str
 
 
+@dataclass(frozen=True)
+class StringStatsAgg:
+    """ES `string_stats` aggregation over a keyword docvalue: count of
+    non-null values, min/max/avg length (Unicode code points, = DuckDB
+    `len(varchar)`), and Shannon entropy (log2) of the CHARACTER
+    distribution across all matched values — ES's
+    `show_distribution`-independent summary. Partials carry per-shard
+    character counts plus one length-moments row, so the combine sees
+    exact global counts; entropy = log2(T) - sum(c*log2(c))/T over the
+    combined counts (one pass, no char table materialized globally)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class MedianAbsoluteDeviationAgg:
+    """ES `median_absolute_deviation`: median(|v - median(v)|) — EXACT
+    interpolated medians (percentile_cont), the same deliberate
+    divergence from ES's TDigest approximation as PercentilesAgg, with
+    the same cost profile (shards ship matched values, not a sketch)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class BoxplotAgg:
+    """ES `boxplot` aggregation: min / q1 / q2 / q3 / max with EXACT
+    interpolated quartiles (percentile_cont; ES uses TDigest — same
+    documented exactness divergence as PercentilesAgg)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class MatrixStatsAgg:
+    """ES `matrix_stats` over a pair of numeric docvalues: doc_count
+    (docs non-null in BOTH fields, ES's listwise deletion), means,
+    population variances under the extended_stats parenthesization
+    `(sum_sq - sum*sum/n) / n`, covariance `(sum_ab - sum_a*sum_b/n) / n`
+    and Pearson correlation cov/sqrt(var_a*var_b). Frozen divergence
+    from ES: population (not sample) moments, matching this module's
+    extended_stats, and no skewness/kurtosis. Partials are six exact
+    double sums per shard — constant size, perfectly combinable."""
+
+    field_a: str
+    field_b: str
+
+
+@dataclass(frozen=True)
+class TTestAgg:
+    """ES `t_test` (paired) over two numeric docvalues: with d = a - b
+    per doc non-null in both fields, t = mean(d) / sqrt(s2/n) where s2 is
+    the SAMPLE variance `(sum_dd - sum_d*sum_d/n) / (n - 1)`. Returns the
+    t statistic and dof = n-1; frozen divergence from ES, which returns
+    the p-value (a Student-t CDF no SQL oracle can replay — the statistic
+    is the checkable part, and the CDF is a pure driver-side function of
+    (t, dof) any caller can apply)."""
+
+    field_a: str
+    field_b: str
+
+
 _DT_UNIT = {"hour": "datetime64[h]", "day": "datetime64[D]", "month": "datetime64[M]"}
 
 
@@ -637,8 +699,46 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
                 m &= tv < np.datetime64(hi)
             cnts.append(int(np.count_nonzero(m)))
         return pd.DataFrame({"ridx": np.arange(len(cnts)), "cnt": cnts})
+    if isinstance(agg, StringStatsAgg):
+        from collections import Counter
+
+        svals = [v for v in tbl.column(agg.field).to_pylist() if v is not None]
+        if not svals:
+            return pd.DataFrame(
+                {"ch": [], "cnt": [], "vcnt": [], "lmin": [], "lmax": [], "lsum": []}
+            )
+        lens = np.fromiter((len(s) for s in svals), dtype=np.int64)
+        counts = Counter("".join(svals))
+        out = pd.DataFrame(
+            {
+                "ch": list(counts.keys()),
+                "cnt": list(counts.values()),
+                "vcnt": 0, "lmin": 0, "lmax": 0, "lsum": 0,
+            }
+        )
+        stats_row = pd.DataFrame(
+            {
+                "ch": [None], "cnt": [0],
+                "vcnt": [len(svals)], "lmin": [int(lens.min())],
+                "lmax": [int(lens.max())], "lsum": [int(lens.sum())],
+            }
+        )
+        return pd.concat([out, stats_row], ignore_index=True)
+    if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
+        pdf = tbl.select([agg.field_a, agg.field_b]).to_pandas()
+        pdf = pdf.dropna(subset=[agg.field_a, agg.field_b])
+        a = pdf[agg.field_a].to_numpy(dtype=np.float64)
+        b = pdf[agg.field_b].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "n": [a.size],
+                "sa": [float(a.sum())], "sb": [float(b.sum())],
+                "saa": [float((a * a).sum())], "sbb": [float((b * b).sum())],
+                "sab": [float((a * b).sum())],
+            }
+        )
     vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
-    if isinstance(agg, PercentilesAgg):
+    if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return pd.DataFrame({"v": vals.astype(np.float64)})
     if isinstance(agg, RangeAgg):
         cnts = []
@@ -694,6 +794,8 @@ def _agg_fields(agg) -> list[str]:
         return [agg.field, agg.hits_sort, "url"]
     if isinstance(agg, (FiltersAgg, AdjacencyMatrixAgg)):
         return sorted({f.field for _n, fs in agg.named for f in fs})
+    if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
+        return [agg.field_a, agg.field_b]
     if isinstance(agg, TermsAgg):
         return [agg.field] + ([agg.stats_of] if agg.stats_of else [])
     return [agg.field]
@@ -706,9 +808,10 @@ def _agg_vt(reader: IndexReader, agg):
     if isinstance(agg, TopHitsAgg):
         return _vtype(reader, agg.hits_sort)
     if isinstance(agg, (MissingAgg, FiltersAgg, AdjacencyMatrixAgg,
-                        DateRangeAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg)):
+                        DateRangeAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg,
+                        StringStatsAgg, MatrixStatsAgg, TTestAgg)):
         return ""  # keys stringified / sums pre-doubled in the partial
-    if isinstance(agg, PercentilesAgg):
+    if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return "double"
     if isinstance(agg, TermsAgg):
         return _vtype(reader, agg.stats_of or agg.field)
@@ -750,8 +853,12 @@ def _partial_schema(agg, vt: str) -> str:
         return f"{srcs}, cnt long"
     if isinstance(agg, TopHitsAgg):
         return f"key string, cnt long, url string, v {vt}"
-    if isinstance(agg, PercentilesAgg):
+    if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return "v double"
+    if isinstance(agg, StringStatsAgg):
+        return "ch string, cnt long, vcnt long, lmin long, lmax long, lsum long"
+    if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
+        return "n long, sa double, sb double, saa double, sbb double, sab double"
     if isinstance(agg, MissingAgg):
         return "cnt long"
     if isinstance(agg, FiltersAgg):
@@ -844,6 +951,71 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
         q = partials.agg(F.expr(f"percentile(v, array({fracs}))").alias("q"))
         return q.select(
             *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, MedianAbsoluteDeviationAgg):
+        med = partials.agg(F.expr("percentile(v, 0.5)").alias("med"))
+        return (
+            partials.crossJoin(F.broadcast(med))
+            .agg(F.expr("percentile(abs(v - med), 0.5)"))
+            .toDF("value")
+        )
+    if isinstance(agg, BoxplotAgg):
+        q = partials.agg(
+            F.expr("percentile(v, array(0.0, 0.25, 0.5, 0.75, 1.0))").alias("q")
+        )
+        names = ["v_min", "q1", "q2", "q3", "v_max"]
+        return q.select(*[F.col("q")[i].alias(n) for i, n in enumerate(names)])
+    if isinstance(agg, StringStatsAgg):
+        lens = partials.filter(F.col("ch").isNull()).agg(
+            F.coalesce(F.sum("vcnt"), F.lit(0)).alias("v_count"),
+            F.min(F.when(F.col("vcnt") > 0, F.col("lmin"))).alias("min_length"),
+            F.max(F.when(F.col("vcnt") > 0, F.col("lmax"))).alias("max_length"),
+            F.sum("lsum").alias("lsum"),
+        )
+        chars = (
+            partials.filter(F.col("ch").isNotNull())
+            .groupBy("ch")
+            .agg(F.sum("cnt").alias("c"))
+            .agg(
+                F.sum("c").alias("tot"),
+                F.sum(F.col("c") * F.log2("c")).alias("clog"),
+            )
+        )
+        # entropy = log2(T) - sum(c*log2(c))/T over the exact global counts
+        ent = F.when(
+            F.col("tot") > 0, F.log2("tot") - F.col("clog") / F.col("tot")
+        ).otherwise(F.lit(None)).alias("entropy")
+        return lens.crossJoin(F.broadcast(chars)).select(
+            "v_count", "min_length", "max_length",
+            (F.col("lsum").cast("double") / F.col("v_count")).alias("avg_length"),
+            ent,
+        )
+    if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
+        sums = partials.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n"),
+            F.sum("sa").alias("sa"), F.sum("sb").alias("sb"),
+            F.sum("saa").alias("saa"), F.sum("sbb").alias("sbb"),
+            F.sum("sab").alias("sab"),
+        )
+        n = F.col("n").cast("double")
+        if isinstance(agg, MatrixStatsAgg):
+            var_a = (F.col("saa") - F.col("sa") * F.col("sa") / n) / n
+            var_b = (F.col("sbb") - F.col("sb") * F.col("sb") / n) / n
+            cov = (F.col("sab") - F.col("sa") * F.col("sb") / n) / n
+            return sums.select(
+                F.col("n").alias("doc_count"),
+                (F.col("sa") / n).alias("mean_a"),
+                (F.col("sb") / n).alias("mean_b"),
+                var_a.alias("variance_a"), var_b.alias("variance_b"),
+                cov.alias("covariance"),
+                (cov / F.sqrt(var_a * var_b)).alias("correlation"),
+            )
+        sd = F.col("sa") - F.col("sb")  # sum of d = a - b
+        sdd = F.col("saa") - 2 * F.col("sab") + F.col("sbb")  # sum of d^2
+        s2 = (sdd - sd * sd / n) / (n - 1)  # sample variance of d
+        return sums.select(
+            ((sd / n) / F.sqrt(s2 / n)).alias("t_stat"),
+            (F.col("n") - 1).alias("dof"),
         )
     if isinstance(agg, MissingAgg):
         return partials.agg(
@@ -1667,6 +1839,82 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
         )
         return q.select(
             *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, MedianAbsoluteDeviationAgg):
+        med = dm.agg(F.expr(f"percentile({agg.field}, 0.5)").alias("med"))
+        return (
+            dm.select(F.col(agg.field).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .crossJoin(F.broadcast(med))
+            .agg(F.expr("percentile(abs(v - med), 0.5)"))
+            .toDF("value")
+        )
+    if isinstance(agg, BoxplotAgg):
+        q = dm.agg(
+            F.expr(
+                f"percentile({agg.field}, array(0.0, 0.25, 0.5, 0.75, 1.0))"
+            ).alias("q")
+        )
+        names = ["v_min", "q1", "q2", "q3", "v_max"]
+        return q.select(*[F.col("q")[i].alias(n) for i, n in enumerate(names)])
+    if isinstance(agg, StringStatsAgg):
+        col = F.col(agg.field)
+        lens = dm.agg(
+            F.count(col).alias("v_count"),
+            F.min(F.length(col)).alias("min_length"),
+            F.max(F.length(col)).alias("max_length"),
+            F.sum(F.length(col)).alias("lsum"),
+        )
+        chars = (
+            dm.filter(col.isNotNull())
+            .select(F.explode(F.split(col, "")).alias("ch"))
+            .filter(F.col("ch") != "")  # split("") emits a trailing empty
+            .groupBy("ch")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum("c").alias("tot"),
+                F.sum(F.col("c") * F.log2("c")).alias("clog"),
+            )
+        )
+        ent = F.when(
+            F.col("tot") > 0, F.log2("tot") - F.col("clog") / F.col("tot")
+        ).otherwise(F.lit(None)).alias("entropy")
+        return lens.crossJoin(F.broadcast(chars)).select(
+            "v_count", "min_length", "max_length",
+            (F.col("lsum").cast("double") / F.col("v_count")).alias("avg_length"),
+            ent,
+        )
+    if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
+        a, b = F.col(agg.field_a), F.col(agg.field_b)
+        both = dm.filter(a.isNotNull() & b.isNotNull()).select(
+            a.cast("double").alias("a"), b.cast("double").alias("b")
+        )
+        sums = both.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+            F.sum(F.col("a") * F.col("a")).alias("saa"),
+            F.sum(F.col("b") * F.col("b")).alias("sbb"),
+            F.sum(F.col("a") * F.col("b")).alias("sab"),
+        )
+        n = F.col("n").cast("double")
+        if isinstance(agg, MatrixStatsAgg):
+            var_a = (F.col("saa") - F.col("sa") * F.col("sa") / n) / n
+            var_b = (F.col("sbb") - F.col("sb") * F.col("sb") / n) / n
+            cov = (F.col("sab") - F.col("sa") * F.col("sb") / n) / n
+            return sums.select(
+                F.col("n").alias("doc_count"),
+                (F.col("sa") / n).alias("mean_a"),
+                (F.col("sb") / n).alias("mean_b"),
+                var_a.alias("variance_a"), var_b.alias("variance_b"),
+                cov.alias("covariance"),
+                (cov / F.sqrt(var_a * var_b)).alias("correlation"),
+            )
+        sd = F.col("sa") - F.col("sb")
+        sdd = F.col("saa") - 2 * F.col("sab") + F.col("sbb")
+        s2 = (sdd - sd * sd / n) / (n - 1)
+        return sums.select(
+            ((sd / n) / F.sqrt(s2 / n)).alias("t_stat"),
+            (F.col("n") - 1).alias("dof"),
         )
     if isinstance(agg, MissingAgg):
         return dm.agg(

@@ -11,6 +11,7 @@ to never touch postings.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -943,3 +944,149 @@ def test_adjacency_and_date_range_dsl_dispatch(spark, agg_index, docs_pdf):
         "aggs": {"spans": {"date_range": {"field": "n_chars", "ranges": []}}},
     })
     assert resp["aggregations"]["spans"]["buckets"] == []
+
+
+# ---------------------------------------------------------------------------
+# round-4 metric aggs: string_stats / median_absolute_deviation / boxplot /
+# matrix_stats / t_test
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_string_stats_agg(spark, agg_index, docs_pdf, execution):
+    """string_stats: count / min-max-avg length / character-distribution
+    Shannon entropy — brute twin via Counter, both execution paths."""
+    import collections
+    import math
+
+    from engine.aggs import StringStatsAgg
+
+    r = IndexReader(spark, agg_index)
+    row = search_aggs(
+        r, Q, StringStatsAgg("source"), execution=execution
+    ).collect()[0]
+    vals = matched(docs_pdf)["source"].dropna()
+    lens = vals.str.len()
+    cnt = collections.Counter("".join(vals))
+    tot = sum(cnt.values())
+    ent = math.log2(tot) - sum(c * math.log2(c) for c in cnt.values()) / tot
+    assert (row["v_count"], row["min_length"], row["max_length"]) == (
+        len(vals), lens.min(), lens.max()
+    )
+    assert row["avg_length"] == pytest.approx(lens.sum() / len(vals), rel=1e-12)
+    assert row["entropy"] == pytest.approx(ent, rel=1e-12)
+
+
+def test_string_stats_match_all_plan(spark, agg_index, docs_pdf):
+    import collections
+    import math
+
+    from engine.aggs import StringStatsAgg
+
+    r = IndexReader(spark, agg_index)
+    df = search_aggs(r, None, StringStatsAgg("source"))
+    assert "postings" not in plan_of(df)
+    row = df.collect()[0]
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    vals = ok["source"].dropna()
+    cnt = collections.Counter("".join(vals))
+    tot = sum(cnt.values())
+    ent = math.log2(tot) - sum(c * math.log2(c) for c in cnt.values()) / tot
+    assert row["v_count"] == len(vals)
+    assert row["entropy"] == pytest.approx(ent, rel=1e-12)
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_mad_and_boxplot_aggs(spark, agg_index, docs_pdf, execution):
+    """Exact interpolated median-absolute-deviation and quartiles (numpy
+    'linear' = percentile_cont = Spark percentile)."""
+    from engine.aggs import BoxplotAgg, MedianAbsoluteDeviationAgg
+
+    r = IndexReader(spark, agg_index)
+    vals = matched(docs_pdf)["n_chars"].to_numpy(dtype=float)
+    med = float(np.percentile(vals, 50, method="linear"))
+    want_mad = float(np.percentile(np.abs(vals - med), 50, method="linear"))
+    got = search_aggs(
+        r, Q, MedianAbsoluteDeviationAgg("n_chars"), execution=execution
+    ).collect()[0]["value"]
+    assert got == pytest.approx(want_mad, rel=1e-12)
+
+    row = search_aggs(
+        r, Q, BoxplotAgg("n_chars"), execution=execution
+    ).collect()[0]
+    for name, p in [("v_min", 0), ("q1", 25), ("q2", 50), ("q3", 75), ("v_max", 100)]:
+        assert row[name] == pytest.approx(
+            float(np.percentile(vals, p, method="linear")), rel=1e-12
+        ), name
+    # match_all twins (single DataFrame plan)
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    av = ok["n_chars"].to_numpy(dtype=float)
+    amed = float(np.percentile(av, 50, method="linear"))
+    got = search_aggs(
+        r, None, MedianAbsoluteDeviationAgg("n_chars")
+    ).collect()[0]["value"]
+    assert got == pytest.approx(
+        float(np.percentile(np.abs(av - amed), 50, method="linear"))
+    )
+    row = search_aggs(r, None, BoxplotAgg("n_chars")).collect()[0]
+    assert row["q2"] == pytest.approx(amed)
+
+
+def test_matrix_stats_and_ttest_aggs(spark, tmp_path_factory):
+    """matrix_stats population moments + paired t_test vs numpy brute
+    (listwise deletion over docs non-null in both fields)."""
+    from engine.aggs import MatrixStatsAgg, TTestAgg
+
+    rows = [
+        (
+            str(i),
+            "alpha common" if i % 2 else "beta common",
+            None if i % 5 == 0 else (i * 7) % 23 + 1,
+            None if i % 7 == 0 else (i * 3) % 11 + 1,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, a long, b long")
+    out = str(tmp_path_factory.mktemp("mstats") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["a", "b"])
+    r = IndexReader(spark, out)
+
+    def brute(pred):
+        ab = np.array(
+            [(a, b) for u, _t, a, b in rows
+             if pred(u) and a is not None and b is not None],
+            dtype=float,
+        )
+        return ab[:, 0], ab[:, 1]
+
+    for query, pred in [
+        (["alpha"], lambda u: int(u) % 2 == 1),
+        (None, lambda u: True),
+    ]:
+        a, b = brute(pred)
+        n = a.size
+        for execution in ("local", "spark"):
+            if query is None and execution == "local":
+                continue
+            row = search_aggs(
+                r, query, MatrixStatsAgg("a", "b"), execution=execution
+            ).collect()[0]
+            assert row["doc_count"] == n
+            assert row["mean_a"] == pytest.approx(a.mean(), rel=1e-12)
+            assert row["variance_a"] == pytest.approx(a.var(), rel=1e-12)
+            assert row["variance_b"] == pytest.approx(b.var(), rel=1e-12)
+            cov = ((a * b).sum() - a.sum() * b.sum() / n) / n
+            assert row["covariance"] == pytest.approx(cov, rel=1e-12)
+            assert row["correlation"] == pytest.approx(
+                cov / math.sqrt(a.var() * b.var()), rel=1e-12
+            )
+
+            trow = search_aggs(
+                r, query, TTestAgg("a", "b"), execution=execution
+            ).collect()[0]
+            d = a - b
+            s2 = d.var(ddof=1)
+            assert trow["dof"] == n - 1
+            assert trow["t_stat"] == pytest.approx(
+                d.mean() / math.sqrt(s2 / n), rel=1e-12
+            )
