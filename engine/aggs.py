@@ -1576,6 +1576,175 @@ def collapse_topk(
     )
 
 
+def sampler_terms(
+    reader: IndexReader,
+    query: str | list[str],
+    agg_field: str,
+    sample_size: int = 100,
+    diversify_field: str | None = None,
+    max_per_value: int = 1,
+    mode: str = "or",
+    execution: str = "auto",
+    filters=(),
+) -> DataFrame:
+    """ES `sampler` / `diversified_sampler` aggregation with a `terms`
+    sub-agg: restrict the aggregation scope to the top-`sample_size`
+    BEST-SCORING matched docs (diversified: additionally keep at most
+    `max_per_value` docs per `diversify_field` value before the size
+    cut), then bucket the sample by `agg_field` (doc_count desc, key asc
+    — TermsAgg order, null keys skipped).
+
+    Frozen spec (deliberate, makes the SQL twin exact): the sample is a
+    GLOBAL top cut ordered by 6-dp ROUNDED score desc then url asc —
+    unlike ES, whose sampler cuts `shard_size` docs per shard (a
+    shard-count-dependent result no oracle can replay). Diversified
+    selection: ES's greedy scan (take docs in score order, skip docs
+    whose value already holds max_per_value picks) is equivalent to
+    "rank within value <= max_per_value, then top sample_size overall",
+    because a value's docs are only ever skipped once the cap is
+    reached — exactly a QUALIFY window in SQL. Null diversify values
+    form ONE group (collapse_topk's rule).
+
+    Scale shape: each shard TAAT-scores its own matched docs and emits
+    only its top `sample_size` rows (plain) or per-value top
+    `max_per_value` rows (diversified) — any member of the global
+    sample has, within its own shard, rank <= its global rank on both
+    orderings, so the shard streams are a superset of the sample; the
+    driver merge is O(emitted), never corpus-sized."""
+    spark = reader.spark
+    filters = tuple(filters)
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    need = [agg_field] + ([diversify_field] if diversify_field else [])
+    missing = [f for f in need + filter_fields(filters) if f not in dv_cols]
+    if missing:
+        raise ValueError(
+            f"sampler field(s) {missing} not in index docvalues {dv_cols}"
+        )
+    out_schema = "key string, doc_count long"
+    terms = (
+        analyze_query_py(query) if isinstance(query, str)
+        else list(dict.fromkeys(query))
+    )
+    stats = reader.term_stats(terms)
+    live = [t for t in terms if t in stats]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return spark.createDataFrame([], out_schema)
+    n_terms = len(live)
+    n_docs, k1, b, avgdl = reader.n_docs, reader.k1, reader.b, reader.avgdl
+    idfs = {t: float(P.bm25_idf(stats[t], n_docs)) for t in live}
+    tomb = reader.tombstones()
+    index_dir, mode_b = reader.dir, mode
+    gat_fields = list(dict.fromkeys(["url"] + need + filter_fields(filters)))
+    div_b, cap_b, size_b = diversify_field, int(max_per_value), int(sample_size)
+
+    def shard_sample(shard: int, rows: list) -> pd.DataFrame:
+        cols = {"url": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "v": pd.Series([], dtype=object),
+                "g": pd.Series([], dtype=object)}
+        empty = pd.DataFrame(cols)
+        dels = tomb.get(shard)
+        locs_parts, contrib_parts, term_docs = [], [], []
+        for r in rows:
+            idf = idfs.get(r.term)
+            if idf is None:
+                continue
+            d, t, l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+            locs_parts.append(d)
+            contrib_parts.append(idf * P.bm25_impact(t, l, avgdl, k1, b))
+            term_docs.append(d)
+        if not locs_parts or (mode_b == "and" and len(locs_parts) < n_terms):
+            return empty
+        locs = np.concatenate(locs_parts)
+        uniq, inv = np.unique(locs, return_inverse=True)
+        scores = np.bincount(
+            inv, weights=np.concatenate(contrib_parts), minlength=uniq.size
+        )
+        if mode_b == "and" and len(term_docs) > 1:
+            hits = np.zeros(uniq.size, dtype=np.int64)
+            for d in term_docs:
+                hits[np.searchsorted(uniq, d)] += 1
+            m = hits == n_terms
+            uniq, scores = uniq[m], scores[m]
+        if uniq.size == 0:
+            return empty
+        tbl = gather_docvalues(index_dir, shard, gat_fields, uniq)
+        if filters:
+            fm = np.asarray(filter_mask(tbl, filters))
+            tbl = tbl.filter(pa.array(fm))
+            scores = scores[fm]
+            if not len(tbl):
+                return empty
+        s = lambda x: None if x is None else str(x)  # noqa: E731  TermsAgg key rule
+        pdf = pd.DataFrame(
+            {
+                "url": tbl.column("url").to_pylist(),
+                "score": np.round(scores, 6),
+                "v": [s(x) for x in tbl.column(agg_field).to_pylist()],
+                "g": [s(x) for x in tbl.column(div_b).to_pylist()]
+                if div_b else None,
+            }
+        )
+        pdf = pdf.sort_values(
+            ["score", "url"], ascending=[False, True], kind="mergesort"
+        )
+        if div_b is None:
+            return pdf.head(size_b)
+        # per-value local top-cap: a superset of the shard's contribution
+        # to the global greedy sample (see docstring); no size cut here —
+        # a locally-kept-but-globally-over-cap doc must not crowd out a
+        # real sample member below a local size boundary
+        return pdf[pdf.groupby("g", dropna=False).cumcount() < cap_b]
+
+    pschema = "url string, score double, v string, g string"
+    cand: pd.DataFrame | None = None
+    total_postings = sum(stats[t] for t in live)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(live)
+        if by_shard is not None:
+            frames = [shard_sample(s, rows) for s, rows in by_shard.items()]
+            frames = [f_ for f_ in frames if len(f_)]
+            cand = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=["url", "score", "v", "g"])
+            )
+        elif execution == "local":
+            raise ValueError("execution='local' needs a local postings directory")
+    if cand is None:
+
+        def shard_partials(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_sample(int(pdf_key[0]), list(pdf.itertuples()))
+
+        cand = (
+            reader.postings(live)
+            .groupBy("shard")
+            .applyInPandas(shard_partials, pschema)
+            .toPandas()
+        )
+    if not len(cand):
+        return spark.createDataFrame([], out_schema)
+    cand = cand.sort_values(
+        ["score", "url"], ascending=[False, True], kind="mergesort"
+    )
+    if diversify_field is not None:
+        cand = cand[cand.groupby("g", dropna=False).cumcount() < max_per_value]
+    sample = cand.head(sample_size)
+    vc = sample["v"].dropna().astype(str).value_counts()
+    out = pd.DataFrame({"key": vc.index, "doc_count": vc.to_numpy()})
+    out = out.sort_values(
+        ["doc_count", "key"], ascending=[False, True], kind="mergesort"
+    )
+    return spark.createDataFrame(out, out_schema)
+
+
 def matched_urls(
     reader: IndexReader,
     query: str | list[str] | None,

@@ -815,6 +815,37 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 # defer until the referenced parent has been compiled
                 siblings.append((name, sib, spec[sib]))
                 continue
+            samp = next(
+                (s for s in ("sampler", "diversified_sampler") if s in spec),
+                None,
+            )
+            if samp:
+                # sampler scope + a single terms sub-agg -> the standalone
+                # scored-sample kernel; rendered FLAT (the terms buckets
+                # directly — divergence: ES nests them under the sampler's
+                # own doc_count bucket)
+                if terms is None:
+                    raise ValueError(f"{samp} needs a scoring query context")
+                sp = spec[samp]
+                sub2 = spec.get("aggs") or spec.get("aggregations") or {}
+                if len(sub2) != 1 or "terms" not in next(iter(sub2.values())):
+                    raise ValueError(f"{samp} supports exactly one terms sub-agg")
+                ((_sn, s2),) = sub2.items()
+                from engine.aggs import sampler_terms
+
+                df = sampler_terms(
+                    reader, terms, s2["terms"]["field"],
+                    sample_size=sp.get("shard_size", 100),
+                    diversify_field=sp.get("field")
+                    if samp == "diversified_sampler" else None,
+                    max_per_value=sp.get("max_docs_per_value", 1),
+                    mode=mode, filters=filt,
+                )
+                bucket_dfs[name] = df
+                out["aggregations"][name] = {
+                    "buckets": [r.asDict() for r in df.collect()]
+                }
+                continue
             agg, post = _compile_agg(spec)
             df = search_aggs(reader, terms, agg, mode=mode, filters=filt)
             if post is not None:

@@ -1090,3 +1090,83 @@ def test_matrix_stats_and_ttest_aggs(spark, tmp_path_factory):
             assert trow["t_stat"] == pytest.approx(
                 d.mean() / math.sqrt(s2 / n), rel=1e-12
             )
+
+
+# ---------------------------------------------------------------------------
+# sampler / diversified_sampler aggs (terms sub-agg over the scored sample)
+# ---------------------------------------------------------------------------
+
+
+def _scored_matched(docs_pdf, terms=Q):
+    """All matched docs with 6-dp rounded BM25 scores, sampler sort order
+    (score desc, url asc) — the frozen global-cut ordering."""
+    from engine.oracle import Bm25Oracle
+
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    orc = Bm25Oracle(list(zip(ok["doc_id"], ok["text"])))
+    hits = orc.topk(terms, k=10**9)
+    sc = pd.DataFrame(hits, columns=["doc_id", "score"])
+    sc["score"] = sc["score"].round(6)
+    sc["url"] = sc["doc_id"].astype(str)
+    sc = sc.merge(ok[["doc_id", "lang", "source"]], on="doc_id")
+    return sc.sort_values(
+        ["score", "url"], ascending=[False, True], kind="mergesort"
+    )
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_sampler_terms_vs_brute(spark, agg_index, docs_pdf, execution):
+    from engine.aggs import sampler_terms
+
+    r = IndexReader(spark, agg_index)
+    sc = _scored_matched(docs_pdf)
+    # plain sampler: global top-N cut, then terms on lang
+    for n in (10, 40):
+        got = [
+            (x["key"], x["doc_count"])
+            for x in sampler_terms(
+                r, Q, "lang", n, execution=execution
+            ).collect()
+        ]
+        vc = sc.head(n)["lang"].dropna().value_counts()
+        want = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == want, n
+    # diversified: per-source cap before the cut (greedy == window rank)
+    got = [
+        (x["key"], x["doc_count"])
+        for x in sampler_terms(
+            r, Q, "lang", 25, diversify_field="source", max_per_value=2,
+            execution=execution,
+        ).collect()
+    ]
+    f = sc[sc.groupby("source", dropna=False).cumcount() < 2].head(25)
+    vc = f["lang"].dropna().value_counts()
+    want = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+
+
+def test_sampler_dsl_dispatch(spark, agg_index, docs_pdf):
+    from engine.aggs import sampler_terms
+    from engine.dsl import search
+
+    r = IndexReader(spark, agg_index)
+    resp = search(r, {
+        "query": {"match": {"text": " ".join(Q)}}, "size": 0,
+        "aggs": {"sample": {
+            "diversified_sampler": {
+                "shard_size": 25, "field": "source", "max_docs_per_value": 2,
+            },
+            "aggs": {"langs": {"terms": {"field": "lang"}}},
+        }},
+    })
+    native = sampler_terms(
+        r, Q, "lang", 25, diversify_field="source", max_per_value=2
+    )
+    assert resp["aggregations"]["sample"]["buckets"] == [
+        x.asDict() for x in native.collect()
+    ]
+    with pytest.raises(ValueError, match="terms sub-agg"):
+        search(r, {
+            "query": {"match": {"text": "hash"}}, "size": 0,
+            "aggs": {"s": {"sampler": {"shard_size": 5}}},
+        })
