@@ -3104,6 +3104,61 @@ def q_suggest_terms(spark, sf_dir):
     return suggest_terms(r, SUGGEST_INPUT, max_edits=2, size=5)
 
 
+SUGGEST_PHRASE = f"{SUGGEST_INPUT} hash"  # one misspelled slot, one head term
+
+
+def q_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester ("did you mean"): single-slot corrections from
+    the term suggester, laplace-unigram log-likelihood summed in slot
+    order, confidence=1 (strictly better than the original), rounded-
+    score desc / suggestion asc (engine/query.py suggest_phrase)."""
+    from engine.query import IndexReader, suggest_phrase
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    return suggest_phrase(r, SUGGEST_PHRASE, size=5)
+
+
+def _suggest_phrase_sql(slot1: str, slot2: str, size: int = 5) -> str:
+    """Two-slot phrase-suggester oracle: per-slot term-suggester candidate
+    CTEs, one-slot-replaced phrases, laplace unigram log-likelihood in
+    slot order, confidence filter, rounded-score ordering."""
+    return f"""
+{_toks_cte()},
+alltf AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+n AS (SELECT (count(*) + 1)::DOUBLE AS n1 FROM toks),
+d1 AS (SELECT coalesce((SELECT df FROM alldf WHERE term = '{slot1}'), 0) AS df),
+d2 AS (SELECT coalesce((SELECT df FROM alldf WHERE term = '{slot2}'), 0) AS df),
+base AS (
+  SELECT ln((d1.df + 1) / n1) + ln((d2.df + 1) / n1) AS s FROM d1, d2, n
+),
+c1 AS (
+  SELECT term, df FROM alldf
+  WHERE term != '{slot1}' AND levenshtein(term, '{slot1}') <= 2
+  ORDER BY levenshtein(term, '{slot1}') ASC, df DESC, term ASC LIMIT 5
+),
+c2 AS (
+  SELECT term, df FROM alldf
+  WHERE term != '{slot2}' AND levenshtein(term, '{slot2}') <= 2
+  ORDER BY levenshtein(term, '{slot2}') ASC, df DESC, term ASC LIMIT 5
+),
+ph AS (
+  SELECT c1.term || ' {slot2}' AS suggestion,
+         ln((c1.df + 1) / n1) + ln((d2.df + 1) / n1) AS s
+  FROM c1, d2, n
+  UNION ALL
+  SELECT '{slot1} ' || c2.term,
+         ln((d1.df + 1) / n1) + ln((c2.df + 1) / n1)
+  FROM c2, d1, n
+)
+SELECT suggestion, round(s, 6) AS score FROM ph
+WHERE s > (SELECT s FROM base)
+ORDER BY round(s, 6) DESC, suggestion ASC LIMIT {size}"""
+
+
 def _federated_index_dirs(spark, sf_dir):
     """Two half-corpus member indexes (doc_id parity split) for the
     federated driver query; same content-fingerprint cache discipline as
@@ -3542,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ttest_paired": q_agg_ttest_paired,
         "agg_sampler": q_agg_sampler,
         "agg_div_sampler": q_agg_div_sampler,
+        "suggest_phrase": q_suggest_phrase,
     }
 
 
@@ -4395,4 +4451,5 @@ FROM p WHERE pos IS NOT NULL""",
         "agg_div_sampler": _sampler_sql(
             BM25_TERMS, "lang", 80, div_field="source", cap=2
         ),
+        "suggest_phrase": _suggest_phrase_sql(SUGGEST_INPUT, "hash"),
     }

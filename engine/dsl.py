@@ -513,6 +513,64 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             spec["value"] if isinstance(spec, dict) else spec,
             end=int(s["end"]), k=k,
         )
+    if "intervals" in query:
+        # ES intervals query over a positional index, routed onto the
+        # span engine. Supported rules (frozen subset): `match` with
+        # max_gaps/ordered, and `all_of` whose sub-intervals are
+        # single-term `match` rules. The MATCHING set is identical to
+        # Lucene's (an interval of width <= max_gaps exists iff a span of
+        # slop <= max_gaps exists); SCORING is the span engine's frozen
+        # combinatorial-span weighting, a documented divergence from
+        # Lucene's minimal-interval 1/(1+width) freq. max_gaps must be
+        # >= 0 (ES's -1 = unlimited would make the combinatorial span
+        # count unbounded; use a bool/match query for pure conjunction).
+        ((fld, rule),) = query["intervals"].items()
+        if fld != "text":
+            raise ValueError("intervals supports the text field")
+        if filters:
+            raise ValueError("intervals + filter context is not composed yet")
+
+        def _rule_terms(r_: dict) -> tuple[list, int, bool]:
+            if "match" in r_:
+                m_ = r_["match"]
+                from engine.oracle import analyze_query_py as _an
+
+                return (
+                    _an(m_["query"]),
+                    int(m_.get("max_gaps", -1)),
+                    bool(m_.get("ordered", False)),
+                )
+            if "all_of" in r_:
+                a_ = r_["all_of"]
+                terms_: list = []
+                for sub in a_["intervals"]:
+                    st, sg, _so = _rule_terms(sub)
+                    if len(st) != 1 or sg not in (-1, 0):
+                        raise ValueError(
+                            "all_of sub-intervals must be single-term match "
+                            "rules (nested gaps are a documented divergence)"
+                        )
+                    terms_.extend(st)
+                return (
+                    terms_,
+                    int(a_.get("max_gaps", -1)),
+                    bool(a_.get("ordered", False)),
+                )
+            raise ValueError(f"unsupported intervals rule: {sorted(r_)}")
+
+        iv_terms, max_gaps, ordered = _rule_terms(rule)
+        if max_gaps < 0:
+            raise ValueError(
+                "intervals needs max_gaps >= 0 (unlimited gaps would make "
+                "the span count unbounded; use bool/match for conjunction)"
+            )
+        from engine.spans import span_near_topk
+
+        if len(iv_terms) == 1:
+            return bm25_topk(reader, iv_terms, k=k)
+        return span_near_topk(
+            reader, iv_terms, k=k, slop=max_gaps, in_order=ordered
+        )
     if "simple_query_string" in query:
         s = query["simple_query_string"]
         flds = s.get("fields", ["text"])
@@ -866,6 +924,56 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             out["aggregations"][name] = {
                 "buckets": [r.asDict() for r in df.collect()]
             }
+
+    suggest_spec = body.get("suggest") or {}
+    if suggest_spec:
+        # ES suggest block: term / phrase / completion suggesters, each
+        # routed to its native operator; options are the operator's rows
+        # verbatim (frozen flat shape — no per-option highlighting)
+        out["suggest"] = {}
+        for name, spec in suggest_spec.items():
+            if "term" in spec:
+                from engine.query import suggest_terms as _st
+
+                t_ = spec["term"]
+                if t_.get("field", "text") != "text":
+                    raise ValueError("term suggester supports the text field")
+                df = _st(
+                    reader, spec["text"],
+                    max_edits=int(t_.get("max_edits", 2)),
+                    size=int(t_.get("size", 5)),
+                    prefix_length=int(t_.get("prefix_length", 0)),
+                )
+            elif "phrase" in spec:
+                from engine.query import suggest_phrase as _sp
+
+                p_ = spec["phrase"]
+                if p_.get("field", "text") != "text":
+                    raise ValueError("phrase suggester supports the text field")
+                df = _sp(
+                    reader, spec["text"],
+                    size=int(p_.get("size", 5)),
+                    max_edits=int(p_.get("max_edits", 2)),
+                )
+            elif "completion" in spec:
+                from engine.query import suggest_complete as _sc
+
+                c_ = spec["completion"]
+                if c_.get("field", "text") != "text":
+                    raise ValueError(
+                        "completion suggester supports the text field"
+                    )
+                df = _sc(reader, spec["prefix"], size=int(c_.get("size", 10)))
+            else:
+                raise ValueError(
+                    f"unsupported suggester: {sorted(set(spec) - {'text', 'prefix'})}"
+                )
+            out["suggest"][name] = [
+                {
+                    "text": spec.get("text", spec.get("prefix", "")),
+                    "options": [r.asDict() for r in df.collect()],
+                }
+            ]
 
     out.update(
         {

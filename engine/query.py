@@ -2409,6 +2409,73 @@ def suggest_complete(
     )
 
 
+def suggest_phrase(
+    reader: "IndexReader",
+    text: str,
+    size: int = 5,
+    max_edits: int = 2,
+    per_slot: int = 5,
+) -> "DataFrame":
+    """ES phrase suggester ("did you mean"), frozen spec:
+
+    - slots = the analyzed input (order + duplicates kept);
+    - per-slot corrections = the term suggester's top `per_slot`
+      (distance asc, df desc, term asc within `max_edits`, input term
+      excluded) — suggest_terms IS the candidate generator, so both of
+      its serving paths (cached vocab / distributed term_stats scan)
+      back this too;
+    - max_errors = 1 (the ES default): each candidate phrase replaces
+      exactly ONE slot with one of its corrections;
+    - score = the Laplace-smoothed unigram log-likelihood
+      sum_slots ln((df+1)/(n_docs+1)), summed in slot order — the frozen
+      divergence from ES's shingle-LM (this engine indexes no shingle
+      field; ES's own docs require one for LM smoothing to work, and the
+      unigram LM is the degenerate laplace(0.5)-like baseline);
+    - confidence = 1 (ES default): only phrases scoring STRICTLY above
+      the original phrase's own score are returned;
+    - order: 6-dp-rounded score desc, suggestion asc (the rounding makes
+      the DuckDB twin's float sums tie-stable), top `size`.
+
+    Returns (suggestion string, score double) rows. Cost shape: one
+    suggest_terms per slot (distributed when the vocab cache is cold) +
+    O(slots * per_slot) driver-side arithmetic — never corpus work."""
+    import math
+
+    from engine.textnorm import standard_tokenize_py
+
+    slots = standard_tokenize_py(text.lower())
+    schema = "suggestion string, score double"
+    if not slots:
+        return reader.spark.createDataFrame([], schema)
+    n1 = float(reader.n_docs + 1)
+    base_df = reader.term_stats(slots)  # absent terms -> df 0
+
+    def lp(term: str, df_override: int | None = None) -> float:
+        df = base_df.get(term, 0) if df_override is None else df_override
+        return math.log((df + 1) / n1)
+
+    base_lps = [lp(t) for t in slots]
+    base_score = sum(base_lps)
+    out: list[tuple[str, float]] = []
+    for i, slot in enumerate(slots):
+        cands = suggest_terms(
+            reader, slot, max_edits=max_edits, size=per_slot
+        ).collect()
+        for c in cands:
+            score = sum(
+                lp(c["suggestion"], int(c["df"])) if j == i else base_lps[j]
+                for j in range(len(slots))
+            )
+            if score > base_score:
+                phrase = " ".join(
+                    c["suggestion"] if j == i else slots[j]
+                    for j in range(len(slots))
+                )
+                out.append((phrase, round(score, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return reader.spark.createDataFrame(out[:size], schema)
+
+
 def _phrase_candidates(rows: list, slots: list[list[str]], dels, allow=None):
     """Decode positional posting rows and intersect the slots' doc lists
     (conjunctive, live-filtered). Each slot is a list of alternative terms

@@ -831,3 +831,91 @@ def test_federated_equals_single_index(spark, index, corpus, tmp_path_factory):
         assert [u for u, _ in gs] == [u for u, _ in ws], q
         for (gu, gsc), (wu, wsc) in zip(gs, ws):
             assert gsc == pytest.approx(wsc, abs=1e-9), (q, gu, wu)
+
+
+def test_suggest_phrase_vs_brute(spark, index, oracle):
+    """Phrase suggester: max_errors=1 single-slot corrections from the
+    term suggester, laplace-unigram log-likelihood in slot order,
+    confidence=1 (strictly better than the original phrase), rounded-
+    score desc / suggestion asc — vs a brute twin over the vocab cache."""
+    import math
+
+    from engine.query import IndexReader, _lev_dist, suggest_phrase
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    text = "lne the"
+    slots = text.split()
+    r.term_stats(["line"])  # populate the vocab cache
+    vocab = dict(r._ts_cache)
+    n1 = r.n_docs + 1
+
+    def lp(df):
+        return math.log((df + 1) / n1)
+
+    base_lps = [lp(vocab.get(t, 0)) for t in slots]
+    base = sum(base_lps)
+    want = []
+    for i, slot in enumerate(slots):
+        cands = sorted(
+            (
+                (t, d, _lev_dist(slot, t))
+                for t, d in vocab.items()
+                if t != slot and abs(len(t) - len(slot)) <= 2
+                and _lev_dist(slot, t) <= 2
+            ),
+            key=lambda x: (x[2], -x[1], x[0]),
+        )[:5]
+        for t, d, _dist in cands:
+            score = sum(
+                lp(d) if j == i else base_lps[j] for j in range(len(slots))
+            )
+            if score > base:
+                phrase = " ".join(
+                    t if j == i else slots[j] for j in range(len(slots))
+                )
+                want.append((phrase, round(score, 6)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = [
+        (x["suggestion"], x["score"])
+        for x in suggest_phrase(r, text, size=5).collect()
+    ]
+    assert got == want[:5] and got
+    # every suggestion must outscore the original phrase; the original
+    # phrase itself never appears
+    assert all(s > round(base, 6) for _p, s in got)
+    assert text not in {p for p, _s in got}
+
+
+def test_dsl_suggest_block(spark, index):
+    """The _search DSL suggest block routes term / phrase / completion
+    suggesters to the native operators (dispatch identity)."""
+    from engine.dsl import search
+    from engine.query import (
+        IndexReader, suggest_complete, suggest_phrase, suggest_terms,
+    )
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    resp = search(r, {
+        "size": 0,
+        "query": {"match_all": {}},
+        "suggest": {
+            "fix": {"text": "lne", "term": {"field": "text", "size": 3}},
+            "dym": {"text": "lne the", "phrase": {"field": "text", "size": 3}},
+            "auto": {"prefix": "li", "completion": {"field": "text"}},
+        },
+    })
+    assert resp["suggest"]["fix"][0]["options"] == [
+        x.asDict() for x in suggest_terms(r, "lne", size=3).collect()
+    ]
+    assert resp["suggest"]["dym"][0]["options"] == [
+        x.asDict() for x in suggest_phrase(r, "lne the", size=3).collect()
+    ]
+    assert resp["suggest"]["auto"][0]["options"] == [
+        x.asDict() for x in suggest_complete(r, "li").collect()
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported suggester"):
+        search(r, {"suggest": {"x": {"text": "a", "nope": {}}}})

@@ -326,3 +326,77 @@ def test_span_near_property(spark, data, slop, in_order):
         assert got == want, (docs, terms, slop, in_order, got, want)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dsl_intervals_dispatch(spark, pos_index):
+    """ES intervals query routes onto the span engine: `match` with
+    max_gaps/ordered == span_near(slop, in_order) (identical MATCHING
+    set; scoring is the frozen combinatorial-span weighting — documented
+    divergence from Lucene's minimal-interval freq); `all_of` over
+    single-term match rules flattens to the same span_near; a one-term
+    rule is the plain term query; max_gaps is required >= 0."""
+    from engine.dsl import search
+
+    r = IndexReader(spark, pos_index)
+
+    def ids(resp):
+        return [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]]
+
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in span_near_topk(
+            r, ["quick", "fox"], k=5, slop=2, in_order=False
+        ).collect()
+    ]
+    got = search(r, {
+        "query": {"intervals": {"text": {
+            "match": {"query": "Quick FOX", "max_gaps": 2}
+        }}},
+        "size": 5,
+    })
+    assert ids(got) == want
+
+    # all_of over single-term rules == the flattened span_near (ordered)
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in span_near_topk(
+            r, ["quick", "fox"], k=5, slop=1, in_order=True
+        ).collect()
+    ]
+    got = search(r, {
+        "query": {"intervals": {"text": {
+            "all_of": {
+                "ordered": True, "max_gaps": 1,
+                "intervals": [
+                    {"match": {"query": "quick"}},
+                    {"match": {"query": "fox"}},
+                ],
+            }
+        }}},
+        "size": 5,
+    })
+    assert ids(got) == want
+
+    # single-term rule == term BM25
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in bm25_topk(r, ["fox"], k=5).collect()
+    ]
+    got = search(r, {
+        "query": {"intervals": {"text": {
+            "match": {"query": "fox", "max_gaps": 0}
+        }}},
+        "size": 5,
+    })
+    assert ids(got) == want
+
+    with pytest.raises(ValueError, match="max_gaps"):
+        search(r, {"query": {"intervals": {"text": {
+            "match": {"query": "quick fox"}
+        }}}})
+    with pytest.raises(ValueError, match="single-term"):
+        search(r, {"query": {"intervals": {"text": {
+            "all_of": {"max_gaps": 1, "intervals": [
+                {"match": {"query": "quick fox", "max_gaps": 3}},
+            ]}
+        }}}})
