@@ -3159,6 +3159,41 @@ WHERE s > (SELECT s FROM base)
 ORDER BY round(s, 6) DESC, suggestion ASC LIMIT {size}"""
 
 
+MGET_IDS = ["3", "17", "404", "no-such-doc", "1205"]  # one guaranteed miss
+
+
+def q_mget_docs(spark, sf_dir):
+    """ES _mget: point-fetch by _id in request order with found flags and
+    docvalue projection (engine/query.py mget — XXH64 shard routing, one
+    pruned pyarrow read per touched shard). The engine-internal doc_id
+    ordinal is dropped from the oracle-checked projection (the oracle
+    has no shard layout)."""
+    from engine.query import IndexReader, mget
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = mget(r, MGET_IDS, fields=["lang", "n_chars"])
+    return out.select("url", "found", "lang", "n_chars")
+
+
+def q_agg_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram on the events index's ts docvalue for the
+    'click' term query: frozen hour->day->month ladder, first unit whose
+    global distinct-bucket count fits buckets=60 (engine/aggs.py
+    AutoDateHistogramAgg) — lands on 'day' at every test sf (30 days of
+    events, >60 distinct hours)."""
+    from engine.aggs import AutoDateHistogramAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _events_index_dir(spark, sf_dir))
+    out = search_aggs(r, ["click"], AutoDateHistogramAgg("ts", buckets=60))
+    return out.select(
+        (F.unix_micros(F.col("bucket")) / 1_000_000)
+        .cast("long")
+        .alias("bucket_epoch"),
+        "doc_count", "interval",
+    )
+
+
 def _federated_index_dirs(spark, sf_dir):
     """Two half-corpus member indexes (doc_id parity split) for the
     federated driver query; same content-fingerprint cache discipline as
@@ -3598,6 +3633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_sampler": q_agg_sampler,
         "agg_div_sampler": q_agg_div_sampler,
         "suggest_phrase": q_suggest_phrase,
+        "mget_docs": q_mget_docs,
+        "agg_auto_date_histogram": q_agg_auto_date_histogram,
     }
 
 
@@ -4452,4 +4489,22 @@ FROM p WHERE pos IS NOT NULL""",
             BM25_TERMS, "lang", 80, div_field="source", cap=2
         ),
         "suggest_phrase": _suggest_phrase_sql(SUGGEST_INPUT, "hash"),
+        "mget_docs": (
+            "WITH req(url) AS (VALUES "
+            + ", ".join(f"('{u}')" for u in MGET_IDS)
+            + ") SELECT r.url, (d.doc_id IS NOT NULL) AS found, "
+            "d.lang, d.n_chars FROM req r LEFT JOIN ("
+            "SELECT * FROM documents WHERE text IS NOT NULL AND text != ''"
+            ") d ON d.doc_id::VARCHAR = r.url"
+        ),
+        "agg_auto_date_histogram": (
+            "WITH m AS (SELECT ts FROM events WHERE event_type = 'click'), "
+            "c AS (SELECT count(DISTINCT date_trunc('hour', ts)) AS ch, "
+            "count(DISTINCT date_trunc('day', ts)) AS cd FROM m), "
+            "u AS (SELECT CASE WHEN ch <= 60 THEN 'hour' "
+            "WHEN cd <= 60 THEN 'day' ELSE 'month' END AS unit FROM c) "
+            "SELECT floor(epoch(date_trunc(u.unit, m.ts)))::BIGINT AS "
+            "bucket_epoch, count(*)::BIGINT AS doc_count, "
+            "u.unit AS interval FROM m, u GROUP BY bucket_epoch, u.unit"
+        ),
     }

@@ -304,6 +304,23 @@ class CardinalityAgg:
 
 
 @dataclass(frozen=True)
+class AutoDateHistogramAgg:
+    """ES `auto_date_histogram` over a timestamp docvalue: pick the
+    calendar interval automatically so the bucket count fits `buckets`.
+    Frozen rule (ES uses a wider rounding ladder + shard-side
+    downsampling): ladder = hour -> day -> month, choose the FIRST unit
+    whose global distinct-bucket count over the matched set is <=
+    `buckets`, else month. One kernel pass emits all three units'
+    partial bucket counts (3x a date_histogram partial — still
+    word-count-shaped); the combine sums each unit's buckets exactly,
+    then the ladder decision reads three tiny distinct counts. Output
+    rows carry the chosen `interval` so callers see the resolution."""
+
+    field: str
+    buckets: int = 10
+
+
+@dataclass(frozen=True)
 class StringStatsAgg:
     """ES `string_stats` aggregation over a keyword docvalue: count of
     non-null values, min/max/avg length (Unicode code points, = DuckDB
@@ -764,6 +781,20 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"bucket_us": uniq.astype("datetime64[us]").astype(np.int64), "cnt": counts}
         )
+    if isinstance(agg, AutoDateHistogramAgg):
+        frames = []
+        for unit, dt in _DT_UNIT.items():
+            if vals.size == 0:
+                continue
+            uniq, counts = np.unique(vals.astype(dt), return_counts=True)
+            frames.append(pd.DataFrame({
+                "unit": unit,
+                "bucket_us": uniq.astype("datetime64[us]").astype(np.int64),
+                "cnt": counts,
+            }))
+        if not frames:
+            return pd.DataFrame({"unit": [], "bucket_us": [], "cnt": []})
+        return pd.concat(frames, ignore_index=True)
     if isinstance(agg, StatsAgg):
         if vals.size == 0:
             # zero-row partial: the combine's coalesce supplies count=0
@@ -871,6 +902,8 @@ def _partial_schema(agg, vt: str) -> str:
         return "bucket double, cnt long"
     if isinstance(agg, DateHistogramAgg):
         return "bucket_us long, cnt long"
+    if isinstance(agg, AutoDateHistogramAgg):
+        return "unit string, bucket_us long, cnt long"
     if isinstance(agg, StatsAgg):
         return f"vcnt long, vmin {vt}, vmax {vt}, vsum {vt}"
     if isinstance(agg, MultiTermsAgg):
@@ -1068,6 +1101,32 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
                 "doc_count",
             )
             .orderBy("bucket")
+        )
+    if isinstance(agg, AutoDateHistogramAgg):
+        # ONE pass: all three units' exact global buckets come back to the
+        # driver (3x a date_histogram bucket table — tiny by construction),
+        # the ladder decision is pure Python over their sizes
+        rows = (
+            partials.groupBy("unit", "bucket_us")
+            .agg(F.sum("cnt").alias("doc_count"))
+            .collect()
+        )
+        by_unit: dict[str, list] = {}
+        for r in rows:
+            by_unit.setdefault(r["unit"], []).append(
+                (r["bucket_us"], r["doc_count"])
+            )
+        chosen = next(
+            (u for u in _DT_UNIT if len(by_unit.get(u, ())) <= agg.buckets),
+            "month",
+        )
+        out = sorted(by_unit.get(chosen, ()))
+        return spark.createDataFrame(
+            [(b, c, chosen) for b, c in out],
+            "bucket_us long, doc_count long, interval string",
+        ).select(
+            F.timestamp_micros("bucket_us").alias("bucket"),
+            "doc_count", "interval",
         )
     if isinstance(agg, StatsAgg):
         return partials.agg(
@@ -2265,6 +2324,43 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
             .groupBy(F.date_trunc(agg.interval, c).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy("bucket")
+        )
+    if isinstance(agg, AutoDateHistogramAgg):
+        # one docmap pass: explode each live doc's timestamp into its
+        # three calendar floors, group once, decide the ladder driver-side
+        units = list(_DT_UNIT)
+        rows = (
+            dm.filter(c.isNotNull())
+            .select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(u).alias("unit"),
+                            F.date_trunc(u, c).alias("bucket"),
+                        )
+                        for u in units
+                    ])
+                ).alias("ub")
+            )
+            .groupBy("ub.unit", "ub.bucket")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .collect()
+        )
+        by_unit: dict[str, list] = {}
+        for r in rows:
+            by_unit.setdefault(r["unit"], []).append(
+                (r["bucket"], r["doc_count"])
+            )
+        chosen = next(
+            (u for u in units if len(by_unit.get(u, ())) <= agg.buckets),
+            "month",
+        )
+        return spark.createDataFrame(
+            [
+                (b, cnt, chosen)
+                for b, cnt in sorted(by_unit.get(chosen, ()))
+            ],
+            "bucket timestamp_ntz, doc_count long, interval string",
         )
     if isinstance(agg, StatsAgg):
         return dm.agg(

@@ -264,6 +264,11 @@ def _compile_agg_obj(spec: dict, sub: dict):
         return DateHistogramAgg(
             h["field"], h.get("calendar_interval", h.get("interval", "day"))
         )
+    if "auto_date_histogram" in spec:
+        from engine.aggs import AutoDateHistogramAgg
+
+        h = spec["auto_date_histogram"]
+        return AutoDateHistogramAgg(h["field"], h.get("buckets", 10))
     if "stats" in spec:
         return StatsAgg(spec["stats"]["field"])
     if "cardinality" in spec:
@@ -984,4 +989,78 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             },
         }
     )
+    return out
+
+
+def msearch(reader, bodies: list, corpus=None, embeddings=None) -> list:
+    """ES `_msearch`: a batch of independent search bodies answered in
+    request order — a pure dispatcher onto search() (each body already
+    routes to operators that batch internally where it matters; the
+    dedicated high-QPS path for large homogeneous batches is
+    engine/query.py bm25_topk_batch)."""
+    return [search(reader, b, corpus=corpus, embeddings=embeddings) for b in bodies]
+
+
+def scroll_search(reader, body: dict, size: int = 10) -> dict:
+    """ES scroll API, re-based on the PIT + search_after machinery (the
+    pattern ES itself recommends over classic scroll contexts): the
+    initial call pins the CURRENT delete snapshot and requires a
+    single-field `sort` spec; each page returns `_scroll_id`, an opaque
+    stateless continuation token (snapshot id + sort spec + analyzed
+    query + last (value, _id) cursor) — no server-side context to expire,
+    and any holder of the token resumes the exact point-in-time view
+    (tombstone batches after the pin are invisible). Frozen divergences:
+    a sort spec is required (no _doc default) and the filter context is
+    not carried in the token."""
+    from engine.deletes import list_snapshots
+
+    srt = body.get("sort")
+    if not srt or len(srt) != 1:
+        raise ValueError("scroll needs exactly one sort field")
+    ((fld, o),) = srt[0].items()
+    order = o.get("order", "asc") if isinstance(o, dict) else o
+    terms, mode = _query_terms_or_none(body.get("query", {"match_all": {}}))
+    token = {
+        "dir": reader.dir,
+        "snap": len(list_snapshots(reader.dir)),
+        "terms": terms, "mode": mode,
+        "field": fld, "asc": order == "asc", "size": int(size),
+        "after": None,
+    }
+    return _scroll_page(reader.spark, token)
+
+
+def scroll_next(spark, scroll_id: str) -> dict:
+    """Continue a scroll: decode the stateless token and fetch the next
+    snapshot-pinned page. An exhausted scroll returns zero hits and no
+    _scroll_id."""
+    import base64
+    import json as _json
+
+    token = _json.loads(base64.urlsafe_b64decode(scroll_id.encode()).decode())
+    return _scroll_page(spark, token)
+
+
+def _scroll_page(spark, token: dict) -> dict:
+    import base64
+    import json as _json
+
+    from engine.aggs import search_sort
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, token["dir"], snapshot_id=token["snap"])
+    after = tuple(token["after"]) if token["after"] is not None else None
+    rows = search_sort(
+        r, token["terms"], token["field"], k=token["size"],
+        mode=token["mode"], ascending=token["asc"], search_after=after,
+    ).collect()
+    hits = [
+        {"_id": x["url"], "sort": [x["sort_val"], x["url"]]} for x in rows
+    ]
+    out = {"hits": {"hits": hits}}
+    if rows:
+        nxt = dict(token, after=[rows[-1]["sort_val"], rows[-1]["url"]])
+        out["_scroll_id"] = base64.urlsafe_b64encode(
+            _json.dumps(nxt, default=str).encode()
+        ).decode()
     return out

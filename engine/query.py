@@ -2476,6 +2476,103 @@ def suggest_phrase(
     return reader.spark.createDataFrame(out[:size], schema)
 
 
+def mget(
+    reader: "IndexReader",
+    urls: "list[str]",
+    fields: "list[str] | None" = None,
+) -> "DataFrame":
+    """ES `_mget`: point-fetch documents by _id (url), one row per
+    requested id in request order: (url, found, doc_id, <requested
+    docvalue columns>). Missing ids and tombstoned docs report
+    found=false with null attributes (ES reports deleted docs as not
+    found). doc_id is the engine-internal global ordinal (shard offset +
+    local id), null when not found.
+
+    Cost shape: driver-side XXH64 shard routing groups the ids by shard;
+    local index dirs serve each touched shard with ONE pruned pyarrow
+    read carrying an `isin` url predicate (row-group pruning, no Spark
+    job); remote dirs fall back to a docmap scan with the same pushed
+    predicate — never a full corpus materialization."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from engine.hashing import xxh64
+
+    fields = list(fields or [])
+    dv_cols = reader.manifest.get("docvalue_cols") or []
+    bad = [f for f in fields if f not in dv_cols]
+    if bad:
+        raise ValueError(f"field(s) {bad} not in index docvalues {dv_cols}")
+    ftypes = {f: _spark_vtype(reader, f) for f in fields}
+    schema = "url string, found boolean, doc_id long" + "".join(
+        f", {f} {ftypes[f]}" for f in fields
+    )
+    if not urls:
+        return reader.spark.createDataFrame([], schema)
+    n_shards = reader.manifest["n_shards"]
+    offsets = reader.shard_offsets()
+    tomb = reader.tombstones()
+    by_shard: dict[int, list[str]] = {}
+    for u in urls:
+        by_shard.setdefault(xxh64(u.encode()) % n_shards, []).append(u)
+    cols = ["url", "local_id"] + fields
+    hits: dict[str, tuple] = {}
+    dm_dir = os.path.join(reader.dir, "docmap")
+    if os.path.isdir(dm_dir):
+        reader._check_generation()
+        for shard, us in by_shard.items():
+            part = os.path.join(dm_dir, f"shard={shard}")
+            if not os.path.isdir(part):
+                continue
+            tbl = ds.dataset(part).to_table(
+                columns=cols, filter=pc.field("url").isin(us)
+            )
+            dels = tomb.get(shard)
+            for row in tbl.to_pylist():
+                lid = int(row["local_id"])
+                if dels is not None and lid in dels:
+                    continue
+                hits[row["url"]] = (
+                    offsets[shard] + lid,
+                    tuple(row[f] for f in fields),
+                )
+    else:
+        rows = (
+            reader.docmap()
+            .filter(F.col("url").isin(list(urls)))
+            .select("shard", *cols)
+            .collect()
+        )
+        for row in rows:
+            dels = tomb.get(int(row["shard"]))
+            lid = int(row["local_id"])
+            if dels is not None and lid in dels:
+                continue
+            hits[row["url"]] = (
+                offsets[int(row["shard"])] + lid,
+                tuple(row[f] for f in fields),
+            )
+    out = [
+        (u, True, hits[u][0], *hits[u][1]) if u in hits
+        else (u, False, None, *([None] * len(fields)))
+        for u in urls
+    ]
+    return reader.spark.createDataFrame(out, schema)
+
+
+def _spark_vtype(reader: "IndexReader", fld: str) -> str:
+    import pyarrow as pa
+
+    t = reader._pa_dataset("docmap").schema.field(fld).type
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz"
+    if pa.types.is_integer(t):
+        return "long"
+    if pa.types.is_floating(t):
+        return "double"
+    return "string"
+
+
 def _phrase_candidates(rows: list, slots: list[list[str]], dels, allow=None):
     """Decode positional posting rows and intersect the slots' doc lists
     (conjunctive, live-filtered). Each slot is a list of alternative terms

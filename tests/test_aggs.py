@@ -1170,3 +1170,91 @@ def test_sampler_dsl_dispatch(spark, agg_index, docs_pdf):
             "query": {"match": {"text": "hash"}}, "size": 0,
             "aggs": {"s": {"sampler": {"shard_size": 5}}},
         })
+
+
+@pytest.fixture(scope="module")
+def autodh_index(spark, tmp_path_factory):
+    """Corpus with month-scale timestamp spread (pages_1k's warc_ts spans
+    ~17 minutes — every ladder rung would collapse to one bucket)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            str(i),
+            "alpha if common" if i % 2 else "beta common",
+            base + dt.timedelta(hours=7 * i),
+        )
+        for i in range(240)  # spans ~10 weeks -> hours >> days > months
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, ts timestamp_ntz")
+    out = str(tmp_path_factory.mktemp("autodh") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4, docvalue_cols=["ts"])
+    return out, pd.DataFrame(rows, columns=["url", "text", "ts"])
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_auto_date_histogram(spark, autodh_index, execution):
+    """auto_date_histogram: frozen hour->day->month ladder, first unit
+    whose global distinct-bucket count fits `buckets`; buckets match a
+    pandas floor twin at every ladder rung."""
+    from engine.aggs import AutoDateHistogramAgg
+
+    out, pdf = autodh_index
+    r = IndexReader(spark, out)
+    ts = pdf[pdf["text"].str.contains("if")]["ts"]
+    floors = {
+        "hour": ts.dt.floor("h"),
+        "day": ts.dt.floor("D"),
+        "month": ts.dt.to_period("M").dt.to_timestamp(),
+    }
+    n_by_unit = {u: v.nunique() for u, v in floors.items()}
+    assert n_by_unit["hour"] > n_by_unit["day"] > n_by_unit["month"]
+    for target, want_unit in [
+        (n_by_unit["hour"], "hour"),
+        (n_by_unit["day"], "day"),
+        (n_by_unit["month"], "month"),
+    ]:
+        rows = search_aggs(
+            r, ["if"], AutoDateHistogramAgg("ts", buckets=target),
+            execution=execution,
+        ).collect()
+        assert {x["interval"] for x in rows} == {want_unit}, target
+        got = {(x["bucket"], x["doc_count"]) for x in rows}
+        want = {
+            (k.to_pydatetime(), int(c))
+            for k, c in floors[want_unit].value_counts().items()
+        }
+        assert got == want and got, want_unit
+    # below every rung -> month anyway (frozen fallback)
+    rows = search_aggs(
+        r, ["if"], AutoDateHistogramAgg("ts", buckets=0),
+        execution=execution,
+    ).collect()
+    assert {x["interval"] for x in rows} == {"month"}
+
+
+def test_auto_date_histogram_match_all_and_dsl(spark, autodh_index):
+    from engine.aggs import AutoDateHistogramAgg
+    from engine.dsl import search
+
+    out, pdf = autodh_index
+    r = IndexReader(spark, out)
+    days = pdf["ts"].dt.floor("D")
+    rows = search_aggs(
+        r, None, AutoDateHistogramAgg("ts", buckets=int(days.nunique()))
+    ).collect()
+    assert {x["interval"] for x in rows} == {"day"}
+    got = {(x["bucket"], x["doc_count"]) for x in rows}
+    want = {(k.to_pydatetime(), int(c)) for k, c in days.value_counts().items()}
+    assert got == want
+    resp = search(r, {
+        "query": {"match": {"text": "if"}}, "size": 0,
+        "aggs": {"over_time": {"auto_date_histogram": {
+            "field": "ts", "buckets": 3,
+        }}},
+    })
+    native = search_aggs(r, ["if"], AutoDateHistogramAgg("ts", 3))
+    assert resp["aggregations"]["over_time"]["buckets"] == [
+        x.asDict() for x in native.collect()
+    ]

@@ -332,3 +332,78 @@ def test_dsl_new_agg_types(spark, dsl_index):
         assert resp["hits"]["hits"] == []
         assert resp["hits"]["total"]["value"] > 0
         assert resp["hits"]["total"]["relation"] == "eq"
+
+
+def test_msearch_dispatch(spark, dsl_index):
+    """_msearch: independent bodies answered in order, each identical to
+    its own search() response (modulo took timing)."""
+    from engine.dsl import msearch
+
+    r = IndexReader(spark, dsl_index)
+    bodies = [
+        {"query": {"match": {"text": "hash join"}}, "size": 3},
+        {"query": {"match_all": {}}, "size": 0,
+         "aggs": {"l": {"terms": {"field": "lang"}}}},
+    ]
+    got = msearch(r, bodies)
+    assert len(got) == 2
+    assert _ids(got[0]) == _ids(search(r, bodies[0]))
+    assert got[1]["aggregations"] == search(r, bodies[1])["aggregations"]
+
+
+def test_scroll_pages_stitch_and_pin_snapshot(spark, dsl_index, tmp_path_factory):
+    """scroll: stateless token pages stitch to the full sorted matched
+    set, and the snapshot pin keeps serving pre-delete results after a
+    tombstone batch lands mid-scroll."""
+    import shutil
+
+    from engine.aggs import search_sort
+    from engine.deletes import delete_docs
+    from engine.dsl import scroll_next, scroll_search
+
+    idx = str(tmp_path_factory.mktemp("scroll") / "idx")
+    shutil.copytree(dsl_index, idx)
+    r = IndexReader(spark, idx)
+    body = {"query": {"match": {"text": "hash join"}},
+            "sort": [{"n_chars": {"order": "asc"}}]}
+    full = [
+        (x["url"], x["sort_val"])
+        for x in search_sort(
+            r, ["hash", "join"], "n_chars", k=10**6, ascending=True
+        ).collect()
+    ]
+    assert len(full) > 12
+    resp = scroll_search(r, body, size=5)
+    pages, seen = 0, []
+    while True:
+        seen += [(h["_id"], h["sort"][0]) for h in resp["hits"]["hits"]]
+        pages += 1
+        if pages == 2:
+            # a delete batch lands mid-scroll: the pinned snapshot must
+            # keep serving the pre-delete view
+            victims = spark.createDataFrame(
+                [(u,) for u, _v in full], "url string"
+            ).limit(40)
+            delete_docs(spark, idx, victims)
+        if "_scroll_id" not in resp:
+            break
+        resp = scroll_next(spark, resp["_scroll_id"])
+    assert seen == full
+    # every non-empty page returns a token, so the scroll always ends on
+    # one trailing empty fetch
+    assert pages == -(-len(full) // 5) + 1
+    # a FRESH scroll (new pin) sees the post-delete state
+    r2 = IndexReader(spark, idx)
+    resp2 = scroll_search(r2, body, size=10**6)
+    fresh = [(h["_id"], h["sort"][0]) for h in resp2["hits"]["hits"]]
+    live = [
+        (x["url"], x["sort_val"])
+        for x in search_sort(
+            IndexReader(spark, idx), ["hash", "join"], "n_chars",
+            k=10**6, ascending=True,
+        ).collect()
+    ]
+    assert fresh == live and len(fresh) < len(full)
+
+    with pytest.raises(ValueError, match="sort"):
+        scroll_search(r, {"query": {"match_all": {}}})

@@ -919,3 +919,49 @@ def test_dsl_suggest_block(spark, index):
 
     with _pytest.raises(ValueError, match="unsupported suggester"):
         search(r, {"suggest": {"x": {"text": "a", "nope": {}}}})
+
+
+def test_mget_point_fetch(spark, index, corpus):
+    """_mget: request-order rows, found flags, docvalue projection,
+    tombstone masking, local and Spark-fallback paths identical."""
+    from engine.deletes import delete_docs
+    from engine.query import IndexReader, mget
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    t = pq.read_table(corpus, columns=["url", "text"])
+    pairs = list(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+    present = [u for u, tx in pairs if tx][:4]
+    want_urls = present[:3] + ["nope-such-url"] + present[3:4]
+    got = mget(r, want_urls).collect()
+    assert [x["url"] for x in got] == want_urls
+    assert [x["found"] for x in got] == [True, True, True, False, True]
+    assert got[3]["doc_id"] is None
+    # Spark fallback path (no local docmap dir) must agree
+    import shutil
+    import tempfile
+
+    # docvalue projection on an index that has them
+    d = spark.createDataFrame(
+        [(u, tx, len(tx or "")) for u, tx in pairs],
+        "url string, text string, n_chars long",
+    )
+    out2 = tempfile.mkdtemp(prefix="sparkft_mget_")
+    try:
+        build_index(spark, d, out2, n_shards=2, n_buckets=4,
+                    docvalue_cols=["n_chars"])
+        r2 = IndexReader(spark, out2)
+        rows = mget(r2, want_urls, fields=["n_chars"]).collect()
+        lens = {u: len(tx) for u, tx in pairs if tx}
+        for x in rows:
+            assert x["n_chars"] == (lens[x["url"]] if x["found"] else None)
+        # tombstoned docs report found=false
+        delete_docs(spark, out2, spark.createDataFrame(
+            [(want_urls[0],)], "url string"))
+        r3 = IndexReader(spark, out2)
+        rows = {x["url"]: x["found"] for x in mget(r3, want_urls).collect()}
+        assert rows[want_urls[0]] is False and rows[want_urls[1]] is True
+        with pytest.raises(ValueError, match="docvalues"):
+            mget(r3, want_urls, fields=["nope"])
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
