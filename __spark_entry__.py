@@ -251,6 +251,7 @@ def _bm25_sql(
     result_filter: str | None = None,
     docvalue_filter: str | None = None,
     boost_sql: str | None = None,
+    score_sql: str | None = None,
     text_expr: str = "text",
 ) -> str:
     """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
@@ -271,11 +272,15 @@ def _bm25_sql(
         f"{base} AND {corpus_filter}" if corpus_filter else base, text_expr
     )
     res_join = (
-        " JOIN documents USING (doc_id)" if (docvalue_filter or boost_sql) else ""
+        " JOIN documents USING (doc_id)"
+        if (docvalue_filter or boost_sql or score_sql) else ""
     )
     wh = result_filter or docvalue_filter
     res_where = f"WHERE {wh}" if wh else ""
-    score_expr = f"score_raw + {boost_sql}" if boost_sql else "score_raw"
+    # score_sql REPLACES the score (script_score); boost_sql adds to it
+    score_expr = score_sql or (
+        f"score_raw + {boost_sql}" if boost_sql else "score_raw"
+    )
     return f"""
 {cte},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -3175,6 +3180,27 @@ def q_mget_docs(spark, sf_dir):
     return out.select("url", "found", "lang", "n_chars")
 
 
+SCRIPT_SRC = (
+    "_score * saturation(doc['n_chars'].value, 500) "
+    "+ log1p(doc['weight'].value)"
+)
+
+
+def q_script_score_topk(spark, sf_dir):
+    """ES script_score: the frozen safe-expression subset replaces the
+    BM25 score (saturation + log1p over docvalues, engine/scripts.py);
+    exact TAAT before the cut, like function_score. The oracle spells the
+    identical arithmetic over the relational BM25 CTE."""
+    from engine.query import IndexReader, bm25_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(r, BM25_TERMS, k=12, script=SCRIPT_SRC)
+    return top.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_agg_auto_date_histogram(spark, sf_dir):
     """ES auto_date_histogram on the events index's ts docvalue for the
     'click' term query: frozen hour->day->month ladder, first unit whose
@@ -3635,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_phrase": q_suggest_phrase,
         "mget_docs": q_mget_docs,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
+        "script_score_topk": q_script_score_topk,
     }
 
 
@@ -4496,6 +4523,13 @@ FROM p WHERE pos IS NOT NULL""",
             "d.lang, d.n_chars FROM req r LEFT JOIN ("
             "SELECT * FROM documents WHERE text IS NOT NULL AND text != ''"
             ") d ON d.doc_id::VARCHAR = r.url"
+        ),
+        "script_score_topk": _bm25_sql(
+            BM25_TERMS, k=12,
+            score_sql=(
+                "score_raw * (n_chars / (n_chars + 500.0)) "
+                "+ ln(1.0 + ((n_chars % 7) + 1))"
+            ),
         ),
         "agg_auto_date_histogram": (
             "WITH m AS (SELECT ts FROM events WHERE event_type = 'click'), "

@@ -633,6 +633,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return mlt_topk(
             reader, like, max_query_terms=m.get("max_query_terms", 5), k=k
         )
+    if "script_score" in query:
+        f = query["script_score"]
+        inner = f.get("query", {"match_all": {}})
+        terms, op, _ = (
+            _match_terms(inner) if "match_all" not in inner else ([], "or", None)
+        )
+        if not terms:
+            raise ValueError("script_score needs a match/term query")
+        return bm25_topk(
+            reader, terms, k=k, mode=op, filters=filters,
+            script=f["script"]["source"],
+        )
     if "function_score" in query:
         f = query["function_score"]
         fvf = f["field_value_factor"]
@@ -877,6 +889,54 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 # sibling pipeline aggs reduce ANOTHER agg's bucket table;
                 # defer until the referenced parent has been compiled
                 siblings.append((name, sib, spec[sib]))
+                continue
+            if "global" in spec:
+                # ES global agg: the sub-agg ignores the query context and
+                # runs over the whole live index (the match_all docmap
+                # plan); rendered FLAT like the sampler (divergence: ES
+                # nests under the global bucket's doc_count)
+                sub2 = spec.get("aggs") or spec.get("aggregations") or {}
+                if len(sub2) != 1:
+                    raise ValueError("global supports exactly one sub-agg")
+                ((_gn, gs),) = sub2.items()
+                agg, post = _compile_agg(gs)
+                df = search_aggs(reader, None, agg, filters=())
+                if post is not None:
+                    df = post(df)
+                bucket_dfs[name] = df
+                out["aggregations"][name] = {
+                    "buckets": [r.asDict() for r in df.collect()]
+                }
+                continue
+            if "significant_text" in spec or "significant_terms" in spec:
+                # significant_text == significant_terms on this engine:
+                # the one indexed text field IS the analyzed source, and
+                # the native operator already re-analyzes exactly the
+                # matched docs (engine/aggs.py significant_terms). Needs
+                # the source corpus (the index stores no text), same as
+                # highlight.
+                sg = spec.get("significant_text") or spec["significant_terms"]
+                if sg.get("field", "text") != "text":
+                    raise ValueError("significant_text supports the text field")
+                if corpus is None:
+                    raise ValueError(
+                        "significant_text needs the source corpus: "
+                        "search(..., corpus=...)"
+                    )
+                if terms is None:
+                    raise ValueError(
+                        "significant_text needs a scoring query context"
+                    )
+                from engine.aggs import significant_terms as _sig
+
+                df = _sig(
+                    reader, terms, corpus, size=sg.get("size", 10),
+                    mode=mode, filters=filt,
+                )
+                bucket_dfs[name] = df
+                out["aggregations"][name] = {
+                    "buckets": [r.asDict() for r in df.collect()]
+                }
                 continue
             samp = next(
                 (s for s in ("sampler", "diversified_sampler") if s in spec),

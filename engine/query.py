@@ -856,7 +856,7 @@ def _bmw_shard_topk(
 def _taat_shard_topk(
     rows, idfs: dict[str, float], k: int, k1: float, b: float, avgdl: float, mode: str,
     field_opts: str = "default", dels: np.ndarray | None = None,
-    local_filter=None, local_boost=None,
+    local_filter=None, local_boost=None, local_rescore=None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time accumulation over one shard.
 
@@ -905,6 +905,11 @@ def _taat_shard_topk(
         # after accumulation and BEFORE the top-k cut (exact — not an ES
         # rescore window; every matched doc competes with its final score)
         scores = scores + local_boost(uniq)
+    if local_rescore is not None and uniq.size:
+        # script_score: the compiled script REPLACES the accumulated
+        # score (engine/scripts.py) — again before the cut, so the top-k
+        # selection runs on final scores
+        scores = local_rescore(uniq, scores)
     if uniq.size == 0:
         return []
     kk = min(k, uniq.size)
@@ -1084,6 +1089,7 @@ def bm25_topk(
     filters=(),
     stats_override=None,
     boost=None,
+    script=None,
 ) -> DataFrame:
     """Top-k (url, doc_id, score) DataFrame, ordered score desc, doc_id asc.
 
@@ -1116,7 +1122,7 @@ def bm25_topk(
     result-DataFrame round-trip — the serving-path API."""
     kind, payload = _bm25_topk_impl(
         reader, query, k, mode, algo, field_opts, lookup, execution, filters,
-        stats_override, boost,
+        stats_override, boost, script,
     )
     if kind == "df":
         return payload
@@ -1169,6 +1175,7 @@ def _bm25_topk_impl(
     filters=(),
     stats_override=None,
     boost=None,
+    script=None,
 ):
     """Shared top-k engine. Returns ("rows", [(url, doc_id, score), ...])
     when the result is materialized driver-side (local kernels and/or local
@@ -1233,6 +1240,14 @@ def _bm25_topk_impl(
         # bounds, so pruning is unsound -> exact TAAT
         shard_boost = build_shard_boost(reader, boost[0], boost[1])
         algo = "taat"
+    shard_script = None
+    if script is not None:
+        from engine.scripts import build_shard_script
+
+        # script_score: the script REPLACES the score, so stored bounds
+        # say nothing about final totals -> exact TAAT
+        shard_script = build_shard_script(reader, script)
+        algo = "taat"
 
     if stats_override is None:
         idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in terms}
@@ -1266,8 +1281,11 @@ def _bm25_topk_impl(
         lb = None
         if shard_boost is not None:
             lb = lambda u, s=shard: shard_boost(s, u)  # noqa: E731
+        lr = None
+        if shard_script is not None:
+            lr = lambda u, sc, s=shard: shard_script(s, u, sc)  # noqa: E731
         return _taat_shard_topk(
-            rows, idfs, k, k1, b, avgdl, mode, field_opts, dels, lf, lb
+            rows, idfs, k, k1, b, avgdl, mode, field_opts, dels, lf, lb, lr
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -407,3 +407,42 @@ def test_scroll_pages_stitch_and_pin_snapshot(spark, dsl_index, tmp_path_factory
 
     with pytest.raises(ValueError, match="sort"):
         scroll_search(r, {"query": {"match_all": {}}})
+
+
+def test_global_and_significant_text_aggs(spark, dsl_index):
+    """global agg ignores the query context (== match_all sub-agg);
+    significant_text routes to the native significant_terms operator."""
+    from engine.aggs import TermsAgg, search_aggs, significant_terms
+
+    r = IndexReader(spark, dsl_index)
+    corpus = spark.read.parquet(os.path.join(SF001, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    resp = search(r, {
+        "query": {"match": {"text": "hash join"}}, "size": 0,
+        "aggs": {
+            "scoped": {"terms": {"field": "lang"}},
+            "everything": {"global": {},
+                           "aggs": {"l": {"terms": {"field": "lang"}}}},
+            "sig": {"significant_text": {"field": "text", "size": 5}},
+        },
+    }, corpus=corpus)
+    scoped = search_aggs(r, ["hash", "join"], TermsAgg("lang", 10))
+    allm = search_aggs(r, None, TermsAgg("lang", 10))
+    sig = significant_terms(r, ["hash", "join"], corpus, size=5)
+    assert resp["aggregations"]["scoped"]["buckets"] == [
+        x.asDict() for x in scoped.collect()
+    ]
+    assert resp["aggregations"]["everything"]["buckets"] == [
+        x.asDict() for x in allm.collect()
+    ]
+    assert (
+        resp["aggregations"]["everything"]["buckets"]
+        != resp["aggregations"]["scoped"]["buckets"]
+    )
+    assert resp["aggregations"]["sig"]["buckets"] == [
+        x.asDict() for x in sig.collect()
+    ]
+    with pytest.raises(ValueError, match="corpus"):
+        search(r, {"query": {"match": {"text": "hash"}}, "size": 0,
+                   "aggs": {"s": {"significant_text": {"field": "text"}}}})
