@@ -126,6 +126,15 @@ def main() -> None:
     sw.add_argument("--buckets", type=int, default=32)
     sw.add_argument("--docvalues", default="")
 
+    al = sub.add_parser("alias", help="ES _aliases: named atomic pointers "
+                                      "to index dirs (optional filters)")
+    al.add_argument("action", choices=["add", "remove", "list", "resolve"])
+    al.add_argument("--registry", required=True, help="aliases.json path")
+    al.add_argument("--alias", default="")
+    al.add_argument("--index", default="")
+    al.add_argument("--filters", default="",
+                    help="JSON list of filter-context clauses")
+
     an = sub.add_parser("analyze", help="ES _analyze: tokens for a text")
     an.add_argument("--text", required=True)
     an.add_argument("--analyzer", default="standard", choices=[
@@ -201,6 +210,26 @@ def main() -> None:
         out = fns[args.analyzer](args.text)
         out = list(out) if isinstance(out, tuple) else (out if isinstance(out, list) else [out])
         print(json.dumps({"analyzer": args.analyzer, "tokens": out}))
+        return
+
+    if args.cmd == "alias":
+        # registry-file operation, no Spark session needed
+        from engine import aliases as A
+
+        if args.action == "add":
+            import json as _json
+
+            filters = _json.loads(args.filters) if args.filters else None
+            A.alias_put(args.registry, args.alias, args.index, filters)
+            print(json.dumps({"added": args.alias, "index": args.index}))
+        elif args.action == "remove":
+            A.alias_delete(args.registry, args.alias)
+            print(json.dumps({"removed": args.alias}))
+        elif args.action == "resolve":
+            index_dir, _f = A.alias_resolve(args.registry, args.alias)
+            print(json.dumps({"alias": args.alias, "index": index_dir}))
+        else:
+            print(json.dumps(A.alias_list(args.registry)))
         return
 
     from engine.session import get_spark
