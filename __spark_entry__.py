@@ -3201,6 +3201,30 @@ def q_script_score_topk(spark, sf_dir):
     )
 
 
+RRF_C, RRF_W, RRF_PROBE = 60, 10_000, 7  # window covers both full rankings
+
+
+def q_rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    the cosine ranking for embeddings row RRF_PROBE (ES retriever.rrf;
+    engine/hybrid.py rrf_topk — frozen layout vec_id == doc_id). The
+    window covers both full rankings, so membership has no truncation
+    boundary and the oracle is the closed-form two-CTE fusion."""
+    from engine.hybrid import rrf_topk
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    probe_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == RRF_PROBE).collect()[0]["embedding"]
+    ]
+    return rrf_topk(
+        r, BM25_TERMS, emb, probe_vec,
+        k=10, rank_constant=RRF_C, window=RRF_W,
+    )
+
+
 def q_agg_auto_date_histogram(spark, sf_dir):
     """ES auto_date_histogram on the events index's ts docvalue for the
     'click' term query: frozen hour->day->month ladder, first unit whose
@@ -3662,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mget_docs": q_mget_docs,
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
         "script_score_topk": q_script_score_topk,
+        "rrf_hybrid_topk": q_rrf_hybrid_topk,
     }
 
 
@@ -4524,6 +4549,53 @@ FROM p WHERE pos IS NOT NULL""",
             "SELECT * FROM documents WHERE text IS NOT NULL AND text != ''"
             ") d ON d.doc_id::VARCHAR = r.url"
         ),
+        "rrf_hybrid_topk": f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))), 6) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+),
+lexr AS (
+  SELECT id, lr FROM (
+    SELECT doc_id::VARCHAR AS id,
+           row_number() OVER (ORDER BY s DESC, doc_id::VARCHAR ASC) AS lr
+    FROM scored
+  ) WHERE lr <= {RRF_W}
+),
+p AS (SELECT embedding::DOUBLE[] AS pvec FROM embeddings
+      WHERE vec_id = {RRF_PROBE}),
+vs AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], pvec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pvec, pvec))), 6) AS cos
+  FROM embeddings, p
+),
+vecr AS (
+  SELECT id, vr FROM (
+    SELECT vec_id::VARCHAR AS id,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS vr
+    FROM vs
+  ) WHERE vr <= {RRF_W}
+),
+allids AS (SELECT id FROM lexr UNION SELECT id FROM vecr)
+SELECT a.id,
+       round(coalesce(1.0 / ({RRF_C} + l.lr), 0)
+             + coalesce(1.0 / ({RRF_C} + v.vr), 0), 6) AS score,
+       l.lr::BIGINT AS lex_rank, v.vr::BIGINT AS vec_rank
+FROM allids a LEFT JOIN lexr l USING (id) LEFT JOIN vecr v USING (id)
+ORDER BY score DESC, a.id ASC LIMIT 10""",
         "script_score_topk": _bm25_sql(
             BM25_TERMS, k=12,
             score_sql=(

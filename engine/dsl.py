@@ -757,6 +757,45 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     from engine.aggs import search_aggs, search_count, search_sort
 
     t0 = time.time()
+    if "retriever" in body:
+        # ES retriever tree (frozen subset): rrf over exactly one
+        # `standard` (match/term) retriever + one `knn` retriever —
+        # hybrid lexical+vector fusion (engine/hybrid.py rrf_topk)
+        if "rrf" not in body["retriever"]:
+            raise ValueError("only the rrf retriever is supported")
+        rrf = body["retriever"]["rrf"]
+        std = knn = None
+        for leg in rrf["retrievers"]:
+            if "standard" in leg:
+                std = leg["standard"]["query"]
+            elif "knn" in leg:
+                knn = leg["knn"]
+            else:
+                raise ValueError(f"unsupported retriever leg: {sorted(leg)}")
+        if std is None or knn is None:
+            raise ValueError("rrf needs one standard and one knn retriever")
+        if embeddings is None:
+            raise ValueError(
+                "rrf needs the embeddings table: search(..., embeddings=df)"
+            )
+        terms, op, _ = _match_terms(std)
+        from engine.hybrid import rrf_topk
+
+        fused = rrf_topk(
+            reader, terms, embeddings, knn["query_vector"],
+            k=int(body.get("size", 10)), mode=op,
+            rank_constant=int(rrf.get("rank_constant", 60)),
+            window=int(rrf.get("rank_window_size", 100)),
+        ).collect()
+        return {
+            "took": int((time.time() - t0) * 1000),
+            "hits": {
+                "total": {"value": len(fused), "relation": "eq"},
+                "hits": [
+                    {"_id": x["id"], "_score": x["score"]} for x in fused
+                ],
+            },
+        }
     if "knn" in body:
         if "query" in body:
             raise ValueError("knn + query blending is not composed (divergence)")

