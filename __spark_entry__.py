@@ -889,6 +889,18 @@ def q_l9_simple_tokens(spark, sf_dir):
     return d.select("doc_id", F.explode(simple_tokenize_col(F.col("text"))).alias("term"))
 
 
+def q_l11_stop_tokens(spark, sf_dir):
+    """L11: ES `stop` analyzer — simple (letter-runs) tokenizer + the
+    Lucene 33-word English stop filter (engine/textnorm.py
+    analyzer_stop_col; the list is the public EnglishAnalyzer constant)."""
+    from engine.textnorm import analyzer_stop_col
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return d.select(
+        "doc_id", F.explode(analyzer_stop_col(F.col("text"))).alias("term")
+    )
+
+
 def q_term_tf(spark, sf_dir):
     """A3: per (doc_id, term) frequency."""
     d = _docs(spark, sf_dir).filter(F.col("text").isNotNull() & (F.col("text") != ""))
@@ -3687,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_auto_date_histogram": q_agg_auto_date_histogram,
         "script_score_topk": q_script_score_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
+        "l11_stop_tokens": q_l11_stop_tokens,
     }
 
 
@@ -3779,6 +3792,12 @@ FROM grams
         "l9_simple_tokens": (
             r"SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
             r"'[^\p{L}]+'), t -> t != '')) AS term FROM documents "
+            "WHERE text IS NOT NULL AND text != ''"
+        ),
+        "l11_stop_tokens": (
+            r"SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            r"'[^\p{L}]+'), t -> t != '' AND t NOT IN (" + "'a','an','and','are','as','at','be','but','by','for','if','in','into','is','it','no','not','of','on','or','such','that','the','their','then','there','these','they','this','to','was','will','with'"
+            r"))) AS term FROM documents "
             "WHERE text IS NOT NULL AND text != ''"
         ),
         "a3_term_tf": (

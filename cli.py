@@ -140,7 +140,7 @@ def main() -> None:
     an.add_argument("--analyzer", default="standard", choices=[
         "standard", "simple", "elastic", "whitespace", "unique_tf",
         "limit_first", "startswith", "no_ws_punc", "keyword_sort",
-        "edge_ngram", "alphakey"])
+        "edge_ngram", "alphakey", "stop"])
 
     st = sub.add_parser("stats", help="index-level summary (ES _cat/indices)")
     st.add_argument("--index", required=True)
@@ -206,6 +206,7 @@ def main() -> None:
             "keyword_sort": tn.analyzer_keyword_token_sort_py,
             "edge_ngram": tn.analyzer_edge_ngram_py,
             "alphakey": tn.alphakey_py,
+            "stop": tn.analyzer_stop_py,
         }
         out = fns[args.analyzer](args.text)
         out = list(out) if isinstance(out, tuple) else (out if isinstance(out, list) else [out])

@@ -368,3 +368,35 @@ def alphakey_udf(names: pd.Series) -> pd.DataFrame:
 
 def alphakey_col(c: Column | str) -> Column:
     return alphakey_udf(F.col(c) if isinstance(c, str) else c)
+
+
+# ---------------------------------------------------------------------------
+# L11: ES `stop` analyzer (letter tokenizer + English stopword removal)
+# ---------------------------------------------------------------------------
+
+# Lucene's EnglishAnalyzer.ENGLISH_STOP_WORDS_SET — the 33-word public
+# constant every ES `stop`/`english` analyzer ships with (frozen verbatim;
+# org.apache.lucene.analysis.en.EnglishAnalyzer)
+ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+_STOPSET = frozenset(ENGLISH_STOPWORDS)
+
+
+def analyzer_stop_py(s: str) -> list[str]:
+    """ES `stop` analyzer: the simple (letter-runs, lowercased) tokenizer
+    followed by the English stop filter — positions are NOT preserved
+    (the plain token stream, matching what a stop-analyzed keyword field
+    indexes)."""
+    return [t for t in simple_tokenize_py(s) if t not in _STOPSET]
+
+
+def analyzer_stop_col(c: Column) -> Column:
+    """JVM twin of analyzer_stop_py (golden-tested equivalent)."""
+    stops = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    return F.filter(
+        simple_tokenize_col(c), lambda t: ~F.array_contains(stops, t)
+    )

@@ -13,6 +13,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from engine import textnorm as tn
 
 # (name, expected_start, expected_ending)
@@ -161,3 +163,26 @@ def test_spark_cols_match_py(spark):
         assert (row["ak"]["same_as_alpha_key"], row["ak"]["ordered_alpha_key"]) == tn.alphakey_py(v), v
         if v.isascii():
             assert row["l8a"] == tn.analyzer_edge_ngram_py(v), v
+
+
+def test_stop_analyzer_py_col_equivalence(spark):
+    """L11 ES stop analyzer: letter tokenizer + Lucene English stopword
+    list; the py and JVM column paths agree on adversarial inputs."""
+    import engine.textnorm as tn
+
+    assert tn.analyzer_stop_py("The quick AND the dead, if any") == [
+        "quick", "dead", "any"
+    ]
+    assert tn.analyzer_stop_py("to be or not to be") == []
+    assert len(tn.ENGLISH_STOPWORDS) == 33
+    vals = [
+        "The quick AND the dead, if any",
+        "to be or not to be",
+        "x2go İstanbul WILL-power there.these,they",
+        "", "   ", "a an and are as at",
+        "Thé þorn is not a stopword",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select("v", tn.analyzer_stop_col(F.col("v")).alias("l11")).collect()
+    for row in rows:
+        assert row["l11"] == tn.analyzer_stop_py(row["v"]), row["v"]
