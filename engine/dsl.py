@@ -1163,3 +1163,33 @@ def _scroll_page(spark, token: dict) -> dict:
             _json.dumps(nxt, default=str).encode()
         ).decode()
     return out
+
+
+def validate_query(reader, body: dict) -> dict:
+    """ES `_validate/query` (explain=false shape): dry-run the body
+    through the SAME dispatch that serves it, returning {"valid": bool,
+    "error": str|None}. A body is valid exactly when search() would
+    route it — the query probe runs the real dispatcher with k=0 (the
+    trivial empty-k path; nothing is collected here), and agg specs go
+    through the same compiler, so there is no second grammar to drift."""
+    try:
+        q = body.get("query", {"match_all": {}})
+        if "match_all" not in q:
+            _hits_df(reader, q, 0, _clause_filters(
+                q.get("bool", {}).get("filter", [])) if "bool" in q else ())
+        for spec in (body.get("aggs") or body.get("aggregations") or {}).values():
+            if not any(
+                k in spec
+                for k in ("sampler", "diversified_sampler", "global",
+                          "significant_text", "significant_terms",
+                          *_SIBLINGS_KINDS)
+            ):
+                _compile_agg(spec)
+        return {"valid": True, "error": None}
+    except (ValueError, KeyError) as e:
+        return {"valid": False, "error": str(e)}
+
+
+_SIBLINGS_KINDS = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)

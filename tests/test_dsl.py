@@ -515,3 +515,29 @@ def test_rrf_hybrid_retriever(spark, dsl_index):
             {"standard": {"query": {"match": {"text": "x"}}}},
             {"knn": {"query_vector": [0.0]}},
         ]}}})
+
+
+def test_validate_query_endpoint(spark, dsl_index):
+    """_validate/query: valid bodies pass, every documented rejection
+    comes back as valid=false with the dispatcher's own error string."""
+    from engine.dsl import validate_query
+
+    r = IndexReader(spark, dsl_index)
+    assert validate_query(r, {
+        "query": {"match": {"text": "hash join"}},
+        "aggs": {"l": {"terms": {"field": "lang"}}},
+    }) == {"valid": True, "error": None}
+    assert validate_query(r, {"query": {"match_all": {}}})["valid"] is True
+    bad = validate_query(r, {"query": {"nope": {}}})
+    assert bad["valid"] is False and "nope" in bad["error"]
+    bad = validate_query(r, {
+        "query": {"match": {"text": "x"}},
+        "aggs": {"a": {"weird_agg": {"field": "lang"}}},
+    })
+    assert bad["valid"] is False and "weird_agg" in bad["error"]
+    # documented divergences also surface as invalid, not crashes
+    bad = validate_query(r, {"query": {"bool": {
+        "should": [{"match": {"text": "hash"}}],
+        "filter": [{"exists": {"field": "lang"}}],
+    }}})
+    assert bad["valid"] is False and "not composed" in bad["error"]
