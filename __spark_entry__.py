@@ -3237,6 +3237,48 @@ def q_rrf_hybrid_topk(spark, sf_dir):
     )
 
 
+PIN_IDS = ["17", "no-such-doc", "3"]  # the dead id must be skipped
+
+
+def q_pinned_topk(spark, sf_dir):
+    """ES pinned query: request-order pins first (synthetic PINNED_BASE
+    ladder, dead ids skipped), organic BM25 after with pins removed
+    (engine/aggs.py pinned_topk)."""
+    from engine.aggs import pinned_topk
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = pinned_topk(r, PIN_IDS, BM25_TERMS, k=8)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_agg_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks on n_chars: frozen exact empirical CDF
+    100*count(x<=v)/n (documented TDigest divergence)."""
+    from engine.aggs import PercentileRanksAgg, search_aggs
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_aggs(r, BM25_TERMS, PercentileRanksAgg("n_chars", (250.0, 600.0)))
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
+def q_agg_top_metrics(spark, sf_dir):
+    """ES top_metrics (size=1): the lang docvalue of THE lowest-n_chars
+    matched doc ((sort, _id) total order — search_sort's contract)."""
+    from engine.aggs import top_metrics
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = top_metrics(r, BM25_TERMS, "n_chars", "lang", ascending=True)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"), "sort_val", "metric"
+    )
+
+
 def q_agg_auto_date_histogram(spark, sf_dir):
     """ES auto_date_histogram on the events index's ts docvalue for the
     'click' term query: frozen hour->day->month ladder, first unit whose
@@ -3700,6 +3742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_score_topk": q_script_score_topk,
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "l11_stop_tokens": q_l11_stop_tokens,
+        "pinned_topk": q_pinned_topk,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_top_metrics": q_agg_top_metrics,
     }
 
 
@@ -4567,6 +4612,41 @@ FROM p WHERE pos IS NOT NULL""",
             "d.lang, d.n_chars FROM req r LEFT JOIN ("
             "SELECT * FROM documents WHERE text IS NOT NULL AND text != ''"
             ") d ON d.doc_id::VARCHAR = r.url"
+        ),
+        "pinned_topk": f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS s
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+),
+pins(doc_id, score) AS (VALUES (17, 1000000000.0), (3, 999999998.0)),
+org AS (
+  SELECT doc_id, round(s, 6) AS score FROM scored
+  WHERE doc_id NOT IN (17, 3)
+  ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 6
+)
+SELECT doc_id::BIGINT AS doc_id, score FROM pins
+UNION ALL SELECT doc_id, score FROM org""",
+        "agg_percentile_ranks": _agg_matched_cte() + (
+            " SELECT round(100.0 * count(*) FILTER (WHERE n_chars <= 250.0)"
+            " / count(n_chars), 6) AS pr_250, "
+            "round(100.0 * count(*) FILTER (WHERE n_chars <= 600.0)"
+            " / count(n_chars), 6) AS pr_600 FROM m"
+        ),
+        "agg_top_metrics": _agg_matched_cte() + (
+            " SELECT doc_id, n_chars AS sort_val, lang AS metric FROM m "
+            "ORDER BY n_chars ASC, doc_id::VARCHAR ASC LIMIT 1"
         ),
         "rrf_hybrid_topk": f"""
 {_toks_cte()},

@@ -248,6 +248,19 @@ class PercentilesAgg:
 
 
 @dataclass(frozen=True)
+class PercentileRanksAgg:
+    """ES `percentile_ranks`: for each probe value v, the percentage of
+    matched docvalues <= v. Frozen EXACT definition: the empirical CDF
+    100 * count(x <= v) / count(x) — a deliberate divergence from ES's
+    TDigest-interpolated ranks, consistent with this module's exact
+    percentiles. Partials are one (le, tot) pair per probe per shard —
+    constant size."""
+
+    field: str
+    values: tuple = dc_field(default=())
+
+
+@dataclass(frozen=True)
 class MissingAgg:
     """ES `missing` aggregation: count of matched docs whose docvalue is
     null (the complement of ExistsFilter)."""
@@ -549,6 +562,77 @@ def ids_topk(reader: IndexReader, values, k: int = 10) -> DataFrame:
     )
 
 
+PINNED_BASE = 1_000_000_000.0  # frozen synthetic score base for pinned docs
+
+
+def pinned_topk(
+    reader: IndexReader,
+    ids,
+    organic,
+    k: int = 10,
+    mode: str = "or",
+) -> DataFrame:
+    """ES `pinned` query: the given ids rank first IN REQUEST ORDER
+    (synthetic score PINNED_BASE - position — frozen; ES uses a float-max
+    ladder with the same ordering), followed by the organic query's BM25
+    ranking with the pinned ids removed. Ids absent from the live index
+    are skipped (ES behavior: a pinned id must exist to pin).
+
+    Cost shape: the pinned leg is an _mget point fetch; the organic leg
+    over-fetches k + len(ids) so removals can never starve the page."""
+    from engine.query import bm25_topk, mget
+
+    ids = [str(v) for v in ids]
+    found = {
+        x["url"] for x in mget(reader, ids).collect() if x["found"]
+    }
+    pinned = [
+        (u, PINNED_BASE - i) for i, u in enumerate(ids) if u in found
+    ][:k]
+    organic_rows = [
+        (x["url"], float(x["score"]))
+        for x in bm25_topk(reader, organic, k=k + len(ids), mode=mode).collect()
+        if x["url"] not in found
+    ]
+    rows = pinned + organic_rows[: k - len(pinned)]
+    return reader.spark.createDataFrame(rows, "url string, score double")
+
+
+def top_metrics(
+    reader: IndexReader,
+    query,
+    sort_field: str,
+    metric_field: str,
+    ascending: bool = True,
+    mode: str = "or",
+    filters=(),
+) -> DataFrame:
+    """ES `top_metrics` (size=1, the default): the metric docvalue of THE
+    top matched doc by the sort docvalue ((sort, _id) total order, the
+    search_sort contract). Returns one (url, sort_val, metric) row — or
+    zero rows when nothing matches. Composition: search_sort k=1 for the
+    winner + an _mget point fetch for its metric (two bounded reads,
+    never a corpus pass)."""
+    from engine.query import mget
+
+    top = search_sort(
+        reader, query, sort_field, k=1, mode=mode,
+        ascending=ascending, filters=filters,
+    ).collect()
+    if not top:
+        return reader.spark.createDataFrame(
+            [], f"url string, sort_val {_vtype(reader, sort_field)}, "
+                f"metric {_vtype(reader, metric_field)}",
+        )
+    url, sv = top[0]["url"], top[0]["sort_val"]
+    m = mget(reader, [url], fields=[metric_field]).collect()[0][metric_field]
+    return reader.spark.createDataFrame(
+        [(url, sv, m)],
+        f"url string, sort_val {_vtype(reader, sort_field)}, "
+        f"metric {_vtype(reader, metric_field)}",
+    )
+
+
 # ---------------------------------------------------------------------------
 # partial buckets (per shard) + global combine
 # ---------------------------------------------------------------------------
@@ -757,6 +841,15 @@ def _partial_frame(tbl: pa.Table, agg, vt: str) -> pd.DataFrame:
     vals = tbl.column(agg.field).drop_null().to_numpy(zero_copy_only=False)
     if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return pd.DataFrame({"v": vals.astype(np.float64)})
+    if isinstance(agg, PercentileRanksAgg):
+        fv = vals.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "vidx": np.arange(len(agg.values), dtype=np.int32),
+                "le": [int((fv <= float(v)).sum()) for v in agg.values],
+                "tot": fv.size,
+            }
+        )
     if isinstance(agg, RangeAgg):
         cnts = []
         for lo, hi in agg.ranges:
@@ -840,7 +933,8 @@ def _agg_vt(reader: IndexReader, agg):
         return _vtype(reader, agg.hits_sort)
     if isinstance(agg, (MissingAgg, FiltersAgg, AdjacencyMatrixAgg,
                         DateRangeAgg, MultiTermsAgg, SubTermsAgg, WeightedAvgAgg,
-                        StringStatsAgg, MatrixStatsAgg, TTestAgg)):
+                        StringStatsAgg, MatrixStatsAgg, TTestAgg,
+                        PercentileRanksAgg)):
         return ""  # keys stringified / sums pre-doubled in the partial
     if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return "double"
@@ -886,6 +980,8 @@ def _partial_schema(agg, vt: str) -> str:
         return f"key string, cnt long, url string, v {vt}"
     if isinstance(agg, (PercentilesAgg, MedianAbsoluteDeviationAgg, BoxplotAgg)):
         return "v double"
+    if isinstance(agg, PercentileRanksAgg):
+        return "vidx int, le long, tot long"
     if isinstance(agg, StringStatsAgg):
         return "ch string, cnt long, vcnt long, lmin long, lmax long, lsum long"
     if isinstance(agg, (MatrixStatsAgg, TTestAgg)):
@@ -984,6 +1080,22 @@ def _combine(spark, partials: DataFrame, agg, vt: str) -> DataFrame:
         q = partials.agg(F.expr(f"percentile(v, array({fracs}))").alias("q"))
         return q.select(
             *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, PercentileRanksAgg):
+        sums = (
+            partials.groupBy("vidx")
+            .agg(F.sum("le").alias("le"), F.sum("tot").alias("tot"))
+            .collect()
+        )
+        by_idx = {r["vidx"]: (r["le"], r["tot"]) for r in sums}
+        row = [
+            100.0 * by_idx[i][0] / by_idx[i][1]
+            if by_idx.get(i, (0, 0))[1] else None
+            for i in range(len(agg.values))
+        ]
+        names = ["pr_" + f"{float(v):g}".replace(".", "_") for v in agg.values]
+        return spark.createDataFrame(
+            [tuple(row)], ", ".join(f"{n} double" for n in names)
         )
     if isinstance(agg, MedianAbsoluteDeviationAgg):
         med = partials.agg(F.expr("percentile(v, 0.5)").alias("med"))
@@ -2067,6 +2179,23 @@ def _match_all_aggs(reader: IndexReader, agg, vt: str, filters=()) -> DataFrame:
         )
         return q.select(
             *[F.col("q")[i].alias(_pct_name(p)) for i, p in enumerate(agg.percents)]
+        )
+    if isinstance(agg, PercentileRanksAgg):
+        c = F.col(agg.field)
+        sums = dm.agg(
+            F.count(c).alias("tot"),
+            *[
+                F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0)).alias(f"le{i}")
+                for i, v in enumerate(agg.values)
+            ],
+        ).collect()[0]
+        names = ["pr_" + f"{float(v):g}".replace(".", "_") for v in agg.values]
+        row = [
+            100.0 * sums[f"le{i}"] / sums["tot"] if sums["tot"] else None
+            for i in range(len(agg.values))
+        ]
+        return spark.createDataFrame(
+            [tuple(row)], ", ".join(f"{n} double" for n in names)
         )
     if isinstance(agg, MedianAbsoluteDeviationAgg):
         med = dm.agg(F.expr(f"percentile({agg.field}, 0.5)").alias("med"))

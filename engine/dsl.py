@@ -99,7 +99,7 @@ _METRIC_COL = {
 
 _PIPELINE_SUBS = (
     "cumulative_sum", "derivative", "bucket_sort", "bucket_script",
-    "bucket_selector",
+    "bucket_selector", "moving_fn", "serial_diff",
 )
 
 
@@ -116,11 +116,40 @@ def _pipeline_post(parent_kind: str, sub: dict):
     steps = []
     for name, s in sub.items():
         ((kind, body),) = s.items()
-        if kind in ("cumulative_sum", "derivative"):
+        if kind in ("cumulative_sum", "derivative", "moving_fn", "serial_diff"):
             if order_col is None:
                 raise ValueError(
                     f"{kind} requires a histogram-family parent (ES rule)"
                 )
+            if kind == "moving_fn":
+                # ES ships a Painless script naming a MovingFunctions
+                # builtin; the frozen subset maps those names (or a bare
+                # `fn` key) onto the window aggregate
+                script = body.get("script", "")
+                fn_name = body.get("fn") or next(
+                    (f for f, t in (("avg", "unweightedAvg"), ("sum", "sum"),
+                                    ("min", "min"), ("max", "max"))
+                     if t in script),
+                    None,
+                )
+                if fn_name is None:
+                    raise ValueError(
+                        "moving_fn supports MovingFunctions.unweightedAvg/"
+                        "sum/min/max"
+                    )
+                steps.append(
+                    lambda df, p=body["buckets_path"], w=body["window"],
+                    f=fn_name, n=name:
+                    P.moving_fn(df, p, order_col, int(w), f, out=n)
+                )
+                continue
+            if kind == "serial_diff":
+                steps.append(
+                    lambda df, p=body["buckets_path"],
+                    lg=body.get("lag", 1), n=name:
+                    P.serial_diff(df, p, order_col, int(lg), out=n)
+                )
+                continue
             fn = P.cumulative_sum if kind == "cumulative_sum" else P.derivative
             steps.append(
                 lambda df, fn=fn, p=body["buckets_path"], n=name: fn(
@@ -278,6 +307,11 @@ def _compile_agg_obj(spec: dict, sub: dict):
         return PercentilesAgg(
             p["field"], tuple(p.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0)))
         )
+    if "percentile_ranks" in spec:
+        from engine.aggs import PercentileRanksAgg
+
+        p = spec["percentile_ranks"]
+        return PercentileRanksAgg(p["field"], tuple(p["values"]))
     if "missing" in spec:
         return MissingAgg(spec["missing"]["field"])
     if "composite" in spec:
@@ -633,6 +667,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return mlt_topk(
             reader, like, max_query_terms=m.get("max_query_terms", 5), k=k
         )
+    if "pinned" in query:
+        p = query["pinned"]
+        if filters:
+            raise ValueError("pinned + filter context is not composed yet")
+        terms, op, _ = _match_terms(p["organic"])
+        from engine.aggs import pinned_topk
+
+        return pinned_topk(reader, p["ids"], terms, k=k, mode=op)
     if "script_score" in query:
         f = query["script_score"]
         inner = f.get("query", {"match_all": {}})
@@ -918,7 +960,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         out["aggregations"] = {}
         _SIBLINGS = (
             "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-            "stats_bucket",
+            "stats_bucket", "percentiles_bucket",
         )
         bucket_dfs: dict = {}
         siblings = []
@@ -977,6 +1019,23 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                     "buckets": [r.asDict() for r in df.collect()]
                 }
                 continue
+            if "top_metrics" in spec:
+                tm = spec["top_metrics"]
+                ((sf, o),) = tm["sort"][0].items() if isinstance(
+                    tm["sort"], list
+                ) else tm["sort"].items()
+                order = o.get("order", "asc") if isinstance(o, dict) else o
+                from engine.aggs import top_metrics as _tm
+
+                df = _tm(
+                    reader, terms, sf, tm["metrics"]["field"],
+                    ascending=order == "asc", mode=mode, filters=filt,
+                )
+                bucket_dfs[name] = df
+                out["aggregations"][name] = {
+                    "buckets": [r.asDict() for r in df.collect()]
+                }
+                continue
             samp = next(
                 (s for s in ("sampler", "diversified_sampler") if s in spec),
                 None,
@@ -1024,7 +1083,17 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 raise ValueError(
                     f"{sib} buckets_path references unknown agg {parent!r}"
                 )
-            df = sibling_bucket(bucket_dfs[parent], path or "_count", sib[:-7])
+            if sib == "percentiles_bucket":
+                from engine.pipeline import percentiles_bucket
+
+                df = percentiles_bucket(
+                    bucket_dfs[parent], path or "_count",
+                    tuple(body.get("percents", (25.0, 50.0, 75.0))),
+                )
+            else:
+                df = sibling_bucket(
+                    bucket_dfs[parent], path or "_count", sib[:-7]
+                )
             out["aggregations"][name] = {
                 "buckets": [r.asDict() for r in df.collect()]
             }

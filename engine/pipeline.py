@@ -172,3 +172,58 @@ def bucket_selector(
 ) -> DataFrame:
     """ES `bucket_selector`: keep buckets where the script is true."""
     return buckets.filter(compile_script(script, params))
+
+
+def moving_fn(
+    buckets: DataFrame,
+    path: str,
+    order_col: str,
+    window: int,
+    fn: str = "avg",
+    out: str = "moving_fn",
+) -> DataFrame:
+    """ES `moving_fn` (the MovingFunctions builtins subset: unweightedAvg
+    / sum / min / max): sliding-window aggregate of `path` in bucket-key
+    order. ES window semantics: the window covers the PREVIOUS `window`
+    buckets EXCLUDING the current one (shift=0 default), and the first
+    bucket — whose window is empty — yields null."""
+    w = (
+        Window.orderBy(order_col).rowsBetween(-window, -1)
+    )
+    m = F.col(_metric(path)).cast("double")
+    agg = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[fn]
+    return buckets.withColumn(out, agg(m).over(w)).orderBy(order_col)
+
+
+def serial_diff(
+    buckets: DataFrame,
+    path: str,
+    order_col: str,
+    lag: int = 1,
+    out: str = "serial_diff",
+) -> DataFrame:
+    """ES `serial_diff`: value minus the value `lag` buckets earlier in
+    bucket-key order; the first `lag` buckets yield null (as in ES)."""
+    w = Window.orderBy(order_col)
+    m = F.col(_metric(path)).cast("double")
+    return buckets.withColumn(out, m - F.lag(m, lag).over(w)).orderBy(order_col)
+
+
+def percentiles_bucket(
+    buckets: DataFrame, path: str, percents: tuple = (25.0, 50.0, 75.0)
+) -> DataFrame:
+    """ES `percentiles_bucket`: sibling pipeline — exact interpolated
+    percentiles of `path` across the parent's buckets (percentile_cont,
+    the same exactness divergence from ES's nearest-rank-on-sorted-list
+    as the document-level percentiles agg... ES percentiles_bucket is
+    itself exact but uses nearest-rank; linear interpolation is this
+    engine's frozen definition, shared with PercentilesAgg and the
+    DuckDB quantile_cont oracle)."""
+    m = F.col(_metric(path)).cast("double")
+    fracs = ", ".join(f"{p / 100.0!r}" for p in percents)
+    col = _metric(path)
+    q = buckets.select(m.alias(col)).agg(
+        F.expr(f"percentile({col}, array({fracs}))").alias("q")
+    )
+    names = ["p" + f"{p:g}".replace(".", "_") for p in percents]
+    return q.select(*[F.col("q")[i].alias(n) for i, n in enumerate(names)])

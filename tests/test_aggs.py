@@ -1258,3 +1258,45 @@ def test_auto_date_histogram_match_all_and_dsl(spark, autodh_index):
     assert resp["aggregations"]["over_time"]["buckets"] == [
         x.asDict() for x in native.collect()
     ]
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+def test_percentile_ranks_agg(spark, agg_index, docs_pdf, execution):
+    """percentile_ranks: frozen EXACT empirical CDF 100*count(x<=v)/n
+    (documented TDigest divergence), both paths + match_all."""
+    from engine.aggs import PercentileRanksAgg
+
+    r = IndexReader(spark, agg_index)
+    vals = matched(docs_pdf)["n_chars"].to_numpy(dtype=float)
+    probes = (float(np.median(vals)), 100.0, 10_000.0)
+    row = search_aggs(
+        r, Q, PercentileRanksAgg("n_chars", probes), execution=execution
+    ).collect()[0]
+    for v in probes:
+        name = "pr_" + f"{v:g}".replace(".", "_")
+        assert row[name] == pytest.approx(
+            100.0 * (vals <= v).sum() / vals.size, rel=1e-12
+        ), v
+    ok = docs_pdf[docs_pdf["text"].notna() & (docs_pdf["text"] != "")]
+    av = ok["n_chars"].to_numpy(dtype=float)
+    row = search_aggs(r, None, PercentileRanksAgg("n_chars", (300.0,))).collect()[0]
+    assert row["pr_300"] == pytest.approx(100.0 * (av <= 300).sum() / av.size)
+
+
+@pytest.mark.parametrize("ascending", [True, False])
+def test_top_metrics_agg(spark, agg_index, docs_pdf, ascending):
+    """top_metrics (size=1): the metric of THE top doc by (sort, _id)."""
+    from engine.aggs import top_metrics
+
+    r = IndexReader(spark, agg_index)
+    m = matched(docs_pdf).copy()
+    m["url"] = m["doc_id"].astype(str)
+    m = m.sort_values(["n_chars", "url"], ascending=[ascending, True],
+                      kind="mergesort")
+    want = m.iloc[0]
+    row = top_metrics(
+        r, Q, "n_chars", "lang", ascending=ascending
+    ).collect()[0]
+    assert (row["url"], row["sort_val"], row["metric"]) == (
+        want["url"], want["n_chars"], want["lang"]
+    )

@@ -541,3 +541,65 @@ def test_validate_query_endpoint(spark, dsl_index):
         "filter": [{"exists": {"field": "lang"}}],
     }}})
     assert bad["valid"] is False and "not composed" in bad["error"]
+
+
+def test_pinned_query_and_new_pipeline_aggs(spark, dsl_index):
+    """pinned query: request-order pins first (synthetic descending
+    scores), organic BM25 after with pins removed; moving_fn/serial_diff
+    parent pipelines and the percentiles_bucket sibling dispatch to
+    engine/pipeline.py."""
+    from engine.aggs import PINNED_BASE
+
+    r = IndexReader(spark, dsl_index)
+    organic = [
+        h["_id"] for h in search(
+            r, {"query": {"match": {"text": "hash join"}}, "size": 10}
+        )["hits"]["hits"]
+    ]
+    pins = [organic[3], "99999999", organic[0]]  # one dead id is skipped
+    resp = search(r, {
+        "query": {"pinned": {
+            "ids": pins, "organic": {"match": {"text": "hash join"}},
+        }},
+        "size": 6,
+    })
+    got = resp["hits"]["hits"]
+    assert [h["_id"] for h in got[:2]] == [organic[3], organic[0]]
+    assert got[0]["_score"] == PINNED_BASE and got[1]["_score"] == PINNED_BASE - 2
+    rest = [h["_id"] for h in got[2:]]
+    assert rest == [u for u in organic if u not in (organic[0], organic[3])][:4]
+
+    resp = search(r, {
+        "query": {"match": {"text": "hash join"}}, "size": 0,
+        "aggs": {
+            "hist": {
+                "histogram": {"field": "n_chars", "interval": 100},
+                "aggs": {
+                    "ma": {"moving_fn": {
+                        "buckets_path": "_count", "window": 3,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }},
+                    "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+                },
+            },
+            "spread": {"percentiles_bucket": {
+                "buckets_path": "hist>_count", "percents": [50.0],
+            }},
+        },
+    })
+    buckets = resp["aggregations"]["hist"]["buckets"]
+    counts = [b["doc_count"] for b in buckets]
+    assert buckets[0]["ma"] is None  # empty preceding window
+    for i, b in enumerate(buckets):
+        if i >= 1:
+            w = counts[max(0, i - 3):i]
+            assert b["ma"] == pytest.approx(sum(w) / len(w)), i
+        if i >= 2:
+            assert b["sd"] == pytest.approx(counts[i] - counts[i - 2]), i
+        else:
+            assert b["sd"] is None
+    import numpy as np
+
+    assert resp["aggregations"]["spread"]["buckets"][0]["p50"] == (
+        pytest.approx(float(np.percentile(counts, 50, method="linear")))
+    )
