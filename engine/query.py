@@ -2228,6 +2228,29 @@ def term_vectors(reader: "IndexReader", doc_text: str) -> "DataFrame":
     return reader.spark.createDataFrame(rows, "term string, tf long, df long")
 
 
+def mterm_vectors(reader: "IndexReader", docs: "list[tuple[str, str]]") -> "DataFrame":
+    """ES `_mtermvectors`: term vectors for a batch of (doc_id, text)
+    pairs in ONE dictionary probe — the union of every doc's analyzed
+    terms feeds a single pruned term_stats read (vs N probes for N
+    single-doc calls). Returns (doc_id, term, tf, df) rows, doc order
+    preserved within the sorted-term contract of term_vectors."""
+    from collections import Counter
+
+    from engine.textnorm import standard_tokenize_py
+
+    tfs = [(did, Counter(standard_tokenize_py(text.lower()))) for did, text in docs]
+    all_terms = sorted({t for _d, c in tfs for t in c})
+    stats = reader.term_stats(all_terms)
+    rows = [
+        (did, t, int(c), int(stats.get(t, 0)))
+        for did, cnt in tfs
+        for t, c in sorted(cnt.items())
+    ]
+    return reader.spark.createDataFrame(
+        rows, "doc_id string, term string, tf long, df long"
+    )
+
+
 def explain_score(
     reader: "IndexReader",
     query: "str | list[str]",

@@ -965,3 +965,18 @@ def test_mget_point_fetch(spark, index, corpus):
             mget(r3, want_urls, fields=["nope"])
     finally:
         shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_mterm_vectors_batches_single_doc_api(spark, index):
+    """_mtermvectors == per-doc _termvectors rows, one dictionary probe."""
+    from engine.query import IndexReader, mterm_vectors, term_vectors
+
+    out, _m = index
+    r = IndexReader(spark, out)
+    docs = [("d1", "the line of the code"), ("d2", "zzqq unknown words line")]
+    got = [tuple(x) for x in mterm_vectors(r, docs).collect()]
+    want = []
+    for did, text in docs:
+        want += [(did, *tuple(x)) for x in term_vectors(r, text).collect()]
+    assert got == want
+    assert any(df == 0 for _d, _t, _tf, df in got)  # unknown term reports df 0
