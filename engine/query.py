@@ -1918,7 +1918,20 @@ def bm25_topk_batch(
         return empty
     idfs = {t: float(P.bm25_idf(stats[t], reader.n_docs)) for t in live_terms}
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
-    qitems = [(qid, [t for t in ts if t in idfs], len(ts)) for qid, ts in queries.items()]
+    # batch-internal memoization (the ES request-cache analog, scoped to
+    # this batch): real batches are duplicate-heavy, and two queries with
+    # the same live-term multiset and the same original arity have
+    # IDENTICAL results by construction — so each distinct signature
+    # scores once per shard and fans its top-k out to every owning qid.
+    # Distinct-query batches pay one dict insert per query and nothing
+    # else; results are bit-identical to the unmemoized loop (tested).
+    sig_items: dict[tuple, list[int]] = {}
+    for qid, ts in queries.items():
+        live = tuple(t for t in ts if t in idfs)
+        sig_items.setdefault((live, len(ts)), []).append(qid)
+    sitems = [
+        (list(sig[0]), sig[1], qids) for sig, qids in sig_items.items()
+    ]
     tomb = reader.tombstones()
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1934,7 +1947,7 @@ def bm25_topk_batch(
                 d, t, l = d[keep], t[keep], l[keep]
             decoded[r.term] = (d, idfs[r.term] * P.bm25_impact(t, l, avgdl, k1, b))
         out_q, out_l, out_s = [], [], []
-        for qid, terms, n_q in qitems:
+        for terms, n_q, qids in sitems:
             hit = [decoded[t] for t in terms if t in decoded]
             if not hit or (mode == "and" and len(hit) != n_q):
                 continue
@@ -1949,9 +1962,11 @@ def bm25_topk_batch(
                 continue
             kk = min(k, uniq.size)
             order = _topk_order(uniq, scores, kk)
-            out_q.append(np.full(kk, qid, dtype=np.int64))
-            out_l.append(uniq[order])
-            out_s.append(scores[order])
+            top_l, top_s = uniq[order], scores[order]
+            for qid in qids:
+                out_q.append(np.full(kk, qid, dtype=np.int64))
+                out_l.append(top_l)
+                out_s.append(top_s)
         if not out_q:
             return pd.DataFrame({"shard": [], "query_id": [], "local_id": [], "score": []}).astype(
                 {"shard": "int32", "query_id": "int64", "local_id": "int64", "score": "float64"}

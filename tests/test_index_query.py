@@ -342,6 +342,46 @@ def test_batch_query_matches_per_query(spark, index, corpus):
         assert [d for _, d in rows] == [r["doc_id"] for r in exp], q
 
 
+def test_batch_duplicate_queries_memoized_identical(spark, index):
+    """Duplicate-heavy batches (the common production shape) are memoized
+    inside bm25_topk_batch — queries with the same live-term multiset and
+    arity score ONCE per shard and fan out. This test freezes the contract:
+    every duplicate qid receives results bit-identical to the per-query
+    path, and a query that differs only in arity (an extra absent term)
+    is NOT conflated with its shorter twin in AND mode."""
+    from engine.query import bm25_topk_batch
+
+    out, _ = index
+    reader = IndexReader(spark, out)
+    # a frozen two-term AND query that actually matches (head terms co-occur)
+    base = next(
+        q["terms"]
+        for q in synth.frozen_queries()
+        if q["kind"] == "and" and bm25_topk(reader, q["terms"], k=1, mode="and").collect()
+    )
+    batch = {
+        0: base,
+        1: list(base),  # exact duplicate → same signature
+        2: base + ["zzzzabsentterm"],  # same live set, arity 3 → distinct sig
+        3: ["company"],
+    }
+    got = bm25_topk_batch(reader, batch, k=10, mode="or").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in batch.items():
+        exp = bm25_topk(reader, terms, k=10, mode="or").collect()
+        rows = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in rows] == [r["doc_id"] for r in exp], qid
+        for (_, _, s), r in zip(rows, exp):
+            assert s == r["score"], qid  # bit-identical, not approx
+    # AND mode: qid 2's absent term must yield EMPTY even though its live
+    # terms equal qid 0's (arity is part of the signature)
+    got_and = bm25_topk_batch(reader, {0: base, 2: batch[2]}, k=10, mode="and").collect()
+    and_q = {r["query_id"] for r in got_and}
+    assert 0 in and_q and 2 not in and_q
+
+
 def test_reader_generation_guard(spark, index):
     """A reader held across an in-place rebuild must raise, not silently
     serve the old generation from its caches (ADVICE round 2)."""
