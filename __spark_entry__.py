@@ -342,6 +342,42 @@ def _bm25_prefix_sql(prefix: str, k: int = 10) -> str:
     return _bm25_rewrite_sql(f"term LIKE '{prefix}%'", k)
 
 
+def _bm25_synonym_sql(groups: list[list[str]], k: int = 10) -> str:
+    """Lucene SynonymQuery blended-stats oracle: per group, tf summed
+    across members per doc and df = MAX over the group's live members
+    (absent members simply have no dfreq row); groups then score like OR
+    terms (engine twin: engine/query.py bm25_synonym_topk)."""
+    members = [(t, gi) for gi, g in enumerate(groups) for t in g]
+    tl = ", ".join(f"'{t}'" for t, _ in members)
+    gvals = ", ".join(f"('{t}', {gi})" for t, gi in members)
+    impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+grp AS (SELECT * FROM (VALUES {gvals}) AS g(term, grp)),
+tf0 AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({tl})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf0 GROUP BY term),
+gdf AS (SELECT grp, max(df)::BIGINT AS df
+        FROM dfreq JOIN grp USING (term) GROUP BY grp),
+gtf AS (SELECT doc_id, dl, grp, sum(tf)::BIGINT AS tf
+        FROM tf0 JOIN grp USING (term) GROUP BY doc_id, dl, grp),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {impact}) AS score_raw
+  FROM gtf JOIN gdf USING (grp) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_dismax_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
     """dis_max multi-field oracle: the three per-field scoring variants
     (default / nonorms b=0 / doconly tf=1) summed per doc, blended as
@@ -3360,6 +3396,67 @@ def q_bm25_federated(spark, sf_dir):
     )
 
 
+def q_bm25_indices_boost(spark, sf_dir):
+    """ES `indices_boost` over the federated pair: member 0 (even doc_ids)
+    boosted 2x, member 1 unboosted — scores multiply per ES semantics
+    BEFORE the cross-index merge (engine/query.py multi_index_topk
+    boosts=). The oracle is whole-corpus relational BM25 with the same
+    parity-conditional multiplier."""
+    from engine.query import IndexReader, multi_index_topk
+
+    readers = [IndexReader(spark, d) for d in _federated_index_dirs(spark, sf_dir)]
+    top = multi_index_topk(readers, BM25_TERMS, k=25, boosts=[2.0, 1.0])
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
+SYN_GROUPS = [["hash", "join"], ["table"]]  # two synonym groups
+
+
+def q_bm25_synonym(spark, sf_dir):
+    """Search-time synonym expansion with Lucene SynonymQuery blended
+    statistics (ES synonym_graph analog): per group, tf = SUM of member
+    tfs and df = MAX of member dfs; groups combine like OR terms
+    (engine/query.py bm25_synonym_topk). The oracle spells the identical
+    blended arithmetic relationally."""
+    from engine.query import IndexReader, bm25_synonym_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_synonym_topk(r, SYN_GROUPS, k=25)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
+RT_SORT_SCRIPT = "log1p(doc['n_chars'].value) * doc['weight'].value"
+
+
+def q_sort_runtime_field(spark, sf_dir):
+    """ES runtime_mappings: sort the BM25_TERMS matches by a COMPUTED
+    field — ln(1 + n_chars) * weight, compiled from the frozen safe-script
+    grammar to numpy (query path) and Catalyst Columns (match_all path)
+    from one parse (engine/scripts.py compile_runtime_script;
+    engine/aggs.py search_sort runtime=). Over-fetch + 6-dp rounded
+    re-rank guards the float boundary, like the BM25 queries."""
+    from engine.aggs import search_sort
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    out = search_sort(
+        r, BM25_TERMS, "quality", k=25, ascending=False,
+        runtime={"quality": RT_SORT_SCRIPT},
+    )
+    return (
+        out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.round("sort_val", 6).alias("sort_val"),
+        )
+        .orderBy(F.desc("sort_val"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 BOOST_WEIGHT = 0.05  # function_score field_value_factor weight
 
 
@@ -3660,6 +3757,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # agg_pipeline_hist), ids_query_topk (live_docmap path shared
         # with csq_topk), agg_hist_nchars (its bucket kernel is a strict
         # subset of in-gate agg_pipeline_hist).)
+        # --- round-4 late additions (gate already saturated with
+        # first-time certifications; these three ride the full
+        # self-certification run + pytest brute twins in
+        # tests/test_synonym_runtime.py) ---
+        "bm25_synonym_topk": q_bm25_synonym,
+        "sort_runtime_field": q_sort_runtime_field,
+        "bm25_indices_boost_topk": q_bm25_indices_boost,
         "bm25_mlt_topk": q_bm25_mlt,
         "agg_composite_page": q_agg_composite_page,
         "ev_session_window": q_ev_session_window,
@@ -4329,6 +4433,17 @@ SELECT term, tf, df,
          AS contribution
 FROM x""",
         "bm25_federated_topk": _bm25_sql(BM25_TERMS),
+        "bm25_indices_boost_topk": _bm25_sql(
+            BM25_TERMS,
+            score_sql="score_raw * (CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END)",
+        ),
+        "bm25_synonym_topk": _bm25_synonym_sql(SYN_GROUPS),
+        "sort_runtime_field": _agg_matched_cte() + (
+            " SELECT doc_id, round(ln(1 + n_chars) * ((n_chars % 7) + 1), 6)"
+            " AS sort_val FROM m"
+            " ORDER BY round(ln(1 + n_chars) * ((n_chars % 7) + 1), 6) DESC,"
+            " doc_id ASC LIMIT 10"
+        ),
         "bm25_boosted_topk": _bm25_sql(
             BM25_TERMS, boost_sql=f"{BOOST_WEIGHT} * ln(1.0 + n_chars)"
         ),

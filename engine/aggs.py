@@ -1435,11 +1435,22 @@ def search_sort(
     search_after: tuple | None = None,
     execution: str = "auto",
     filters=(),
+    runtime: dict[str, str] | None = None,
 ) -> DataFrame:
     """Field-sorted search with search_after deep paging (the ES `sort`
     clause + `search_after` cursor — the scalable alternative to
     from/size offsets, SURVEY §3.3's paging story generalized from the
     alphabetical O1 case to any docvalue).
+
+    runtime: ES `runtime_mappings` — {name: script source}. A sort_field
+    named here is COMPUTED per doc from stored docvalues by the frozen
+    safe-expression grammar (engine/scripts.py compile_runtime_script),
+    never stored: the match_all path evaluates it as a Catalyst Column
+    over the docmap scan (whole-stage codegen, no Python); the query path
+    evaluates the same AST vectorized (numpy) over the per-shard gathered
+    docvalue arrays. Both targets compile from one parse, so sort order
+    is identical regardless of path (tested). Runtime values are total
+    (nulls read as 0.0), so no null-exclusion applies.
 
     Sort key is (sort_field asc|desc, url asc) — url is the document _id,
     so the tiebreak is total and a (value, url) cursor from the last row
@@ -1455,14 +1466,23 @@ def search_sort(
     spark = reader.spark
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
+    rt_np = rt_col = None
+    if runtime and sort_field in runtime:
+        from engine.scripts import compile_runtime_script
+
+        rt_fields, rt_np, rt_col = compile_runtime_script(runtime[sort_field])
+        gather_flds = rt_fields
+        vt = "double"
+    else:
+        gather_flds = [sort_field]
+        vt = _vtype(reader, sort_field)
     missing = [
-        f for f in [sort_field] + filter_fields(filters) if f not in dv_cols
+        f for f in gather_flds + filter_fields(filters) if f not in dv_cols
     ]
     if missing:
         raise ValueError(
             f"sort/filter field(s) {missing} not in index docvalues {dv_cols}"
         )
-    vt = _vtype(reader, sort_field)
 
     def after_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         if search_after is None:
@@ -1490,7 +1510,8 @@ def search_sort(
 
     if query is None:
         dm = live_docmap(reader, filters)
-        out = dm.select("url", F.col(sort_field).alias("v")).filter(
+        vcol = rt_col() if rt_col is not None else F.col(sort_field)
+        out = dm.select("url", vcol.alias("v")).filter(
             F.col("v").isNotNull()
         )
         if search_after is not None:
@@ -1510,18 +1531,24 @@ def search_sort(
     terms, n_terms = live, len(live)
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
-    fields = list(dict.fromkeys([sort_field, "url"] + filter_fields(filters)))
+    fields = list(dict.fromkeys(gather_flds + ["url"] + filter_fields(filters)))
 
     def gather_page_input(shard: int, m: np.ndarray) -> pd.DataFrame:
         tbl = _gather_docvalues(index_dir, shard, fields, m)
         if filters:
             tbl = tbl.filter(pa.array(filter_mask(tbl, filters)))
-        return pd.DataFrame(
-            {
-                "url": tbl.column("url").to_pylist(),
-                "v": tbl.column(sort_field).to_numpy(zero_copy_only=False),
+        if rt_np is not None:
+            cols = {
+                f: np.nan_to_num(
+                    tbl.column(f).to_numpy(zero_copy_only=False).astype(np.float64),
+                    nan=0.0,
+                )
+                for f in gather_flds
             }
-        )
+            v = rt_np(cols)
+        else:
+            v = tbl.column(sort_field).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"url": tbl.column("url").to_pylist(), "v": v})
 
     def shard_page(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf_key[0])

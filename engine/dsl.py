@@ -362,6 +362,23 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
 
     if "match_all" in query:
         return None
+    if "synonym_match" in query:
+        # frozen surface for ES search-time synonym_graph analysis: the
+        # caller supplies the expanded synonym groups explicitly (the
+        # reference declares synonyms in analyzer settings; this engine
+        # takes them per-request) and scoring is Lucene SynonymQuery
+        # blended stats (engine/query.py bm25_synonym_topk)
+        ((fld, spec),) = query["synonym_match"].items()
+        if fld != "text":
+            raise ValueError("synonym_match supports the text field")
+        if filters:
+            raise ValueError("synonym_match + filter context is not composed yet")
+        from engine.query import bm25_synonym_topk
+
+        return bm25_synonym_topk(
+            reader, spec["groups"], k=k,
+            mode=spec.get("operator", "or").lower(),
+        )
     if "multi_match" in query:
         m = query["multi_match"]
         flds = [f.split("^")[0] for f in m.get("fields", ["text"])]
@@ -870,12 +887,20 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         )
         order = o.get("order", "asc") if isinstance(o, dict) else o
         after = body.get("search_after")
+        # ES runtime_mappings: computed sort fields (frozen scope: sort
+        # only — runtime fields in aggs/filters are a documented
+        # divergence); {name: {"type": ..., "script": {"source": ...}}}
+        rt = {
+            n: s["script"]["source"]
+            for n, s in (body.get("runtime_mappings") or {}).items()
+        }
         rows = search_sort(
             reader, terms, fld, k=frm + size, mode=mode,
             ascending=order == "asc",
             search_after=tuple(after) if after else None,
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else (),
+            runtime=rt or None,
         ).collect()[frm:]
         hits = [
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
@@ -936,6 +961,39 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 for h in hits:
                     if h["_id"] in frags:
                         h["highlight"] = {"text": [frags[h["_id"]]]}
+
+    if body.get("min_score") is not None:
+        # ES min_score: drop hits scoring below the floor. The count path
+        # is score-blind, so combining with track_total_hits (which ES
+        # defines as the post-floor count) is not composed (frozen).
+        if body.get("track_total_hits"):
+            raise ValueError(
+                "min_score + track_total_hits is not composed (the exact "
+                "count path is score-blind); drop one (documented divergence)"
+            )
+        ms = float(body["min_score"])
+        hits = [h for h in hits if h["_score"] is not None and h["_score"] >= ms]
+
+    field_spec = body.get("fields") or body.get("docvalue_fields")
+    if field_spec and hits:
+        # ES fields / docvalue_fields response retrieval: fetch the
+        # requested docvalue columns for exactly the page's hits — one
+        # mget (pruned per-shard pyarrow reads), never a corpus join
+        from engine.query import mget as _mget
+
+        flds = [
+            f["field"] if isinstance(f, dict) else f for f in field_spec
+        ]
+        fetched = {
+            r["url"]: r
+            for r in _mget(reader, [h["_id"] for h in hits], fields=flds).collect()
+        }
+        for h in hits:
+            r = fetched.get(h["_id"])
+            if r is not None and r["found"]:
+                h.setdefault("fields", {}).update(
+                    {f: [r[f]] for f in flds if r[f] is not None}
+                )
 
     if body.get("track_total_hits") or frm + size == 0:
         # ES reports hits.total even at size:0 (default track_total_hits
@@ -1075,10 +1133,10 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             out["aggregations"][name] = {
                 "buckets": [r.asDict() for r in df.collect()]
             }
-        for name, sib, body in siblings:
+        for name, sib, sspec in siblings:
             from engine.pipeline import sibling_bucket
 
-            parent, _, path = body["buckets_path"].partition(">")
+            parent, _, path = sspec["buckets_path"].partition(">")
             if parent not in bucket_dfs:
                 raise ValueError(
                     f"{sib} buckets_path references unknown agg {parent!r}"
@@ -1088,7 +1146,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
                 df = percentiles_bucket(
                     bucket_dfs[parent], path or "_count",
-                    tuple(body.get("percents", (25.0, 50.0, 75.0))),
+                    tuple(sspec.get("percents", (25.0, 50.0, 75.0))),
                 )
             else:
                 df = sibling_bucket(
@@ -1148,6 +1206,32 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 }
             ]
 
+    if body.get("profile"):
+        # ES profile API (frozen minimal shape): which engine path served
+        # the request and the wall time — enough to attribute latency to
+        # an operator; per-Lucene-collector breakdowns have no analog here
+        out["profile"] = {
+            "shards": [
+                {
+                    "searches": [
+                        {
+                            "query": [
+                                {
+                                    "type": next(iter(query)),
+                                    "description": (
+                                        "sort" if sort_spec else
+                                        "collapse" if body.get("collapse") else
+                                        "rescore" if body.get("rescore") else
+                                        "topk"
+                                    ),
+                                    "time_in_nanos": int((time.time() - t0) * 1e9),
+                                }
+                            ]
+                        }
+                    ]
+                }
+            ]
+        }
     out.update(
         {
             "took": int((time.time() - t0) * 1000),
@@ -1262,3 +1346,63 @@ def validate_query(reader, body: dict) -> dict:
 _SIBLINGS_KINDS = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
 )
+
+def field_caps(reader) -> dict:
+    """ES `_field_caps`: what fields exist on this index and what each
+    supports — answered entirely from the manifest (no data read). The
+    indexed full-text field is always `text` (searchable, not
+    aggregatable: the index stores postings, not the source); every
+    docvalue column is aggregatable + sortable; `url` is the keyword _id
+    twin. Type names come from the docmap arrow schema via the reader's
+    vtype mapping (the same source the sort/agg validators use, so caps
+    can never disagree with what search_sort/search_aggs accept)."""
+    from engine.query import _spark_vtype
+
+    _ES_T = {"long": "long", "double": "double", "string": "keyword",
+             "timestamp_ntz": "date"}
+    caps: dict = {
+        "text": {"text": {"searchable": True, "aggregatable": False}},
+        "url": {"keyword": {"searchable": True, "aggregatable": True}},
+    }
+    for f in reader.manifest.get("docvalue_cols") or []:
+        t = _ES_T.get(_spark_vtype(reader, f), "keyword")
+        caps[f] = {t: {"searchable": False, "aggregatable": True}}
+    return {"indices": [reader.dir], "fields": caps}
+
+
+def render_search_template(source, params: dict) -> dict:
+    """ES `_search/template` (mustache subset): substitute `{{var}}`
+    placeholders in the template with `params` values and return the
+    rendered body dict ready for search(). Frozen subset: plain variable
+    substitution only (no sections/partials — the overwhelming template
+    use-case is parameterizing terms/sizes). String-valued holes
+    substitute textually; a hole that IS the whole string value adopts
+    the param's JSON type (ES's behavior for `"size": "{{k}}"` with
+    numeric k). Unresolved placeholders raise (fail closed, not silent
+    empty-string holes)."""
+    import json as _json
+    import re as _re
+
+    if isinstance(source, dict):
+        source = _json.dumps(source)
+
+    holes = set(_re.findall(r"\{\{(\w+)\}\}", source))
+    missing = holes - set(params)
+    if missing:
+        raise ValueError(f"unresolved template params: {sorted(missing)}")
+
+    def _render(node):
+        if isinstance(node, dict):
+            return {_render(k): _render(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [_render(v) for v in node]
+        if isinstance(node, str):
+            m = _re.fullmatch(r"\{\{(\w+)\}\}", node)
+            if m:
+                return params[m.group(1)]  # whole-hole: adopt param type
+            return _re.sub(
+                r"\{\{(\w+)\}\}", lambda mm: str(params[mm.group(1)]), node
+            )
+        return node
+
+    return _render(_json.loads(source))

@@ -1455,6 +1455,139 @@ def bm25_dismax_topk(
     )
 
 
+def bm25_synonym_topk(
+    reader: IndexReader,
+    groups: list[list[str]],
+    k: int = 10,
+    mode: str = "or",
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """Search-time synonym expansion with Lucene SynonymQuery scoring —
+    the engine-side equivalent of ES's search-time `synonym_graph` token
+    filter (the reference delegates synonyms entirely to Elasticsearch
+    analyzer settings; search_scheme.json declares the analyzers).
+
+    Each group is a set of terms treated as ONE pseudo-term, scored with
+    Lucene's blended statistics (SynonymQuery): per doc, tf = SUM of the
+    member tfs; df = MAX of the member dfs (so a rare alias never inflates
+    the idf of its common synonym). Groups then combine exactly like plain
+    terms in a match query: OR sums group scores; AND requires every group
+    to match (a group with no live member under AND -> empty, the frozen
+    conjunctive semantics shared with bm25_topk/bool). A single-term group
+    degenerates to plain BM25 scoring by construction (tested identity).
+
+    Plan shape: one bucket-pruned postings read covers the union of all
+    member terms; per shard a vectorized kernel concatenates each group's
+    decoded postings, group-sums tf per doc (np.unique + bincount), and
+    applies idf(max df) * impact(tf_sum, dl) — no joins, no extra shuffle
+    vs a plain match of the same number of terms. Same adaptive
+    local/Spark execution + pruned docmap lookup as bm25_topk."""
+    spark = reader.spark
+    groups = [list(dict.fromkeys(g)) for g in groups if g]
+    all_terms = sorted({t for g in groups for t in g})
+    stats = reader.term_stats(all_terms)
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    live_groups = [[t for t in g if t in stats] for g in groups]
+    if mode == "and" and any(not g for g in live_groups):
+        return empty
+    live_groups = [g for g in live_groups if g]
+    if not live_groups:
+        return empty
+    # blended group idf: df = max over live members (Lucene SynonymQuery)
+    gidfs = [
+        float(P.bm25_idf(max(stats[t] for t in g), reader.n_docs))
+        for g in live_groups
+    ]
+    term_grp = {t: gi for gi, g in enumerate(live_groups) for t in g}
+    terms = sorted(term_grp)
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+    n_groups = len(live_groups)
+    tomb = reader.tombstones()
+
+    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        by_grp: dict[int, list[tuple]] = {}
+        for r in rows:
+            d, t, l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+            if d.size:
+                by_grp.setdefault(term_grp[r.term], []).append((d, t, l))
+        if not by_grp or (mode == "and" and len(by_grp) < n_groups):
+            return []
+        locs_all, contribs_all = [], []
+        for gi, parts in by_grp.items():
+            d = np.concatenate([p[0] for p in parts])
+            t = np.concatenate([p[1] for p in parts])
+            l = np.concatenate([p[2] for p in parts])
+            uniq, inv = np.unique(d, return_inverse=True)
+            tf_sum = np.bincount(inv, weights=t, minlength=uniq.size)
+            dls = np.zeros(uniq.size, dtype=np.int64)
+            dls[inv] = l  # dl is a per-doc constant across members
+            locs_all.append(uniq)
+            contribs_all.append(gidfs[gi] * P.bm25_impact(tf_sum, dls, avgdl, k1, b))
+        locs = np.concatenate(locs_all)
+        contribs = np.concatenate(contribs_all)
+        uniq, inv = np.unique(locs, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs, minlength=uniq.size)
+        if mode == "and":
+            keep = np.bincount(inv, minlength=uniq.size) == len(by_grp)
+            uniq, scores = uniq[keep], scores[keep]
+        if uniq.size == 0:
+            return []
+        kk = min(k, uniq.size)
+        order = _topk_order(uniq, scores, kk)
+        return list(zip(uniq[order].tolist(), scores[order].tolist()))
+
+    def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                "score": np.array([t[1] for t in top], dtype=np.float64),
+            }
+        )
+
+    heap_rows: list[tuple[int, int, float]] | None = None
+    if execution == "local" or (
+        execution == "auto"
+        and sum(stats[t] for t in terms) <= reader.LOCAL_MAX_POSTINGS
+    ):
+        by_shard = reader.postings_local(terms)
+        if by_shard is not None:
+            heap_rows = [
+                (shard, local, score)
+                for shard, rows in by_shard.items()
+                for local, score in run_kernel(rows, tomb.get(shard))
+            ]
+    if heap_rows is None:
+        per_shard = (
+            reader.postings(terms)
+            .groupBy("shard")
+            .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return empty
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
 def bm25_bool_topk(
     reader: IndexReader,
     must: str | list[str] = (),
@@ -3296,6 +3429,7 @@ def multi_index_topk(
     query: "str | list[str]",
     k: int = 10,
     mode: str = "or",
+    boosts: "list[float] | None" = None,
 ) -> "DataFrame":
     """Federated BM25 across several indexes with GLOBAL statistics —
     ES's dfs_query_then_fetch over an alias: a stats phase combines the
@@ -3310,7 +3444,13 @@ def multi_index_topk(
     segment-merge identity WITHOUT rewriting a byte (tested: federated
     == merged, rank and score). Doc-id (url) uniqueness across member
     indexes is the caller's contract, exactly as with ES aliases.
-    k1/b must agree across members (asserted)."""
+    k1/b must agree across members (asserted).
+
+    boosts: ES `indices_boost` — a per-member multiplier applied to that
+    index's hit scores BEFORE the cross-index merge (ES semantics: a
+    plain multiply, which deliberately breaks global comparability in
+    favor of the caller's index preference). None/1.0 everywhere is the
+    score-identical federation above."""
     from engine.oracle import analyze_query_py as _aq
 
     assert readers, "multi_index_topk needs at least one reader"
@@ -3334,6 +3474,8 @@ def multi_index_topk(
     sum_dl = sum(int(r.manifest["sum_dl"]) for r in readers)
     avgdl_g = sum_dl / n_g
     idfs_g = {t: float(P.bm25_idf(df_g[t], n_g)) for t in live}
+    if boosts is not None:
+        assert len(boosts) == len(readers), "one boost per member index"
     parts = [
         bm25_topk(
             r, live, k=k, mode=mode, algo="taat",
@@ -3341,6 +3483,11 @@ def multi_index_topk(
         )
         for r in readers
     ]
+    if boosts is not None:
+        parts = [
+            p.withColumn("score", F.col("score") * F.lit(float(w)))
+            for p, w in zip(parts, boosts)
+        ]
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
