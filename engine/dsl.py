@@ -764,6 +764,75 @@ def _rescore_df(reader, query: dict, spec, k: int):
     )
 
 
+def _collect_named(query: dict) -> list[tuple]:
+    """ES named queries: walk the body for `_name`d clauses. Frozen
+    scope: match/term clauses on the text field (postings membership)
+    and term clauses on docvalue fields in bool.filter (value equality);
+    must_not naming is a documented divergence (ES reports a must_not's
+    name when the inner clause does NOT match — inverted bookkeeping this
+    dispatcher doesn't carry). Returns [(name, kind, payload)] in clause
+    order: kind 'text' -> (terms, op); kind 'dv' -> (field, value)."""
+    from engine.oracle import analyze_query_py
+
+    out: list[tuple] = []
+
+    def scan(clause: dict):
+        if "match" in clause:
+            ((fld, spec),) = clause["match"].items()
+            if isinstance(spec, dict) and "_name" in spec and fld == "text":
+                out.append((
+                    spec["_name"], "text",
+                    (analyze_query_py(spec["query"]), spec.get("operator", "or")),
+                ))
+        elif "term" in clause:
+            ((fld, spec),) = clause["term"].items()
+            if isinstance(spec, dict) and "_name" in spec:
+                if fld == "text":
+                    out.append((spec["_name"], "text", ([str(spec["value"])], "or")))
+                else:
+                    out.append((spec["_name"], "dv", (fld, spec["value"])))
+
+    scan(query)
+    b = query.get("bool", {})
+    for key in ("must", "should", "filter"):
+        cs = b.get(key, [])
+        for c in cs if isinstance(cs, list) else [cs]:
+            scan(c)
+    return out
+
+
+def _attach_matched_queries(reader, query: dict, hits: list) -> None:
+    """Evaluate the body's named clauses for exactly the page's hits and
+    attach each hit's `matched_queries` array (ES response contract).
+    Text clauses share ONE bucket-pruned postings probe
+    (engine/query.py matched_queries); docvalue clauses share one mget."""
+    named = _collect_named(query)
+    if not named or not hits:
+        return
+    from engine.query import matched_queries as _mq
+    from engine.query import mget as _mget
+
+    urls = [h["_id"] for h in hits]
+    text_named = {n: p for n, k, p in named if k == "text"}
+    text_hits = _mq(reader, urls, text_named) if text_named else {}
+    dv_fields = sorted({p[0] for _n, k, p in named if k == "dv"})
+    dv_rows = (
+        {r["url"]: r for r in _mget(reader, urls, fields=dv_fields).collect()}
+        if dv_fields else {}
+    )
+    for h in hits:
+        got = []
+        for n, k, p in named:
+            if k == "text":
+                if n in text_hits.get(h["_id"], []):
+                    got.append(n)
+            else:
+                r = dv_rows.get(h["_id"])
+                if r is not None and r["found"] and r[p[0]] == p[1]:
+                    got.append(n)
+        h["matched_queries"] = got
+
+
 def _query_terms_or_none(query: dict):
     """The analyzed term list driving aggs/sort/count for this query, or
     None for match_all. Raises for query kinds whose matched set is not a
@@ -973,6 +1042,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             )
         ms = float(body["min_score"])
         hits = [h for h in hits if h["_score"] is not None and h["_score"] >= ms]
+
+    _attach_matched_queries(reader, query, hits)
 
     field_spec = body.get("fields") or body.get("docvalue_fields")
     if field_spec and hits:

@@ -2749,6 +2749,91 @@ def mget(
     return reader.spark.createDataFrame(out, schema)
 
 
+def matched_queries(
+    reader: "IndexReader",
+    urls: "list[str]",
+    named: "dict[str, tuple[list[str], str]]",
+) -> "dict[str, list[str]]":
+    """ES named queries: which `_name`d text clauses match each of the
+    given documents — the engine primitive behind the per-hit
+    `matched_queries` response array. `named` maps clause name ->
+    (analyzed terms, operator 'or'|'and'); returns {url: [names]} with
+    names in `named` insertion order (ES preserves clause order).
+
+    Semantics mirror the scoring kernels exactly: 'or' matches when ANY
+    live member term occurs in the doc; 'and' requires EVERY term (a term
+    absent from the dictionary makes an 'and' clause unmatchable — the
+    frozen conjunctive rule shared with bm25_topk). Tombstoned/missing
+    urls match nothing.
+
+    Cost shape: one mget routes the urls (pruned per-shard docmap reads);
+    ONE postings read covers the union of every clause's terms
+    (bucket-pruned, driver-local when the dir is); membership is a
+    searchsorted probe of each decoded doc list against the page's local
+    ids — the decode cost is the same postings IO a query for those terms
+    would pay, amortized over all clauses and all k urls."""
+    from engine.hashing import xxh64
+
+    all_terms = sorted({t for ts, _ in named.values() for t in ts})
+    stats = reader.term_stats(all_terms)
+    n_shards = reader.manifest["n_shards"]
+    tomb = reader.tombstones()
+    # url -> (shard, local_id), tombstone-masked, via the mget routing
+    doc_of: dict[str, tuple[int, int]] = {}
+    offsets = reader.shard_offsets()
+    for r in mget(reader, list(urls)).collect():
+        if r["found"]:
+            shard = xxh64(r["url"].encode()) % n_shards
+            doc_of[r["url"]] = (shard, int(r["doc_id"]) - offsets[shard])
+    live = [t for t in all_terms if t in stats]
+    # (shard, term) -> sorted decoded local-id array
+    docs_of: dict[tuple[int, str], np.ndarray] = {}
+    if live and doc_of:
+        by_shard = reader.postings_local(live)
+        if by_shard is None:
+            shards = sorted({s for s, _ in doc_of.values()})
+            by_shard = {}
+            for r in (
+                reader.postings(live)
+                .filter(F.col("shard").isin(shards))
+                .collect()
+            ):
+                by_shard.setdefault(int(r["shard"]), []).append(r)
+        for shard, rows in by_shard.items():
+            dels = tomb.get(shard)
+            for r in rows:
+                d, _t, _l = P.decode_term_postings(
+                    r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+                )
+                keep = _live_mask(d, dels)
+                docs_of[(shard, r.term)] = d if keep is None else d[keep]
+
+    def _has(shard: int, lid: int, term: str) -> bool:
+        d = docs_of.get((shard, term))
+        if d is None or d.size == 0:
+            return False
+        i = int(np.searchsorted(d, lid))
+        return i < d.size and int(d[i]) == lid
+
+    out: dict[str, list[str]] = {}
+    for u in urls:
+        names = []
+        loc = doc_of.get(u)
+        if loc is not None:
+            shard, lid = loc
+            for name, (ts, op) in named.items():
+                if not ts:
+                    continue
+                if op == "and":
+                    ok = all(t in stats and _has(shard, lid, t) for t in ts)
+                else:
+                    ok = any(_has(shard, lid, t) for t in ts if t in stats)
+                if ok:
+                    names.append(name)
+        out[u] = names
+    return out
+
+
 def _spark_vtype(reader: "IndexReader", fld: str) -> str:
     import pyarrow as pa
 

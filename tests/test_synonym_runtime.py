@@ -326,3 +326,77 @@ def test_search_template_end_to_end(spark, syn_index):
     assert [h["_id"] for h in resp["hits"]["hits"]] == [x["url"] for x in want]
     # partial-string holes substitute textually
     assert render_search_template({"a": "x-{{v}}-y"}, {"v": 9}) == {"a": "x-9-y"}
+
+
+def test_matched_queries_named_clauses(spark, syn_index):
+    """ES named queries: per-hit matched_queries arrays — text clauses
+    verified against a brute re-tokenization, docvalue names against the
+    docmap values."""
+    from engine.query import matched_queries
+
+    r = IndexReader(spark, syn_index)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": {"query": "hash join", "_name": "m_hj"}}}],
+                "should": [{"match": {"text": {"query": "table", "_name": "s_table"}}}],
+            }
+        },
+        "size": 8,
+    }
+    resp = search(r, body)
+    assert resp["hits"]["hits"], "bool query must match"
+    toks_of = {
+        x["url"]: set(standard_tokenize_py(x["text"].lower()))
+        for x in spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+        .collect()
+        if x["text"]
+    }
+    for h in resp["hits"]["hits"]:
+        toks = toks_of[h["_id"]]
+        want = []
+        if {"hash", "join"} & toks:  # match operator=or
+            want.append("m_hj")
+        if "table" in toks:
+            want.append("s_table")
+        assert h["matched_queries"] == want, h["_id"]
+
+    # docvalue-named filter clause (bool must + filter composes)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"text": "hash"}}],
+                "filter": [{"term": {"lang": {"value": "en", "_name": "f_en"}}}],
+            }
+        },
+        "size": 5,
+    }
+    resp = search(r, body)
+    langs = {
+        x["url"]: x["lang"]
+        for x in spark.read.parquet(os.path.join(syn_index, "docmap"))
+        .select("url", "lang").collect()
+    }
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        assert langs[h["_id"]] == "en"
+        assert h["matched_queries"] == ["f_en"]
+
+    # engine primitive: and-operator needs every term; absent term kills
+    # an 'and' clause but not an 'or' clause; unknown url matches nothing
+    urls = [h["_id"] for h in resp["hits"]["hits"]][:3] + ["no-such-url"]
+    got = matched_queries(
+        r, urls,
+        {
+            "and_hj": (["hash", "join"], "and"),
+            "and_ghost": (["hash", "zzzzabsentterm"], "and"),
+            "or_ghost": (["hash", "zzzzabsentterm"], "or"),
+        },
+    )
+    for u in urls[:3]:
+        toks = toks_of[u]
+        assert ("and_hj" in got[u]) == ({"hash", "join"} <= toks)
+        assert "and_ghost" not in got[u]
+        assert ("or_ghost" in got[u]) == ("hash" in toks)
+    assert got["no-such-url"] == []
