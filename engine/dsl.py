@@ -1477,3 +1477,117 @@ def render_search_template(source, params: dict) -> dict:
         return node
 
     return _render(_json.loads(source))
+
+
+# ---------------------------------------------------------------------------
+# _rank_eval: ranked-result quality metrics over the real search dispatcher
+# ---------------------------------------------------------------------------
+
+def _rank_eval_metric(metric: dict, ranked: list, ratings: dict):
+    """One request's metric over its ranked hit ids. `ranked` is the hit
+    id list in rank order; `ratings` maps id -> integer rating. Returns
+    (score, metric_details). Definitions are the ES RankEval module's
+    (public docs/Lucene): precision@k / recall@k with a relevance
+    threshold, MRR, (n)DCG with the exponential 2^rel-1 gain, and ERR
+    with the graded-cascade stopping model."""
+    import math
+
+    ((kind, spec),) = metric.items()
+    thr = int(spec.get("relevant_rating_threshold", 1))
+    if kind == "precision":
+        if spec.get("ignore_unlabeled", False):
+            considered = [i for i in ranked if i in ratings]
+        else:
+            considered = ranked
+        rel = sum(1 for i in considered if ratings.get(i, 0) >= thr)
+        score = rel / len(considered) if considered else 0.0
+        return score, {"relevant_docs_retrieved": rel,
+                       "docs_retrieved": len(considered)}
+    if kind == "recall":
+        total_rel = sum(1 for v in ratings.values() if v >= thr)
+        rel = sum(1 for i in ranked if ratings.get(i, 0) >= thr)
+        score = rel / total_rel if total_rel else 0.0
+        return score, {"relevant_docs_retrieved": rel,
+                       "relevant_docs": total_rel}
+    if kind == "mean_reciprocal_rank":
+        for pos, i in enumerate(ranked, 1):
+            if ratings.get(i, 0) >= thr:
+                return 1.0 / pos, {"first_relevant": pos}
+        return 0.0, {"first_relevant": -1}
+    if kind == "dcg":
+        def dcg_of(rels):
+            return sum(
+                (2.0 ** r - 1.0) / math.log2(pos + 1)
+                for pos, r in enumerate(rels, 1)
+            )
+        dcg = dcg_of([ratings.get(i, 0) for i in ranked])
+        if not spec.get("normalize", False):
+            return dcg, {"dcg": dcg}
+        ideal = dcg_of(sorted(ratings.values(), reverse=True)[: len(ranked)])
+        return (dcg / ideal if ideal else 0.0), {"dcg": dcg, "ideal_dcg": ideal}
+    if kind == "expected_reciprocal_rank":
+        max_r = int(spec["maximum_relevance"])
+        p_stay, err = 1.0, 0.0
+        for pos, i in enumerate(ranked, 1):
+            r = (2.0 ** ratings.get(i, 0) - 1.0) / 2.0 ** max_r
+            err += p_stay * r / pos
+            p_stay *= 1.0 - r
+        return err, {"unrated_docs": sum(1 for i in ranked if i not in ratings)}
+    raise ValueError(f"rank_eval: unknown metric {kind!r}")
+
+
+def rank_eval(reader, body: dict, corpus=None, embeddings=None) -> dict:
+    """ES `_rank_eval` endpoint: run each templated/raw request through
+    the REAL search() dispatcher, grade its ranked hits against the
+    request's ratings with the body's metric, and average. Response
+    shape follows ES: overall `metric_score`, per-request `details` with
+    `unrated_docs` ([{_id}] actually hit) and rated `hits`, `failures`
+    keyed by request id for bodies search() rejects.
+
+    Metric math is driver-side over <=k already-collected hits per
+    request -- the correct cost shape for an evaluation endpoint; the
+    ranked lists themselves come from the same bucket-pruned kernels
+    every query uses. `metric.*.k` overrides each request's size (ES
+    contract); templates render via render_search_template."""
+    import json as _json
+
+    metric = body["metric"]
+    k = next(iter(metric.values())).get("k")
+    templates = {
+        t["id"]: _json.dumps(t["template"])
+        for t in body.get("templates", [])
+    }
+    details: dict = {}
+    failures: dict = {}
+    scores = []
+    for req in body["requests"]:
+        rid = req["id"]
+        try:
+            if "template_id" in req:
+                sbody = render_search_template(
+                    templates[req["template_id"]], req.get("params", {}))
+            else:
+                sbody = dict(req["request"])
+            if k is not None:
+                sbody["size"] = int(k)
+            resp = search(reader, sbody, corpus=corpus, embeddings=embeddings)
+        except (ValueError, KeyError) as e:
+            failures[rid] = str(e)
+            continue
+        ranked = [h["_id"] for h in resp["hits"]["hits"]]
+        ratings = {r["_id"]: int(r["rating"]) for r in req["ratings"]}
+        score, mdet = _rank_eval_metric(metric, ranked, ratings)
+        scores.append(score)
+        details[rid] = {
+            "metric_score": score,
+            "unrated_docs": [{"_id": i} for i in ranked if i not in ratings],
+            "hits": [
+                {"hit": {"_id": i}, "rating": ratings.get(i)} for i in ranked
+            ],
+            "metric_details": {next(iter(metric)): mdet},
+        }
+    return {
+        "metric_score": sum(scores) / len(scores) if scores else 0.0,
+        "details": details,
+        "failures": failures,
+    }
