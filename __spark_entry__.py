@@ -3500,6 +3500,15 @@ def q_pack_tokens(spark, sf_dir):
     return pack_token_budget(_docs(spark, sf_dir), PACK_BUDGET, group_col="source")
 
 
+def q_stats_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity scoring + head/middle/tail
+    tertile bucketing (Wenzek et al. 2020 §4.3) — the LM-quality cut of
+    a training-data pipeline (engine/textstats.py unigram_perplexity)."""
+    from engine.textstats import unigram_perplexity
+
+    return unigram_perplexity(_docs(spark, sf_dir))
+
+
 def q_stats_repetition(spark, sf_dir):
     """Gopher-style repetition features (type-token ratio + top-bigram
     fraction) — boilerplate/repetition filters for training-data curation
@@ -3854,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_topk": q_pinned_topk,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_top_metrics": q_agg_top_metrics,
+        "stats_perplexity": q_stats_perplexity,
     }
 
 
@@ -4832,4 +4842,22 @@ ORDER BY score DESC, a.id ASC LIMIT 10""",
             "bucket_epoch, count(*)::BIGINT AS doc_count, "
             "u.unit AS interval FROM m, u GROUP BY bucket_epoch, u.unit"
         ),
+        "stats_perplexity": _toks_cte() + """,
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+lm AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS T, count(*)::DOUBLE AS V FROM lm),
+ppl AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         round(exp(-sum(tf * ln((c + 0.5) / (T + 0.5 * V))) / sum(tf)), 6)
+           AS ppl
+  FROM tf JOIN lm USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+cuts AS (SELECT round(quantile_cont(ppl, 1.0/3), 6) AS c1,
+                round(quantile_cont(ppl, 2.0/3), 6) AS c2 FROM ppl)
+SELECT doc_id, n_tokens, ppl,
+       CASE WHEN ppl <= c1 THEN 'head'
+            WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ppl CROSS JOIN cuts""",
     }

@@ -287,3 +287,83 @@ def pack_token_budget(
         F.floor(excl / budget).cast("long").alias("bin"),
         (excl % budget).cast("long").alias("offset_in_bin"),
     )
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style LM perplexity scoring + head/middle/tail bucketing
+    (Wenzek et al. 2020 §4.3: keep/weight training data by LM perplexity
+    tertiles). The LM here is the corpus's own add-alpha-smoothed unigram
+    model — deterministic, SQL-expressible, and the frozen stand-in for
+    CCNet's KenLM 5-gram (no LM libraries in this container; the
+    bucketing contract is the operator).
+
+    Definitions (frozen): p(t) = (c_t + alpha) / (T + alpha * V) with
+    c_t = corpus count, T = total tokens, V = vocab size;
+    ppl(doc) = exp(-sum_t tf_t * ln p(t) / n_tokens), rounded to 6 dp;
+    bucket cutpoints = exact interpolated 1/3 and 2/3 percentiles of the
+    rounded ppl (also rounded), 'head' <= c1 < 'middle' <= c2 < 'tail'.
+    Lower ppl = better LM fit (CCNet's head is its highest-quality cut).
+
+    Scale shape: word-count plans end to end — explode once, pre-reduce
+    to per-(doc, term) tfs BEFORE the LM join (join input ~ distinct
+    terms per doc, not tokens), join on term (the LM side is
+    vocabulary-sized; AQE broadcasts it when small), then one groupBy
+    doc. The tertile pass is a 2-value exact percentile over one double
+    per doc. No per-row Python anywhere."""
+    t = F.col(text_col)
+    toks = standard_tokenize_col(F.lower(t))
+    tok = (
+        docs.filter(t.isNotNull() & (t != ""))
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    # the LM feeds both the probability join and the (T, V) totals, and
+    # the scored frame feeds both the tertile pass and the output —
+    # persist each so the corpus is tokenized and scored exactly once
+    # (unpersisted, Spark re-derives the whole subtree per consumer)
+    lm = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).persist()
+    tot = lm.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).cast("double").alias("V")
+    )
+    a = F.lit(float(alpha))
+    ppl = (
+        tf.join(lm, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.exp(
+                    -F.sum(
+                        F.col("tf")
+                        * F.log((F.col("c") + a) / (F.col("T") + a * F.col("V")))
+                    )
+                    / F.sum("tf")
+                ),
+                6,
+            ).alias("ppl"),
+        )
+        .persist()
+    )
+    cuts = ppl.agg(
+        F.round(F.expr("percentile(ppl, 1.0D/3)"), 6).alias("c1"),
+        F.round(F.expr("percentile(ppl, 2.0D/3)"), 6).alias("c2"),
+    )
+    return ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

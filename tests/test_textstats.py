@@ -102,3 +102,56 @@ def test_pack_token_budget_invariants(spark):
             assert b == excl // 50 and off == excl % 50, (g, _i)
             assert off < 50
             excl += n
+
+
+def test_unigram_perplexity_brute_twin(spark):
+    """unigram_perplexity vs an independent Counter/math recomputation:
+    exact ppl values, tertile bucketing, null/empty filtering, and the
+    repetitious-doc-fits-the-LM-better invariant."""
+    import math
+    from collections import Counter
+
+    from engine.textstats import unigram_perplexity
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the the the"),        # head: all mass on 'the'
+        (3, "zq xv wk jm qq pz"),              # tail: all hapaxes
+        (4, "the cat ate the rat"),
+        (5, "on the mat sat a cat"),
+        (6, ""),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_perplexity(df).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    toks = {i: t.lower().split() for i, t in rows[:5]}
+    lm = Counter(w for ws in toks.values() for w in ws)
+    T, V, a = sum(lm.values()), len(lm), 0.5
+    want = {
+        i: round(
+            math.exp(
+                -sum(math.log((lm[w] + a) / (T + a * V)) for w in ws) / len(ws)
+            ),
+            6,
+        )
+        for i, ws in toks.items()
+    }
+    for i, w in want.items():
+        assert got[i]["ppl"] == pytest.approx(w, abs=1e-6), i
+        assert got[i]["n_tokens"] == len(toks[i])
+    # tertile buckets: exact interpolated 1/3 and 2/3 cutpoints
+    import numpy as np
+
+    ppls = sorted(want.values())
+    c1 = round(float(np.percentile(ppls, 100 / 3, method="linear")), 6)
+    c2 = round(float(np.percentile(ppls, 200 / 3, method="linear")), 6)
+    for i in want:
+        exp_bucket = (
+            "head" if want[i] <= c1 else "middle" if want[i] <= c2 else "tail"
+        )
+        assert got[i]["bucket"] == exp_bucket, i
+    # the all-stopword doc fits the LM best; the all-hapax doc worst
+    assert got[2]["bucket"] == "head" and got[3]["bucket"] == "tail"
+    assert got[2]["ppl"] < got[1]["ppl"] < got[3]["ppl"]
