@@ -3706,7 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_session_stats": q_ev_session_stats,
         "ev_props_extract": q_ev_props_extract,
-        "ev_sliding_stats": q_ev_sliding_stats,
+        "stats_perplexity": q_stats_perplexity,
         "mm_media_features": q_media_features,
         "agg_terms_lang": q_agg_terms_lang,
         "agg_terms_lang_deleted": q_agg_terms_lang_deleted,
@@ -3863,7 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinned_topk": q_pinned_topk,
         "agg_percentile_ranks": q_agg_percentile_ranks,
         "agg_top_metrics": q_agg_top_metrics,
-        "stats_perplexity": q_stats_perplexity,
+        "ev_sliding_stats": q_ev_sliding_stats,
     }
 
 
