@@ -113,6 +113,12 @@ def main() -> None:
     se.add_argument("--index", required=True)
     se.add_argument("--body", required=True, help="ES _search JSON body")
 
+    rv = sub.add_parser("rank-eval",
+                        help="ES _rank_eval: grade ranked results "
+                             "(precision/recall@k, MRR, (n)DCG, ERR)")
+    rv.add_argument("--index", required=True)
+    rv.add_argument("--body", required=True, help="ES _rank_eval JSON body")
+
     up = sub.add_parser("upsert", help="replace-by-url: merge a batch into a new index")
     up.add_argument("--index", required=True)
     up.add_argument("--input", required=True, help="parquet with url/text (+docvalue cols)")
@@ -372,6 +378,13 @@ def main() -> None:
         from engine.query import IndexReader
 
         resp = dsl_search(IndexReader(spark, args.index), json.loads(args.body))
+        print(json.dumps(resp, default=str))
+
+    elif args.cmd == "rank-eval":
+        from engine.dsl import rank_eval
+        from engine.query import IndexReader
+
+        resp = rank_eval(IndexReader(spark, args.index), json.loads(args.body))
         print(json.dumps(resp, default=str))
 
     elif args.cmd == "upsert":

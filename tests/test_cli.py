@@ -223,3 +223,31 @@ def test_cli_search_dsl(corpus, tmp_path_factory):
     assert 0 < len(resp["hits"]["hits"]) <= 5
     assert resp["hits"]["total"]["value"] >= len(resp["hits"]["hits"])
     assert resp["aggregations"]["langs"]["buckets"]
+
+
+def test_cli_rank_eval(corpus, tmp_path_factory):
+    """ES _rank_eval through the CLI: a graded request comes back with the
+    overall metric_score and per-request details from a real subprocess."""
+    idx = str(tmp_path_factory.mktemp("clirev") / "idx")
+    r = _run("build-index", "--input", corpus, "--output", idx,
+             "--shards", "2", "--buckets", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # discover a real hit id first, then rate it relevant
+    r = _run("search", "--index", idx, "--body",
+             json.dumps({"query": {"match": {"text": "the data"}}, "size": 1}))
+    assert r.returncode == 0, r.stderr[-2000:]
+    top = json.loads(r.stdout.strip().splitlines()[-1])["hits"]["hits"][0]["_id"]
+    body = json.dumps({
+        "requests": [{
+            "id": "q1",
+            "request": {"query": {"match": {"text": "the data"}}},
+            "ratings": [{"_id": top, "rating": 1}],
+        }],
+        "metric": {"mean_reciprocal_rank": {"k": 5}},
+    })
+    r = _run("rank-eval", "--index", idx, "--body", body)
+    assert r.returncode == 0, r.stderr[-2000:]
+    resp = json.loads(r.stdout.strip().splitlines()[-1])
+    assert resp["metric_score"] == 1.0  # top hit rated relevant -> MRR 1
+    assert resp["details"]["q1"]["hits"][0]["hit"]["_id"] == top
+    assert not resp["failures"]
