@@ -1045,6 +1045,39 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
     _attach_matched_queries(reader, query, hits)
 
+    if body.get("explain") and hits:
+        # ES `"explain": true`: per-hit scoring breakdown. Frozen subset:
+        # term-scored bodies get the per-term BM25 tree (same engine core
+        # as _explain; one pruned point read per hit — k is page-sized);
+        # match_all gets the constant-score leaf; queries whose score is
+        # not a plain term sum (dis_max, function_score, knn, ...) raise
+        # through _query_terms_or_none, mirroring the agg/sort gate.
+        terms, _op = _query_terms_or_none(query)
+        from engine.query import explain_rows
+
+        for h in hits:
+            if terms is None:
+                h["_explanation"] = {
+                    "value": 1.0, "description": "*:*", "details": [],
+                }
+                continue
+            rows = explain_rows(reader, terms, h["_id"])
+            h["_explanation"] = {
+                "value": h["_score"],
+                "description": "sum of:",
+                "details": [
+                    {
+                        "value": c,
+                        "description": (
+                            f"weight(text:{t}) [tf={tf}, df={df}, "
+                            f"idf={idf}, impact={imp}]"
+                        ),
+                        "details": [],
+                    }
+                    for (t, tf, df, idf, imp, c) in rows
+                ],
+            }
+
     field_spec = body.get("fields") or body.get("docvalue_fields")
     if field_spec and hits:
         # ES fields / docvalue_fields response retrieval: fetch the

@@ -2399,6 +2399,12 @@ def mterm_vectors(reader: "IndexReader", docs: "list[tuple[str, str]]") -> "Data
     )
 
 
+EXPLAIN_SCHEMA = (
+    "term string, tf long, df long, idf double, impact double, "
+    "contribution double"
+)
+
+
 def explain_score(
     reader: "IndexReader",
     query: "str | list[str]",
@@ -2416,6 +2422,20 @@ def explain_score(
     dictionary emit no row (ES: "no matching term"). Raises KeyError for
     an unknown url; a tombstoned doc returns zero rows (masked, like the
     kernels)."""
+    return reader.spark.createDataFrame(
+        explain_rows(reader, query, url), EXPLAIN_SCHEMA
+    )
+
+
+def explain_rows(
+    reader: "IndexReader",
+    query: "str | list[str]",
+    url: str,
+) -> "list[tuple]":
+    """explain_score's engine core: the same per-term breakdown as plain
+    tuples, no result-DataFrame round-trip — the serving-path form that
+    `search(..., explain=true)` calls once per hit (local-dir postings
+    make each call a pyarrow point read)."""
     import math
 
     import pyarrow.compute as pc
@@ -2430,10 +2450,6 @@ def explain_score(
     )
     stats = reader.term_stats(terms)
     live = [t for t in terms if t in stats]
-    schema = (
-        "term string, tf long, df long, idf double, impact double, "
-        "contribution double"
-    )
     shard = xxh64(url.encode()) % reader.manifest["n_shards"]
     dm = ds.dataset(
         os.path.join(reader.dir, "docmap", f"shard={shard}")
@@ -2446,9 +2462,9 @@ def explain_score(
     if tomb is not None and np.searchsorted(tomb, local_id) < tomb.size and int(
         tomb[np.searchsorted(tomb, local_id)]
     ) == local_id:
-        return reader.spark.createDataFrame([], schema)
+        return []
     if not live:
-        return reader.spark.createDataFrame([], schema)
+        return []
 
     by_shard = reader.postings_local(live)
     if by_shard is not None:
@@ -2486,7 +2502,7 @@ def explain_score(
             )
         )
     out.sort(key=lambda x: x[0])
-    return reader.spark.createDataFrame(out, schema)
+    return out
 
 
 def _lev_dist(a: str, b: str) -> int:

@@ -400,3 +400,34 @@ def test_matched_queries_named_clauses(spark, syn_index):
         assert "and_ghost" not in got[u]
         assert ("or_ghost" in got[u]) == ("hash" in toks)
     assert got["no-such-url"] == []
+
+
+def test_search_explain_true(spark, syn_index):
+    """ES `"explain": true`: per-hit _explanation trees whose detail
+    contributions (unrounded sum asserted to 6dp) reconstruct the hit's
+    score; match_all gets the constant leaf; non-term-scored bodies
+    raise, mirroring the aggs/sort gate."""
+    r = IndexReader(spark, syn_index)
+    resp = search(
+        r, {"query": {"match": {"text": "hash join"}}, "size": 5,
+            "explain": True},
+    )
+    hits = resp["hits"]["hits"]
+    assert hits
+    for h in hits:
+        ex = h["_explanation"]
+        assert ex["value"] == h["_score"]
+        got = sum(d["value"] for d in ex["details"])
+        assert abs(got - h["_score"]) < 2e-6  # details rounded 6dp
+        assert all("weight(text:" in d["description"] for d in ex["details"])
+
+    resp = search(r, {"query": {"match_all": {}}, "size": 3,
+                      "explain": True})
+    for h in resp["hits"]["hits"]:
+        assert h["_explanation"] == {
+            "value": 1.0, "description": "*:*", "details": []}
+
+    with pytest.raises(ValueError):
+        search(r, {"query": {"dis_max": {"queries": [
+            {"match": {"text": "hash"}}, {"match": {"text": "table"}}]}},
+            "size": 3, "explain": True})
