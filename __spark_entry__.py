@@ -1235,6 +1235,182 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
+# multi-field mapping demo: a deterministic second analyzed field over the
+# documents table (verified byte-identical Spark vs DuckDB on the ASCII
+# corpus) — 'title' = source + lang + the first 80 chars of text, so the
+# two fields share vocabulary but differ in df/dl/avgdl.
+MF_TITLE_SQL = "concat_ws(' ', source, lang, substr(text,1,80))"
+MF_TERMS = ["data", "en", "row"]  # 'en' is title-heavy, data/row text-heavy
+MF_TB = 0.3
+
+
+def MF_TITLE_SPARK():
+    return F.concat_ws(" ", "source", "lang", F.substring("text", 1, 80))
+
+
+def _bm25_multifield_sql(terms: list[str], mtype: str, tb: float, k: int = 10) -> str:
+    """Relational oracle for true multi-field multi_match over the
+    two-field (text + derived title, title boost 2.0) index: per-field
+    tf/df/avgdl CTEs, blended per engine._mf_shard_topk's frozen semantics
+    (best_fields: greatest + tb * rest; most_fields: sum; cross_fields:
+    per-term max impact across boosted fields under ONE blended idf whose
+    df is the max across fields)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    imp = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    base = f"""
+WITH base AS (
+  SELECT doc_id, text, {MF_TITLE_SQL} AS title
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+dx AS (SELECT doc_id, {TOK.format(c='text')} AS toks FROM base),
+dt AS (SELECT doc_id, {TOK.format(c='title')} AS toks FROM base),
+ddx AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dx),
+ddt AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM dt),
+sx AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ddx),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM ddt),
+tfx AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM ddx)
+  WHERE term IN ({tl}) GROUP BY doc_id, dl, term
+),
+tft AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM ddt)
+  WHERE term IN ({tl}) GROUP BY doc_id, dl, term
+),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY term),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tft GROUP BY term)"""
+    if mtype == "cross_fields":
+        return f"""{base},
+dfb AS (
+  SELECT coalesce(dfx.term, dft.term) AS term,
+         ln(1.0 + (n_docs - greatest(coalesce(dfx.df, 0), coalesce(dft.df, 0)) + 0.5)
+                / (greatest(coalesce(dfx.df, 0), coalesce(dft.df, 0)) + 0.5)) AS idf
+  FROM dfx FULL OUTER JOIN dft USING (term) CROSS JOIN sx
+),
+imps AS (
+  SELECT doc_id, term, max(imp) AS imp FROM (
+    SELECT doc_id, term, 1.0 * {imp} AS imp FROM tfx CROSS JOIN sx
+    UNION ALL
+    SELECT doc_id, term, 2.0 * {imp} AS imp FROM tft CROSS JOIN st
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id, sum(idf * imp) AS s FROM imps JOIN dfb USING (term) GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
+"""
+    blend = (
+        "s_t + s_x"
+        if mtype == "most_fields"
+        else f"greatest(s_t, s_x) + {tb} * (s_t + s_x - greatest(s_t, s_x))"
+    )
+    return f"""{base},
+fx AS (
+  SELECT doc_id, sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {imp}) AS s
+  FROM tfx JOIN dfx USING (term) CROSS JOIN sx GROUP BY doc_id
+),
+ft AS (
+  SELECT doc_id, 2.0 * sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {imp}) AS s
+  FROM tft JOIN dft USING (term) CROSS JOIN st GROUP BY doc_id
+),
+scored AS (
+  SELECT coalesce(fx.doc_id, ft.doc_id) AS doc_id,
+         coalesce(ft.s, 0.0) AS s_t, coalesce(fx.s, 0.0) AS s_x
+  FROM fx FULL OUTER JOIN ft ON fx.doc_id = ft.doc_id
+)
+SELECT doc_id, round({blend}, 6) AS score FROM scored
+ORDER BY round({blend}, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _mf_index_dir(spark, sf_dir):
+    """Two-field index (text + derived title) over the documents table —
+    the multi-field mapping driver fixture (ES parity: the reference
+    stores one value indexed nine ways, config/search_scheme.json:140-180).
+    Same content-fingerprint cache discipline as _wand_index_dir."""
+    import hashlib
+
+    from engine.index_build import build_index
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    h = hashlib.md5((src + "|layout=mf1").encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(r, fn) for r, _, fns in os.walk(src) for fn in fns
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, src)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkft_mf_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"),
+            "text",
+            MF_TITLE_SPARK().alias("title"),
+        )
+        build_index(
+            spark, d, out_dir, n_shards=4, n_buckets=8,
+            text_fields=["text", "title"],
+        )
+        os.utime(out_dir)
+        import glob
+        import shutil
+
+        sibs = sorted(
+            glob.glob(os.path.join(tempfile.gettempdir(), "sparkft_mf_*")),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in sibs[4:]:
+            shutil.rmtree(stale, ignore_errors=True)
+    return out_dir
+
+
+def q_bm25_multifield(spark, sf_dir):
+    """ES multi_match type=best_fields over a TRUE two-field index
+    (per-field postings + df/avgdl under postings/field=*): per-field
+    match scores blended max + tie_breaker * rest, title boosted 2x."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25,
+        mtype="best_fields", tie_breaker=MF_TB,
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_most_fields(spark, sf_dir):
+    """ES multi_match type=most_fields over the two-field index: sum of
+    per-field match scores (each field with its own df/avgdl)."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25, mtype="most_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_cross_fields(spark, sf_dir):
+    """ES multi_match type=cross_fields over the two-field index: term-
+    centric blending — per term, boosted per-field impacts compete (max)
+    under ONE blended idf (df = max across fields, Lucene
+    BlendedTermQuery's df blending); per-doc score = sum over terms."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25, mtype="cross_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
 def _round_rerank(df, k: int = 10):
     """Deterministic top-k under float-sum noise: both engines' aggregate
     SUM order is nondeterministic (parallel hash agg), so raw near-ties at
@@ -3771,6 +3947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # self-certification run + pytest brute twins in
         # tests/test_synonym_runtime.py) ---
         "bm25_synonym_topk": q_bm25_synonym,
+        "bm25_multifield_topk": q_bm25_multifield,
+        "bm25_most_fields_topk": q_bm25_most_fields,
+        "bm25_cross_fields_topk": q_bm25_cross_fields,
         "sort_runtime_field": q_sort_runtime_field,
         "bm25_indices_boost_topk": q_bm25_indices_boost,
         "bm25_mlt_topk": q_bm25_mlt,
@@ -4448,6 +4627,9 @@ FROM x""",
             score_sql="score_raw * (CASE WHEN doc_id % 2 = 0 THEN 2.0 ELSE 1.0 END)",
         ),
         "bm25_synonym_topk": _bm25_synonym_sql(SYN_GROUPS),
+        "bm25_multifield_topk": _bm25_multifield_sql(MF_TERMS, "best_fields", MF_TB, k=10),
+        "bm25_most_fields_topk": _bm25_multifield_sql(MF_TERMS, "most_fields", 0.0, k=10),
+        "bm25_cross_fields_topk": _bm25_multifield_sql(MF_TERMS, "cross_fields", 0.0, k=10),
         "sort_runtime_field": _agg_matched_cte() + (
             " SELECT doc_id, round(ln(1 + n_chars) * ((n_chars % 7) + 1), 6)"
             " AS sort_val FROM m"

@@ -2094,7 +2094,7 @@ def significant_terms(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
-    bg = spark.read.parquet(os.path.join(reader.dir, "term_stats")).select(
+    bg = spark.read.parquet(os.path.join(reader.dir, reader._ts_sub)).select(
         "term", "df"
     )
     fr = F.col("doc_count") / F.lit(float(n_fg))

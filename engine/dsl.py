@@ -56,34 +56,43 @@ def _clause_filters(clauses: list) -> tuple:
     return tuple(out)
 
 
-def _match_terms(clause: dict) -> tuple[list[str], str, int | None]:
-    """(terms, operator, minimum_should_match) of a match/term/terms
-    clause on the text field."""
+def _match_terms(
+    clause: dict, allowed: tuple[str, ...] = ("text",)
+) -> tuple[list[str], str, int | None, str]:
+    """(terms, operator, minimum_should_match, field) of a match/term/terms
+    clause on an indexed text field. `allowed` is the index's text_fields
+    for the paths that can route per-field (plain match); composite-kernel
+    paths (bool/boosting/dis_max/rescore) keep the primary-field default —
+    cross-field composition there is a documented divergence that raises."""
     from engine.oracle import analyze_query_py
 
     if "match" in clause:
         ((fld, spec),) = clause["match"].items()
-        if fld != "text":
-            raise ValueError(f"match on non-text field {fld!r} (index one text field)")
+        if fld not in allowed:
+            raise ValueError(
+                f"match on field {fld!r}: not an indexed text field of this "
+                f"index (indexed: {list(allowed)})"
+            )
         if isinstance(spec, dict):
             msm = spec.get("minimum_should_match")
             return (
                 analyze_query_py(spec["query"]),
                 spec.get("operator", "or"),
                 int(msm) if msm is not None else None,
+                fld,
             )
-        return analyze_query_py(spec), "or", None
+        return analyze_query_py(spec), "or", None, fld
     if "term" in clause:
         ((fld, spec),) = clause["term"].items()
         v = spec["value"] if isinstance(spec, dict) else spec
-        if fld != "text":
+        if fld not in allowed:
             raise ValueError("term query on a docvalue field belongs in filter context")
-        return [str(v)], "or", None
+        return [str(v)], "or", None, fld
     if "terms" in clause:
         ((fld, vals),) = clause["terms"].items()
-        if fld != "text":
+        if fld not in allowed:
             raise ValueError("terms query on a docvalue field belongs in filter context")
-        return [str(v) for v in vals], "or", None
+        return [str(v) for v in vals], "or", None, fld
     raise ValueError(f"unsupported scoring clause: {list(clause)[0]}")
 
 
@@ -381,24 +390,46 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "multi_match" in query:
         m = query["multi_match"]
-        flds = [f.split("^")[0] for f in m.get("fields", ["text"])]
-        if flds != ["text"]:
+        specs = m.get("fields", [reader.field])
+        flds = [f.split("^")[0] for f in specs]
+        unknown = [f for f in flds if f not in reader.text_fields]
+        if unknown:
             raise ValueError(
-                "multi_match supports the single indexed text field"
+                f"multi_match fields {unknown} are not indexed "
+                f"(text_fields={reader.text_fields})"
             )
         if m.get("type") == "phrase":
             if filters:
                 raise ValueError(
                     "multi_match phrase + filter context is not composed yet"
                 )
+            if flds != [reader.field]:
+                raise ValueError(
+                    "multi_match phrase supports the primary field only"
+                )
             return match_phrase_topk(reader, m["query"], k=k)
-        # one indexed text field: best_fields / most_fields / cross_fields
-        # all degenerate to the single field's match score
         from engine.oracle import analyze_query_py
 
-        return bm25_topk(
-            reader, analyze_query_py(m["query"]), k=k,
-            mode=m.get("operator", "or"), filters=filters,
+        if len(flds) == 1:
+            # one field: every type degenerates to that field's match score
+            r = reader if flds[0] == reader.field else reader.for_field(flds[0])
+            return bm25_topk(
+                r, analyze_query_py(m["query"]), k=k,
+                mode=m.get("operator", "or"), filters=filters,
+            )
+        # true multi-field: per-field postings + stats, blended per type
+        if filters:
+            raise ValueError(
+                "multi-field multi_match + filter context is not composed yet"
+            )
+        if m.get("operator", "or").lower() != "or":
+            raise ValueError("multi-field multi_match supports operator=or")
+        from engine.query import bm25_multifield_topk
+
+        return bm25_multifield_topk(
+            reader, m["query"], specs, k=k,
+            mtype=m.get("type", "best_fields"),
+            tie_breaker=float(m.get("tie_breaker", 0.0)),
         )
     if "constant_score" in query:
         from engine.aggs import constant_score_topk
@@ -662,8 +693,8 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "boosting" in query:
         bq = query["boosting"]
-        pos, _op, _m = _match_terms(bq["positive"])
-        neg, _op2, _m2 = _match_terms(bq["negative"])
+        pos, _op, _m, _f = _match_terms(bq["positive"])
+        neg, _op2, _m2, _f2 = _match_terms(bq["negative"])
         if filters:
             raise ValueError("boosting + filter context is not composed yet")
         from engine.query import bm25_boosting_topk
@@ -688,15 +719,15 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         p = query["pinned"]
         if filters:
             raise ValueError("pinned + filter context is not composed yet")
-        terms, op, _ = _match_terms(p["organic"])
+        terms, op, _, _f = _match_terms(p["organic"])
         from engine.aggs import pinned_topk
 
         return pinned_topk(reader, p["ids"], terms, k=k, mode=op)
     if "script_score" in query:
         f = query["script_score"]
         inner = f.get("query", {"match_all": {}})
-        terms, op, _ = (
-            _match_terms(inner) if "match_all" not in inner else ([], "or", None)
+        terms, op, _, _f = (
+            _match_terms(inner) if "match_all" not in inner else ([], "or", None, "text")
         )
         if not terms:
             raise ValueError("script_score needs a match/term query")
@@ -708,7 +739,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         f = query["function_score"]
         fvf = f["field_value_factor"]
         inner = f.get("query", {"match_all": {}})
-        terms, op, _ = _match_terms(inner) if "match_all" not in inner else ([], "or", None)
+        terms, op, _, _f = _match_terms(inner) if "match_all" not in inner else ([], "or", None, "text")
         if not terms:
             raise ValueError("function_score needs a match/term query")
         return bm25_topk(
@@ -724,14 +755,15 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             if filters:
                 raise ValueError(f"{kind} + filter context is not composed yet")
             return bm25_topk(reader, v, k=k, mode=kind)
-    terms, op, msm = _match_terms(query)
+    terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
+    r = reader if fld == reader.field else reader.for_field(fld)
     if msm is not None:
         from engine.query import bm25_bool_topk as _bool
 
         if filters:
             raise ValueError("minimum_should_match + filter context is not composed yet")
-        return _bool(reader, should=terms, k=k, minimum_should_match=msm)
-    return bm25_topk(reader, terms, k=k, mode=op, filters=filters)
+        return _bool(r, should=terms, k=k, minimum_should_match=msm)
+    return bm25_topk(r, terms, k=k, mode=op, filters=filters)
 
 
 def _rescore_df(reader, query: dict, spec, k: int):
@@ -752,7 +784,7 @@ def _rescore_df(reader, query: dict, spec, k: int):
         raise ValueError("match_phrase rescorer supports the text field")
     text = pspec["query"] if isinstance(pspec, dict) else pspec
     slop = int(pspec.get("slop", 0)) if isinstance(pspec, dict) else 0
-    terms, op, msm = _match_terms(query)
+    terms, op, msm, _f = _match_terms(query)
     if msm is not None:
         raise ValueError("rescore over minimum_should_match is not composed")
     return rescore_topk(
@@ -845,7 +877,7 @@ def _query_terms_or_none(query: dict):
         must_c = must_c if isinstance(must_c, list) else [must_c]
         terms = [t for c in must_c for t in _match_terms(c)[0]]
         return terms, "and"
-    terms, op, _msm = _match_terms(query)
+    terms, op, _msm, _f = _match_terms(query)
     return terms, op
 
 
@@ -906,7 +938,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             raise ValueError(
                 "rrf needs the embeddings table: search(..., embeddings=df)"
             )
-        terms, op, _ = _match_terms(std)
+        terms, op, _, _f = _match_terms(std)
         from engine.hybrid import rrf_topk
 
         fused = rrf_topk(
@@ -1035,6 +1067,14 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # ES min_score: drop hits scoring below the floor. The count path
         # is score-blind, so combining with track_total_hits (which ES
         # defines as the post-floor count) is not composed (frozen).
+        if body.get("sort"):
+            # sort-path hits carry _score=None; silently dropping every hit
+            # would look like an empty index — fail closed like the
+            # track_total_hits guard below
+            raise ValueError(
+                "min_score + sort is not composed (sorted hits are unscored); "
+                "drop one (documented divergence)"
+            )
         if body.get("track_total_hits"):
             raise ValueError(
                 "min_score + track_total_hits is not composed (the exact "
@@ -1405,7 +1445,18 @@ def _scroll_page(spark, token: dict) -> dict:
     from engine.query import IndexReader
 
     r = IndexReader(spark, token["dir"], snapshot_id=token["snap"])
-    after = tuple(token["after"]) if token["after"] is not None else None
+    after = None
+    if token["after"] is not None:
+        val, url = token["after"]
+        if isinstance(val, dict) and "__ts_us__" in val:
+            # typed cursor: timestamp docvalues round-trip as wall-clock
+            # micros since epoch, reconstructed here — never string-coerced
+            import datetime as _dt
+
+            val = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=val["__ts_us__"]
+            )
+        after = (val, url)
     rows = search_sort(
         r, token["terms"], token["field"], k=token["size"],
         mode=token["mode"], ascending=token["asc"], search_after=after,
@@ -1415,9 +1466,22 @@ def _scroll_page(spark, token: dict) -> dict:
     ]
     out = {"hits": {"hits": hits}}
     if rows:
-        nxt = dict(token, after=[rows[-1]["sort_val"], rows[-1]["url"]])
+        sv = rows[-1]["sort_val"]
+        if hasattr(sv, "timestamp"):  # datetime / pandas Timestamp docvalue
+            import datetime as _dt
+
+            naive = sv.replace(tzinfo=None)
+            sv = {
+                "__ts_us__": (naive - _dt.datetime(1970, 1, 1))
+                // _dt.timedelta(microseconds=1)
+            }
+        elif hasattr(sv, "item"):  # numpy scalar -> native
+            sv = sv.item()
+        nxt = dict(token, after=[sv, rows[-1]["url"]])
+        # no default=str: every cursor type is encoded explicitly above, so
+        # a non-JSON-native value is a bug to surface, not to stringify
         out["_scroll_id"] = base64.urlsafe_b64encode(
-            _json.dumps(nxt, default=str).encode()
+            _json.dumps(nxt).encode()
         ).decode()
     return out
 
@@ -1439,7 +1503,7 @@ def validate_query(reader, body: dict) -> dict:
                 k in spec
                 for k in ("sampler", "diversified_sampler", "global",
                           "significant_text", "significant_terms",
-                          *_SIBLINGS_KINDS)
+                          "top_metrics", *_SIBLINGS_KINDS)
             ):
                 _compile_agg(spec)
         return {"valid": True, "error": None}
@@ -1449,6 +1513,7 @@ def validate_query(reader, body: dict) -> dict:
 
 _SIBLINGS_KINDS = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "percentiles_bucket",
 )
 
 def field_caps(reader) -> dict:
@@ -1556,7 +1621,10 @@ def _rank_eval_metric(metric: dict, ranked: list, ratings: dict):
         dcg = dcg_of([ratings.get(i, 0) for i in ranked])
         if not spec.get("normalize", False):
             return dcg, {"dcg": dcg}
-        ideal = dcg_of(sorted(ratings.values(), reverse=True)[: len(ranked)])
+        # ideal DCG over the metric's k (ES definition), NOT len(ranked):
+        # a request returning fewer than k hits must not inflate NDCG
+        kk = int(spec.get("k", len(ranked)) or len(ranked))
+        ideal = dcg_of(sorted(ratings.values(), reverse=True)[:kk])
         return (dcg / ideal if ideal else 0.0), {"dcg": dcg, "ideal_dcg": ideal}
     if kind == "expected_reciprocal_rank":
         max_r = int(spec["maximum_relevance"])

@@ -133,17 +133,18 @@ def _append_metrics(spark: SparkSession, out_dir: str, job_id: str, rows: list[t
 # ---------------------------------------------------------------------------
 
 
-def split_rejects(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_rejects(pages: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """valid docs + reject_log(url, reason, detail) side-output — the single-
-    table replacement for the reference's five error files (write.go:8-16)."""
+    table replacement for the reference's five error files (write.go:8-16).
+    Validity is judged on `text_col` (the primary analyzed field)."""
     rejects = pages.select(
         "url",
-        F.when(F.col("text").isNull(), F.lit("missing_text"))
-        .when(F.col("text") == "", F.lit("empty_text"))
+        F.when(F.col(text_col).isNull(), F.lit("missing_text"))
+        .when(F.col(text_col) == "", F.lit("empty_text"))
         .alias("reason"),
         F.lit("").alias("detail"),
     ).filter(F.col("reason").isNotNull())
-    valid = pages.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    valid = pages.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
     return valid, rejects
 
 
@@ -429,6 +430,8 @@ def build_index(
     persist_tokens: bool | None = None,
     docvalue_cols: list[str] | None = None,
     index_options: str = "freqs",
+    text_fields: list[str] | None = None,
+    store_source: bool | list[str] = False,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
@@ -439,6 +442,30 @@ def build_index(
     every non-positional query identically; the query layer refuses phrase
     queries against a freqs index with a clear error (ES parity: a field
     indexed without positions rejects phrase queries).
+
+    text_fields: analyzed text columns to index. Default ["text"] — the
+    frozen single-field layout, byte-identical to prior rounds. With
+    several fields (ES multi-field mapping: the reference stores ONE value
+    indexed nine ways, config/search_scheme.json:140-180; a web corpus
+    stores title+body), each field gets its OWN postings and term
+    dictionary under postings/field=<f>/bucket=* and
+    term_stats/field=<f>/bucket=* (per-field df/avgdl — ES scores each
+    field with its own stats), sharing one docmap/doc-id space; per-field
+    doc lengths ride the docmap as dl__<f> columns. Each field runs its
+    own tokenize->shuffle->encode pass: the passes read DISJOINT column
+    sets off the source (parquet column pruning makes F passes scan the
+    same total bytes as one fused pass) and the per-field shuffles
+    carry exactly the fused shuffle's rows, so at 100 TB this is F
+    sequential jobs over 1/F of the data each — no extra IO, and the
+    resume unit stays (field, bucket). Validity (reject filter) is bound
+    to the FIRST field; other fields null-coalesce to "".
+
+    store_source: ES `_source`/stored-fields analog — True stores every
+    text_fields column in the docmap (as src__<f>), a list stores those
+    named source columns (indexed or not: the reference mapping stores
+    non-indexed fields, config/search_scheme.json:213-224 "index":"false").
+    Stored columns ride the docmap write; parquet column pruning keeps
+    them free for queries that don't fetch _source.
 
     docvalue_cols: extra source columns stored per doc in the docmap — the
     Lucene-docvalues analog backing aggregations (engine/aggs.py). They ride
@@ -469,7 +496,7 @@ def build_index(
         return _build_index_locked(
             spark, pages, out_dir, n_shards, n_buckets, k1, b, job_id,
             resume, bucket_chunk, persist_tokens, docvalue_cols,
-            index_options,
+            index_options, text_fields, store_source,
         )
     finally:
         _release_build_lock(fd, lock)
@@ -489,10 +516,15 @@ def _build_index_locked(
     persist_tokens: bool | None = None,
     docvalue_cols: list[str] | None = None,
     index_options: str = "freqs",
+    text_fields: list[str] | None = None,
+    store_source: bool | list[str] = False,
 ) -> dict:
     assert index_options in ("freqs", "positions"), index_options
     with_pos = index_options == "positions"
     dv_cols = list(docvalue_cols or [])
+    fields = list(text_fields or ["text"])
+    multi = len(fields) > 1
+    src_cols = list(fields) if store_source is True else list(store_source or [])
     if isinstance(pages, str):
         if persist_tokens is None:
             cap = int(os.environ.get("SPARK_GRAFT_PERSIST_MAX_BYTES", 8 << 30))
@@ -515,16 +547,40 @@ def _build_index_locked(
         return os.path.join(out_dir, name)
 
     # ---- stage: rejects + tokenized docs + doc ids -------------------------
-    valid, rejects = split_rejects(pages)
+    valid, rejects = split_rejects(pages, fields[0])
     docs = assign_doc_ids(valid, n_shards)
-    docs = docs.select(
-        "url",
-        "shard",
-        "local_id",
-        "doc_id",
-        standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
-        *dv_cols,
-    ).withColumn("dl", F.size("tokens"))
+    src_sel = [F.col(c).alias(f"src__{c}") for c in src_cols]
+    if multi:
+        # per-field token arrays; field 0 keeps the frozen tokens/dl names
+        # so every single-field code path (and the docmap dl column) reads
+        # the primary field unchanged
+        tok_sel = [
+            standard_tokenize_col(
+                F.lower(F.coalesce(F.col(f), F.lit("")))
+            ).alias(f"tokens__{f}")
+            for f in fields
+        ]
+        docs = docs.select(
+            "url", "shard", "local_id", "doc_id", *tok_sel, *dv_cols, *src_sel
+        )
+        for f in fields:
+            docs = docs.withColumn(f"dl__{f}", F.size(f"tokens__{f}"))
+        docs = docs.withColumn("dl", F.col(f"dl__{fields[0]}"))
+        dl_extra = [f"dl__{f}" for f in fields]
+        tokens_of = {f: f"tokens__{f}" for f in fields}
+    else:
+        docs = docs.select(
+            "url",
+            "shard",
+            "local_id",
+            "doc_id",
+            standard_tokenize_col(F.lower(F.col(fields[0]))).alias("tokens"),
+            *dv_cols,
+            *src_sel,
+        ).withColumn("dl", F.size("tokens"))
+        dl_extra = []
+        tokens_of = {fields[0]: "tokens"}
+    src_names = [f"src__{c}" for c in src_cols]
     if persist_tokens:
         from pyspark import StorageLevel
 
@@ -538,7 +594,10 @@ def _build_index_locked(
         obs = Observation("load_docmap")
         t0 = time.monotonic()
         (
-            docs.select("shard", "local_id", "doc_id", "url", "dl", *dv_cols)
+            docs.select(
+                "shard", "local_id", "doc_id", "url", "dl",
+                *dl_extra, *dv_cols, *src_names,
+            )
             .observe(obs, F.count(F.lit(1)).alias("docs"), F.sum("dl").alias("tokens"))
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_id")
@@ -596,7 +655,22 @@ def _build_index_locked(
         done.add("stats")
         seq += 1
 
-    # ---- stage: postings ---------------------------------------------------
+    # per-field avgdl (ES scores each field with its own stats). Field 0's
+    # numbers are the shard_agg ones already computed; extra fields cost one
+    # tiny agg over the (column-pruned) docmap.
+    field_stats: dict[str, dict] = {fields[0]: {"avgdl": float(avgdl), "sum_dl": sum_dl}}
+    if multi:
+        sums = docmap.agg(
+            *[F.sum(f"dl__{f}").alias(f) for f in fields[1:]]
+        ).collect()[0]
+        for f in fields[1:]:
+            s = int(sums[f] or 0)
+            field_stats[f] = {
+                "avgdl": s / n_docs if n_docs else 0.0,
+                "sum_dl": s,
+            }
+
+    # ---- stage: postings (one pass per field) -------------------------------
     # tf = per (shard, term, doc) frequency with the term's storage bucket.
     # Two physical strategies, identical output:
     #  - fused (bucket_chunk >= n_buckets): tokenize -> explode -> partial-agg
@@ -605,98 +679,113 @@ def _build_index_locked(
     #  - chunked: materialize the tf table partitioned by bucket once, then
     #    encode bucket chunks with per-bucket checkpoints — the resumable
     #    path for very large corpora (re-tokenization would dwarf the IO).
-    tok_col = (
-        [F.posexplode("tokens").alias("pos", "term")]
-        if with_pos
-        else [F.explode("tokens").alias("term")]
-    )
-    tf = (
-        docs.select("shard", "local_id", "dl", *tok_col)
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-    )
-    chunked = bucket_chunk < n_buckets
-    if chunked and "tf_table" not in done:
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(path("tf_table"))
-        _mark_ckpt(spark, out_dir, job_id, ["tf_table"], seq)
-        done.add("tf_table")
-        seq += 1
-
-    all_buckets = list(range(n_buckets))
-    done_buckets = {int(s.split("=")[1]) for s in done if s.startswith("postings:bucket=")}
-    missing = [bkt for bkt in all_buckets if bkt not in done_buckets]
-    # clean partial (un-checkpointed) bucket dirs from a crashed run
-    post_dir = path("postings")
-    if os.path.exists(post_dir):
-        for d in os.listdir(post_dir):
-            if d.startswith("bucket=") and int(d.split("=")[1]) not in done_buckets:
-                shutil.rmtree(os.path.join(post_dir, d))
-
-    encoder = _make_encoder(avgdl, k1, b, positions=with_pos)
+    # Multi-field: each field runs its own pass into postings/field=<f>
+    # (disjoint rows, per-field avgdl baked into the block-max impacts);
+    # single-field keeps the frozen paths and checkpoint names.
     posting_schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
     sort_keys = ["shard", "term", "local_id"] + (["pos"] if with_pos else [])
-    tf_src = spark.read.parquet(path("tf_table")) if chunked else tf
     default_par = spark.sparkContext.defaultParallelism
-    for i in range(0, len(missing), bucket_chunk):
-        chunk = missing[i : i + bucket_chunk]
-        # one task per (bucket, shard) cell, capped at ~2x the cores: tasks
-        # scale with the cluster, not with the bucket x shard product
-        n_parts = max(1, min(len(chunk) * n_shards, 2 * default_par))
-        src = tf_src if len(chunk) == n_buckets else tf_src.filter(F.col("bucket").isin(chunk))
-        obs = Observation(f"postings_chunk_{chunk[0]}")
-        t0 = time.monotonic()
-        (
-            src.observe(obs, F.count(F.lit(1)).alias("postings"))
-            .repartition(n_parts, "bucket", "shard")
-            .sortWithinPartitions(*sort_keys)
-            .mapInArrow(encoder, posting_schema)
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(post_dir)
+    chunked = bucket_chunk < n_buckets
+    for fld in fields:
+        fsub = f"/field={fld}" if multi else ""
+        fckpt = f":{fld}" if multi else ""
+        dl_col = f"dl__{fld}" if multi else "dl"
+        tcol = tokens_of[fld]
+        tok_col = (
+            [F.posexplode(tcol).alias("pos", "term")]
+            if with_pos
+            else [F.explode(tcol).alias("term")]
         )
-        el = max(time.monotonic() - t0, 1e-9)
-        n_post = obs.get["postings"]
-        tag = f"buckets={chunk[0]}..{chunk[-1]}"
-        _append_metrics(
-            spark, out_dir, job_id,
-            [
-                (f"stage:postings:{tag}:postings_in", n_post),
-                (f"stage:postings:{tag}:elapsed_ms", el * 1000),
-                (f"stage:postings:{tag}:postings_per_sec", n_post / el),
-            ],
+        tf = (
+            docs.select("shard", "local_id", F.col(dl_col).alias("dl"), *tok_col)
+            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
         )
-        _mark_ckpt(spark, out_dir, job_id, [f"postings:bucket={bkt}" for bkt in chunk], seq)
-        seq += 1
-
-    # ---- stage: global term stats + lineage (from the written postings) ----
-    if "term_stats" not in done:
-        post = spark.read.parquet(post_dir)
-        (
-            post.groupBy("bucket", "term")
-            .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
-            .repartition(max(1, n_buckets // 2), "bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path("term_stats"))
-        )
-        (
-            post.groupBy("bucket", "shard")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("df_local").alias("n_postings"),
-                F.sum(F.length("docs_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
-                F.min("term").alias("term_range_lo"),
-                F.max("term").alias("term_range_hi"),
+        if chunked and f"tf_table{fckpt}" not in done:
+            tf.write.mode("overwrite").partitionBy("bucket").parquet(
+                path("tf_table" + fsub)
             )
-            .withColumn("job_id", F.lit(job_id))
-            .withColumn("input_snapshot", F.lit(int(n_docs)))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(path("lineage"))
-        )
-        _mark_ckpt(spark, out_dir, job_id, ["term_stats"], seq)
-        done.add("term_stats")
-        seq += 1
+            _mark_ckpt(spark, out_dir, job_id, [f"tf_table{fckpt}"], seq)
+            done.add(f"tf_table{fckpt}")
+            seq += 1
+
+        ck_prefix = f"postings{fckpt}:bucket="
+        done_buckets = {int(s.split("=")[1]) for s in done if s.startswith(ck_prefix)}
+        missing = [bkt for bkt in range(n_buckets) if bkt not in done_buckets]
+        # clean partial (un-checkpointed) bucket dirs from a crashed run
+        post_dir = path("postings" + fsub)
+        if os.path.exists(post_dir):
+            for d in os.listdir(post_dir):
+                if d.startswith("bucket=") and int(d.split("=")[1]) not in done_buckets:
+                    shutil.rmtree(os.path.join(post_dir, d))
+
+        encoder = _make_encoder(field_stats[fld]["avgdl"], k1, b, positions=with_pos)
+        tf_src = spark.read.parquet(path("tf_table" + fsub)) if chunked else tf
+        for i in range(0, len(missing), bucket_chunk):
+            chunk = missing[i : i + bucket_chunk]
+            # one task per (bucket, shard) cell, capped at ~2x the cores: tasks
+            # scale with the cluster, not with the bucket x shard product
+            n_parts = max(1, min(len(chunk) * n_shards, 2 * default_par))
+            src = tf_src if len(chunk) == n_buckets else tf_src.filter(F.col("bucket").isin(chunk))
+            obs = Observation(f"postings_chunk{fckpt}_{chunk[0]}")
+            t0 = time.monotonic()
+            (
+                src.observe(obs, F.count(F.lit(1)).alias("postings"))
+                .repartition(n_parts, "bucket", "shard")
+                .sortWithinPartitions(*sort_keys)
+                .mapInArrow(encoder, posting_schema)
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(post_dir)
+            )
+            el = max(time.monotonic() - t0, 1e-9)
+            n_post = obs.get["postings"]
+            tag = f"buckets={chunk[0]}..{chunk[-1]}"
+            _append_metrics(
+                spark, out_dir, job_id,
+                [
+                    (f"stage:postings{fckpt}:{tag}:postings_in", n_post),
+                    (f"stage:postings{fckpt}:{tag}:elapsed_ms", el * 1000),
+                    (f"stage:postings{fckpt}:{tag}:postings_per_sec", n_post / el),
+                ],
+            )
+            _mark_ckpt(
+                spark, out_dir, job_id,
+                [f"{ck_prefix}{bkt}" for bkt in chunk], seq,
+            )
+            seq += 1
+
+        # ---- stage: global term stats + lineage (from the written postings) --
+        if f"term_stats{fckpt}" not in done:
+            post = spark.read.parquet(post_dir)
+            (
+                post.groupBy("bucket", "term")
+                .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+                .repartition(max(1, n_buckets // 2), "bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(path("term_stats" + fsub))
+            )
+            lineage = (
+                post.groupBy("bucket", "shard")
+                .agg(
+                    F.count("*").alias("n_terms"),
+                    F.sum("df_local").alias("n_postings"),
+                    F.sum(F.length("docs_bin") + F.length("tfs_bin") + F.length("dls_bin")).alias("bytes"),
+                    F.min("term").alias("term_range_lo"),
+                    F.max("term").alias("term_range_hi"),
+                )
+                .withColumn("job_id", F.lit(job_id))
+                .withColumn("input_snapshot", F.lit(int(n_docs)))
+            )
+            if multi:
+                lineage = lineage.withColumn("field", F.lit(fld))
+            lineage.coalesce(1).write.mode(
+                "overwrite" if fld == fields[0] else "append"
+            ).parquet(path("lineage"))
+            _mark_ckpt(spark, out_dir, job_id, [f"term_stats{fckpt}"], seq)
+            done.add(f"term_stats{fckpt}")
+            seq += 1
 
     manifest = {
         "n_shards": n_shards,
@@ -713,6 +802,13 @@ def _build_index_locked(
         "docvalue_cols": dv_cols,
         "index_options": index_options,
     }
+    if multi:
+        manifest["text_fields"] = fields
+        manifest["field_stats"] = field_stats
+    elif fields[0] != "text":
+        manifest["text_fields"] = fields
+    if src_cols:
+        manifest["stored_cols"] = src_cols
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     if persist_tokens:

@@ -63,7 +63,11 @@ class IndexReader:
     DOCMAP_MEM_MAX_DOCS = 2_000_000
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        snapshot_id: int | None = None,
+        field: str | None = None,
     ):
         self.spark = spark
         self.dir = index_dir
@@ -87,6 +91,24 @@ class IndexReader:
         self.n_buckets = self.manifest["n_buckets"]
         # "freqs" (default, pre-positions indexes) or "positions"
         self.index_options = self.manifest.get("index_options", "freqs")
+        # multi-field indexes (engine/index_build.py text_fields): one
+        # reader serves ONE field's postings/dictionary; for_field() hands
+        # out sibling readers over the shared docmap/doc-id space. avgdl is
+        # the FIELD's (ES: per-field norms/stats).
+        self.text_fields: list[str] = self.manifest.get("text_fields", ["text"])
+        self.multi_field = len(self.text_fields) > 1
+        self.field = field or self.text_fields[0]
+        if self.field not in self.text_fields:
+            raise ValueError(
+                f"field {self.field!r} is not indexed (text_fields={self.text_fields})"
+            )
+        fsub = f"/field={self.field}" if self.multi_field else ""
+        self._post_sub = "postings" + fsub
+        self._ts_sub = "term_stats" + fsub
+        if self.multi_field:
+            self.avgdl = self.manifest["field_stats"][self.field]["avgdl"]
+        self.stored_cols: list[str] = self.manifest.get("stored_cols", [])
+        self._field_readers: dict[str, "IndexReader"] = {self.field: self}
         self._ts_df: DataFrame | None = None
         self._dm_df: DataFrame | None = None
         self._pa_ds: dict = {}  # cached pyarrow dataset handles per subdir
@@ -106,6 +128,17 @@ class IndexReader:
                 f"{self._gen_mtime_ns} -> {now}); this IndexReader's caches "
                 "are stale — construct a new IndexReader"
             )
+
+    def for_field(self, field: str) -> "IndexReader":
+        """Sibling reader over another indexed field of the SAME index
+        generation (shared docmap/doc ids/tombstones; per-field postings,
+        dictionary, and avgdl). Cached per root reader, so multi-field
+        queries pay the manifest read once per field per process."""
+        if field not in self._field_readers:
+            r = IndexReader(self.spark, self.dir, self.snapshot_id, field=field)
+            r._field_readers = self._field_readers  # share the sibling cache
+            self._field_readers[field] = r
+        return self._field_readers[field]
 
     def _pa_dataset(self, sub: str):
         """Cached pyarrow dataset handle: file/partition discovery costs a
@@ -134,7 +167,7 @@ class IndexReader:
     def _term_stats_df(self) -> DataFrame:
         self._check_generation()
         if self._ts_df is None:
-            ts = self.spark.read.parquet(os.path.join(self.dir, "term_stats"))
+            ts = self.spark.read.parquet(os.path.join(self.dir, self._ts_sub))
             if self.n_docs <= self.CACHE_MAX_DOCS:
                 ts = ts.persist()
             self._ts_df = ts
@@ -160,7 +193,7 @@ class IndexReader:
             self._check_generation()
             return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
         buckets = self._bucket_of(terms)
-        p = os.path.join(self.dir, "term_stats")
+        p = os.path.join(self.dir, self._ts_sub)
         if os.path.isdir(p):
             import pyarrow.dataset as ds
 
@@ -169,12 +202,12 @@ class IndexReader:
                 # ~ docs^0.5-0.7, Heaps' law — a few MB here); per-query
                 # lookups become dict hits. Above the gate the bucket-pruned
                 # + term-pushdown read IS the scale path.
-                tbl = self._pa_dataset("term_stats").to_table(columns=["term", "df"])
+                tbl = self._pa_dataset(self._ts_sub).to_table(columns=["term", "df"])
                 self._ts_cache = dict(
                     zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
                 )
                 return {t: self._ts_cache[t] for t in terms if t in self._ts_cache}
-            tbl = self._pa_dataset("term_stats").to_table(
+            tbl = self._pa_dataset(self._ts_sub).to_table(
                 filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
                 columns=["term", "df"],
             )
@@ -198,12 +231,12 @@ class IndexReader:
         dirs are served by a driver-side pyarrow range read (term_stats is
         term-sorted within buckets, so [prefix, prefix+1) prunes row
         groups); the Spark scan remains the remote-dir fallback."""
-        p = os.path.join(self.dir, "term_stats")
+        p = os.path.join(self.dir, self._ts_sub)
         if prefix and os.path.isdir(p):
             import pyarrow.dataset as ds
 
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            tbl = self._pa_dataset("term_stats").to_table(
+            tbl = self._pa_dataset(self._ts_sub).to_table(
                 filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
                 columns=["term", "df"],
             )
@@ -301,12 +334,12 @@ class IndexReader:
             pairs = [(t, d) for t, d in self._ts_cache.items() if match_py(t)]
             pairs.sort(key=lambda x: (-x[1], x[0]))
             return [t for t, _ in pairs[:max_expansions]]
-        p = os.path.join(self.dir, "term_stats")
+        p = os.path.join(self.dir, self._ts_sub)
         if prefix_lit and os.path.isdir(p):
             import pyarrow.dataset as ds
 
             hi = prefix_lit[:-1] + chr(ord(prefix_lit[-1]) + 1)
-            tbl = self._pa_dataset("term_stats").to_table(
+            tbl = self._pa_dataset(self._ts_sub).to_table(
                 filter=(ds.field("term") >= prefix_lit) & (ds.field("term") < hi),
                 columns=["term", "df"],
             )
@@ -379,7 +412,7 @@ class IndexReader:
 
     def postings(self, terms: list[str]) -> DataFrame:
         buckets = self._bucket_of(terms)
-        post = self.spark.read.parquet(os.path.join(self.dir, "postings"))
+        post = self.spark.read.parquet(os.path.join(self.dir, self._post_sub))
         return post.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     def docmap(self) -> DataFrame:
@@ -404,12 +437,12 @@ class IndexReader:
         term row-group pushdown). Returns {shard: [row, ...]} with the
         same attribute shape the Spark kernels consume, or None when the
         postings aren't a local directory."""
-        p = os.path.join(self.dir, "postings")
+        p = os.path.join(self.dir, self._post_sub)
         if not os.path.isdir(p):
             return None
         import pyarrow.dataset as ds
 
-        tbl = self._pa_dataset("postings").to_table(
+        tbl = self._pa_dataset(self._post_sub).to_table(
             filter=ds.field("bucket").isin(self._bucket_of(terms))
             & ds.field("term").isin(terms),
             columns=["shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"],
@@ -427,14 +460,14 @@ class IndexReader:
         """postings_local twin for positional indexes: same pruned pyarrow
         read plus the pos_bin/pos_offs position stream (match_phrase's
         input). None when the postings aren't a local directory."""
-        p = os.path.join(self.dir, "postings")
+        p = os.path.join(self.dir, self._post_sub)
         if not os.path.isdir(p):
             return None
         import pyarrow.dataset as ds
 
         names = ("shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks",
                  "pos_bin", "pos_offs")
-        tbl = self._pa_dataset("postings").to_table(
+        tbl = self._pa_dataset(self._post_sub).to_table(
             filter=ds.field("bucket").isin(self._bucket_of(terms))
             & ds.field("term").isin(terms),
             columns=list(names),
@@ -978,6 +1011,85 @@ def _dismax_shard_topk(
     return [(int(uniq[i]), float(score[i])) for i in order]
 
 
+def _mf_shard_topk(
+    rows_by_field: dict[str, list],
+    idfs_by_field: dict[str, dict[str, float]],
+    blended_idfs: dict[str, float],
+    avgdl_by_field: dict[str, float],
+    boosts: dict[str, float],
+    mtype: str,
+    tie_breaker: float,
+    k: int,
+    k1: float,
+    b: float,
+    dels: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """True multi-field top-k over one shard — fields with their OWN
+    postings/df/avgdl (ES multi_match over e.g. title+body), unlike
+    _dismax_shard_topk whose "fields" are scoring variants of one posting
+    set.
+
+    best_fields: per-field full match scores, blended max + tie_breaker *
+    rest (ES wraps per-field match queries in dis_max). most_fields: sum
+    of per-field scores. cross_fields: term-centric — per term, the
+    per-field impacts compete (max across fields, boosts applied before
+    the max) under ONE blended idf whose df is the max across fields
+    (Lucene BlendedTermQuery's df blending); per-doc score = sum over
+    terms. Blending happens on full per-doc arrays before any truncation
+    (a doc outside every field's top-k can still win the blend)."""
+    decoded: list[tuple[str, str, np.ndarray, np.ndarray]] = []
+    all_docs: list[np.ndarray] = []
+    for f, rows in rows_by_field.items():
+        avgdl_f, boost_f = avgdl_by_field[f], boosts[f]
+        for r in rows:
+            d, t, l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            keep = _live_mask(d, dels)
+            if keep is not None:
+                d, t, l = d[keep], t[keep], l[keep]
+            if d.size == 0:
+                continue
+            imp = boost_f * P.bm25_impact(t, l, avgdl_f, k1, b)
+            decoded.append((f, r.term, d, imp))
+            all_docs.append(d)
+    if not all_docs:
+        return []
+    uniq = np.unique(np.concatenate(all_docs))
+    nu = uniq.size
+    if mtype == "cross_fields":
+        score = np.zeros(nu)
+        per_term: dict[str, np.ndarray] = {}
+        for f, term, d, imp in decoded:
+            if term not in blended_idfs:
+                continue
+            arr = per_term.setdefault(term, np.zeros(nu))
+            np.maximum.at(arr, np.searchsorted(uniq, d), imp)
+        for term, arr in per_term.items():
+            score += blended_idfs[term] * arr
+    else:
+        per_field: dict[str, np.ndarray] = {}
+        for f, term, d, imp in decoded:
+            idf = idfs_by_field[f].get(term)
+            if not idf:
+                continue
+            sf = per_field.setdefault(f, np.zeros(nu))
+            sf += np.bincount(
+                np.searchsorted(uniq, d), weights=idf * imp, minlength=nu
+            )
+        if not per_field:
+            return []
+        mat = np.stack(list(per_field.values()))
+        tot = mat.sum(axis=0)
+        if mtype == "most_fields":
+            score = tot
+        else:  # best_fields
+            mx = mat.max(axis=0)
+            score = mx + tie_breaker * (tot - mx)
+    order = _topk_order(uniq, score, min(k, nu))
+    return [(int(uniq[i]), float(score[i])) for i in order]
+
+
 def _bool_shard_topk(
     rows,
     idfs: dict[str, float],
@@ -1440,6 +1552,144 @@ def bm25_dismax_topk(
             reader.postings(terms)
             .groupBy("shard")
             .applyInPandas(shard_topk, "shard int, local_id long, score double")
+        )
+        heap_rows = [
+            (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
+        ]
+    kind, payload = _finalize_topk(reader, heap_rows, k, lookup)
+    if kind == "df":
+        return payload
+    if not payload:
+        return empty
+    return spark.createDataFrame(
+        pd.DataFrame(payload, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
+def parse_field_boosts(fields: list) -> list[tuple[str, float]]:
+    """ES "title^2"-style field specs -> [(name, boost)]."""
+    out = []
+    for f in fields:
+        if isinstance(f, str):
+            name, _, bs = f.partition("^")
+            out.append((name, float(bs) if bs else 1.0))
+        else:
+            out.append((str(f[0]), float(f[1])))
+    return out
+
+
+def bm25_multifield_topk(
+    reader: IndexReader,
+    query: str | list[str],
+    fields: list,
+    k: int = 10,
+    mtype: str = "best_fields",
+    tie_breaker: float = 0.0,
+    execution: str = "auto",
+    lookup: str = "auto",
+) -> DataFrame:
+    """ES multi_match over a multi-field index (url, doc_id, score):
+    per-field postings + per-field df/avgdl, blended per `mtype`
+    (best_fields / most_fields / cross_fields — semantics in
+    _mf_shard_topk). fields: ["title^2", "text"] boost syntax.
+
+    Scale shape matches bm25_topk: the per-field postings reads are each
+    bucket-pruned + term-pushdown (a query touches |q| bucket dirs PER
+    FIELD, not the index); kernels run per shard (local driver-side for
+    small queries, Spark scatter-gather above LOCAL_MAX_POSTINGS); only
+    k-row heaps leave the shards; urls come from a pruned docmap read.
+    Rank identity local-vs-Spark is by construction (same kernel) and
+    tested, as is equivalence of a two-field index's per-field views with
+    two separately built single-field indexes."""
+    spark = reader.spark
+    fb = parse_field_boosts(fields)
+    for name, _ in fb:
+        if name not in reader.text_fields:
+            raise ValueError(
+                f"field {name!r} is not indexed (text_fields={reader.text_fields})"
+            )
+    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    readers = {name: reader.for_field(name) for name, _ in fb}
+    stats = {name: readers[name].term_stats(terms) for name, _ in fb}
+    live = [t for t in terms if any(t in stats[name] for name, _ in fb)]
+    empty = spark.range(0).select(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    if not live:
+        return empty
+    n_docs = reader.n_docs
+    idfs_by_field = {
+        name: {t: float(P.bm25_idf(df, n_docs)) for t, df in stats[name].items()}
+        for name, _ in fb
+    }
+    blended_idfs = {
+        t: float(
+            P.bm25_idf(max(stats[name].get(t, 0) for name, _ in fb), n_docs)
+        )
+        for t in live
+    }
+    avgdl_by_field = {name: readers[name].avgdl for name, _ in fb}
+    boosts = dict(fb)
+    k1, b = reader.k1, reader.b
+    tomb = reader.tombstones()
+
+    def run_kernel(rows_by_field, dels=None) -> list[tuple[int, float]]:
+        return _mf_shard_topk(
+            rows_by_field, idfs_by_field, blended_idfs, avgdl_by_field,
+            boosts, mtype, tie_breaker, k, k1, b, dels,
+        )
+
+    heap_rows: list[tuple[int, int, float]] | None = None
+    total_postings = sum(sum(stats[name].values()) for name, _ in fb)
+    if execution == "local" or (
+        execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
+    ):
+        per_field_shards = {
+            name: readers[name].postings_local(live) for name, _ in fb
+        }
+        if all(v is not None for v in per_field_shards.values()):
+            shards = sorted(
+                {s for v in per_field_shards.values() for s in v}
+            )
+            heap_rows = [
+                (shard, local, score)
+                for shard in shards
+                for local, score in run_kernel(
+                    {
+                        name: per_field_shards[name].get(shard, [])
+                        for name, _ in fb
+                    },
+                    tomb.get(shard),
+                )
+            ]
+    if heap_rows is None:
+        cols = ["shard", "term", "docs_bin", "tfs_bin", "dls_bin", "blocks"]
+        parts = [
+            readers[name].postings(live).select(*cols, F.lit(name).alias("field"))
+            for name, _ in fb
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+
+        def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            rows_by_field: dict[str, list] = {}
+            for r in pdf.itertuples():
+                rows_by_field.setdefault(r.field, []).append(r)
+            top = run_kernel(rows_by_field, tomb.get(int(pdf_key[0])))
+            return pd.DataFrame(
+                {
+                    "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                    "local_id": np.array([t[0] for t in top], dtype=np.int64),
+                    "score": np.array([t[1] for t in top], dtype=np.float64),
+                }
+            )
+
+        per_shard = union.groupBy("shard").applyInPandas(
+            shard_topk, "shard int, local_id long, score double"
         )
         heap_rows = [
             (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
@@ -2588,11 +2838,11 @@ def suggest_complete(
     if not p:
         return reader.spark.createDataFrame([], schema)
     hi = p[:-1] + chr(ord(p[-1]) + 1)
-    ts_dir = os.path.join(reader.dir, "term_stats")
+    ts_dir = os.path.join(reader.dir, reader._ts_sub)
     if os.path.isdir(ts_dir):
         import pyarrow.dataset as ds
 
-        tbl = reader._pa_dataset("term_stats").to_table(
+        tbl = reader._pa_dataset(reader._ts_sub).to_table(
             filter=(ds.field("term") >= p) & (ds.field("term") < hi),
             columns=["term", "df"],
         )
@@ -3505,7 +3755,7 @@ def index_stats(reader: "IndexReader") -> dict:
             for fn in fns
         )
 
-    n_terms = ds.dataset(os.path.join(reader.dir, "term_stats")).count_rows()
+    n_terms = ds.dataset(os.path.join(reader.dir, reader._ts_sub)).count_rows()
     tomb = reader.tombstones()
     return {
         "n_docs": int(reader.n_docs),
