@@ -1445,8 +1445,10 @@ def _wand_index_dir(spark, sf_dir):
     # layout salt: bumping it retires caches built before an index-layout
     # change (dv2 = + lang_opt, the NULLIF-derived nullable docvalue the
     # missing-agg query counts; dv3 = + weight, the deterministic
-    # (n_chars % 7) + 1 numeric the weighted_avg agg weighs by)
-    h = hashlib.md5((src + "|layout=dv3").encode())
+    # (n_chars % 7) + 1 numeric the weighted_avg agg weighs by; dv4 =
+    # store_source=["text"], the ES stored-_source analog highlight/_source
+    # serve from)
+    h = hashlib.md5((src + "|layout=dv4").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -1470,6 +1472,7 @@ def _wand_index_dir(spark, sf_dir):
         build_index(
             spark, d, out_dir, n_shards=4, n_buckets=8,
             docvalue_cols=["lang", "source", "n_chars", "lang_opt", "weight"],
+            store_source=["text"],
         )
         os.utime(out_dir)
         # bound the cache: every corpus regeneration mints a new key, so
@@ -1556,6 +1559,136 @@ def q_bm25_phrase_slop(spark, sf_dir):
 
     reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
     top = match_phrase_topk(reader, SLOP_PHRASE_Q, k=40, slop=SLOP_N)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+SPAN_OR_ALTS = ["merge", "sort", "stream"]
+SPAN_NESTED = [["key"], ["fast", "slow"]]  # span_or nested in span_near
+SPAN_NESTED_SLOP = 2
+SPAN_NOT_INC, SPAN_NOT_EXC = ["hash", "join"], ["table"]
+SPAN_NOT_SLOP, SPAN_NOT_PRE, SPAN_NOT_POST = 2, 1, 1
+
+
+def _span_composite_sql(
+    slots, slop, in_order, exclude=(), pre=0, post=0, k=10,
+) -> str:
+    """Positions self-join oracle for the composite span kinds (twin of
+    engine/spans.py _span_near_freqs with or-slots + exclusion): clause i
+    matches any of slot i's alternatives (p_i.term IN (...)); ordered
+    spans require strictly increasing positions; exclusion is a NOT
+    EXISTS over the pos table within [least - pre, greatest + post]; idf
+    = the sum over every live tree term's idf (slots here carry no
+    duplicate terms, so one dfreq row per term; exclude terms never
+    contribute). A single slot is the top-level span_or (unit spans,
+    width 0)."""
+    assert in_order or len(slots) == 1, "oracle covers ordered + unit spans"
+    n = len(slots)
+    W = slop + n - 1
+    all_terms = [t for sl in slots for t in sl]
+    assert len(set(all_terms)) == len(all_terms), "no duplicate tree terms"
+    tl = ", ".join(f"'{t}'" for t in all_terms)
+    def inlist(sl):
+        return "(" + ", ".join(f"'{t}'" for t in sl) + ")"
+    joins = []
+    for i in range(1, n):
+        joins.append(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.term IN {inlist(slots[i])} "
+            f"AND p{i}.pos > p{i - 1}.pos AND p{i}.pos <= p0.pos + {W}"
+        )
+    join_sql = "\n       ".join(joins)
+    cols = ", ".join(f"p{i}.pos" for i in range(n))
+    span = (
+        f"greatest({cols}) - least({cols})" if n > 1 else "0"
+    )
+    not_exists = ""
+    if exclude:
+        el = ", ".join(f"'{t}'" for t in exclude)
+        lo = f"least({cols}) - {pre}" if n > 1 else f"p0.pos - {pre}"
+        hi = f"greatest({cols}) + {post}" if n > 1 else f"p0.pos + {post}"
+        not_exists = (
+            f" AND NOT EXISTS (SELECT 1 FROM pos e WHERE e.doc_id = p0.doc_id "
+            f"AND e.term IN ({el}) AND e.pos BETWEEN {lo} AND {hi})"
+        )
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN ({tl}) GROUP BY term
+),
+idfw AS (
+  SELECT sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+  FROM dfreq CROSS JOIN stats GROUP BY n_docs
+),
+pf AS (
+  SELECT p0.doc_id, sum(1.0 / (1 + {span} - {n - 1})) AS pf
+  FROM pos p0
+       {join_sql}
+  WHERE p0.term IN {inlist(slots[0])} AND {span} <= {W}{not_exists}
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT pf.doc_id,
+         idf_sum * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN idfw
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_span_or(spark, sf_dir):
+    """ES top-level span_or: every occurrence of any alternative is a
+    unit span (width 0, weight 1) — tf = the per-doc occurrence count
+    over the set, idf = the sum of the live alternatives' idfs."""
+    from engine.query import IndexReader
+    from engine.spans import span_or_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_or_topk(reader, SPAN_OR_ALTS, k=40)
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_span_near_or(spark, sf_dir):
+    """span_or NESTED inside span_near: clause 2 is a two-alternative
+    slot ('fast' | 'slow'), ordered within width <= 2 of 'key' — the
+    multi-alternative slot machinery shared with match_phrase_prefix."""
+    from engine.query import IndexReader
+    from engine.spans import span_near_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_near_topk(
+        reader, SPAN_NESTED, k=40, slop=SPAN_NESTED_SLOP, in_order=True
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_span_not(spark, sf_dir):
+    """ES span_not: ordered 'hash'..'join' spans (width <= 2) kept only
+    when no 'table' occurrence falls within 1 position of the span
+    (pre=post=1, Lucene SpanNotQuery dist window); exclusion filters tf
+    before scoring and never contributes to idf."""
+    from engine.query import IndexReader
+    from engine.spans import span_not_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = span_not_topk(
+        reader, [[t] for t in SPAN_NOT_INC], SPAN_NOT_EXC, k=40,
+        slop=SPAN_NOT_SLOP, in_order=True,
+        pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+    )
     return _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
     )
@@ -2126,6 +2259,84 @@ def _deleted_index_dir(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
         os.rename(tmp, out)
     return out
+
+
+DBQ_TERM = "slow"  # delete_by_query victim rule: every doc matching this term
+UBQ_TERM = "dup"   # update_by_query match rule
+UBQ_SUFFIX = " zzzupdated"  # appended to every matched doc's text
+
+
+def _dbq_index_dir(spark, sf_dir):
+    """Copy of the shared wand index with every doc MATCHING a DSL query
+    tombstoned via engine/deletes.py delete_by_query (ES _delete_by_query:
+    matched-set selection through the same bucket-pruned postings kernels
+    a search uses, then one tombstone snapshot)."""
+    import shutil
+
+    from engine.deletes import delete_by_query
+
+    base = _wand_index_dir(spark, sf_dir)
+    out = base + "_dbq"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        delete_by_query(spark, tmp, {"query": {"match": {"text": DBQ_TERM}}})
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
+
+
+def _ubq_index_dir(spark, sf_dir):
+    """update_by_query output: every doc matching UBQ_TERM re-indexed with
+    UBQ_SUFFIX appended to its stored text (engine/upsert.py
+    update_by_query: matched urls -> stored-source reconstruction ->
+    transform -> replace-by-url upsert into a fresh generation)."""
+    import shutil
+
+    from engine.upsert import update_by_query
+
+    base = _wand_index_dir(spark, sf_dir)
+    out = base + "_ubq"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        update_by_query(
+            spark, base, {"query": {"match": {"text": UBQ_TERM}}},
+            lambda df: df.withColumn("text", F.concat(F.col("text"), F.lit(UBQ_SUFFIX))),
+            tmp,
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
+
+
+def q_bm25_delete_by_query(spark, sf_dir):
+    """ES _delete_by_query then BM25 top-k: docs matching the delete query
+    are tombstone-masked in every kernel; stats (n_docs/df/avgdl) still
+    count them until compaction (Lucene live-docs semantics) — the oracle
+    scores the FULL corpus and only excludes the matched docs from the
+    ranking."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _dbq_index_dir(spark, sf_dir))
+    top = bm25_topk(reader, WAND_TERMS, k=25, mode="or", algo="wand")
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_update_by_query(spark, sf_dir):
+    """ES _update_by_query then BM25 top-k over the rewritten generation:
+    matched docs' text gains a marker suffix, so their dl (and the corpus
+    avgdl/sum_dl) shift and the new term becomes searchable. The oracle is
+    plain relational BM25 over the equivalently-rewritten corpus (upsert
+    recomputes exact fresh-build stats)."""
+    from engine.query import IndexReader, bm25_topk
+
+    reader = IndexReader(spark, _ubq_index_dir(spark, sf_dir))
+    top = bm25_topk(
+        reader, [UBQ_TERM, "zzzupdated"], k=25, mode="or", algo="wand"
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
 def _events_index_dir(spark, sf_dir):
@@ -3222,7 +3433,43 @@ def q_bm25_highlight(spark, sf_dir):
     hits = _round_rerank(
         top.select(F.col("url").cast("long").alias("doc_id"), "score")
     )
-    return highlight_fragments(hits, _docs(spark, sf_dir), BM25_TERMS)
+    # source text from the INDEX's stored columns (store_source=["text"]),
+    # not a corpus pass — the ES stored-_source serving path
+    src = r.stored_source_df().select(
+        F.col("url").cast("long").alias("doc_id"), "text"
+    )
+    return highlight_fragments(hits, src, BM25_TERMS)
+
+
+def q_bm25_source(spark, sf_dir):
+    """ES `_source` retrieval: the DSL search body asks for _source and the
+    hits carry the stored text straight from the index's docmap (pruned
+    per-shard point reads — no corpus join anywhere). Oracle: the BM25
+    top-k joined back to the documents table's text."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(
+        r,
+        {"query": {"match": {"text": " ".join(BM25_TERMS)}},
+         "size": 25, "_source": ["text"]},
+    )
+    # over-fetch + rounded re-rank (the _round_rerank discipline) so the
+    # float-sum k-boundary matches the oracle's rounded ordering
+    rows = sorted(
+        (
+            (int(h["_id"]), round(h["_score"], 6), h["_source"]["text"])
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    import pandas as pd  # noqa: PLC0415
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "score", "text"]),
+        "doc_id long, score double, text string",
+    )
 
 
 def q_search_count(spark, sf_dir):
@@ -3948,6 +4195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_synonym_runtime.py) ---
         "bm25_synonym_topk": q_bm25_synonym,
         "bm25_multifield_topk": q_bm25_multifield,
+        "bm25_source_topk": q_bm25_source,
+        "bm25_delete_by_query_topk": q_bm25_delete_by_query,
+        "span_or_topk": q_span_or,
+        "span_near_or_topk": q_span_near_or,
+        "span_not_topk": q_span_not,
+        "bm25_update_by_query_topk": q_bm25_update_by_query,
         "bm25_most_fields_topk": q_bm25_most_fields,
         "bm25_cross_fields_topk": q_bm25_cross_fields,
         "sort_runtime_field": q_sort_runtime_field,
@@ -4628,6 +4881,34 @@ FROM x""",
         ),
         "bm25_synonym_topk": _bm25_synonym_sql(SYN_GROUPS),
         "bm25_multifield_topk": _bm25_multifield_sql(MF_TERMS, "best_fields", MF_TB, k=10),
+        "span_or_topk": _span_composite_sql([SPAN_OR_ALTS], 0, False, k=25),
+        "span_near_or_topk": _span_composite_sql(
+            SPAN_NESTED, SPAN_NESTED_SLOP, True, k=25
+        ),
+        "span_not_topk": _span_composite_sql(
+            [[t] for t in SPAN_NOT_INC], SPAN_NOT_SLOP, True,
+            exclude=SPAN_NOT_EXC, pre=SPAN_NOT_PRE, post=SPAN_NOT_POST, k=25,
+        ),
+        "bm25_delete_by_query_topk": _bm25_sql(
+            WAND_TERMS, k=10,
+            result_filter=(
+                "doc_id NOT IN (SELECT doc_id FROM d "
+                f"WHERE list_contains(toks, '{DBQ_TERM}'))"
+            ),
+        ),
+        "bm25_update_by_query_topk": _bm25_sql(
+            [UBQ_TERM, "zzzupdated"], k=10,
+            text_expr=(
+                f"CASE WHEN list_contains({TOK.format(c='text')}, '{UBQ_TERM}') "
+                f"THEN text || '{UBQ_SUFFIX}' ELSE text END"
+            ),
+        ),
+        "bm25_source_topk": (
+            "SELECT r.doc_id, r.score, d.text FROM ("
+            + _bm25_sql(BM25_TERMS, k=10)
+            + ") r JOIN documents d USING (doc_id) "
+            "ORDER BY r.score DESC, r.doc_id ASC"
+        ),
         "bm25_most_fields_topk": _bm25_multifield_sql(MF_TERMS, "most_fields", 0.0, k=10),
         "bm25_cross_fields_topk": _bm25_multifield_sql(MF_TERMS, "cross_fields", 0.0, k=10),
         "sort_runtime_field": _agg_matched_cte() + (

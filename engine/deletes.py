@@ -317,6 +317,11 @@ def compact_index(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     commit discipline."""
     with open(os.path.join(src_dir, "MANIFEST.json")) as f:
         manifest = json.load(f)
+    if len(manifest.get("text_fields", ["text"])) > 1:
+        raise ValueError(
+            "compact_index supports single-field indexes (multi-field "
+            "compaction is a documented divergence; rebuild via build_index)"
+        )
     n_shards, n_buckets = manifest["n_shards"], manifest["n_buckets"]
     k1, b = manifest["k1"], manifest["b"]
     deleted = load_tombstones(src_dir)
@@ -451,3 +456,33 @@ def compact_index(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(new_manifest, f, indent=2, sort_keys=True)
     return new_manifest
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, body: dict) -> int:
+    """ES `_delete_by_query`: tombstone every live document whose _id
+    matches the DSL body's query context — the common housekeeping call
+    the reference delegates to Elasticsearch. Composes the dispatcher's
+    query-context compiler (engine/dsl.py compile_query_context:
+    match_all / match / term / terms / bool must + filter context) with
+    the url-list tombstone writer above; returns the number of NEW
+    tombstone rows (one snapshot, so the whole delete is one atomic
+    point-in-time step for readers).
+
+    Cost shape: the matched set comes from the SAME bucket-pruned
+    postings kernels a search uses (engine/aggs.py matched_urls), never
+    a corpus scan; match_all composes the live docmap with pushed filter
+    predicates instead."""
+    from engine.aggs import live_docmap, matched_urls
+    from engine.dsl import compile_query_context
+    from engine.query import IndexReader
+
+    query = body.get("query", body) if isinstance(body, dict) else body
+    if "query" in query:  # accept either a full body or a bare query
+        query = query["query"]
+    terms, mode, filters = compile_query_context(query)
+    reader = IndexReader(spark, index_dir)
+    if terms is None:
+        urls = live_docmap(reader, filters).select("url")
+    else:
+        urls = matched_urls(reader, terms, mode=mode, filters=filters)
+    return delete_docs(spark, index_dir, urls)

@@ -22,8 +22,9 @@ knn (top-level vector search over the embeddings table: exact cosine,
 or the LSH-ANN scale path when num_candidates bounds the search).
 
 Deliberate divergences (documented, raise cleanly):
-- `highlight` needs the source text, which the index does not store —
-  pass the corpus DataFrame via search(..., corpus=...) to enable it.
+- `highlight`/`_source` need the source text: an index built with
+  store_source=... serves them from its own stored columns (ES parity);
+  otherwise pass the corpus DataFrame via search(..., corpus=...).
 - bool bodies that combine `filter` context with `should`/`must_not`
   scoring clauses are not composed (the filtered kernel and the bool
   kernel are separate paths); ES users split these across two requests.
@@ -550,7 +551,10 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "span_term" in query:
         # a lone unit span scores exactly like the term query (Lucene:
-        # SpanTermQuery freq == tf when every match weighs 1)
+        # SpanTermQuery freq == tf when every match weighs 1).
+        # _span_clauses (below) parses clause lists for the composite
+        # span kinds: span_term blocks stay single-term slots, span_or
+        # blocks of span_terms become alternative slots.
         ((fld, spec),) = query["span_term"].items()
         if fld != "text":
             raise ValueError("span_term supports the text field")
@@ -562,23 +566,49 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         s = query["span_near"]
         if filters:
             raise ValueError("span_near + filter context is not composed yet")
-        terms = []
-        for cl in s["clauses"]:
-            if set(cl) != {"span_term"}:
-                raise ValueError(
-                    "span_near clauses must be span_term blocks "
-                    "(nested spans are a documented divergence)"
-                )
-            ((fld, spec),) = cl["span_term"].items()
-            if fld != "text":
-                raise ValueError("span_near supports the text field")
-            terms.append(spec["value"] if isinstance(spec, dict) else spec)
         from engine.spans import span_near_topk
 
         return span_near_topk(
-            reader, terms, k=k,
+            reader, _span_clauses(s["clauses"]), k=k,
             slop=int(s.get("slop", 0)),
             in_order=bool(s.get("in_order", True)),
+        )
+    if "span_or" in query:
+        # top-level span_or: one slot of alternatives (unit spans)
+        s = query["span_or"]
+        if filters:
+            raise ValueError("span_or + filter context is not composed yet")
+        (alts,) = _span_clauses([{"span_or": s}])
+        from engine.spans import span_or_topk
+
+        return span_or_topk(reader, alts, k=k)
+    if "span_not" in query:
+        s = query["span_not"]
+        if filters:
+            raise ValueError("span_not + filter context is not composed yet")
+        inc = s["include"]
+        if "span_near" in inc:
+            include = _span_clauses(inc["span_near"]["clauses"])
+            slop = int(inc["span_near"].get("slop", 0))
+            in_order = bool(inc["span_near"].get("in_order", True))
+        else:
+            include = _span_clauses([inc])
+            slop, in_order = 0, True
+        exc = s["exclude"]
+        if "span_or" in exc:
+            exclude = _span_clauses([exc])[0]
+        elif "span_term" in exc:
+            exclude = _span_clauses([exc])[0]
+        else:
+            raise ValueError(
+                "span_not exclude must be span_term or span_or of span_terms"
+            )
+        from engine.spans import span_not_topk
+
+        return span_not_topk(
+            reader, include, exclude, k=k, slop=slop, in_order=in_order,
+            pre=int(s.get("pre", s.get("dist", 0))),
+            post=int(s.get("post", s.get("dist", 0))),
         )
     if "span_first" in query:
         s = query["span_first"]
@@ -875,10 +905,59 @@ def _query_terms_or_none(query: dict):
         b = query["bool"]
         must_c = b.get("must", [])
         must_c = must_c if isinstance(must_c, list) else [must_c]
+        must_c = [c for c in must_c if "match_all" not in c]
+        if not must_c:  # pure filter-context bool: match_all semantics
+            return None, "or"
         terms = [t for c in must_c for t in _match_terms(c)[0]]
         return terms, "and"
     terms, op, _msm, _f = _match_terms(query)
     return terms, op
+
+
+def _span_clauses(clauses: list) -> list[list]:
+    """span clause blocks -> engine slot lists: span_term -> [term],
+    span_or (of span_terms) -> [alt, alt, ...]. Deeper nesting raises
+    (documented divergence)."""
+    slots: list[list] = []
+    for cl in clauses:
+        if set(cl) == {"span_term"}:
+            ((fld, spec),) = cl["span_term"].items()
+            if fld != "text":
+                raise ValueError("span clauses support the text field")
+            slots.append([spec["value"] if isinstance(spec, dict) else spec])
+        elif set(cl) == {"span_or"}:
+            alts = []
+            for inner in cl["span_or"]["clauses"]:
+                if set(inner) != {"span_term"}:
+                    raise ValueError(
+                        "span_or clauses must be span_term blocks "
+                        "(deeper nesting is a documented divergence)"
+                    )
+                ((fld, spec),) = inner["span_term"].items()
+                if fld != "text":
+                    raise ValueError("span clauses support the text field")
+                alts.append(spec["value"] if isinstance(spec, dict) else spec)
+            slots.append(alts)
+        else:
+            raise ValueError(
+                "span clauses must be span_term or span_or blocks "
+                "(deeper nesting is a documented divergence)"
+            )
+    return slots
+
+
+def compile_query_context(query: dict):
+    """(terms|None, mode, filters) of a DSL body's matched-doc set — the
+    shared front-end for the set-valued APIs (delete_by_query /
+    update_by_query / matched_urls callers): match_all, match/term/terms,
+    and bool with must (+ filter context). Raises for query kinds whose
+    matched set is not a plain term query, same contract as
+    _query_terms_or_none."""
+    filters = ()
+    if "bool" in query:
+        filters = _clause_filters(query["bool"].get("filter", []))
+    terms, mode = _query_terms_or_none(query)
+    return terms, mode, filters
 
 
 def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
@@ -1043,9 +1122,13 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             rows = df.collect()[frm:]
             hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
             if body.get("highlight"):
+                if corpus is None and "text" in getattr(reader, "stored_cols", []):
+                    # stored-source index: highlight from the index itself
+                    corpus = reader.stored_source_df()
                 if corpus is None:
                     raise ValueError(
-                        "highlight needs the source corpus: search(..., corpus=df)"
+                        "highlight needs the source text: build the index "
+                        "with store_source=... or search(..., corpus=df)"
                     )
                 from engine.query import highlight_fragments
 
@@ -1082,6 +1165,29 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             )
         ms = float(body["min_score"])
         hits = [h for h in hits if h["_score"] is not None and h["_score"] >= ms]
+
+    if body.get("_source") and hits:
+        # ES `_source`: served from the index's stored columns (never a
+        # corpus join — get_source is a pruned per-shard point read)
+        spec_src = body["_source"]
+        stored = getattr(reader, "stored_cols", [])
+        if not stored:
+            raise ValueError(
+                "_source needs a stored-source index — build with "
+                "store_source=True (or a column list)"
+            )
+        want = (
+            stored
+            if spec_src is True
+            else [spec_src] if isinstance(spec_src, str) else list(spec_src)
+        )
+        bad = [c for c in want if c not in stored]
+        if bad:
+            raise ValueError(f"_source field(s) {bad} not stored ({stored})")
+        srcs = reader.get_source([h["_id"] for h in hits])
+        for h in hits:
+            if h["_id"] in srcs:
+                h["_source"] = {c: srcs[h["_id"]][c] for c in want}
 
     _attach_matched_queries(reader, query, hits)
 
@@ -1201,10 +1307,12 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 sg = spec.get("significant_text") or spec["significant_terms"]
                 if sg.get("field", "text") != "text":
                     raise ValueError("significant_text supports the text field")
+                if corpus is None and "text" in getattr(reader, "stored_cols", []):
+                    corpus = reader.stored_source_df()
                 if corpus is None:
                     raise ValueError(
-                        "significant_text needs the source corpus: "
-                        "search(..., corpus=...)"
+                        "significant_text needs the source text: build the "
+                        "index with store_source=... or search(..., corpus=...)"
                     )
                 if terms is None:
                     raise ValueError(

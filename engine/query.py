@@ -544,6 +544,71 @@ class IndexReader:
             & F.col("local_id").isin([int(l) for l in local_ids])
         )
 
+    def stored_source_df(self) -> DataFrame:
+        """The stored `_source` columns as a (url, <col>, ...) DataFrame —
+        the ES stored-fields analog (build_index(store_source=...) keeps
+        them in the docmap as src__<col>; the reference mapping stores
+        non-indexed fields the same way, config/search_scheme.json:213-224).
+        Parquet column pruning means this view costs nothing until a
+        query actually selects a stored column; highlight/_source serve
+        from it without the caller passing a corpus."""
+        if not self.stored_cols:
+            raise ValueError(
+                "index stores no source columns — build with "
+                "store_source=True (or a column list) to enable "
+                "_source/highlight without a corpus"
+            )
+        return self.docmap().select(
+            "url", *[F.col(f"src__{c}").alias(c) for c in self.stored_cols]
+        )
+
+    def get_source(self, urls: list[str]) -> dict[str, dict]:
+        """Driver-side stored-source point fetch for a handful of hit
+        urls: XXH64 shard routing + ONE pruned pyarrow read per touched
+        shard (url isin pushdown), the same cost shape as mget — never a
+        docmap scan. Returns {url: {col: value}} for found urls. Falls
+        back to a pushed-predicate Spark filter on remote dirs."""
+        if not self.stored_cols:
+            raise ValueError("index stores no source columns")
+        if not urls:
+            return {}
+        phys = [f"src__{c}" for c in self.stored_cols]
+        dm_dir = os.path.join(self.dir, "docmap")
+        out: dict[str, dict] = {}
+        if os.path.isdir(dm_dir):
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+
+            from engine.hashing import xxh64
+
+            self._check_generation()
+            n_shards = self.manifest["n_shards"]
+            by_shard: dict[int, list[str]] = {}
+            for u in urls:
+                by_shard.setdefault(xxh64(u.encode()) % n_shards, []).append(u)
+            for shard, us in by_shard.items():
+                part = os.path.join(dm_dir, f"shard={shard}")
+                if not os.path.isdir(part):
+                    continue
+                tbl = ds.dataset(part).to_table(
+                    columns=["url"] + phys, filter=pc.field("url").isin(us)
+                )
+                for row in tbl.to_pylist():
+                    out[row["url"]] = {
+                        c: row[p] for c, p in zip(self.stored_cols, phys)
+                    }
+            return out
+        rows = (
+            self.docmap()
+            .filter(F.col("url").isin(list(urls)))
+            .select("url", *phys)
+            .collect()
+        )
+        return {
+            r["url"]: {c: r[p] for c, p in zip(self.stored_cols, phys)}
+            for r in rows
+        }
+
     def shard_offsets(self) -> list[int]:
         """Global doc_id offset per shard (doc_id = offset + local_id).
         From the manifest when present; derived from the docmap otherwise
@@ -2955,10 +3020,16 @@ def mget(
 
     fields = list(fields or [])
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    bad = [f for f in fields if f not in dv_cols]
+    bad = [f for f in fields if f not in dv_cols and f not in reader.stored_cols]
     if bad:
-        raise ValueError(f"field(s) {bad} not in index docvalues {dv_cols}")
-    ftypes = {f: _spark_vtype(reader, f) for f in fields}
+        raise ValueError(
+            f"field(s) {bad} not in index docvalues {dv_cols} "
+            f"or stored columns {reader.stored_cols}"
+        )
+    # stored-source fields live in the docmap as src__<f>; docvalues win on
+    # a name collision (they are the typed aggregation copy)
+    phys = {f: (f if f in dv_cols else f"src__{f}") for f in fields}
+    ftypes = {f: _spark_vtype(reader, phys[f]) for f in fields}
     schema = "url string, found boolean, doc_id long" + "".join(
         f", {f} {ftypes[f]}" for f in fields
     )
@@ -2970,7 +3041,7 @@ def mget(
     by_shard: dict[int, list[str]] = {}
     for u in urls:
         by_shard.setdefault(xxh64(u.encode()) % n_shards, []).append(u)
-    cols = ["url", "local_id"] + fields
+    cols = ["url", "local_id"] + [phys[f] for f in fields]
     hits: dict[str, tuple] = {}
     dm_dir = os.path.join(reader.dir, "docmap")
     if os.path.isdir(dm_dir):
@@ -2989,7 +3060,7 @@ def mget(
                     continue
                 hits[row["url"]] = (
                     offsets[shard] + lid,
-                    tuple(row[f] for f in fields),
+                    tuple(row[phys[f]] for f in fields),
                 )
     else:
         rows = (
@@ -3005,7 +3076,7 @@ def mget(
                 continue
             hits[row["url"]] = (
                 offsets[int(row["shard"])] + lid,
-                tuple(row[f] for f in fields),
+                tuple(row[phys[f]] for f in fields),
             )
     out = [
         (u, True, hits[u][0], *hits[u][1]) if u in hits

@@ -1,22 +1,27 @@
 """ES span queries (span_term / span_near / span_first) over the
 positional index.
 
-The Lucene span family, restricted to TERM clauses — the subset the
+The Lucene span family over term-level clauses — the subset the
 reference's search mapping can express (the reference delegates span
 execution to ES/Lucene wholesale; this module implements it natively on
 the pos_bin/pos_offs position stream from engine/index_build.py:91-100).
-Nested span_or / span_not / span_containing clauses are a frozen
-out-of-scope divergence, documented in COVERAGE.md.
+span_or is supported both top-level and NESTED inside span_near (an
+or-clause is a slot of alternative terms — the same multi-alternative
+machinery match_phrase_prefix uses); span_not is supported with a
+span_term / span_near include and a term-set exclude (pre/post overlap
+window). Deeper nesting (span_near inside span_near, span_containing)
+remains a frozen out-of-scope divergence, documented in COVERAGE.md.
 
 Frozen span semantics — the same combinatorial freeze as the sloppy
 match_phrase kernel (engine/query.py _phrase_slop_shard_topk), diverging
 from Lucene's greedy SpanScorer iterator, which can count fewer matches
 on repeated-token docs:
 
-- ``span_near(clauses=[t0..t{n-1}], slop, in_order)``: a match is ONE
-  token-occurrence choice per clause. Clauses sharing a term must take
-  pairwise-distinct positions (distinct terms can never collide — a
-  token position holds exactly one term). ``width`` is the count of
+- ``span_near(clauses=[c0..c{n-1}], slop, in_order)``: each clause is a
+  term or a span_or set of alternative terms; a match is ONE
+  token-occurrence choice per clause. Clauses sharing a term (or an
+  alternative) must take pairwise-distinct positions (distinct terms can
+  never collide — a token position holds exactly one term). ``width`` is the count of
   unmatched positions inside the span — ``max(pos) - min(pos) - (n-1)``,
   Lucene's matchWidth for unit-length term spans — and a match requires
   ``width <= slop``. ``in_order=True`` additionally requires strictly
@@ -32,9 +37,17 @@ on repeated-token docs:
 
 Scoring is the pseudo-term model shared with match_phrase: the whole
 span query behaves as ONE term with tf = the span frequency and idf =
-the sum of the member clauses' idfs (duplicate clauses counted;
-span_first has a single member). A clause term absent from the
-dictionary means zero hits (conjunctive).
+the sum of the idfs of every DICTIONARY-LIVE term in the span tree
+(duplicate clauses counted; span_first has a single member; span_not's
+exclude terms never contribute — Lucene exclusion is score-free). A
+slot with no live alternative means zero hits (conjunctive); a dead
+alternative inside a live or-slot is simply dropped.
+
+- ``span_or(terms)``: every occurrence of any alternative is a unit
+  span (width 0, weight 1); tf = the occurrence count.
+- ``span_not(include, exclude, pre, post)``: include matches are kept
+  only when NO exclude-term occurrence falls inside [span_start - pre,
+  span_end + post] (Lucene SpanNotQuery's dist window).
 
 Identities (property-tested in tests/test_spans.py):
 - ``span_near(in_order=True, slop=0)`` == ``match_phrase`` slop=0
@@ -68,14 +81,21 @@ from engine.textnorm import standard_tokenize_py
 
 def _span_near_freqs(
     rows: list,
-    terms: list[str],
+    slots: list[list[str]],
     slop: int,
     in_order: bool,
     dels: "np.ndarray | None",
     allow: "np.ndarray | None" = None,
+    exclude: "list[str] | None" = None,
+    pre: int = 0,
+    post: int = 0,
 ) -> "tuple[dict, np.ndarray, np.ndarray] | None":
     """(by_term, match_docs, tf) for one shard's positional posting rows
-    under the frozen span_near semantics, or None when nothing matches.
+    under the frozen span semantics, or None when nothing matches. Each
+    slot is a term list — singletons for span_term clauses, several
+    alternatives for a nested span_or. `exclude` (span_not) drops any
+    match whose [min_pos - pre, max_pos + post] window contains an
+    occurrence of an exclude term.
 
     Vectorized as the same iterative constrained join as _phrase_freqs'
     slop branch, but over RAW positions: states after clause i are
@@ -83,15 +103,15 @@ def _span_near_freqs(
     i+1's occurrences are range-looked-up per state via searchsorted over
     (doc << 32 | pos + bias) keys. The window is [max - W, min + W] with
     W = slop + n - 1 (width <= slop <=> raw span <= W); in_order narrows
-    the lower bound to prev_pos + 1 (which also subsumes the same-term
+    the lower bound to prev_pos + 1 (which also subsumes the shared-term
     distinctness guard). Work is O(assignments), bounded per doc by
-    tf_clause0 * (2W + 1)^(n-1)."""
-    slots = [[t] for t in terms]
+    occ_clause0 * (2W + 1)^(n-1). Exclusion is one searchsorted range
+    probe per surviving state."""
     got = _phrase_candidates(rows, slots, dels, allow)
     if got is None:
         return None
     by_term, cand = got
-    n = len(terms)
+    n = len(slots)
     W = slop + n - 1
     bias = W + 1  # keeps every packed pos key strictly positive
     occs = [_slot_occurrences(by_term, cand, s) for s in slots]
@@ -120,11 +140,13 @@ def _span_near_freqs(
         offs = np.arange(tot) - np.repeat(head, cnt) + np.repeat(lo, cnt)
         new_pos = p[offs]
         if not in_order:
-            # same-term clauses must take distinct positions (strictly
-            # increasing order already enforces this in ordered mode)
+            # clauses sharing a term (or an or-alternative) must take
+            # pairwise-distinct positions; strictly increasing order
+            # already enforces this in ordered mode. Disjoint slots can
+            # never collide (a token position holds exactly one term).
             keep = np.ones(tot, dtype=bool)
             for j in range(i):
-                if terms[j] == terms[i]:
+                if set(slots[j]) & set(slots[i]):
                     keep &= s_pos[j][parent] != new_pos
             if not keep.all():
                 parent, new_pos = parent[keep], new_pos[keep]
@@ -134,6 +156,22 @@ def _span_near_freqs(
         s_mx = np.maximum(s_mx[parent], new_pos)
         s_doc = s_doc[parent]
         s_pos = [sp[parent] for sp in s_pos] + [new_pos]
+    if exclude:
+        d_e, p_e = _slot_occurrences(by_term, cand, exclude)
+        if d_e.size:
+            bias2 = pre + 1  # lo_v >= -pre, so keys stay strictly positive
+            keys_e = (d_e << 32) | (p_e + bias2)
+            lo = np.searchsorted(
+                keys_e, (s_doc << 32) | (s_mn - pre + bias2), side="left"
+            )
+            hi = np.searchsorted(
+                keys_e, (s_doc << 32) | (s_mx + post + bias2), side="right"
+            )
+            keep = hi == lo
+            if not keep.all():
+                s_doc, s_mn, s_mx = s_doc[keep], s_mn[keep], s_mx[keep]
+                if s_doc.size == 0:
+                    return None
     width = (s_mx - s_mn - (n - 1)).astype(np.float64)
     w = 1.0 / (1.0 + width)
     match_docs, inv = np.unique(s_doc, return_inverse=True)
@@ -143,7 +181,7 @@ def _span_near_freqs(
 
 def _span_near_shard_topk(
     rows: list,
-    terms: list[str],
+    slots: list[list[str]],
     slop: int,
     in_order: bool,
     idf_sum: float,
@@ -153,15 +191,21 @@ def _span_near_shard_topk(
     avgdl: float,
     dels: "np.ndarray | None",
     allow: "np.ndarray | None" = None,
+    exclude: "list[str] | None" = None,
+    pre: int = 0,
+    post: int = 0,
 ) -> list[tuple[int, float]]:
-    """Per-shard span_near kernel: frozen combinatorial span frequency +
-    the shared pseudo-term scoring tail."""
-    got = _span_near_freqs(rows, terms, slop, in_order, dels, allow)
+    """Per-shard span kernel (span_near / nested span_or / span_not):
+    frozen combinatorial span frequency + the shared pseudo-term scoring
+    tail."""
+    got = _span_near_freqs(
+        rows, slots, slop, in_order, dels, allow, exclude, pre, post
+    )
     if got is None:
         return []
     by_term, match_docs, tf = got
     return _phrase_score_rows(
-        by_term, [[t] for t in terms], match_docs, tf, idf_sum, k, k1, b, avgdl
+        by_term, slots, match_docs, tf, idf_sum, k, k1, b, avgdl
     )
 
 
@@ -253,40 +297,109 @@ def _positional_topk(
 
 def span_near_topk(
     reader: IndexReader,
-    clauses: "str | list[str]",
+    clauses,
     k: int = 10,
     slop: int = 0,
     in_order: bool = True,
     execution: str = "auto",
     lookup: str = "auto",
+    exclude: "list[str] | None" = None,
+    pre: int = 0,
+    post: int = 0,
 ):
     """ES ``span_near`` top-k over a POSITIONAL index: (url, doc_id,
-    score), score desc / doc_id asc. Defaults mirror ES's
+    score), score desc / doc_id asc. clauses: a string (one slot per
+    analyzed token), or a list mixing terms and nested span_or
+    alternative lists. exclude/pre/post = the span_not overlap window
+    (span_not_topk is the named front-end). Defaults mirror ES's
     SpanNearQueryBuilder: slop=0, in_order=true. See the module
     docstring for the frozen span semantics."""
     _require_positions(reader, "span_near")
-    terms = (
-        standard_tokenize_py(clauses.lower())
-        if isinstance(clauses, str)
-        else [t.lower() for t in clauses]
-    )
-    if not terms:
+    slots = _parse_clauses(clauses)
+    if not slots:
         return _empty_topk(reader.spark)
-    distinct = list(dict.fromkeys(terms))
-    stats = reader.term_stats(distinct)
-    if any(t not in stats for t in distinct):
-        return _empty_topk(reader.spark)  # conjunctive: dead clause
+    exclude = [t.lower() for t in (exclude or [])]
+    fetch = list(dict.fromkeys([t for sl in slots for t in sl] + exclude))
+    stats = reader.term_stats(fetch)
+    # conjunctive per SLOT: drop dead alternatives; a slot with none left
+    # cannot match. Exclude terms are optional (absent => no exclusion)
+    # and never contribute to idf (Lucene exclusion is score-free).
+    live_slots = [[t for t in sl if t in stats] for sl in slots]
+    if any(not sl for sl in live_slots):
+        return _empty_topk(reader.spark)
+    slots = live_slots
+    exclude = [t for t in exclude if t in stats]
     idf_sum = float(
-        sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
+        sum(P.bm25_idf(stats[t], reader.n_docs) for sl in slots for t in sl)
     )
+    distinct = list(dict.fromkeys([t for sl in slots for t in sl] + exclude))
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
 
     def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
         return _span_near_shard_topk(
-            rows, terms, slop, in_order, idf_sum, k, k1, b, avgdl, dels
+            rows, slots, slop, in_order, idf_sum, k, k1, b, avgdl, dels,
+            exclude=exclude, pre=pre, post=post,
         )
 
     return _positional_topk(reader, distinct, run_kernel, k, execution, lookup)
+
+
+def _parse_clauses(clauses) -> list[list[str]]:
+    """Clause spec -> slots: a str analyzes to one slot per token; a list
+    mixes terms (str) and nested span_or alternative lists."""
+    if isinstance(clauses, str):
+        return [[t] for t in standard_tokenize_py(clauses.lower())]
+    slots: list[list[str]] = []
+    for c in clauses:
+        if isinstance(c, str):
+            slots.append([c.lower()])
+        else:
+            alts = [t.lower() for t in c]
+            if not alts:
+                raise ValueError("empty span_or clause")
+            slots.append(list(dict.fromkeys(alts)))
+    return slots
+
+
+def span_or_topk(
+    reader: IndexReader,
+    alternatives: "list[str]",
+    k: int = 10,
+    execution: str = "auto",
+    lookup: str = "auto",
+):
+    """ES top-level ``span_or`` top-k: every occurrence of any alternative
+    is a unit span (width 0, weight 1), so tf = the per-doc occurrence
+    count over the alternative set and idf = the sum of the live
+    alternatives' idfs — a one-slot span_near by construction."""
+    return span_near_topk(
+        reader, [list(alternatives)], k=k, slop=0, in_order=False,
+        execution=execution, lookup=lookup,
+    )
+
+
+def span_not_topk(
+    reader: IndexReader,
+    include,
+    exclude: "list[str]",
+    k: int = 10,
+    slop: int = 0,
+    in_order: bool = True,
+    pre: int = 0,
+    post: int = 0,
+    execution: str = "auto",
+    lookup: str = "auto",
+):
+    """ES ``span_not`` top-k: matches of the include span (a span_term, a
+    span_near clause list, or nested span_or slots) kept only when no
+    exclude-term occurrence falls inside [span_start - pre, span_end +
+    post] (Lucene SpanNotQuery's dist window). Exclusion filters tf
+    BEFORE scoring and never contributes to idf."""
+    return span_near_topk(
+        reader, include, k=k, slop=slop, in_order=in_order,
+        exclude=list(exclude), pre=pre, post=post,
+        execution=execution, lookup=lookup,
+    )
 
 
 def span_first_topk(

@@ -71,9 +71,16 @@ def upsert_docs(
         manifest = json.load(f)
     with_pos = manifest.get("index_options", "freqs") == "positions"
     schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
+    if len(manifest.get("text_fields", ["text"])) > 1:
+        raise ValueError(
+            "upsert_docs supports single-field indexes (multi-field merge "
+            "is a documented divergence; rebuild via build_index)"
+        )
     n_shards, n_buckets = manifest["n_shards"], manifest["n_buckets"]
     k1, b = manifest["k1"], manifest["b"]
     dv_cols = list(manifest.get("docvalue_cols") or [])
+    stored = list(manifest.get("stored_cols") or [])
+    src_names = [f"src__{c}" for c in stored]
     job_id = f"upsert-of-{manifest.get('job_id', 'index')}"
     os.makedirs(out_dir, exist_ok=True)
 
@@ -87,6 +94,7 @@ def upsert_docs(
         "url",
         standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
         *dv_cols,
+        *[F.col(c).alias(f"src__{c}") for c in stored],
     ).withColumn("dl", F.size("tokens")).persist()
     try:
         n_batch = batch.count()
@@ -174,14 +182,17 @@ def upsert_docs(
             "shard int, shard_offset long",
         )
         kept_rows = kept.select(
-            "shard", F.col("new_local").alias("local_id"), "url", "dl", *dv_cols
+            "shard", F.col("new_local").alias("local_id"), "url", "dl",
+            *dv_cols, *src_names,
         )
-        delta_rows = delta.select("shard", "local_id", "url", "dl", *dv_cols)
+        delta_rows = delta.select(
+            "shard", "local_id", "url", "dl", *dv_cols, *src_names
+        )
         (
             kept_rows.unionByName(delta_rows)
             .join(F.broadcast(off_df), "shard")
             .withColumn("doc_id", F.col("shard_offset") + F.col("local_id"))
-            .select("shard", "local_id", "doc_id", "url", "dl", *dv_cols)
+            .select("shard", "local_id", "doc_id", "url", "dl", *dv_cols, *src_names)
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_id")
             .write.mode("overwrite")
@@ -274,3 +285,60 @@ def _group_pairs(rows):
             (int(r["shard"]), int(r["local_id"]))
         )
     return by_shard.items()
+
+
+def update_by_query(
+    spark: SparkSession,
+    src_dir: str,
+    body: dict,
+    transform,
+    out_dir: str,
+) -> dict:
+    """ES `_update_by_query`: re-index every document matching the DSL
+    body with `transform` applied — expressed as matched-set selection +
+    replace-by-url upsert (build-aside at out_dir; src_dir untouched,
+    publish via swap/alias like compaction).
+
+    `transform(df) -> df` receives the matched docs' (url, text,
+    <docvalue cols>) reconstructed from the index's STORED source
+    (store_source must include 'text' — the honest requirement: an index
+    without stored source cannot rewrite its own documents, exactly like
+    ES without _source) and must return the same shape. The script-free
+    callable replaces ES's painless ctx._source mutation; engine/scripts
+    stays scoring-only by design.
+
+    Cost shape: matched urls from the bucket-pruned postings kernels;
+    the update batch is assumed small relative to the corpus (ES makes
+    the same assumption — _update_by_query on the whole index is a
+    rebuild); upsert_docs merges postings without touching unmatched
+    buckets' doc rows beyond the one merge pass it already does."""
+    from engine.aggs import live_docmap, matched_urls
+    from engine.dsl import compile_query_context
+    from engine.query import IndexReader
+
+    query = body.get("query", body) if isinstance(body, dict) else body
+    if "query" in query:
+        query = query["query"]
+    terms, mode, filters = compile_query_context(query)
+    reader = IndexReader(spark, src_dir)
+    if "text" not in reader.stored_cols:
+        raise ValueError(
+            "update_by_query needs the index built with store_source "
+            "including 'text' (the document body to rewrite)"
+        )
+    if terms is None:
+        urls = live_docmap(reader, filters).select("url")
+    else:
+        urls = matched_urls(reader, terms, mode=mode, filters=filters)
+    dv_cols = list(reader.manifest.get("docvalue_cols") or [])
+    src = reader.stored_source_df().select("url", "text")
+    if dv_cols:
+        dv = reader.docmap().select("url", *dv_cols)
+        src = src.join(dv, "url")
+    matched = src.join(F.broadcast(urls.distinct()), "url")
+    batch = transform(matched)
+    want = ["url", "text"] + dv_cols
+    missing = [c for c in want if c not in batch.columns]
+    if missing:
+        raise ValueError(f"transform dropped required column(s) {missing}")
+    return upsert_docs(spark, src_dir, batch.select(*want), out_dir)
