@@ -808,6 +808,98 @@ SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= {k}
 """
 
 
+PQ_M, PQ_KS, PQ_REFINE = 8, 16, 50
+
+
+def _ivf_pq_sql(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 5,
+    m: int = PQ_M, ks: int = PQ_KS, refine: int = PQ_REFINE, dim: int = 64,
+) -> str:
+    """IVF-PQ ANN as SQL (twin of engine/simsearch.py ivf_pq_ann_topk):
+    min-id centroids AND min-id PQ codebooks (both frozen for oracle
+    reproducibility), L2-nearest codeword assignment per subspace,
+    asymmetric-distance shortlist of `refine` per probe, exact cosine
+    re-rank of the shortlist only."""
+    L = dim // m
+    assign_cos = (
+        "list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    cos = COS_EXPR.format(a="c.v", b="p.v")
+    sl = f"[s.sub * {L} + 1 : s.sub * {L} + {L}]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (SELECT unnest(range({m}))::INT AS sub),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}),
+ca AS (
+  SELECT vec_id AS neighbor_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_cos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+pa AS (
+  SELECT vec_id AS probe_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_cos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT pa.probe_id, ca.neighbor_id
+  FROM pa JOIN ca USING (list_id) WHERE ca.neighbor_id != pa.probe_id
+),
+base AS (
+  SELECT v, (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code
+  FROM e ORDER BY vec_id LIMIT {ks}
+),
+cb AS (
+  SELECT s.sub, base.code, base.v{sl} AS cw
+  FROM base CROSS JOIN subs s
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT ex.vec_id, ex.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY ex.vec_id, ex.sub
+             ORDER BY list_sum(list_transform(range(1, {L} + 1),
+                       i -> (ex.sv[i] - cb.cw[i]) * (ex.sv[i] - cb.cw[i]))) ASC,
+                      cb.code ASC) AS rn
+    FROM (SELECT e.vec_id, s.sub, e.v{sl} AS sv FROM e CROSS JOIN subs s) ex
+    JOIN cb USING (sub)) WHERE rn = 1
+),
+lut AS (
+  SELECT e.vec_id AS probe_id, cb.sub, cb.code,
+         list_dot_product(e.v[cb.sub * {L} + 1 : cb.sub * {L} + {L}], cb.cw) AS part,
+         list_dot_product(cb.cw, cb.cw) AS cw2
+  FROM e CROSS JOIN cb WHERE e.vec_id < 5
+),
+pn AS (SELECT vec_id AS probe_id, sqrt(list_dot_product(v, v)) AS pnorm
+       FROM e WHERE vec_id < 5),
+adc AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         sum(part) AS adot, sum(cw2) AS recon2
+  FROM cand
+  JOIN codes ON codes.vec_id = cand.neighbor_id
+  JOIN lut ON lut.probe_id = cand.probe_id
+          AND lut.sub = codes.sub AND lut.code = codes.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT adc.probe_id, adc.neighbor_id,
+           row_number() OVER (
+             PARTITION BY adc.probe_id
+             ORDER BY adot / (pnorm * sqrt(recon2)) DESC, neighbor_id ASC) AS ar
+    FROM adc JOIN pn USING (probe_id)) WHERE ar <= {refine}
+),
+s AS (
+  SELECT probe_id, neighbor_id, {cos} AS cos
+  FROM short JOIN e c ON c.vec_id = neighbor_id JOIN e p ON p.vec_id = probe_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
+SELECT probe_id, neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= {k}
+"""
+
+
 EV_WINDOW_S = 21600
 EV_GAP_S = 14400
 
@@ -2702,6 +2794,26 @@ def q_ivf_ann(spark, sf_dir):
     )
 
 
+def q_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ ANN: the vector-STORAGE scale path — candidates scored from
+    M uint8 PQ codes via asymmetric-distance lookup tables (the probe
+    side stays full precision), only the refine-sized shortlist touches
+    the stored float vectors for the exact re-rank. Frozen min-id
+    centroids + codebooks keep the whole path oracle-checkable; the
+    trained KMeans twins are property-tested."""
+    from engine.simsearch import ivf_pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "probe_id")
+    out = ivf_pq_ann_topk(
+        emb, probes, dim=64, n_centroids=16, nprobe=4, k=5,
+        m=PQ_M, ks=PQ_KS, refine=PQ_REFINE,
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _events_df(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -4197,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield_topk": q_bm25_multifield,
         "bm25_source_topk": q_bm25_source,
         "bm25_delete_by_query_topk": q_bm25_delete_by_query,
+        "sim_ivf_pq_ann_topk": q_ivf_pq_ann,
         "span_or_topk": q_span_or,
         "span_near_or_topk": q_span_near_or,
         "span_not_topk": q_span_not,
@@ -4881,6 +4994,7 @@ FROM x""",
         ),
         "bm25_synonym_topk": _bm25_synonym_sql(SYN_GROUPS),
         "bm25_multifield_topk": _bm25_multifield_sql(MF_TERMS, "best_fields", MF_TB, k=10),
+        "sim_ivf_pq_ann_topk": _ivf_pq_sql(),
         "span_or_topk": _span_composite_sql([SPAN_OR_ALTS], 0, False, k=25),
         "span_near_or_topk": _span_composite_sql(
             SPAN_NESTED, SPAN_NESTED_SLOP, True, k=25

@@ -320,3 +320,236 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized vector storage (round-5)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: (sub, code, cw, cw_norm2) — the `ks`
+    min-id corpus vectors' sub-vectors, code = rank by id within each
+    subspace. Frozen min-id selection for the same reason as
+    ivf_centroids: ANSI-SQL reproducibility makes the whole IVF-PQ path
+    driver-oracle-checkable; kmeans_pq_codebooks is the trained
+    production twin (every op below takes an injectable codebook)."""
+    assert dim % m == 0, f"dim {dim} must divide into m={m} subspaces"
+    sub_len = dim // m
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).asc())
+    base = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(ks)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub_len + 1, sub_len).alias("cw"),
+        )
+        for s in range(m)
+    ])
+    return base.select("code", F.explode(subs).alias("sc")).select(
+        F.col("sc.sub").alias("sub"),
+        "code",
+        F.col("sc.cw").alias("cw"),
+        F.aggregate(F.col("sc.cw"), F.lit(0.0), lambda a, x: a + x * x).alias("cw_norm2"),
+    )
+
+
+def kmeans_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained PQ codebooks: one pyspark.ml KMeans per subspace over the
+    corpus sub-vectors, same (sub, code, cw, cw_norm2) shape as the frozen
+    quantizer. M fits over the same scan (column-pruned sub-slices)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0
+    sub_len = dim // m
+    import pandas as pd
+
+    rows = []
+    v = F.col(vec_col).cast("array<double>")
+    for s in range(m):
+        feat = corpus.select(
+            array_to_vector(F.slice(v, s * sub_len + 1, sub_len)).alias("features")
+        )
+        model = KMeans(k=ks, seed=seed + s, maxIter=max_iter).fit(feat)
+        for code, c in enumerate(model.clusterCenters()):
+            cw = [float(x) for x in c]
+            rows.append((s, code, cw, float(sum(x * x for x in cw))))
+    return corpus.sparkSession.createDataFrame(
+        pd.DataFrame(rows, columns=["sub", "code", "cw", "cw_norm2"]),
+        "sub int, code int, cw array<double>, cw_norm2 double",
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code) PQ codes: per subspace, the L2-nearest codeword
+    (tiebreak code asc). One broadcast join of the tiny codebook against
+    the exploded sub-vectors and one min-struct aggregation — at 100 TB
+    this is a build-time artifact stored beside the vectors (M uint8
+    codes replace dim floats: 8 bytes vs 256 for dim=64 float32, a 32x
+    storage cut), re-encoded only when the codebooks retrain."""
+    assert dim % m == 0
+    sub_len = dim // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub_len + 1, sub_len).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    exploded = corpus.select(
+        F.col(id_col).alias("vid"), F.explode(subs).alias("sc")
+    ).select("vid", F.col("sc.sub").alias("sub"), F.col("sc.sv").alias("sv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        exploded.join(F.broadcast(codebooks), "sub")
+        .select("vid", "sub", F.struct(dist.alias("d"), F.col("code")).alias("dc"))
+        .groupBy("vid", "sub")
+        .agg(F.min("dc").alias("best"))
+        .select("vid", "sub", F.col("best.code").alias("code"))
+    )
+
+
+def ivf_pq_ann_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN: IVF candidate selection (nprobe lists), ASYMMETRIC
+    distance over PQ codes (probe x codebook lookup tables — the probe
+    side stays full-precision, candidates are scored from their M codes
+    without touching the stored vectors), exact cosine re-rank of the
+    top-`refine` ADC candidates per probe.
+
+    (probe_id, neighbor_id, cos, rank), rank by exact cos desc /
+    neighbor_id asc — identical output shape to ivf_ann_topk; with
+    refine >= the per-probe candidate count the result EQUALS ivf_ann_topk
+    (property-tested), smaller refine trades recall for IO.
+
+    Why this is the 100 TB path: the embedding table dwarfs the text at
+    scale, and the re-rank is the only stage that reads full vectors —
+    candidates ~ N*nprobe/n_centroids are scored from the (id, codes)
+    table (M bytes/vector), and only refine*|probes| rows hit the float
+    arrays. The ADC approximates cos(probe, reconstruction): dot from the
+    per-subspace LUT sums, |recon| from the codeword norms."""
+    cents = centroids if centroids is not None else ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    books = codebooks if codebooks is not None else pq_codebooks(corpus, dim, m, ks, id_col, vec_col)
+    sub_len = dim // m
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    p = probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    c_assign = _nearest_centroids(c, cents, 1, "neighbor_id", "cvec")
+    p_assign = _nearest_centroids(p, cents, nprobe, "probe_id", "pvec")
+    cand = (
+        p_assign.select("probe_id", "list_id")
+        .join(c_assign.select("neighbor_id", "list_id"), "list_id")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+        .distinct()
+    )
+    codes = pq_encode(corpus, books, dim, m, id_col, vec_col).withColumnRenamed(
+        "vid", "neighbor_id"
+    )
+    # probe-side LUT: (probe_id, sub, code, part=dot(p_sub, cw), cw_norm2)
+    # — |probes| x m x ks rows, broadcast
+    psubs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice(F.col("pvec").cast("array<double>"), s * sub_len + 1, sub_len).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    lut = (
+        p.select("probe_id", F.col("pvec"), F.explode(psubs).alias("sc"))
+        .select(
+            "probe_id",
+            F.col("sc.sub").alias("sub"),
+            F.col("sc.sv").alias("psv"),
+        )
+        .join(F.broadcast(books), "sub")
+        .select(
+            "probe_id",
+            "sub",
+            "code",
+            _dot(F.col("psv"), F.col("cw")).alias("part"),
+            "cw_norm2",
+        )
+    )
+    pnorm = p.select("probe_id", _norm(F.col("pvec")).alias("pnorm"))
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc_dot"), F.sum("cw_norm2").alias("recon2"))
+        .join(F.broadcast(pnorm), "probe_id")
+        .withColumn(
+            "adc_cos", F.col("adc_dot") / (F.col("pnorm") * F.sqrt(F.col("recon2")))
+        )
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy("probe_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= refine)
+        .select("probe_id", "neighbor_id")
+    )
+    scored = (
+        shortlist.join(c, "neighbor_id")
+        .join(F.broadcast(p), "probe_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("cvec"), F.col("pvec")) / (_norm(F.col("cvec")) * _norm(F.col("pvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
