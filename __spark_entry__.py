@@ -4230,7 +4230,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # previously-certified set fill to 50; everything after slot 50 stays
     # covered by the full self-certification run (CORRECTNESS_SELF.json).
     return {
-        # --- 43 queries driver-certified for the first time this round ---
+        # --- round-5 gate rotation: slots 1-50 = the 50 queries that
+        # have NEVER held a driver-gate slot (rounds 1-4 CORRECTNESS
+        # files) — the 11 new round-5 queries (multi-field, stored
+        # source, delete/update_by_query, nested spans, IVF-PQ) plus
+        # the full never-gated backlog the round-4 verdict asked to
+        # rotate in. Everything below slot 50 has a prior green driver
+        # row and stays covered by the full self-certification run. ---
+        "bm25_synonym_topk": q_bm25_synonym,
+        "bm25_multifield_topk": q_bm25_multifield,
+        "bm25_source_topk": q_bm25_source,
+        "bm25_delete_by_query_topk": q_bm25_delete_by_query,
+        "sim_ivf_pq_ann_topk": q_ivf_pq_ann,
+        "span_or_topk": q_span_or,
+        "span_near_or_topk": q_span_near_or,
+        "span_not_topk": q_span_not,
+        "bm25_update_by_query_topk": q_bm25_update_by_query,
+        "bm25_most_fields_topk": q_bm25_most_fields,
+        "bm25_cross_fields_topk": q_bm25_cross_fields,
+        "sort_runtime_field": q_sort_runtime_field,
+        "bm25_indices_boost_topk": q_bm25_indices_boost,
+        "bm25_mlt_topk": q_bm25_mlt,
+        "agg_composite_page": q_agg_composite_page,
+        "mm_frame_sample": q_mm_frame_sample,
+        "percolate_matches": q_percolate,
+        "agg_hist_nchars": q_agg_hist_nchars,
+        "bm25_phrase_slop_topk": q_bm25_phrase_slop,
+        "sqs_topk": q_sqs_topk,
+        "agg_max_bucket": q_agg_max_bucket,
+        "ids_query_topk": q_ids_query,
+        "span_first_topk": q_span_first,
+        "agg_multi_terms": q_agg_multi_terms,
+        "agg_subterms": q_agg_subterms,
+        "agg_extended_stats": q_agg_extended_stats,
+        "agg_weighted_avg": q_agg_weighted_avg,
+        "sample_stratified": q_sample_stratified,
+        "pack_tokens": q_pack_tokens,
+        "span_near_ordered_topk": q_span_near_ordered,
+        "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
+        "terms_set_topk": q_terms_set,
+        "mbp_topk": q_match_bool_prefix,
+        "suggest_complete": q_suggest_complete,
+        "rank_feature_topk": q_rank_feature,
+        "distance_feature_topk": q_distance_feature,
+        "agg_adjacency": q_agg_adjacency,
+        "agg_date_range": q_agg_date_range,
+        "pit_page_snapshot0": q_pit_page_snapshot0,
+        "agg_string_stats": q_agg_string_stats,
+        "agg_mad_nchars": q_agg_mad_nchars,
+        "agg_boxplot_nchars": q_agg_boxplot_nchars,
+        "agg_matrix_stats": q_agg_matrix_stats,
+        "agg_ttest_paired": q_agg_ttest_paired,
+        "agg_div_sampler": q_agg_div_sampler,
+        "agg_auto_date_histogram": q_agg_auto_date_histogram,
+        "l11_stop_tokens": q_l11_stop_tokens,
+        "pinned_topk": q_pinned_topk,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_top_metrics": q_agg_top_metrics,
+        # ---------------- driver gate boundary (50 entries) ----------------
+        # previously driver-certified rows (r1-r4 green), self-cert covered:
         "stats_repetition": q_stats_repetition,
         "stats_pii_scrub": q_stats_pii_scrub,
         "sim_cosine_topk": q_cosine_topk,
@@ -4266,17 +4324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_after_nchars": q_sort_after_nchars,
         "bm25_filtered_topk": q_bm25_filtered,
         "agg_terms_lang_filtered": q_agg_terms_lang_filtered,
-        # round-4 continuation flagships rotated INTO the gate; the five
-        # rows they displace (mlt / percolate / composite_page /
-        # session_window / frame_sample) were each independently
-        # judge-replayed green in round 3 and stay in the full
-        # self-certification run just below the boundary
         "rrf_hybrid_topk": q_rrf_hybrid_topk,
         "script_score_topk": q_script_score_topk,
         "agg_sampler": q_agg_sampler,
         "suggest_phrase": q_suggest_phrase,
         "mget_docs": q_mget_docs,
-        # --- new round-4 queries (driver-certified on first appearance) ---
         "bm25_phrase_topk": q_bm25_phrase,
         "bm25_upserted_topk": q_bm25_upserted,
         "bm25_rescore_topk": q_bm25_rescore,
@@ -4287,56 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rare_terms": q_agg_rare_terms,
         "agg_pipeline_hist": q_agg_pipeline_hist,
         "csq_topk": q_constant_score,
-        # ---------------- driver gate boundary (50 entries) ----------------
-        # (the gate is saturated with first-time certifications;
-        # sample_stratified / pack_tokens moved just below — both were
-        # independently judge-replayed green in round 3 — to make room for
-        # the new span / query_string / pipeline-agg queries; the sentinel
-        # continuity rows from the r1-r3 driver-certified set follow.
-        # Self-certified siblings of in-gate rows: span_first_topk /
-        # span_near_ordered_topk (kernel shared with span_near_topk),
-        # bm25_phrase_slop_topk / bm25_phrase_prefix_topk (kernel shared
-        # with bm25_phrase_topk), sqs_topk (grammar superset qs_full_topk
-        # is in-gate), agg_max_bucket (engine/pipeline.py shared with
-        # agg_pipeline_hist), ids_query_topk (live_docmap path shared
-        # with csq_topk), agg_hist_nchars (its bucket kernel is a strict
-        # subset of in-gate agg_pipeline_hist).)
-        # --- round-4 late additions (gate already saturated with
-        # first-time certifications; these three ride the full
-        # self-certification run + pytest brute twins in
-        # tests/test_synonym_runtime.py) ---
-        "bm25_synonym_topk": q_bm25_synonym,
-        "bm25_multifield_topk": q_bm25_multifield,
-        "bm25_source_topk": q_bm25_source,
-        "bm25_delete_by_query_topk": q_bm25_delete_by_query,
-        "sim_ivf_pq_ann_topk": q_ivf_pq_ann,
-        "span_or_topk": q_span_or,
-        "span_near_or_topk": q_span_near_or,
-        "span_not_topk": q_span_not,
-        "bm25_update_by_query_topk": q_bm25_update_by_query,
-        "bm25_most_fields_topk": q_bm25_most_fields,
-        "bm25_cross_fields_topk": q_bm25_cross_fields,
-        "sort_runtime_field": q_sort_runtime_field,
-        "bm25_indices_boost_topk": q_bm25_indices_boost,
-        "bm25_mlt_topk": q_bm25_mlt,
-        "agg_composite_page": q_agg_composite_page,
         "ev_session_window": q_ev_session_window,
-        "mm_frame_sample": q_mm_frame_sample,
-        "percolate_matches": q_percolate,
-        "agg_hist_nchars": q_agg_hist_nchars,
-        "bm25_phrase_slop_topk": q_bm25_phrase_slop,
-        "sqs_topk": q_sqs_topk,
-        "agg_max_bucket": q_agg_max_bucket,
-        "ids_query_topk": q_ids_query,
-        "span_first_topk": q_span_first,
-        "agg_multi_terms": q_agg_multi_terms,
-        "agg_subterms": q_agg_subterms,
-        "agg_extended_stats": q_agg_extended_stats,
-        "agg_weighted_avg": q_agg_weighted_avg,
-        "sample_stratified": q_sample_stratified,
-        "pack_tokens": q_pack_tokens,
-        "span_near_ordered_topk": q_span_near_ordered,
-        "bm25_phrase_prefix_topk": q_bm25_phrase_prefix,
         "t_name_split_alphakey": q_t1_split_alphakey,
         "t7_export_json": q_t7_export_json,
         "a5_doc_stats": q_doc_stats,
@@ -4387,27 +4390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lang_id": q_lang_id,
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
-        # --- round-4 late additions (after the 50-slot gate; covered by
-        # the full self-certification run) ---
-        "terms_set_topk": q_terms_set,
-        "mbp_topk": q_match_bool_prefix,
-        "suggest_complete": q_suggest_complete,
-        "rank_feature_topk": q_rank_feature,
-        "distance_feature_topk": q_distance_feature,
-        "agg_adjacency": q_agg_adjacency,
-        "agg_date_range": q_agg_date_range,
-        "pit_page_snapshot0": q_pit_page_snapshot0,
-        "agg_string_stats": q_agg_string_stats,
-        "agg_mad_nchars": q_agg_mad_nchars,
-        "agg_boxplot_nchars": q_agg_boxplot_nchars,
-        "agg_matrix_stats": q_agg_matrix_stats,
-        "agg_ttest_paired": q_agg_ttest_paired,
-        "agg_div_sampler": q_agg_div_sampler,
-        "agg_auto_date_histogram": q_agg_auto_date_histogram,
-        "l11_stop_tokens": q_l11_stop_tokens,
-        "pinned_topk": q_pinned_topk,
-        "agg_percentile_ranks": q_agg_percentile_ranks,
-        "agg_top_metrics": q_agg_top_metrics,
         "ev_sliding_stats": q_ev_sliding_stats,
     }
 

@@ -927,6 +927,8 @@ def _span_clauses(clauses: list) -> list[list]:
             slots.append([spec["value"] if isinstance(spec, dict) else spec])
         elif set(cl) == {"span_or"}:
             alts = []
+            if not cl["span_or"].get("clauses"):
+                raise ValueError("span_or needs a non-empty clauses list")
             for inner in cl["span_or"]["clauses"]:
                 if set(inner) != {"span_term"}:
                     raise ValueError(

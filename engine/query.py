@@ -3192,19 +3192,27 @@ def _phrase_candidates(rows: list, slots: list[list[str]], dels, allow=None):
     one alternative of EVERY slot. `allow` (sorted local ids) restricts
     candidates to an explicit doc set — the rescore-window / query-tree
     hook. Returns (by_term, cand) or None when the phrase cannot match in
-    this shard."""
-    by_term: dict[str, tuple] = {}
+    this shard.
+
+    Position-stream block skipping (round-5): the doc/tf/dl streams decode
+    first (cheap — they also carry the intersection), and the POSITION
+    stream — the wide one, sum(tf) values vs df — decodes only for blocks
+    whose [first_doc, last_doc] range contains a surviving candidate.
+    A rare head-term in a selective phrase decodes a few blocks instead
+    of its whole position stream; a shard with no candidates decodes no
+    positions at all. Correct on any block subset because each posting's
+    first position delta is stored raw (the per-posting rebase never
+    crosses a block)."""
+    decoded: dict[str, tuple] = {}
     for r in rows:
         blocks = _norm_blocks(r.blocks)
         docs, tfs, dls = P.decode_term_postings(
             r.docs_bin, r.tfs_bin, r.dls_bin, blocks
         )
-        pos = P.decode_term_positions(tfs, r.pos_bin, list(r.pos_offs), blocks)
-        occ = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-        by_term[r.term] = (docs, tfs.astype(np.int64), dls, pos, occ)
+        decoded[r.term] = (r, blocks, docs, tfs, dls)
     slot_docs = []
     for alts in dict.fromkeys(tuple(s) for s in slots):  # distinct slots
-        present = [by_term[t][0] for t in alts if t in by_term]
+        present = [decoded[t][2] for t in alts if t in decoded]
         if not present:
             return None  # conjunctive: slot absent from this shard
         slot_docs.append(
@@ -3228,6 +3236,29 @@ def _phrase_candidates(rows: list, slots: list[list[str]], dels, allow=None):
         cand = cand[allow[idx] == cand] if allow.size else cand[:0]
     if cand.size == 0:
         return None
+    by_term: dict[str, tuple] = {}
+    for t, (r, blocks, docs, tfs, dls) in decoded.items():
+        nb = len(blocks)
+        first = np.fromiter((b[0] for b in blocks), dtype=np.int64, count=nb)
+        last = np.fromiter((b[1] for b in blocks), dtype=np.int64, count=nb)
+        lo = np.searchsorted(cand, first, side="left")
+        sel = (lo < cand.size) & (cand[np.minimum(lo, cand.size - 1)] <= last)
+        offs = list(r.pos_offs)
+        if sel.all():
+            pos = P.decode_term_positions(tfs, r.pos_bin, offs, blocks)
+            tfs64 = tfs.astype(np.int64)
+            by_term[t] = (docs, tfs64, dls,
+                          pos, np.concatenate(([0], np.cumsum(tfs64))))
+            continue
+        ns = np.fromiter((b[2] for b in blocks), dtype=np.int64, count=nb)
+        keep = np.repeat(sel, ns)
+        docs_f, tfs_f, dls_f = docs[keep], tfs[keep], dls[keep]
+        blocks_f = [b for b, s in zip(blocks, sel) if s]
+        offs_f = [o for o, s in zip(offs, sel) if s]
+        pos = P.decode_term_positions(tfs_f, r.pos_bin, offs_f, blocks_f)
+        tfs64 = tfs_f.astype(np.int64)
+        by_term[t] = (docs_f, tfs64, dls_f,
+                      pos, np.concatenate(([0], np.cumsum(tfs64))))
     return by_term, cand
 
 

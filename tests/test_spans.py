@@ -276,7 +276,12 @@ def test_dsl_span_dispatch(spark, pos_index):
     ]
     assert ids(search(r, body4)) == want4
 
+    # span_or of span_terms is now a supported clause (round-5); deeper
+    # nesting and empty or-sets still reject cleanly
     with pytest.raises(ValueError, match="span_term blocks"):
+        search(r, {"query": {"span_near": {"clauses": [
+            {"span_or": {"clauses": [{"span_near": {}}]}}]}}})
+    with pytest.raises(ValueError, match="non-empty"):
         search(r, {"query": {"span_near": {"clauses": [{"span_or": {}}]}}})
     with pytest.raises(ValueError, match="text field"):
         search(r, {"query": {"span_term": {"lang": "en"}}})
