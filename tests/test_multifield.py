@@ -254,6 +254,34 @@ def test_dsl_multi_match_routes(spark, mf_index):
         search(reader, {"query": {"match": {"nope": "web"}}})
 
 
+def test_multifield_positional_phrase(spark, tmp_path_factory):
+    """index_options='positions' composes with text_fields: each field's
+    pass carries its own position stream, so match_phrase works per field
+    view with that field's stats."""
+    from engine.query import match_phrase_topk
+
+    rows = [
+        ("p1", "alpha beta gamma", "red green blue"),
+        ("p2", "beta alpha gamma", "green red blue"),
+        ("p3", "alpha beta again alpha beta", "blue red green red"),
+        ("p4", "gamma gamma", "red green"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, title string")
+    out = str(tmp_path_factory.mktemp("mfpos") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4,
+                text_fields=["text", "title"], index_options="positions")
+    r = IndexReader(spark, out)
+    got_text = {x["url"] for x in match_phrase_topk(r, "alpha beta", k=10).collect()}
+    assert got_text == {"p1", "p3"}
+    got_title = {
+        x["url"]
+        for x in match_phrase_topk(r.for_field("title"), "red green", k=10).collect()
+    }
+    assert got_title == {"p1", "p3", "p4"}
+    # and the phrase is field-scoped: "red green" never matches in text
+    assert not match_phrase_topk(r, "red green", k=10).collect()
+
+
 def test_unknown_field_raises(spark, mf_index):
     out, _, _ = mf_index
     reader = IndexReader(spark, out)
