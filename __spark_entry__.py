@@ -1393,6 +1393,36 @@ scored AS (
 SELECT doc_id, round(s, 6) AS score FROM scored
 ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
 """
+    if mtype == "combined_fields":
+        # Lucene CombinedFieldQuery: one synthetic field — boost-weighted
+        # tf and length sums under the same max-df idf blend
+        return f"""{base},
+dfb AS (
+  SELECT coalesce(dfx.term, dft.term) AS term,
+         ln(1.0 + (n_docs - greatest(coalesce(dfx.df, 0), coalesce(dft.df, 0)) + 0.5)
+                / (greatest(coalesce(dfx.df, 0), coalesce(dft.df, 0)) + 0.5)) AS idf
+  FROM dfx FULL OUTER JOIN dft USING (term) CROSS JOIN sx
+),
+dlc AS (
+  SELECT ddx.doc_id, 1.0 * ddx.dl + 2.0 * ddt.dl AS dl
+  FROM ddx JOIN ddt ON ddx.doc_id = ddt.doc_id
+),
+sc AS (SELECT 1.0 * sx.avgdl + 2.0 * st.avgdl AS avgdl FROM sx CROSS JOIN st),
+tfc AS (
+  SELECT doc_id, term, sum(wtf) AS tf FROM (
+    SELECT doc_id, term, 1.0 * tf AS wtf FROM tfx
+    UNION ALL
+    SELECT doc_id, term, 2.0 * tf AS wtf FROM tft
+  ) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id, sum(idf * ({imp})) AS s
+  FROM tfc JOIN dfb USING (term) JOIN dlc USING (doc_id) CROSS JOIN sc
+  GROUP BY doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM scored
+ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
+"""
     blend = (
         "s_t + s_x"
         if mtype == "most_fields"
@@ -1499,6 +1529,24 @@ def q_bm25_cross_fields(spark, sf_dir):
     reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
     top = bm25_multifield_topk(
         reader, MF_TERMS, ["title^2", "text"], k=25, mtype="cross_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_combined_fields(spark, sf_dir):
+    """ES combined_fields query over the two-field index (Lucene
+    CombinedFieldQuery): the fields score as ONE synthetic field —
+    per (doc, term) tf = sum of boost-weighted per-field tfs, per-doc
+    length = sum of boost-weighted per-field lengths, avgdl = the
+    boost-weighted sum of per-field avgdls, idf from the max-df blend
+    (same blend as cross_fields); score = sum over terms of
+    idf * impact(tf_c, dl_c, avgdl_c). Doc lengths come from the docmap
+    dl__<field> columns (the engine's norms), cogrouped per shard."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25, mtype="combined_fields",
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
@@ -4391,6 +4439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
         "ev_sliding_stats": q_ev_sliding_stats,
+        # --- round-5 late addition (below the 50-slot gate; certified by
+        # the full self-cert run): ES combined_fields query ---
+        "bm25_combined_fields_topk": q_bm25_combined_fields,
     }
 
 
@@ -5419,4 +5470,7 @@ SELECT doc_id, n_tokens, ppl,
        CASE WHEN ppl <= c1 THEN 'head'
             WHEN ppl <= c2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ppl CROSS JOIN cuts""",
+        "bm25_combined_fields_topk": _bm25_multifield_sql(
+            MF_TERMS, "combined_fields", 0.0, k=10
+        ),
     }

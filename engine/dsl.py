@@ -432,6 +432,30 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             mtype=m.get("type", "best_fields"),
             tie_breaker=float(m.get("tie_breaker", 0.0)),
         )
+    if "combined_fields" in query:
+        # ES combined_fields: the listed fields score as ONE synthetic
+        # field (Lucene CombinedFieldQuery — boost-weighted tf and length
+        # sums under a blended max-df idf; engine/query._mf_shard_topk)
+        m = query["combined_fields"]
+        specs = m.get("fields", [reader.field])
+        flds = [f.split("^")[0] for f in specs]
+        unknown = [f for f in flds if f not in reader.text_fields]
+        if unknown:
+            raise ValueError(
+                f"combined_fields fields {unknown} are not indexed "
+                f"(text_fields={reader.text_fields})"
+            )
+        if filters:
+            raise ValueError(
+                "combined_fields + filter context is not composed yet"
+            )
+        if m.get("operator", "or").lower() != "or":
+            raise ValueError("combined_fields supports operator=or")
+        from engine.query import bm25_multifield_topk
+
+        return bm25_multifield_topk(
+            reader, m["query"], specs, k=k, mtype="combined_fields",
+        )
     if "constant_score" in query:
         from engine.aggs import constant_score_topk
 

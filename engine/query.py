@@ -544,6 +544,45 @@ class IndexReader:
             & F.col("local_id").isin([int(l) for l in local_ids])
         )
 
+    def shard_doclens(
+        self, fields: list[str], shards: list[int] | None = None
+    ) -> dict[int, tuple[np.ndarray, dict[str, np.ndarray]]]:
+        """Per-shard doc-length ("norms") arrays for the given indexed
+        fields: {shard: (sorted local_id array, {field: aligned dl
+        array})} — the docmap's dl__<field> columns (plain `dl` on a
+        single-field index). combined_fields needs every queried field's
+        length for every candidate doc, exactly like Lucene reading each
+        field's norms. The read is column-pruned to |fields|+2 int
+        columns and partition-pruned to the requested shards; it is the
+        driver-side twin of the Spark path's docmap cogroup."""
+        import pyarrow.dataset as ds
+
+        dl_col = {
+            f: (f"dl__{f}" if self.multi_field else "dl") for f in fields
+        }
+        flt = None
+        if shards is not None:
+            flt = ds.field("shard").isin([int(s) for s in shards])
+        tbl = self._pa_dataset("docmap").to_table(
+            filter=flt,
+            columns=["shard", "local_id"] + sorted(set(dl_col.values())),
+        )
+        sh = tbl.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        lid = tbl.column("local_id").to_numpy(zero_copy_only=False)
+        cols = {
+            c: tbl.column(c).to_numpy(zero_copy_only=False)
+            for c in set(dl_col.values())
+        }
+        out: dict[int, tuple[np.ndarray, dict[str, np.ndarray]]] = {}
+        for s in np.unique(sh):
+            m = sh == s
+            order = np.argsort(lid[m], kind="stable")
+            out[int(s)] = (
+                lid[m][order],
+                {f: cols[dl_col[f]][m][order] for f in fields},
+            )
+        return out
+
     def stored_source_df(self) -> DataFrame:
         """The stored `_source` columns as a (url, <col>, ...) DataFrame —
         the ES stored-fields analog (build_index(store_source=...) keeps
@@ -1088,6 +1127,7 @@ def _mf_shard_topk(
     k1: float,
     b: float,
     dels: np.ndarray | None = None,
+    dl_lookup: tuple[np.ndarray, dict[str, np.ndarray]] | None = None,
 ) -> list[tuple[int, float]]:
     """True multi-field top-k over one shard — fields with their OWN
     postings/df/avgdl (ES multi_match over e.g. title+body), unlike
@@ -1100,8 +1140,19 @@ def _mf_shard_topk(
     per-field impacts compete (max across fields, boosts applied before
     the max) under ONE blended idf whose df is the max across fields
     (Lucene BlendedTermQuery's df blending); per-doc score = sum over
-    terms. Blending happens on full per-doc arrays before any truncation
+    terms. combined_fields: Lucene CombinedFieldQuery — the fields score
+    as ONE synthetic field: per (doc, term) tf = sum of boost-weighted
+    per-field tfs, per-doc length = sum of boost-weighted per-field
+    lengths (ES requires boosts >= 1), avgdl = sum of boost-weighted
+    per-field avgdls, idf = the same max-df blend as cross_fields; score
+    = sum over terms of idf * impact(tf_c, dl_c, avgdl_c). The combined
+    per-doc length needs every queried field's length for every candidate
+    (Lucene reads each field's norms), so combined_fields takes
+    dl_lookup = (sorted local_id array, {field: aligned dl array}) for
+    the shard — the docmap's dl__<field> columns, this engine's norms.
+    Blending happens on full per-doc arrays before any truncation
     (a doc outside every field's top-k can still win the blend)."""
+    combined = mtype == "combined_fields"
     decoded: list[tuple[str, str, np.ndarray, np.ndarray]] = []
     all_docs: list[np.ndarray] = []
     for f, rows in rows_by_field.items():
@@ -1115,14 +1166,35 @@ def _mf_shard_topk(
                 d, t, l = d[keep], t[keep], l[keep]
             if d.size == 0:
                 continue
-            imp = boost_f * P.bm25_impact(t, l, avgdl_f, k1, b)
-            decoded.append((f, r.term, d, imp))
+            payload = (
+                t.astype(np.float64)
+                if combined
+                else boost_f * P.bm25_impact(t, l, avgdl_f, k1, b)
+            )
+            decoded.append((f, r.term, d, payload))
             all_docs.append(d)
     if not all_docs:
         return []
     uniq = np.unique(np.concatenate(all_docs))
     nu = uniq.size
-    if mtype == "cross_fields":
+    if combined:
+        lids, dls_of = dl_lookup
+        pos = np.searchsorted(lids, uniq)
+        dl_c = np.zeros(nu)
+        avgdl_c = 0.0
+        for f, boost_f in boosts.items():
+            dl_c += boost_f * dls_of[f][pos].astype(np.float64)
+            avgdl_c += boost_f * avgdl_by_field[f]
+        per_term: dict[str, np.ndarray] = {}
+        for f, term, d, tf in decoded:
+            if term not in blended_idfs:
+                continue
+            arr = per_term.setdefault(term, np.zeros(nu))
+            np.add.at(arr, np.searchsorted(uniq, d), boosts[f] * tf)
+        score = np.zeros(nu)
+        for term, tfc in per_term.items():
+            score += blended_idfs[term] * P.bm25_impact(tfc, dl_c, avgdl_c, k1, b)
+    elif mtype == "cross_fields":
         score = np.zeros(nu)
         per_term: dict[str, np.ndarray] = {}
         for f, term, d, imp in decoded:
@@ -1656,19 +1728,29 @@ def bm25_multifield_topk(
 ) -> DataFrame:
     """ES multi_match over a multi-field index (url, doc_id, score):
     per-field postings + per-field df/avgdl, blended per `mtype`
-    (best_fields / most_fields / cross_fields — semantics in
-    _mf_shard_topk). fields: ["title^2", "text"] boost syntax.
+    (best_fields / most_fields / cross_fields / combined_fields —
+    semantics in _mf_shard_topk). fields: ["title^2", "text"] boost
+    syntax (combined_fields requires boosts >= 1, the ES contract).
 
     Scale shape matches bm25_topk: the per-field postings reads are each
     bucket-pruned + term-pushdown (a query touches |q| bucket dirs PER
     FIELD, not the index); kernels run per shard (local driver-side for
     small queries, Spark scatter-gather above LOCAL_MAX_POSTINGS); only
     k-row heaps leave the shards; urls come from a pruned docmap read.
-    Rank identity local-vs-Spark is by construction (same kernel) and
-    tested, as is equivalence of a two-field index's per-field views with
-    two separately built single-field indexes."""
+    combined_fields additionally reads the queried fields' doc lengths
+    (the docmap dl__<field> columns — this engine's norms): driver-side
+    a shard-pruned columnar read, Spark-side a per-shard cogroup of the
+    postings with the docmap's length columns, so norms never broadcast
+    and never leave their shard. Rank identity local-vs-Spark is by
+    construction (same kernel) and tested, as is equivalence of a
+    two-field index's per-field views with two separately built
+    single-field indexes."""
     spark = reader.spark
+    if mtype not in ("best_fields", "most_fields", "cross_fields", "combined_fields"):
+        raise ValueError(f"unknown multi_match type {mtype!r}")
     fb = parse_field_boosts(fields)
+    if mtype == "combined_fields" and any(w < 1.0 for _, w in fb):
+        raise ValueError("combined_fields requires per-field boosts >= 1")
     for name, _ in fb:
         if name not in reader.text_fields:
             raise ValueError(
@@ -1700,11 +1782,13 @@ def bm25_multifield_topk(
     boosts = dict(fb)
     k1, b = reader.k1, reader.b
     tomb = reader.tombstones()
+    combined = mtype == "combined_fields"
+    field_names = [name for name, _ in fb]
 
-    def run_kernel(rows_by_field, dels=None) -> list[tuple[int, float]]:
+    def run_kernel(rows_by_field, dels=None, dl_lookup=None) -> list[tuple[int, float]]:
         return _mf_shard_topk(
             rows_by_field, idfs_by_field, blended_idfs, avgdl_by_field,
-            boosts, mtype, tie_breaker, k, k1, b, dels,
+            boosts, mtype, tie_breaker, k, k1, b, dels, dl_lookup,
         )
 
     heap_rows: list[tuple[int, int, float]] | None = None
@@ -1719,6 +1803,11 @@ def bm25_multifield_topk(
             shards = sorted(
                 {s for v in per_field_shards.values() for s in v}
             )
+            doclens = (
+                reader.shard_doclens(field_names, shards)
+                if combined and shards
+                else {}
+            )
             heap_rows = [
                 (shard, local, score)
                 for shard in shards
@@ -1728,6 +1817,7 @@ def bm25_multifield_topk(
                         for name, _ in fb
                     },
                     tomb.get(shard),
+                    doclens.get(shard),
                 )
             ]
     if heap_rows is None:
@@ -1740,22 +1830,65 @@ def bm25_multifield_topk(
         for p in parts[1:]:
             union = union.unionByName(p)
 
-        def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _rows_by_field(pdf: pd.DataFrame) -> dict[str, list]:
             rows_by_field: dict[str, list] = {}
             for r in pdf.itertuples():
                 rows_by_field.setdefault(r.field, []).append(r)
-            top = run_kernel(rows_by_field, tomb.get(int(pdf_key[0])))
+            return rows_by_field
+
+        def _emit(shard: int, top: list) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
+                    "shard": np.full(len(top), shard, dtype=np.int32),
                     "local_id": np.array([t[0] for t in top], dtype=np.int64),
                     "score": np.array([t[1] for t in top], dtype=np.float64),
                 }
             )
 
-        per_shard = union.groupBy("shard").applyInPandas(
-            shard_topk, "shard int, local_id long, score double"
-        )
+        if combined:
+            # norms stay shard-local: cogroup the postings with the
+            # docmap's (local_id, dl__<f>) columns per shard — no
+            # broadcast of per-doc lengths, no extra shuffle (both sides
+            # hash on shard)
+            dl_col = {
+                name: (f"dl__{name}" if reader.multi_field else "dl")
+                for name in field_names
+            }
+            dmap = reader.docmap().select(
+                "shard", "local_id", *sorted(set(dl_col.values()))
+            )
+
+            def shard_topk_cg(
+                key: tuple, pdf: pd.DataFrame, dm: pd.DataFrame
+            ) -> pd.DataFrame:
+                if pdf.empty or dm.empty:
+                    return _emit(int(key[0]), [])
+                order = np.argsort(dm["local_id"].to_numpy(), kind="stable")
+                lids = dm["local_id"].to_numpy()[order]
+                dls_of = {
+                    f: dm[dl_col[f]].to_numpy()[order] for f in field_names
+                }
+                top = run_kernel(
+                    _rows_by_field(pdf), tomb.get(int(key[0])), (lids, dls_of)
+                )
+                return _emit(int(key[0]), top)
+
+            per_shard = (
+                union.groupBy("shard")
+                .cogroup(dmap.groupBy("shard"))
+                .applyInPandas(
+                    shard_topk_cg, "shard int, local_id long, score double"
+                )
+            )
+        else:
+
+            def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                top = run_kernel(_rows_by_field(pdf), tomb.get(int(pdf_key[0])))
+                return _emit(int(pdf_key[0]), top)
+
+            per_shard = union.groupBy("shard").applyInPandas(
+                shard_topk, "shard int, local_id long, score double"
+            )
         heap_rows = [
             (r["shard"], r["local_id"], r["score"]) for r in per_shard.collect()
         ]

@@ -287,3 +287,109 @@ def test_unknown_field_raises(spark, mf_index):
     reader = IndexReader(spark, out)
     with pytest.raises(ValueError, match="not indexed"):
         bm25_multifield_topk(reader, "web", ["nope"], k=5)
+
+
+def _combined_oracle(rows, terms, boosts, k=500):
+    """Brute-force ES combined_fields (Lucene CombinedFieldQuery): the
+    fields score as ONE synthetic field — tf and doc length are the
+    boost-weighted sums across fields, avgdl the boost-weighted sum of
+    per-field avgdls, idf the max-df blend."""
+    fx = _FieldOracle([(u, t) for u, t, _ in rows])
+    ft = _FieldOracle([(u, ti) for u, _, ti in rows])
+    bx, bt = boosts["text"], boosts["title"]
+    avgdl_c = bx * fx.avgdl + bt * ft.avgdl
+    scored = []
+    for i, u in enumerate(fx.urls):
+        dl_c = bx * fx.dls[i] + bt * ft.dls[i]
+        s = 0.0
+        for t in terms:
+            dfb = max(fx.df.get(t, 0), ft.df.get(t, 0))
+            if not dfb:
+                continue
+            tfc = bx * fx.tfs[i].get(t, 0) + bt * ft.tfs[i].get(t, 0)
+            if not tfc:
+                continue
+            idf = math.log(1.0 + (fx.n_docs - dfb + 0.5) / (dfb + 0.5))
+            s += idf * tfc / (tfc + K1 * (1.0 - B + B * dl_c / avgdl_c))
+        if s > 0:
+            scored.append((u, s))
+    scored.sort(key=lambda p: (-round(p[1], 6), p[0]))
+    return scored[:k]
+
+
+def test_combined_fields_vs_oracle(spark, mf_index):
+    out, rows, _ = mf_index
+    reader = IndexReader(spark, out)
+    q = "web search title"
+    got = bm25_multifield_topk(
+        reader, q, ["title^2", "text"], k=500, mtype="combined_fields"
+    ).collect()
+    want = _combined_oracle(rows, analyze_query_py(q), {"title": 2.0, "text": 1.0})
+    assert sorted((r["url"], round(r["score"], 6)) for r in got) == sorted(
+        (u, round(s, 6)) for u, s in want
+    )
+
+
+def test_combined_fields_paths_identical(spark, mf_index):
+    out, _, _ = mf_index
+    reader = IndexReader(spark, out)
+    loc = bm25_multifield_topk(
+        reader, "spark index engine", ["title^2", "text"], k=10,
+        mtype="combined_fields", execution="local",
+    ).collect()
+    spk = bm25_multifield_topk(
+        reader, "spark index engine", ["title^2", "text"], k=10,
+        mtype="combined_fields", execution="spark",
+    ).collect()
+    assert [(r["url"], round(r["score"], 9)) for r in loc] == [
+        (r["url"], round(r["score"], 9)) for r in spk
+    ]
+    assert loc  # non-degenerate comparison
+
+
+def test_combined_fields_single_field_is_plain_match(spark, mf_index):
+    """combined_fields over ONE unboosted field degenerates to the plain
+    match score: tf_c = tf, dl_c = dl, avgdl_c = avgdl, blended df = df."""
+    out, _, _ = mf_index
+    reader = IndexReader(spark, out)
+    a = bm25_multifield_topk(
+        reader, "web page data", ["text"], k=10, mtype="combined_fields"
+    ).collect()
+    b = bm25_topk(reader, "web page data", k=10).collect()
+    assert [(r["url"], round(r["score"], 9)) for r in a] == [
+        (r["url"], round(r["score"], 9)) for r in b
+    ]
+
+
+def test_combined_fields_dsl_and_guards(spark, mf_index):
+    from engine.dsl import search
+
+    out, _, _ = mf_index
+    reader = IndexReader(spark, out)
+    body = {
+        "query": {
+            "combined_fields": {
+                "query": "web search",
+                "fields": ["title^2", "text"],
+            }
+        },
+        "size": 5,
+    }
+    resp = search(reader, body)
+    want = bm25_multifield_topk(
+        reader, "web search", ["title^2", "text"], k=5, mtype="combined_fields"
+    ).collect()
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [r["url"] for r in want]
+    assert [round(h["_score"], 9) for h in resp["hits"]["hits"]] == [
+        round(r["score"], 9) for r in want
+    ]
+    # ES contract: combined_fields boosts must be >= 1
+    with pytest.raises(ValueError, match=">= 1"):
+        bm25_multifield_topk(
+            reader, "web", ["title^0.5", "text"], k=5, mtype="combined_fields"
+        )
+    with pytest.raises(ValueError, match="operator=or"):
+        search(reader, {"query": {"combined_fields": {
+            "query": "web", "fields": ["title", "text"], "operator": "and"}}})
+    with pytest.raises(ValueError, match="unknown multi_match type"):
+        bm25_multifield_topk(reader, "web", ["text"], k=5, mtype="nope")
