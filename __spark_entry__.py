@@ -1340,14 +1340,24 @@ def MF_TITLE_SPARK():
     return F.concat_ws(" ", "source", "lang", F.substring("text", 1, 80))
 
 
-def _bm25_multifield_sql(terms: list[str], mtype: str, tb: float, k: int = 10) -> str:
+def _bm25_multifield_sql(
+    terms: list[str], mtype: str, tb: float, k: int = 10, flt: str | None = None
+) -> str:
     """Relational oracle for true multi-field multi_match over the
     two-field (text + derived title, title boost 2.0) index: per-field
     tf/df/avgdl CTEs, blended per engine._mf_shard_topk's frozen semantics
     (best_fields: greatest + tb * rest; most_fields: sum; cross_fields:
     per-term max impact across boosted fields under ONE blended idf whose
-    df is the max across fields)."""
+    df is the max across fields). flt: optional ES filter-context
+    predicate over the documents table — restricts the final candidate
+    set WITHOUT touching scores (tf/df/avgdl CTEs stay corpus-global,
+    exactly the engine's post-accumulation docvalue mask)."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    where = (
+        f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {flt})"
+        if flt
+        else ""
+    )
     imp = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     base = f"""
 WITH base AS (
@@ -1390,7 +1400,7 @@ imps AS (
 scored AS (
   SELECT doc_id, sum(idf * imp) AS s FROM imps JOIN dfb USING (term) GROUP BY doc_id
 )
-SELECT doc_id, round(s, 6) AS score FROM scored
+SELECT doc_id, round(s, 6) AS score FROM scored {where}
 ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
 """
     if mtype == "combined_fields":
@@ -1420,7 +1430,7 @@ scored AS (
   FROM tfc JOIN dfb USING (term) JOIN dlc USING (doc_id) CROSS JOIN sc
   GROUP BY doc_id
 )
-SELECT doc_id, round(s, 6) AS score FROM scored
+SELECT doc_id, round(s, 6) AS score FROM scored {where}
 ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
 """
     blend = (
@@ -1442,7 +1452,7 @@ scored AS (
          coalesce(ft.s, 0.0) AS s_t, coalesce(fx.s, 0.0) AS s_x
   FROM fx FULL OUTER JOIN ft ON fx.doc_id = ft.doc_id
 )
-SELECT doc_id, round({blend}, 6) AS score FROM scored
+SELECT doc_id, round({blend}, 6) AS score FROM scored {where}
 ORDER BY round({blend}, 6) DESC, doc_id ASC LIMIT {k}
 """
 
@@ -1457,7 +1467,8 @@ def _mf_index_dir(spark, sf_dir):
     from engine.index_build import build_index
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    h = hashlib.md5((src + "|layout=mf1").encode())
+    # mf2 = + lang/n_chars docvalues (filter context on multi-field queries)
+    h = hashlib.md5((src + "|layout=mf2").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -1474,10 +1485,12 @@ def _mf_index_dir(spark, sf_dir):
             F.col("doc_id").cast("string").alias("url"),
             "text",
             MF_TITLE_SPARK().alias("title"),
+            "lang", "n_chars",
         )
         build_index(
             spark, d, out_dir, n_shards=4, n_buckets=8,
             text_fields=["text", "title"],
+            docvalue_cols=["lang", "n_chars"],
         )
         os.utime(out_dir)
         import glob
@@ -1547,6 +1560,28 @@ def q_bm25_combined_fields(spark, sf_dir):
     reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
     top = bm25_multifield_topk(
         reader, MF_TERMS, ["title^2", "text"], k=25, mtype="combined_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_mf_filtered(spark, sf_dir):
+    """ES filter context on a TRUE multi-field query: bool
+    {must: multi_match(best_fields, title^2+text), filter: [term lang,
+    range n_chars]} — the docvalue mask restricts the matched set AFTER
+    per-field blend accumulation, so surviving docs' scores are identical
+    to the unfiltered query's (idf/avgdl stay corpus-global, ES filter
+    semantics). Same composition as q_bm25_filtered but over per-field
+    postings (engine/query.py _mf_shard_topk local_filter)."""
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25,
+        mtype="best_fields", tie_breaker=MF_TB,
+        filters=[
+            TermFilter("lang", FLT_LANG), RangeFilter("n_chars", FLT_LO, FLT_HI)
+        ],
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
@@ -4442,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 late addition (below the 50-slot gate; certified by
         # the full self-cert run): ES combined_fields query ---
         "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "bm25_mf_filtered_topk": q_bm25_mf_filtered,
     }
 
 
@@ -5472,5 +5508,12 @@ SELECT doc_id, n_tokens, ppl,
 FROM ppl CROSS JOIN cuts""",
         "bm25_combined_fields_topk": _bm25_multifield_sql(
             MF_TERMS, "combined_fields", 0.0, k=10
+        ),
+        "bm25_mf_filtered_topk": _bm25_multifield_sql(
+            MF_TERMS, "best_fields", MF_TB, k=10,
+            flt=(
+                f"lang = '{FLT_LANG}' "
+                f"AND n_chars >= {FLT_LO} AND n_chars < {FLT_HI}"
+            ),
         ),
     }

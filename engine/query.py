@@ -1128,6 +1128,7 @@ def _mf_shard_topk(
     b: float,
     dels: np.ndarray | None = None,
     dl_lookup: tuple[np.ndarray, dict[str, np.ndarray]] | None = None,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """True multi-field top-k over one shard — fields with their OWN
     postings/df/avgdl (ES multi_match over e.g. title+body), unlike
@@ -1223,6 +1224,15 @@ def _mf_shard_topk(
         else:  # best_fields
             mx = mat.max(axis=0)
             score = mx + tie_breaker * (tot - mx)
+    if local_filter is not None:
+        # ES filter context: restricts the matched set, never the scores —
+        # the docvalue mask applies AFTER accumulation (the per-term
+        # searchsorted positions above index into the UNFILTERED uniq)
+        keep = local_filter(uniq)
+        uniq, score = uniq[keep], score[keep]
+        nu = uniq.size
+        if nu == 0:
+            return []
     order = _topk_order(uniq, score, min(k, nu))
     return [(int(uniq[i]), float(score[i])) for i in order]
 
@@ -1725,6 +1735,7 @@ def bm25_multifield_topk(
     tie_breaker: float = 0.0,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES multi_match over a multi-field index (url, doc_id, score):
     per-field postings + per-field df/avgdl, blended per `mtype`
@@ -1784,11 +1795,24 @@ def bm25_multifield_topk(
     tomb = reader.tombstones()
     combined = mtype == "combined_fields"
     field_names = [name for name, _ in fb]
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
 
-    def run_kernel(rows_by_field, dels=None, dl_lookup=None) -> list[tuple[int, float]]:
+        # filter context composes exactly like bm25_topk's: a
+        # candidates-only docvalue mask per shard, applied after blend
+        # accumulation (scores of survivors are unchanged, per ES)
+        shard_filter = build_shard_filter(reader, filters)
+
+    def run_kernel(
+        rows_by_field, dels=None, dl_lookup=None, shard=None
+    ) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
         return _mf_shard_topk(
             rows_by_field, idfs_by_field, blended_idfs, avgdl_by_field,
-            boosts, mtype, tie_breaker, k, k1, b, dels, dl_lookup,
+            boosts, mtype, tie_breaker, k, k1, b, dels, dl_lookup, lf,
         )
 
     heap_rows: list[tuple[int, int, float]] | None = None
@@ -1818,6 +1842,7 @@ def bm25_multifield_topk(
                     },
                     tomb.get(shard),
                     doclens.get(shard),
+                    shard,
                 )
             ]
     if heap_rows is None:
@@ -1869,7 +1894,8 @@ def bm25_multifield_topk(
                     f: dm[dl_col[f]].to_numpy()[order] for f in field_names
                 }
                 top = run_kernel(
-                    _rows_by_field(pdf), tomb.get(int(key[0])), (lids, dls_of)
+                    _rows_by_field(pdf), tomb.get(int(key[0])), (lids, dls_of),
+                    int(key[0]),
                 )
                 return _emit(int(key[0]), top)
 
@@ -1883,7 +1909,10 @@ def bm25_multifield_topk(
         else:
 
             def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-                top = run_kernel(_rows_by_field(pdf), tomb.get(int(pdf_key[0])))
+                top = run_kernel(
+                    _rows_by_field(pdf), tomb.get(int(pdf_key[0])),
+                    None, int(pdf_key[0]),
+                )
                 return _emit(int(pdf_key[0]), top)
 
             per_shard = union.groupBy("shard").applyInPandas(

@@ -393,3 +393,64 @@ def test_combined_fields_dsl_and_guards(spark, mf_index):
             "query": "web", "fields": ["title", "text"], "operator": "and"}}})
     with pytest.raises(ValueError, match="unknown multi_match type"):
         bm25_multifield_topk(reader, "web", ["text"], k=5, mtype="nope")
+
+
+@pytest.fixture(scope="module")
+def mf_dv_index(spark, tmp_path_factory):
+    """Two-field index WITH docvalues (grp, nc) for filter-context tests.
+
+    grp cycles a/b/c by row number; nc is each doc's text length — both
+    deterministic so the brute-force restriction below is exact."""
+    rows = _mk_docs(100, with_nulls=False)
+    aug = [
+        (u, t, ti, "abc"[i % 3], len(t)) for i, (u, t, ti) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        aug, "url string, text string, title string, grp string, nc long"
+    )
+    out = str(tmp_path_factory.mktemp("mf_dv") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4, bucket_chunk=2,
+        text_fields=["text", "title"], docvalue_cols=["grp", "nc"],
+    )
+    return out, aug
+
+
+@pytest.mark.parametrize("execution", ["local", "spark"])
+@pytest.mark.parametrize("mtype,tb", [("best_fields", 0.3), ("cross_fields", 0.0)])
+def test_multifield_filter_context(spark, mf_dv_index, mtype, tb, execution):
+    """ES filter context over a multi-field query: the filtered top-k is
+    the UNFILTERED full result restricted to filter-matching docs —
+    surviving docs keep their exact unfiltered scores (filter clauses
+    never contribute to or alter scoring; idf/avgdl stay corpus-global)."""
+    from engine.docvalues import RangeFilter, TermFilter
+
+    out, aug = mf_dv_index
+    reader = IndexReader(spark, out)
+    q = "web search title data"
+    filters = [TermFilter("grp", "b"), RangeFilter("nc", 40, 150)]
+    got = bm25_multifield_topk(
+        reader, q, ["title^2", "text"], k=500, mtype=mtype, tie_breaker=tb,
+        filters=filters, execution=execution,
+    ).collect()
+    allowed = {u for u, t, _, g, nc in aug if g == "b" and 40 <= nc < 150}
+    full = bm25_multifield_topk(
+        reader, q, ["title^2", "text"], k=500, mtype=mtype, tie_breaker=tb,
+        execution=execution,
+    ).collect()
+    want = {r["url"]: r["score"] for r in full if r["url"] in allowed}
+    assert {r["url"] for r in got} == set(want)
+    for r in got:
+        assert r["score"] == pytest.approx(want[r["url"]], rel=1e-12)
+
+
+def test_multifield_filter_missing_docvalue_raises(spark, mf_index):
+    from engine.docvalues import TermFilter
+
+    out, _, _ = mf_index
+    reader = IndexReader(spark, out)
+    with pytest.raises(ValueError, match="docvalue"):
+        bm25_multifield_topk(
+            reader, "web", ["title", "text"], k=5,
+            filters=[TermFilter("grp", "b")],
+        )
