@@ -418,11 +418,9 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 r, analyze_query_py(m["query"]), k=k,
                 mode=m.get("operator", "or"), filters=filters,
             )
-        # true multi-field: per-field postings + stats, blended per type
-        if filters:
-            raise ValueError(
-                "multi-field multi_match + filter context is not composed yet"
-            )
+        # true multi-field: per-field postings + stats, blended per type;
+        # filter context composes as the post-blend docvalue mask
+        # (engine/query._mf_shard_topk local_filter)
         if m.get("operator", "or").lower() != "or":
             raise ValueError("multi-field multi_match supports operator=or")
         from engine.query import bm25_multifield_topk
@@ -431,6 +429,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             reader, m["query"], specs, k=k,
             mtype=m.get("type", "best_fields"),
             tie_breaker=float(m.get("tie_breaker", 0.0)),
+            filters=filters,
         )
     if "combined_fields" in query:
         # ES combined_fields: the listed fields score as ONE synthetic
@@ -445,16 +444,13 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"combined_fields fields {unknown} are not indexed "
                 f"(text_fields={reader.text_fields})"
             )
-        if filters:
-            raise ValueError(
-                "combined_fields + filter context is not composed yet"
-            )
         if m.get("operator", "or").lower() != "or":
             raise ValueError("combined_fields supports operator=or")
         from engine.query import bm25_multifield_topk
 
         return bm25_multifield_topk(
             reader, m["query"], specs, k=k, mtype="combined_fields",
+            filters=filters,
         )
     if "constant_score" in query:
         from engine.aggs import constant_score_topk
@@ -559,6 +555,17 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         should_c = should_c if isinstance(should_c, list) else [should_c]
         not_c = b.get("must_not", [])
         not_c = not_c if isinstance(not_c, list) else [not_c]
+        if (
+            len(must_c) == 1 and not should_c and not not_c
+            and isinstance(must_c[0], dict)
+            and not any(kk in must_c[0] for kk in ("match", "term", "terms"))
+        ):
+            # ES bool {must: <ONE non-term scoring query>, filter: [...]}:
+            # recurse with the merged filter context — multi_match /
+            # combined_fields compose via their post-blend docvalue mask;
+            # kinds that can't compose raise their own documented
+            # divergence instead of _match_terms' misleading field error
+            return _hits_df(reader, must_c[0], k, filt)
         must = [t for c in must_c for t in _match_terms(c)[0]]
         should = [t for c in should_c for t in _match_terms(c)[0]]
         must_not = [t for c in not_c for t in _match_terms(c)[0]]

@@ -454,3 +454,44 @@ def test_multifield_filter_missing_docvalue_raises(spark, mf_index):
             reader, "web", ["title", "text"], k=5,
             filters=[TermFilter("grp", "b")],
         )
+
+
+def test_dsl_multifield_filter_context(spark, mf_dv_index):
+    """ES body shape: bool {must: [multi_match], filter: [term, range]}
+    routes to the multi-field kernel with the composed docvalue mask;
+    combined_fields composes the same way. Hits equal the direct
+    bm25_multifield_topk(filters=...) call."""
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.dsl import search
+
+    out, _ = mf_dv_index
+    reader = IndexReader(spark, out)
+    filters = [TermFilter("grp", "b"), RangeFilter("nc", 40, 150)]
+    for mm_key, extra in [
+        ("multi_match", {"type": "best_fields", "tie_breaker": 0.3}),
+        ("combined_fields", {}),
+    ]:
+        body = {
+            "query": {"bool": {
+                "must": [{mm_key: {
+                    "query": "web search data",
+                    "fields": ["title^2", "text"], **extra,
+                }}],
+                "filter": [
+                    {"term": {"grp": "b"}},
+                    {"range": {"nc": {"gte": 40, "lt": 150}}},
+                ],
+            }},
+            "size": 10,
+        }
+        resp = search(reader, body)
+        mtype = extra.get("type", mm_key if mm_key == "combined_fields" else "best_fields")
+        want = bm25_multifield_topk(
+            reader, "web search data", ["title^2", "text"], k=10,
+            mtype=mtype, tie_breaker=extra.get("tie_breaker", 0.0),
+            filters=filters,
+        ).collect()
+        assert [h["_id"] for h in resp["hits"]["hits"]] == [r["url"] for r in want]
+        assert [round(h["_score"], 9) for h in resp["hits"]["hits"]] == [
+            round(r["score"], 9) for r in want
+        ]
