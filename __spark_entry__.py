@@ -455,7 +455,7 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 
 def _bm25_bool_sql(
     must: list[str], should: list[str], must_not: list[str],
-    msm: int, k: int = 10,
+    msm: int, k: int = 10, flt: str | None = None,
 ) -> str:
     """ES bool query oracle: score = sum of matching must+should clause
     BM25 contributions; HAVING-style masks require all must terms, >= msm
@@ -495,6 +495,7 @@ SELECT doc_id, round(score_raw, 6) AS score
 FROM scored
 WHERE m_hits = {len(must)} AND s_hits >= {msm}
   AND doc_id NOT IN (SELECT doc_id FROM excl)
+  {f"AND doc_id IN (SELECT doc_id FROM documents WHERE {flt})" if flt else ""}
 ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
@@ -1069,7 +1070,7 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
-def _phrase_sql(terms: list[str], k: int = 10) -> str:
+def _phrase_sql(terms: list[str], k: int = 10, flt: str | None = None) -> str:
     """match_phrase oracle (declarative twin of engine/query.py
     match_phrase_topk / _phrase_shard_topk): positions from
     generate_subscripts over the frozen tokenization; phrase frequency =
@@ -1122,7 +1123,9 @@ scored AS (
   FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfw
 )
 SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+FROM scored
+{f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {flt})" if flt else ""}
+ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -1678,7 +1681,8 @@ def _phrase_index_dir(spark, sf_dir):
     from engine.index_build import build_index
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    h = hashlib.md5((src + "|layout=pos1").encode())
+    # pos2 = + lang/n_chars docvalues (filter context on phrase/SQS queries)
+    h = hashlib.md5((src + "|layout=pos2").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -1692,11 +1696,13 @@ def _phrase_index_dir(spark, sf_dir):
     )
     if not os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
         d = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("url"), "text"
+            F.col("doc_id").cast("string").alias("url"), "text",
+            "lang", "n_chars",
         )
         build_index(
             spark, d, out_dir, n_shards=4, n_buckets=8,
             index_options="positions",
+            docvalue_cols=["lang", "n_chars"],
         )
         os.utime(out_dir)
         import glob
@@ -2044,7 +2050,10 @@ def q_sqs_topk(spark, sf_dir):
     )
 
 
-def _sqs_sql(phrase: list[str], term: str, prefix: str, neg: str, k: int) -> str:
+def _sqs_sql(
+    phrase: list[str], term: str, prefix: str, neg: str, k: int,
+    flt: str | None = None,
+) -> str:
     """Driver-query twin of q_sqs_topk's frozen clause set (one exact
     phrase + one term + one prefix + one negated term, OR mode): each
     clause scored by its own CTE (term/prefix = BM25 over tf, phrase =
@@ -2114,6 +2123,7 @@ agg AS (SELECT doc_id, sum(s) AS score_raw FROM contrib GROUP BY doc_id)
 SELECT doc_id, round(score_raw, 6) AS score
 FROM agg
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tfall WHERE term = '{neg}')
+  {f"AND doc_id IN (SELECT doc_id FROM documents WHERE {flt})" if flt else ""}
 ORDER BY round(score_raw, 6) DESC, doc_id ASC
 LIMIT {k}
 """
@@ -2709,6 +2719,61 @@ def q_bm25_bool(spark, sf_dir):
         reader, must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=25
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_bool_filtered(spark, sf_dir):
+    """ES bool query with ALL four clause kinds at once — must, should,
+    must_not, filter: the round-5 composition lift. The docvalue mask
+    (term lang + range n_chars) restricts the matched set inside the bool
+    kernel AFTER clause accumulation, so surviving scores equal the
+    unfiltered bool query's (engine/query.py _bool_shard_topk
+    local_filter)."""
+    from engine.docvalues import RangeFilter, TermFilter
+    from engine.query import IndexReader, bm25_bool_topk
+
+    reader = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_bool_topk(
+        reader, must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=25,
+        filters=[
+            TermFilter("lang", FLT_LANG), RangeFilter("n_chars", FLT_LO, FLT_HI)
+        ],
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_phrase_filtered(spark, sf_dir):
+    """ES match_phrase + filter context over the positional index: the
+    phrase match set is conjunctive (small), so the executor runs the
+    kernel unbounded and applies the docvalue mask + k-truncation on its
+    ordered output — exact (engine/query.py _phrase_slots_topk)."""
+    from engine.docvalues import RangeFilter
+    from engine.query import IndexReader, match_phrase_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = match_phrase_topk(
+        reader, PHRASE_Q, k=40, filters=[RangeFilter("n_chars", 200, None)]
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
+
+
+def q_sqs_filtered(spark, sf_dir):
+    """ES simple_query_string + filter context (round-5 lift): the same
+    frozen clause set as sqs_topk with a range filter composed via the
+    candidates-only docvalue mask in the SQS kernel
+    (engine/querystring.py _sqs_shard_topk local_filter)."""
+    from engine.docvalues import RangeFilter
+    from engine.query import IndexReader
+    from engine.querystring import simple_query_string_topk
+
+    reader = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    top = simple_query_string_topk(
+        reader, SQS_Q, k=40, filters=[RangeFilter("n_chars", 200, None)]
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score"), k=25
+    )
 
 
 def q_bm25_msm(spark, sf_dir):
@@ -4478,6 +4543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full self-cert run): ES combined_fields query ---
         "bm25_combined_fields_topk": q_bm25_combined_fields,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
+        "bm25_bool_filtered_topk": q_bm25_bool_filtered,
+        "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
+        "sqs_filtered_topk": q_sqs_filtered,
     }
 
 
@@ -5515,5 +5583,18 @@ FROM ppl CROSS JOIN cuts""",
                 f"lang = '{FLT_LANG}' "
                 f"AND n_chars >= {FLT_LO} AND n_chars < {FLT_HI}"
             ),
+        ),
+        "bm25_bool_filtered_topk": _bm25_bool_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_NOT, msm=0, k=10,
+            flt=(
+                f"lang = '{FLT_LANG}' "
+                f"AND n_chars >= {FLT_LO} AND n_chars < {FLT_HI}"
+            ),
+        ),
+        "bm25_phrase_filtered_topk": _phrase_sql(
+            PHRASE_Q.split(), k=25, flt="n_chars >= 200"
+        ),
+        "sqs_filtered_topk": _sqs_sql(
+            ["hash", "table"], "merge", "b", "dup", k=25, flt="n_chars >= 200"
         ),
     }

@@ -400,15 +400,11 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"(text_fields={reader.text_fields})"
             )
         if m.get("type") == "phrase":
-            if filters:
-                raise ValueError(
-                    "multi_match phrase + filter context is not composed yet"
-                )
             if flds != [reader.field]:
                 raise ValueError(
                     "multi_match phrase supports the primary field only"
                 )
-            return match_phrase_topk(reader, m["query"], k=k)
+            return match_phrase_topk(reader, m["query"], k=k, filters=filters)
         from engine.oracle import analyze_query_py
 
         if len(flds) == 1:
@@ -529,22 +525,19 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             raise ValueError("match_phrase supports the text field")
         text = spec["query"] if isinstance(spec, dict) else spec
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
-        if filters:
-            raise ValueError("match_phrase + filter context is not composed yet")
-        return match_phrase_topk(reader, text, k=k, slop=slop)
+        return match_phrase_topk(reader, text, k=k, slop=slop, filters=filters)
     if "match_phrase_prefix" in query:
         ((fld, spec),) = query["match_phrase_prefix"].items()
         if fld != "text":
             raise ValueError("match_phrase_prefix supports the text field")
         text = spec["query"] if isinstance(spec, dict) else spec
-        if filters:
-            raise ValueError("match_phrase_prefix + filter context is not composed yet")
         return match_phrase_prefix_topk(
             reader, text, k=k,
             slop=int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
             max_expansions=(
                 int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50
             ),
+            filters=filters,
         )
     if "bool" in query:
         b = query["bool"]
@@ -555,10 +548,21 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         should_c = should_c if isinstance(should_c, list) else [should_c]
         not_c = b.get("must_not", [])
         not_c = not_c if isinstance(not_c, list) else [not_c]
+        def _flattenable(c) -> bool:
+            # match/term/terms clauses flatten into the bool kernel's term
+            # lists — EXCEPT a match carrying minimum_should_match, whose
+            # sub-clause semantics the flatten would silently drop
+            if not any(kk in c for kk in ("match", "term", "terms")):
+                return False
+            spec = next(iter(c["match"].values())) if "match" in c else None
+            return not (
+                isinstance(spec, dict) and spec.get("minimum_should_match")
+            )
+
         if (
             len(must_c) == 1 and not should_c and not not_c
             and isinstance(must_c[0], dict)
-            and not any(kk in must_c[0] for kk in ("match", "term", "terms"))
+            and not _flattenable(must_c[0])
         ):
             # ES bool {must: <ONE non-term scoring query>, filter: [...]}:
             # recurse with the merged filter context — multi_match /
@@ -569,16 +573,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         must = [t for c in must_c for t in _match_terms(c)[0]]
         should = [t for c in should_c for t in _match_terms(c)[0]]
         must_not = [t for c in not_c for t in _match_terms(c)[0]]
-        if filt and (should or must_not):
-            raise ValueError(
-                "bool with filter context + should/must_not is not composed; "
-                "split the request (documented divergence)"
-            )
-        if filt or not (should or must_not):
+        if not (should or must_not):
             return bm25_topk(reader, must, k=k, mode="and", filters=filt)
         return bm25_bool_topk(
             reader, must=must, should=should, must_not=must_not, k=k,
             minimum_should_match=b.get("minimum_should_match"),
+            filters=filt,
         )
     if "span_term" in query:
         # a lone unit span scores exactly like the term query (Lucene:
@@ -724,15 +724,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         flds = s.get("fields", ["text"])
         if flds not in (["text"], ["text^1.0"]):
             raise ValueError("simple_query_string supports the text field")
-        if filters:
-            raise ValueError(
-                "simple_query_string + filter context is not composed yet"
-            )
         from engine.querystring import simple_query_string_topk
 
         return simple_query_string_topk(
             reader, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
+            filters=filters,
         )
     if "query_string" in query:
         s = query["query_string"]
@@ -741,16 +738,13 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             "default_field", "text"
         ) != "text":
             raise ValueError("query_string supports the text field")
-        if filters:
-            raise ValueError(
-                "query_string + filter context is not composed yet"
-            )
         from engine.querystring import query_string_topk
 
         return query_string_topk(
             reader, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
             max_expansions=int(s.get("fuzzy_max_expansions", 50)),
+            filters=filters,
         )
     if "boosting" in query:
         bq = query["boosting"]
@@ -813,17 +807,15 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             if fld != "text":
                 raise ValueError(f"{kind} supports the text field")
             v = spec["value"] if isinstance(spec, dict) else spec
-            if filters:
-                raise ValueError(f"{kind} + filter context is not composed yet")
-            return bm25_topk(reader, v, k=k, mode=kind)
+            return bm25_topk(reader, v, k=k, mode=kind, filters=filters)
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
     if msm is not None:
         from engine.query import bm25_bool_topk as _bool
 
-        if filters:
-            raise ValueError("minimum_should_match + filter context is not composed yet")
-        return _bool(r, should=terms, k=k, minimum_should_match=msm)
+        return _bool(
+            r, should=terms, k=k, minimum_should_match=msm, filters=filters
+        )
     return bm25_topk(r, terms, k=k, mode=op, filters=filters)
 
 

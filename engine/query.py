@@ -1249,6 +1249,7 @@ def _bool_shard_topk(
     msm: int,
     field_opts: str = "default",
     dels: np.ndarray | None = None,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """ES bool query over one shard: score = sum of matching must+should
     clause scores; docs must match EVERY must term, at least `msm` should
@@ -1312,6 +1313,14 @@ def _bool_shard_topk(
     uniq, scores = uniq[keep], scores[keep]
     if uniq.size == 0:
         return []
+    if local_filter is not None:
+        # ES filter context: docvalue mask over the surviving candidates
+        # only (uniq stays sorted after boolean slicing), applied after
+        # clause accumulation so scores are untouched
+        fkeep = local_filter(uniq)
+        uniq, scores = uniq[fkeep], scores[fkeep]
+        if uniq.size == 0:
+            return []
     order = _topk_order(uniq, scores, min(k, uniq.size))
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
@@ -2075,6 +2084,7 @@ def bm25_bool_topk(
     field_opts: str = "default",
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES-style bool query top-k (url, doc_id, score) over the real index.
 
@@ -2129,14 +2139,27 @@ def bm25_bool_topk(
     n_must = len(must_terms)
 
     tomb = reader.tombstones()
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
 
-    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        # filter context: same candidates-only docvalue mask as bm25_topk,
+        # applied inside the kernel after clause accumulation
+        shard_filter = build_shard_filter(reader, filters)
+
+    def run_kernel(rows, dels=None, shard=None) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
         return _bool_shard_topk(
-            rows, idfs, k, k1, b, avgdl, must_set, not_set, msm, field_opts, dels
+            rows, idfs, k, k1, b, avgdl, must_set, not_set, msm, field_opts,
+            dels, lf,
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        top = run_kernel(
+            list(pdf.itertuples()), tomb.get(int(pdf_key[0])), int(pdf_key[0])
+        )
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -2156,7 +2179,7 @@ def bm25_bool_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
         per_shard = (
@@ -3664,21 +3687,43 @@ def _phrase_slots_topk(
     slop: int,
     execution: str,
     lookup: str,
+    filters=(),
 ) -> DataFrame:
     """Shared phrase executor: run the exact (slop=0) or sloppy kernel per
     shard over the slots' distinct terms, local pyarrow or ONE Spark
-    scatter-gather, finalize via the pruned docmap lookup."""
+    scatter-gather, finalize via the pruned docmap lookup.
+
+    filters (ES filter context): the phrase match set is conjunctive (a
+    doc must contain every slot), so it is small enough to materialize in
+    full per shard — the kernel runs unbounded (k = 2^31) and the
+    docvalue mask + truncation to k happen on its ordered output. Exact:
+    identical to masking before top-k selection."""
     spark = reader.spark
     distinct = list(dict.fromkeys(t for s in slots for t in s))
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     tomb = reader.tombstones()
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
 
-    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
+        shard_filter = build_shard_filter(reader, filters)
+
+    def run_kernel(rows: list, dels, shard=None) -> list[tuple[int, float]]:
+        kk = k if shard_filter is None else (1 << 31)
         if slop:
-            return _phrase_slop_shard_topk(
-                rows, slots, slop, idf_sum, k, k1, b, avgdl, dels
+            top = _phrase_slop_shard_topk(
+                rows, slots, slop, idf_sum, kk, k1, b, avgdl, dels
             )
-        return _phrase_shard_topk(rows, slots, idf_sum, k, k1, b, avgdl, dels)
+        else:
+            top = _phrase_shard_topk(rows, slots, idf_sum, kk, k1, b, avgdl, dels)
+        if shard_filter is None or not top:
+            return top
+        loc = np.array([t[0] for t in top], dtype=np.int64)
+        order = np.argsort(loc, kind="stable")  # gather needs sorted ids
+        keep = np.empty(loc.size, dtype=bool)
+        keep[order] = shard_filter(shard, loc[order])
+        # top is already (score desc, doc asc): masked truncation is exact
+        return [t for t, m in zip(top, keep) if m][:k]
 
     heap_rows: list[tuple[int, int, float]] | None = None
     stats = reader.term_stats(distinct)
@@ -3691,12 +3736,15 @@ def _phrase_slots_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
 
         def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+            top = run_kernel(
+                list(pdf.itertuples()), tomb.get(int(pdf_key[0])),
+                int(pdf_key[0]),
+            )
             return pd.DataFrame(
                 {
                     "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -3748,6 +3796,7 @@ def match_phrase_topk(
     slop: int = 0,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES `match_phrase` top-k over a POSITIONAL index: (url, doc_id,
     score), score desc / doc_id asc.
@@ -3787,7 +3836,8 @@ def match_phrase_topk(
         sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
     )
     return _phrase_slots_topk(
-        reader, [[t] for t in terms], idf_sum, k, slop, execution, lookup
+        reader, [[t] for t in terms], idf_sum, k, slop, execution, lookup,
+        filters,
     )
 
 
@@ -3799,6 +3849,7 @@ def match_phrase_prefix_topk(
     max_expansions: int = 50,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES `match_phrase_prefix` top-k: the LAST slot matches every
     dictionary term with that prefix (df-ordered, capped at
@@ -3871,7 +3922,9 @@ def match_phrase_prefix_topk(
         + P.bm25_idf(df_union, reader.n_docs)
     )
     slots = [[t] for t in head] + [list(expansions)]
-    return _phrase_slots_topk(reader, slots, idf_sum, k, slop, execution, lookup)
+    return _phrase_slots_topk(
+        reader, slots, idf_sum, k, slop, execution, lookup, filters
+    )
 
 
 def rescore_topk(

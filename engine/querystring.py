@@ -189,7 +189,8 @@ def _clause_eval(spec, by_row, freq, dels):
 
 
 def _sqs_shard_topk(
-    rows, pos_specs, neg_specs, and_mode: bool, k: int, dels
+    rows, pos_specs, neg_specs, and_mode: bool, k: int, dels,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """Per-shard simple_query_string kernel: evaluate each clause with
     the shared decode/phrase cores, sum matching positive clause scores,
@@ -231,6 +232,14 @@ def _sqs_shard_topk(
     uniq, scores = uniq[keep], scores[keep]
     if uniq.size == 0:
         return []
+    if local_filter is not None:
+        # ES filter context: candidates-only docvalue mask (uniq stays
+        # sorted under boolean slicing), after clause accumulation so
+        # surviving scores are untouched
+        fkeep = local_filter(uniq)
+        uniq, scores = uniq[fkeep], scores[fkeep]
+        if uniq.size == 0:
+            return []
     order = _topk_order(uniq, scores, min(k, uniq.size))
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
@@ -243,9 +252,12 @@ def simple_query_string_topk(
     max_expansions: int = 50,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ):
     """Top-k (url, doc_id, score) for a simple_query_string body — see
-    the module docstring for the frozen grammar and scoring spec."""
+    the module docstring for the frozen grammar and scoring spec.
+    filters: ES filter-context clauses (engine/docvalues.py), applied as
+    the candidates-only docvalue mask after clause accumulation."""
     if default_operator not in ("or", "and"):
         raise ValueError(f"default_operator must be or/and, got {default_operator!r}")
     and_mode = default_operator == "and"
@@ -310,14 +322,29 @@ def simple_query_string_topk(
             else [t for slot in s[1] for t in slot]
         )
     ))
-    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
-        return _sqs_shard_topk(rows, pos_specs, neg_specs, and_mode, k, dels)
+    shard_filter = _shard_filter_or_none(reader, filters)
+
+    def run_kernel(rows: list, dels, shard=None) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
+        return _sqs_shard_topk(
+            rows, pos_specs, neg_specs, and_mode, k, dels, lf
+        )
 
     total_postings = sum(stats.get(t, 0) for t in distinct)
     return _scatter_topk(
         reader, distinct, needs_pos, run_kernel, total_postings, k,
         lookup, execution,
     )
+
+
+def _shard_filter_or_none(reader, filters):
+    if not filters:
+        return None
+    from engine.docvalues import build_shard_filter
+
+    return build_shard_filter(reader, filters)
 
 
 def _scatter_topk(
@@ -348,12 +375,15 @@ def _scatter_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
 
         def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+            top = run_kernel(
+                list(pdf.itertuples()), tomb.get(int(pdf_key[0])),
+                int(pdf_key[0]),
+            )
             return pd.DataFrame(
                 {
                     "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -755,12 +785,24 @@ def _qs_eval(spec, by_row, freq, dels):
     return base, scores
 
 
-def _qs_shard_topk(rows, root_spec, k: int, dels) -> list[tuple[int, float]]:
+def _qs_shard_topk(
+    rows, root_spec, k: int, dels, local_filter=None
+) -> list[tuple[int, float]]:
     by_row = {r.term: r for r in rows}
     freq = _freq_cache(by_row, dels)
     d, s = _qs_eval(root_spec, by_row, freq, dels)
     if d.size == 0:
         return []
+    if local_filter is not None:
+        # ES filter context: the docvalue gather needs sorted ids — the
+        # tree eval composes unique-sorted arrays, but guard anyway
+        if d.size > 1 and not np.all(d[:-1] <= d[1:]):
+            o = np.argsort(d, kind="stable")
+            d, s = d[o], s[o]
+        fkeep = local_filter(d)
+        d, s = d[fkeep], s[fkeep]
+        if d.size == 0:
+            return []
     order = _topk_order(d, s, min(k, d.size))
     return [(int(d[i]), float(s[i])) for i in order]
 
@@ -773,6 +815,7 @@ def query_string_topk(
     max_expansions: int = 50,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ):
     """Top-k (url, doc_id, score) for a full Lucene query_string — see
     the section comment above for the frozen grammar and semantics.
@@ -814,8 +857,13 @@ def query_string_topk(
     if not distinct:
         return _empty_topk(reader.spark)
 
-    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
-        return _qs_shard_topk(rows, spec, k, dels)
+    shard_filter = _shard_filter_or_none(reader, filters)
+
+    def run_kernel(rows: list, dels, shard=None) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
+        return _qs_shard_topk(rows, spec, k, dels, lf)
 
     total_postings = sum(stats.get(t, 0) for t in distinct)
     return _scatter_topk(

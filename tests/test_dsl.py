@@ -192,15 +192,18 @@ def test_phrase_highlight_and_divergences(spark, dsl_index):
         corpus=corpus,
     )
     assert all("<em>" in h["highlight"]["text"][0] for h in resp["hits"]["hits"])
-    # documented divergence: filter + should is not composed
-    with pytest.raises(ValueError, match="not composed"):
-        search(
-            r,
-            {"query": {"bool": {
-                "should": [{"match": {"text": "hash"}}],
-                "filter": [{"exists": {"field": "lang"}}],
-            }}},
-        )
+    # round-5 lift: filter + should now composes (the bool kernel takes
+    # the docvalue mask) — exists over a non-null column keeps every hit
+    unfiltered = search(r, {"query": {"bool": {
+        "should": [{"match": {"text": "hash"}}],
+    }}})
+    composed = search(r, {"query": {"bool": {
+        "should": [{"match": {"text": "hash"}}],
+        "filter": [{"exists": {"field": "lang"}}],
+    }}})
+    assert [(h["_id"], h["_score"]) for h in composed["hits"]["hits"]] == [
+        (h["_id"], h["_score"]) for h in unfiltered["hits"]["hits"]
+    ]
 
 
 def test_phrase_slop_and_prefix_dispatch(spark, tmp_path_factory):
@@ -535,9 +538,14 @@ def test_validate_query_endpoint(spark, dsl_index):
         "aggs": {"a": {"weird_agg": {"field": "lang"}}},
     })
     assert bad["valid"] is False and "weird_agg" in bad["error"]
-    # documented divergences also surface as invalid, not crashes
-    bad = validate_query(r, {"query": {"bool": {
+    # round-5 lift: bool should + filter now composes -> valid
+    assert validate_query(r, {"query": {"bool": {
         "should": [{"match": {"text": "hash"}}],
+        "filter": [{"exists": {"field": "lang"}}],
+    }}})["valid"] is True
+    # a still-documented divergence surfaces as invalid, not a crash
+    bad = validate_query(r, {"query": {"bool": {
+        "must": [{"synonym_match": {"text": {"groups": [["a"]]}}}],
         "filter": [{"exists": {"field": "lang"}}],
     }}})
     assert bad["valid"] is False and "not composed" in bad["error"]

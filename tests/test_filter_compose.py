@@ -1,0 +1,142 @@
+"""Filter context composed with every scoring query kind (round-5 lift).
+
+ES semantics under test, uniform across kinds: filter clauses restrict
+the matched set WITHOUT touching surviving docs' scores — the filtered
+result must equal the unfiltered full result restricted to the docs the
+filter admits, score-identical. Kernel plumbing:
+
+- bool / minimum_should_match -> _bool_shard_topk local_filter
+- simple_query_string / query_string -> _sqs/_qs_shard_topk local_filter
+- match_phrase / sloppy / prefix -> _phrase_slots_topk post-kernel mask
+  (exact: the kernel runs unbounded, mask + truncate on ordered output)
+- prefix/wildcard/regexp/fuzzy -> bm25_topk's existing TAAT mask
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+
+from engine.docvalues import RangeFilter, TermFilter
+from engine.dsl import search
+from engine.index_build import build_index
+from engine.query import IndexReader
+
+VOCAB = [
+    "hash", "table", "join", "sort", "merge", "scan", "index", "fast",
+    "query", "plan", "tree", "leaf", "page", "disk", "cache", "hit",
+]
+
+
+def _mk_corpus(n: int = 90):
+    rng = random.Random(3)
+    rows = []
+    for i in range(n):
+        words = rng.choices(VOCAB, k=rng.randint(6, 40))
+        if i % 4 == 0:
+            # seed exact phrases so phrase queries have real matches
+            p = rng.randint(0, len(words) - 2)
+            words[p : p + 2] = ["hash", "table"]
+        text = " ".join(words)
+        rows.append((f"u{i:04d}", text, "abc"[i % 3], len(text)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fc_index(spark):
+    rows = _mk_corpus()
+    df = spark.createDataFrame(rows, "url string, text string, grp string, nc long")
+    out = tempfile.mkdtemp(prefix="sparkft_test_fc_")
+    build_index(
+        spark, df, out, n_shards=3, n_buckets=4,
+        index_options="positions", docvalue_cols=["grp", "nc"],
+    )
+    yield out, rows
+    shutil.rmtree(out, ignore_errors=True)
+
+
+FILTER_BODY = [{"term": {"grp": "b"}}, {"range": {"nc": {"gte": 60, "lt": 200}}}]
+
+
+def _allowed(rows):
+    return {u for u, _t, g, nc in rows if g == "b" and 60 <= nc < 200}
+
+
+def _hits(reader, query: dict, filt: bool, k: int = 300):
+    q = dict(query)
+    if filt:
+        inner = q.pop("__wrap__", None)
+        if inner is None:
+            q = {"bool": {"must": [query], "filter": FILTER_BODY}}
+    body = {"query": q, "size": k}
+    return search(reader, body)["hits"]["hits"]
+
+
+QUERIES = [
+    ("bool_should", {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "should": [{"match": {"text": "join"}}, {"match": {"text": "sort"}}],
+        "must_not": [{"match": {"text": "scan"}}],
+    }}),
+    ("msm", {"match": {"text": {
+        "query": "hash join sort merge", "minimum_should_match": 2}}}),
+    ("prefix", {"prefix": {"text": {"value": "ha"}}}),
+    ("wildcard", {"wildcard": {"text": {"value": "ta*e"}}}),
+    ("fuzzy", {"fuzzy": {"text": {"value": "hashh"}}}),
+    ("phrase", {"match_phrase": {"text": "hash table"}}),
+    ("phrase_slop", {"match_phrase": {"text": {"query": "hash join", "slop": 3}}}),
+    ("phrase_prefix", {"match_phrase_prefix": {"text": "hash ta"}}),
+    ("sqs", {"simple_query_string": {
+        "query": '"hash table" join -scan me*', "fields": ["text"]}}),
+    ("query_string", {"query_string": {
+        "query": '(hash AND table) OR "sort merge" -scan', "fields": ["text"]}}),
+]
+
+
+@pytest.mark.parametrize("name,query", QUERIES, ids=[n for n, _ in QUERIES])
+def test_filter_restricts_without_rescoring(spark, fc_index, name, query):
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    # filter composes via the ES body shape bool{must:[q], filter:[...]}
+    # EXCEPT when q is itself a bool: then the filter merges into it
+    if "bool" in query:
+        q_f = {"bool": dict(query["bool"], filter=FILTER_BODY)}
+        got = search(reader, {"query": q_f, "size": 300})["hits"]["hits"]
+    else:
+        got = _hits(reader, query, filt=True)
+    full = _hits(reader, query, filt=False)
+    allowed = _allowed(rows)
+    want = [h for h in full if h["_id"] in allowed]
+    assert [h["_id"] for h in got] == [h["_id"] for h in want], name
+    assert [h["_score"] for h in got] == pytest.approx(
+        [h["_score"] for h in want], rel=1e-12
+    ), name
+    # the filter is real: it must exclude at least one unfiltered hit
+    assert len(want) < len(full), f"{name}: filter excluded nothing — weak test"
+    assert got, f"{name}: zero filtered hits — weak test"
+
+
+def test_kernel_api_filters_spark_path(spark, fc_index):
+    """The Spark execution path applies the same per-shard mask (shard id
+    is threaded through applyInPandas)."""
+    from engine.query import bm25_bool_topk, match_phrase_topk
+    from engine.querystring import simple_query_string_topk
+
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    filters = [TermFilter("grp", "b"), RangeFilter("nc", 60, 200)]
+    for fn in (
+        lambda ex: bm25_bool_topk(
+            reader, must=["hash"], should=["join", "sort"], k=300,
+            filters=filters, execution=ex),
+        lambda ex: match_phrase_topk(
+            reader, "hash table", k=300, filters=filters, execution=ex),
+        lambda ex: simple_query_string_topk(
+            reader, '"hash table" join', k=300, filters=filters, execution=ex),
+    ):
+        loc = [(r["url"], round(r["score"], 9)) for r in fn("local").collect()]
+        spk = [(r["url"], round(r["score"], 9)) for r in fn("spark").collect()]
+        assert loc == spk and loc
