@@ -548,12 +548,13 @@ def distance_feature_topk(
     )
 
 
-def ids_topk(reader: IndexReader, values, k: int = 10) -> DataFrame:
+def ids_topk(reader: IndexReader, values, k: int = 10, filters=()) -> DataFrame:
     """ES `ids` query: fetch by document id (url). Constant score 1.0
     (ES behavior), url-asc page order; the IN-list is a pushable
-    predicate over the docmap scan."""
+    predicate over the docmap scan. filters: ES filter context — extra
+    docvalue predicates on the same scan (live_docmap composes them)."""
     return (
-        live_docmap(reader)
+        live_docmap(reader, filters)
         .filter(F.col("url").isin([str(v) for v in values]))
         .select("url")
         .orderBy("url")
@@ -571,6 +572,7 @@ def pinned_topk(
     organic,
     k: int = 10,
     mode: str = "or",
+    filters=(),
 ) -> DataFrame:
     """ES `pinned` query: the given ids rank first IN REQUEST ORDER
     (synthetic score PINNED_BASE - position — frozen; ES uses a float-max
@@ -586,12 +588,25 @@ def pinned_topk(
     found = {
         x["url"] for x in mget(reader, ids).collect() if x["found"]
     }
+    if filters:
+        # ES filter context restricts pins too: a pinned id the filter
+        # rejects drops out (same docvalue predicates, pushed into the
+        # id-pruned docmap scan)
+        found &= {
+            x["url"]
+            for x in live_docmap(reader, filters)
+            .filter(F.col("url").isin(ids))
+            .select("url")
+            .collect()
+        }
     pinned = [
         (u, PINNED_BASE - i) for i, u in enumerate(ids) if u in found
     ][:k]
     organic_rows = [
         (x["url"], float(x["score"]))
-        for x in bm25_topk(reader, organic, k=k + len(ids), mode=mode).collect()
+        for x in bm25_topk(
+            reader, organic, k=k + len(ids), mode=mode, filters=filters
+        ).collect()
         if x["url"] not in found
     ]
     rows = pinned + organic_rows[: k - len(pinned)]

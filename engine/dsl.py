@@ -381,13 +381,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         ((fld, spec),) = query["synonym_match"].items()
         if fld != "text":
             raise ValueError("synonym_match supports the text field")
-        if filters:
-            raise ValueError("synonym_match + filter context is not composed yet")
         from engine.query import bm25_synonym_topk
 
         return bm25_synonym_topk(
             reader, spec["groups"], k=k,
             mode=spec.get("operator", "or").lower(),
+            filters=filters,
         )
     if "multi_match" in query:
         m = query["multi_match"]
@@ -459,19 +458,16 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "ids" in query:
         from engine.aggs import ids_topk
 
-        if filters:
-            raise ValueError("ids + filter context is not composed yet")
-        return ids_topk(reader, query["ids"]["values"], k=k)
+        return ids_topk(reader, query["ids"]["values"], k=k, filters=filters)
     if "terms_set" in query:
         from engine.query import terms_set_topk
 
         ((fld, spec),) = query["terms_set"].items()
         if fld != "text":
             raise ValueError("terms_set supports the text field")
-        if filters:
-            raise ValueError("terms_set + filter context is not composed yet")
         return terms_set_topk(
-            reader, list(spec["terms"]), spec["minimum_should_match_field"], k=k
+            reader, list(spec["terms"]), spec["minimum_should_match_field"],
+            k=k, filters=filters,
         )
     if "match_bool_prefix" in query:
         from engine.query import match_bool_prefix_topk
@@ -480,11 +476,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         if fld != "text":
             raise ValueError("match_bool_prefix supports the text field")
         text = spec["query"] if isinstance(spec, dict) else spec
-        if filters:
-            raise ValueError(
-                "match_bool_prefix + filter context is not composed yet"
-            )
-        return match_bool_prefix_topk(reader, text, k=k)
+        return match_bool_prefix_topk(reader, text, k=k, filters=filters)
     if "rank_feature" in query:
         from engine.aggs import rank_feature_topk
 
@@ -589,34 +581,27 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         ((fld, spec),) = query["span_term"].items()
         if fld != "text":
             raise ValueError("span_term supports the text field")
-        if filters:
-            raise ValueError("span_term + filter context is not composed yet")
         value = spec["value"] if isinstance(spec, dict) else spec
-        return bm25_topk(reader, [value], k=k)
+        return bm25_topk(reader, [value], k=k, filters=filters)
     if "span_near" in query:
         s = query["span_near"]
-        if filters:
-            raise ValueError("span_near + filter context is not composed yet")
         from engine.spans import span_near_topk
 
         return span_near_topk(
             reader, _span_clauses(s["clauses"]), k=k,
             slop=int(s.get("slop", 0)),
             in_order=bool(s.get("in_order", True)),
+            filters=filters,
         )
     if "span_or" in query:
         # top-level span_or: one slot of alternatives (unit spans)
         s = query["span_or"]
-        if filters:
-            raise ValueError("span_or + filter context is not composed yet")
         (alts,) = _span_clauses([{"span_or": s}])
         from engine.spans import span_or_topk
 
-        return span_or_topk(reader, alts, k=k)
+        return span_or_topk(reader, alts, k=k, filters=filters)
     if "span_not" in query:
         s = query["span_not"]
-        if filters:
-            raise ValueError("span_not + filter context is not composed yet")
         inc = s["include"]
         if "span_near" in inc:
             include = _span_clauses(inc["span_near"]["clauses"])
@@ -640,11 +625,10 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             reader, include, exclude, k=k, slop=slop, in_order=in_order,
             pre=int(s.get("pre", s.get("dist", 0))),
             post=int(s.get("post", s.get("dist", 0))),
+            filters=filters,
         )
     if "span_first" in query:
         s = query["span_first"]
-        if filters:
-            raise ValueError("span_first + filter context is not composed yet")
         m = s["match"]
         if set(m) != {"span_term"}:
             raise ValueError(
@@ -659,7 +643,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return span_first_topk(
             reader,
             spec["value"] if isinstance(spec, dict) else spec,
-            end=int(s["end"]), k=k,
+            end=int(s["end"]), k=k, filters=filters,
         )
     if "intervals" in query:
         # ES intervals query over a positional index, routed onto the
@@ -675,8 +659,6 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         ((fld, rule),) = query["intervals"].items()
         if fld != "text":
             raise ValueError("intervals supports the text field")
-        if filters:
-            raise ValueError("intervals + filter context is not composed yet")
 
         def _rule_terms(r_: dict) -> tuple[list, int, bool]:
             if "match" in r_:
@@ -715,9 +697,10 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         from engine.spans import span_near_topk
 
         if len(iv_terms) == 1:
-            return bm25_topk(reader, iv_terms, k=k)
+            return bm25_topk(reader, iv_terms, k=k, filters=filters)
         return span_near_topk(
-            reader, iv_terms, k=k, slop=max_gaps, in_order=ordered
+            reader, iv_terms, k=k, slop=max_gaps, in_order=ordered,
+            filters=filters,
         )
     if "simple_query_string" in query:
         s = query["simple_query_string"]
@@ -750,13 +733,11 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         bq = query["boosting"]
         pos, _op, _m, _f = _match_terms(bq["positive"])
         neg, _op2, _m2, _f2 = _match_terms(bq["negative"])
-        if filters:
-            raise ValueError("boosting + filter context is not composed yet")
         from engine.query import bm25_boosting_topk
 
         return bm25_boosting_topk(
             reader, pos, neg, negative_boost=float(bq.get("negative_boost", 0.5)),
-            k=k,
+            k=k, filters=filters,
         )
     if "dis_max" in query:
         d = query["dis_max"]
@@ -772,12 +753,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "pinned" in query:
         p = query["pinned"]
-        if filters:
-            raise ValueError("pinned + filter context is not composed yet")
         terms, op, _, _f = _match_terms(p["organic"])
         from engine.aggs import pinned_topk
 
-        return pinned_topk(reader, p["ids"], terms, k=k, mode=op)
+        return pinned_topk(
+            reader, p["ids"], terms, k=k, mode=op, filters=filters
+        )
     if "script_score" in query:
         f = query["script_score"]
         inner = f.get("query", {"match_all": {}})

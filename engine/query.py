@@ -1948,6 +1948,7 @@ def bm25_synonym_topk(
     mode: str = "or",
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """Search-time synonym expansion with Lucene SynonymQuery scoring —
     the engine-side equivalent of ES's search-time `synonym_graph` token
@@ -1994,8 +1995,13 @@ def bm25_synonym_topk(
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     n_groups = len(live_groups)
     tomb = reader.tombstones()
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
 
-    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        shard_filter = build_shard_filter(reader, filters)
+
+    def run_kernel(rows, dels=None, shard=None) -> list[tuple[int, float]]:
         by_grp: dict[int, list[tuple]] = {}
         for r in rows:
             d, t, l = P.decode_term_postings(
@@ -2028,12 +2034,20 @@ def bm25_synonym_topk(
             uniq, scores = uniq[keep], scores[keep]
         if uniq.size == 0:
             return []
+        if shard_filter is not None:
+            # ES filter context: candidates-only docvalue mask
+            fkeep = shard_filter(shard, uniq)
+            uniq, scores = uniq[fkeep], scores[fkeep]
+            if uniq.size == 0:
+                return []
         kk = min(k, uniq.size)
         order = _topk_order(uniq, scores, kk)
         return list(zip(uniq[order].tolist(), scores[order].tolist()))
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        top = run_kernel(
+            list(pdf.itertuples()), tomb.get(int(pdf_key[0])), int(pdf_key[0])
+        )
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -2052,7 +2066,7 @@ def bm25_synonym_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
         per_shard = (
@@ -2211,6 +2225,7 @@ def _terms_set_shard_topk(
     required_fn,
     shard: int,
     dels: np.ndarray | None = None,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """ES terms_set query over one shard (Lucene CoveringQuery): a doc
     matches when it contains at least required(doc) of the query terms,
@@ -2254,6 +2269,12 @@ def _terms_set_shard_topk(
     uniq, scores = uniq[keep], scores[keep]
     if uniq.size == 0:
         return []
+    if local_filter is not None:
+        # ES filter context: docvalue mask over surviving candidates only
+        fkeep = local_filter(uniq)
+        uniq, scores = uniq[fkeep], scores[fkeep]
+        if uniq.size == 0:
+            return []
     order = _topk_order(uniq, scores, min(k, uniq.size))
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
@@ -2265,6 +2286,7 @@ def terms_set_topk(
     k: int = 10,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES terms_set query top-k (url, doc_id, score): docs containing at
     least `doc[minimum_should_match_field]` of `terms`, scored as the
@@ -2306,9 +2328,19 @@ def terms_set_topk(
             .astype(np.float64)
         )
 
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
+
+        shard_filter = build_shard_filter(reader, filters)
+
     def run_kernel(shard: int, rows) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
         return _terms_set_shard_topk(
-            rows, idfs, k, k1, b, avgdl, required_fn, shard, tomb.get(shard)
+            rows, idfs, k, k1, b, avgdl, required_fn, shard, tomb.get(shard),
+            lf,
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2360,6 +2392,7 @@ def match_bool_prefix_topk(
     max_expansions: int = 128,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES match_bool_prefix query top-k: analyze the text; every token
     but the last becomes a should term clause, the LAST token becomes a
@@ -2385,7 +2418,8 @@ def match_bool_prefix_topk(
     if not terms:
         return empty
     return bm25_topk(
-        reader, terms, k=k, mode="or", execution=execution, lookup=lookup
+        reader, terms, k=k, mode="or", execution=execution, lookup=lookup,
+        filters=filters,
     )
 
 
@@ -2399,6 +2433,7 @@ def _boosting_shard_topk(
     b: float,
     avgdl: float,
     dels: np.ndarray | None = None,
+    local_filter=None,
 ) -> list[tuple[int, float]]:
     """ES boosting query over one shard: positive terms score like the
     OR TAAT kernel; docs also containing ANY negative term keep their
@@ -2432,6 +2467,12 @@ def _boosting_shard_topk(
     if neg_parts:
         demote = np.isin(uniq, np.concatenate(neg_parts))
         scores = np.where(demote, scores * negative_boost, scores)
+    if local_filter is not None:
+        # ES filter context: candidates-only docvalue mask, post-demotion
+        fkeep = local_filter(uniq)
+        uniq, scores = uniq[fkeep], scores[fkeep]
+        if uniq.size == 0:
+            return []
     order = _topk_order(uniq, scores, min(k, uniq.size))
     return [(int(uniq[i]), float(scores[i])) for i in order]
 
@@ -2444,6 +2485,7 @@ def bm25_boosting_topk(
     k: int = 10,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ) -> DataFrame:
     """ES `boosting` query top-k: rank by the positive query's BM25 (OR
     over its analyzed terms, the frozen subset — ES allows any subquery),
@@ -2472,14 +2514,24 @@ def bm25_boosting_topk(
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
     neg_set = frozenset(neg_terms)
     tomb = reader.tombstones()
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
 
-    def run_kernel(rows, dels=None) -> list[tuple[int, float]]:
+        shard_filter = build_shard_filter(reader, filters)
+
+    def run_kernel(rows, dels=None, shard=None) -> list[tuple[int, float]]:
+        lf = None
+        if shard_filter is not None:
+            lf = lambda u, s=shard: shard_filter(s, u)  # noqa: E731
         return _boosting_shard_topk(
-            rows, idfs, neg_set, negative_boost, k, k1, b, avgdl, dels
+            rows, idfs, neg_set, negative_boost, k, k1, b, avgdl, dels, lf
         )
 
     def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+        top = run_kernel(
+            list(pdf.itertuples()), tomb.get(int(pdf_key[0])), int(pdf_key[0])
+        )
         return pd.DataFrame(
             {
                 "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -2499,7 +2551,7 @@ def bm25_boosting_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in run_kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
         per_shard = (

@@ -245,13 +245,36 @@ def _positional_topk(
     k: int,
     execution: str,
     lookup: str,
+    filters=(),
 ):
     """Shared span executor (the match_phrase execution shape): local
     pyarrow positional read + in-process kernel when the postings fit,
-    else one Spark scatter-gather with per-shard kernels."""
+    else one Spark scatter-gather with per-shard kernels.
+
+    filters (ES filter context): callers pass an UNBOUNDED run_kernel
+    (kernel k = 2^31) when filters are set; the docvalue mask +
+    truncation to k apply here on the kernel's ordered full output —
+    exact, same composition as the phrase executor."""
     spark = reader.spark
     tomb = reader.tombstones()
     stats = reader.term_stats(distinct)
+    shard_filter = None
+    if filters:
+        from engine.docvalues import build_shard_filter
+
+        shard_filter = build_shard_filter(reader, filters)
+
+    def kernel(rows: list, dels, shard: int) -> list[tuple[int, float]]:
+        top = run_kernel(rows, dels)
+        if shard_filter is None or not top:
+            return top
+        loc = np.array([t[0] for t in top], dtype=np.int64)
+        order = np.argsort(loc, kind="stable")  # gather needs sorted ids
+        keep = np.empty(loc.size, dtype=bool)
+        keep[order] = shard_filter(shard, loc[order])
+        # top is (score desc, doc asc)-ordered: masked truncation is exact
+        return [t for t, m in zip(top, keep) if m][:k]
+
     heap_rows: list[tuple[int, int, float]] | None = None
     total_postings = sum(stats.get(t, 0) for t in distinct)
     if execution == "local" or (
@@ -262,12 +285,15 @@ def _positional_topk(
             heap_rows = [
                 (shard, local, score)
                 for shard, rows in by_shard.items()
-                for local, score in run_kernel(rows, tomb.get(shard))
+                for local, score in kernel(rows, tomb.get(shard), shard)
             ]
     if heap_rows is None:
 
         def shard_topk(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            top = run_kernel(list(pdf.itertuples()), tomb.get(int(pdf_key[0])))
+            top = kernel(
+                list(pdf.itertuples()), tomb.get(int(pdf_key[0])),
+                int(pdf_key[0]),
+            )
             return pd.DataFrame(
                 {
                     "shard": np.full(len(top), pdf_key[0], dtype=np.int32),
@@ -306,6 +332,7 @@ def span_near_topk(
     exclude: "list[str] | None" = None,
     pre: int = 0,
     post: int = 0,
+    filters=(),
 ):
     """ES ``span_near`` top-k over a POSITIONAL index: (url, doc_id,
     score), score desc / doc_id asc. clauses: a string (one slot per
@@ -335,13 +362,17 @@ def span_near_topk(
     distinct = list(dict.fromkeys([t for sl in slots for t in sl] + exclude))
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
 
+    kern_k = (1 << 31) if filters else k  # unbounded under filter context
+
     def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
         return _span_near_shard_topk(
-            rows, slots, slop, in_order, idf_sum, k, k1, b, avgdl, dels,
+            rows, slots, slop, in_order, idf_sum, kern_k, k1, b, avgdl, dels,
             exclude=exclude, pre=pre, post=post,
         )
 
-    return _positional_topk(reader, distinct, run_kernel, k, execution, lookup)
+    return _positional_topk(
+        reader, distinct, run_kernel, k, execution, lookup, filters
+    )
 
 
 def _parse_clauses(clauses) -> list[list[str]]:
@@ -367,6 +398,7 @@ def span_or_topk(
     k: int = 10,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ):
     """ES top-level ``span_or`` top-k: every occurrence of any alternative
     is a unit span (width 0, weight 1), so tf = the per-doc occurrence
@@ -374,7 +406,7 @@ def span_or_topk(
     alternatives' idfs — a one-slot span_near by construction."""
     return span_near_topk(
         reader, [list(alternatives)], k=k, slop=0, in_order=False,
-        execution=execution, lookup=lookup,
+        execution=execution, lookup=lookup, filters=filters,
     )
 
 
@@ -389,6 +421,7 @@ def span_not_topk(
     post: int = 0,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ):
     """ES ``span_not`` top-k: matches of the include span (a span_term, a
     span_near clause list, or nested span_or slots) kept only when no
@@ -398,7 +431,7 @@ def span_not_topk(
     return span_near_topk(
         reader, include, k=k, slop=slop, in_order=in_order,
         exclude=list(exclude), pre=pre, post=post,
-        execution=execution, lookup=lookup,
+        execution=execution, lookup=lookup, filters=filters,
     )
 
 
@@ -409,6 +442,7 @@ def span_first_topk(
     k: int = 10,
     execution: str = "auto",
     lookup: str = "auto",
+    filters=(),
 ):
     """ES ``span_first`` top-k (match = a span_term clause, the supported
     subset): occurrences of ``term`` whose span end (0-based position + 1)
@@ -429,7 +463,13 @@ def span_first_topk(
     idf = float(P.bm25_idf(stats[t], reader.n_docs))
     k1, b, avgdl = reader.k1, reader.b, reader.avgdl
 
-    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
-        return _span_first_shard_topk(rows, t, end, idf, k, k1, b, avgdl, dels)
+    kern_k = (1 << 31) if filters else k
 
-    return _positional_topk(reader, [t], run_kernel, k, execution, lookup)
+    def run_kernel(rows: list, dels) -> list[tuple[int, float]]:
+        return _span_first_shard_topk(
+            rows, t, end, idf, kern_k, k1, b, avgdl, dels
+        )
+
+    return _positional_topk(
+        reader, [t], run_kernel, k, execution, lookup, filters
+    )

@@ -544,11 +544,8 @@ def test_validate_query_endpoint(spark, dsl_index):
         "filter": [{"exists": {"field": "lang"}}],
     }}})["valid"] is True
     # a still-documented divergence surfaces as invalid, not a crash
-    bad = validate_query(r, {"query": {"bool": {
-        "must": [{"synonym_match": {"text": {"groups": [["a"]]}}}],
-        "filter": [{"exists": {"field": "lang"}}],
-    }}})
-    assert bad["valid"] is False and "not composed" in bad["error"]
+    bad = validate_query(r, {"query": {"match_phrase": {"title": "a b"}}})
+    assert bad["valid"] is False and "text field" in bad["error"]
 
 
 def test_pinned_query_and_new_pipeline_aggs(spark, dsl_index):

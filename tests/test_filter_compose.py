@@ -41,18 +41,21 @@ def _mk_corpus(n: int = 90):
             p = rng.randint(0, len(words) - 2)
             words[p : p + 2] = ["hash", "table"]
         text = " ".join(words)
-        rows.append((f"u{i:04d}", text, "abc"[i % 3], len(text)))
+        # req: small per-doc terms_set threshold (1..3, deterministic)
+        rows.append((f"u{i:04d}", text, "abc"[i % 3], len(text), i % 3 + 1))
     return rows
 
 
 @pytest.fixture(scope="module")
 def fc_index(spark):
     rows = _mk_corpus()
-    df = spark.createDataFrame(rows, "url string, text string, grp string, nc long")
+    df = spark.createDataFrame(
+        rows, "url string, text string, grp string, nc long, req long"
+    )
     out = tempfile.mkdtemp(prefix="sparkft_test_fc_")
     build_index(
         spark, df, out, n_shards=3, n_buckets=4,
-        index_options="positions", docvalue_cols=["grp", "nc"],
+        index_options="positions", docvalue_cols=["grp", "nc", "req"],
     )
     yield out, rows
     shutil.rmtree(out, ignore_errors=True)
@@ -62,7 +65,7 @@ FILTER_BODY = [{"term": {"grp": "b"}}, {"range": {"nc": {"gte": 60, "lt": 200}}}
 
 
 def _allowed(rows):
-    return {u for u, _t, g, nc in rows if g == "b" and 60 <= nc < 200}
+    return {u for u, _t, g, nc, _r in rows if g == "b" and 60 <= nc < 200}
 
 
 def _hits(reader, query: dict, filt: bool, k: int = 300):
@@ -93,6 +96,28 @@ QUERIES = [
         "query": '"hash table" join -scan me*', "fields": ["text"]}}),
     ("query_string", {"query_string": {
         "query": '(hash AND table) OR "sort merge" -scan', "fields": ["text"]}}),
+    # round-5 second batch: spans / intervals / terms_set / boosting /
+    # pinned / ids / match_bool_prefix / synonym_match
+    ("span_near", {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}}, {"span_term": {"text": "table"}}],
+        "slop": 1, "in_order": True}}),
+    ("span_first", {"span_first": {
+        "match": {"span_term": {"text": "hash"}}, "end": 5}}),
+    ("intervals", {"intervals": {"text": {"match": {
+        "query": "hash table", "max_gaps": 2, "ordered": True}}}}),
+    ("terms_set", {"terms_set": {"text": {
+        "terms": ["hash", "join", "sort"],
+        "minimum_should_match_field": "req"}}}),
+    ("boosting", {"boosting": {
+        "positive": {"match": {"text": "hash table"}},
+        "negative": {"match": {"text": "scan"}}, "negative_boost": 0.4}}),
+    ("pinned", {"pinned": {
+        "ids": ["u0004", "u0016", "u0001"],
+        "organic": {"match": {"text": "hash table"}}}}),
+    ("ids", {"ids": {"values": [f"u{i:04d}" for i in range(0, 60, 2)]}}),
+    ("match_bool_prefix", {"match_bool_prefix": {"text": "join ta"}}),
+    ("synonym_match", {"synonym_match": {"text": {
+        "groups": [["hash", "index"], ["table"]]}}}),
 ]
 
 
