@@ -2776,6 +2776,26 @@ def q_sqs_filtered(spark, sf_dir):
     )
 
 
+def q_agg_terms_phrase(spark, sf_dir):
+    """terms agg on lang over docs matching a match_phrase query — the
+    round-5 aggs-under-phrase composition: the matched set comes from the
+    per-shard positional phrase matcher (docs with phrase freq > 0,
+    engine/query.py phrase_matcher), computed next to the postings and
+    fed into the same docvalue agg machinery (engine/aggs.py search_aggs
+    matcher=...)."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader, phrase_matcher
+
+    r = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    pm = phrase_matcher(r, PHRASE_Q)
+    if pm is None:
+        return search_aggs(r, ["\x00dead\x00"], TermsAgg("lang", size=10))
+    terms, matcher = pm
+    return search_aggs(
+        r, terms, TermsAgg("lang", size=10), matcher=matcher, needs_pos=True
+    )
+
+
 def q_bm25_msm(spark, sf_dir):
     """ES minimum_should_match on the REAL index: ranked union of should
     terms, but a doc must match at least MSM_N of them to qualify
@@ -4546,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
         "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
         "sqs_filtered_topk": q_sqs_filtered,
+        "agg_terms_phrase": q_agg_terms_phrase,
     }
 
 
@@ -5597,4 +5618,20 @@ FROM ppl CROSS JOIN cuts""",
         "sqs_filtered_topk": _sqs_sql(
             ["hash", "table"], "merge", "b", "dup", k=25, flt="n_chars >= 200"
         ),
+        "agg_terms_phrase": _toks_cte() + f""",
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos
+  FROM toks
+),
+pf AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pos p0
+  JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+             AND p1.term = '{PHRASE_Q.split()[1]}'
+  WHERE p0.term = '{PHRASE_Q.split()[0]}'
+)
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM pf JOIN documents USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
     }

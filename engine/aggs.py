@@ -1348,6 +1348,8 @@ def search_aggs(
     mode: str = "or",
     execution: str = "auto",
     filters=(),
+    matcher=None,
+    needs_pos: bool = False,
 ) -> DataFrame:
     """Aggregation over the docs matching `query` (None = match_all).
 
@@ -1357,6 +1359,12 @@ def search_aggs(
     ExistsFilter over docvalues, conjunctive) restricting the matched set
     — evaluated vectorized on the candidates' gathered docvalues, never
     on the corpus.
+    matcher: optional per-shard matched-set override —
+    matcher(rows, dels) -> sorted local ids. Lets non-term query kinds
+    (match_phrase via engine.query.phrase_matcher) drive the agg context;
+    `query` then supplies the postings read's term list and needs_pos=True
+    reads the positional stream. The matched set is computed per shard
+    next to its postings (never collected), preserving the scale shape.
     execution: 'auto' serves small queries driver-side (no Spark job for
     the matched-set work), 'spark' forces the scatter-gather path,
     'local' forces driver-side (raises if postings aren't local)."""
@@ -1389,18 +1397,25 @@ def search_aggs(
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     stats = reader.term_stats(terms)
     live = [t for t in terms if t in stats]
-    if not live or (mode == "and" and len(live) < len(terms)):
+    if not live or (
+        matcher is None and mode == "and" and len(live) < len(terms)
+    ) or (matcher is not None and len(live) < len(terms)):
+        # matcher contexts are conjunctive over their term list (phrase):
+        # any dead term empties the matched set everywhere
         empty = spark.createDataFrame([], _partial_schema(agg, vt))
         return _combine(spark, empty, agg, vt)
     terms, n_terms = live, len(live)
     tomb = reader.tombstones()
     index_dir, fields_b, mode_b = reader.dir, fields, mode
 
+    def matched(rows: list, dels) -> np.ndarray:
+        if matcher is not None:
+            return matcher(rows, dels)
+        return _matched_local_ids(rows, mode_b, n_terms, dels)
+
     def shard_partials(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf_key[0])
-        m = _matched_local_ids(
-            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
-        )
+        m = matched(list(pdf.itertuples()), tomb.get(shard))
         if m.size == 0:
             return _partial_frame(
                 ds.dataset(
@@ -1415,11 +1430,15 @@ def search_aggs(
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
-        by_shard = reader.postings_local(terms)
+        by_shard = (
+            reader.postings_pos_local(terms)
+            if needs_pos
+            else reader.postings_local(terms)
+        )
         if by_shard is not None:
             frames = []
             for shard, rows in by_shard.items():
-                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                m = matched(rows, tomb.get(shard))
                 if m.size:
                     frames.append(_partial_frame(masked_gather(shard, m), agg, vt))
             if frames:
@@ -1964,6 +1983,8 @@ def matched_urls(
     mode: str = "or",
     execution: str = "auto",
     filters=(),
+    matcher=None,
+    needs_pos: bool = False,
 ) -> DataFrame:
     """DataFrame of the _ids (urls) of docs matching the query context —
     the foreground set feeding significant_terms (and a useful primitive
@@ -1984,12 +2005,19 @@ def matched_urls(
     )
     stats = reader.term_stats(terms)
     live = [t for t in terms if t in stats]
-    if not live or (mode == "and" and len(live) < len(terms)):
+    if not live or (
+        matcher is None and mode == "and" and len(live) < len(terms)
+    ) or (matcher is not None and len(live) < len(terms)):
         return spark.createDataFrame([], "url string")
     terms, n_terms = live, len(live)
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
     fields = list(dict.fromkeys(["url"] + filter_fields(filters)))
+
+    def matched(rows: list, dels) -> np.ndarray:
+        if matcher is not None:
+            return matcher(rows, dels)
+        return _matched_local_ids(rows, mode_b, n_terms, dels)
 
     def gather(shard: int, m: np.ndarray) -> pd.DataFrame:
         tbl = _gather_docvalues(index_dir, shard, fields, m)
@@ -1999,9 +2027,7 @@ def matched_urls(
 
     def shard_urls(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf_key[0])
-        m = _matched_local_ids(
-            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
-        )
+        m = matched(list(pdf.itertuples()), tomb.get(shard))
         if m.size == 0:
             return pd.DataFrame({"url": pd.Series([], dtype=object)})
         return gather(shard, m)
@@ -2010,11 +2036,15 @@ def matched_urls(
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
-        by_shard = reader.postings_local(terms)
+        by_shard = (
+            reader.postings_pos_local(terms)
+            if needs_pos
+            else reader.postings_local(terms)
+        )
         if by_shard is not None:
             frames = []
             for shard, rows in by_shard.items():
-                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                m = matched(rows, tomb.get(shard))
                 if m.size:
                     frames.append(gather(shard, m))
             if not frames:
@@ -2038,6 +2068,8 @@ def search_count(
     mode: str = "or",
     execution: str = "auto",
     filters=(),
+    matcher=None,
+    needs_pos: bool = False,
 ) -> DataFrame:
     """ES `_count`: doc_count of the query context (None = match_all),
     filter clauses included. The kernel path counts over the matched-id
@@ -2050,9 +2082,10 @@ def search_count(
     if query is None:
         dm = live_docmap(reader, filters)
         return dm.agg(F.count(F.lit(1)).alias("doc_count"))
-    return matched_urls(reader, query, mode, execution, filters).agg(
-        F.count(F.lit(1)).alias("doc_count")
-    )
+    return matched_urls(
+        reader, query, mode, execution, filters,
+        matcher=matcher, needs_pos=needs_pos,
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
 
 
 def significant_terms(

@@ -899,6 +899,44 @@ def _attach_matched_queries(reader, query: dict, hits: list) -> None:
         h["matched_queries"] = got
 
 
+def _agg_context(reader, query: dict):
+    """(terms, mode, matcher, needs_pos) of the aggs matched set — the
+    term-query kinds pass through _query_terms_or_none; match_phrase
+    (exact or sloppy) supplies a per-shard positional matcher
+    (engine.query.phrase_matcher: docs with phrase freq > 0) so
+    {"query": {"match_phrase": ...}, "aggs": ...} composes. The matched
+    set is computed per shard next to its postings — never collected."""
+    if "bool" in query:
+        # bool {must: [ONE match_phrase], filter: [...]}: the filter is
+        # extracted by the caller (_clause_filters) — recurse on the
+        # phrase clause so phrase + filter + aggs composes
+        b = query["bool"]
+        must_c = b.get("must", [])
+        must_c = must_c if isinstance(must_c, list) else [must_c]
+        if (
+            len(must_c) == 1 and not b.get("should") and not b.get("must_not")
+            and isinstance(must_c[0], dict) and "match_phrase" in must_c[0]
+        ):
+            return _agg_context(reader, must_c[0])
+    if "match_phrase" in query:
+        ((fld, spec),) = query["match_phrase"].items()
+        if fld != "text":
+            raise ValueError("match_phrase supports the text field")
+        text = spec["query"] if isinstance(spec, dict) else spec
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        from engine.query import phrase_matcher
+
+        pm = phrase_matcher(reader, text, slop)
+        if pm is None:
+            # a dead slot term: conjunctive empty set — [] under "and"
+            # short-circuits to the empty bucket table in search_aggs
+            return ["\x00dead\x00"], "and", None, False
+        terms, matcher = pm
+        return terms, "or", matcher, True
+    terms, mode = _query_terms_or_none(query)
+    return terms, mode, None, False
+
+
 def _query_terms_or_none(query: dict):
     """The analyzed term list driving aggs/sort/count for this query, or
     None for match_all. Raises for query kinds whose matched set is not a
@@ -1253,12 +1291,14 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
     if body.get("track_total_hits") or frm + size == 0:
         # ES reports hits.total even at size:0 (default track_total_hits
-        # caps at 10k; our count path is exact, so relation is "eq")
-        terms, mode = _query_terms_or_none(query)
+        # caps at 10k; our count path is exact, so relation is "eq") —
+        # phrase queries count via the positional matcher (_agg_context)
+        terms, mode, matcher, needs_pos = _agg_context(reader, query)
         total = search_count(
             reader, terms, mode,
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else (),
+            matcher=matcher, needs_pos=needs_pos,
         ).collect()[0]["doc_count"]
         relation = "eq"
     else:
@@ -1266,7 +1306,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
     aggs_spec = body.get("aggs") or body.get("aggregations") or {}
     if aggs_spec:
-        terms, mode = _query_terms_or_none(query)
+        terms, mode, matcher, needs_pos = _agg_context(reader, query)
         filt = (
             _clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else ()
@@ -1278,7 +1318,18 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         )
         bucket_dfs: dict = {}
         siblings = []
+        _MATCHER_GATED = (
+            "sampler", "diversified_sampler", "significant_text",
+            "significant_terms", "top_metrics",
+        )
         for name, spec in aggs_spec.items():
+            if matcher is not None and any(g in spec for g in _MATCHER_GATED):
+                # these sub-paths take a term list, not a matcher — an OR
+                # over the phrase's terms would be the WRONG matched set
+                raise ValueError(
+                    f"{name}: sampler/significant/top_metrics under a "
+                    "phrase query is not composed (term queries only)"
+                )
             sib = next((s for s in _SIBLINGS if s in spec), None)
             if sib:
                 # sibling pipeline aggs reduce ANOTHER agg's bucket table;
@@ -1384,7 +1435,10 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 }
                 continue
             agg, post = _compile_agg(spec)
-            df = search_aggs(reader, terms, agg, mode=mode, filters=filt)
+            df = search_aggs(
+                reader, terms, agg, mode=mode, filters=filt,
+                matcher=matcher, needs_pos=needs_pos,
+            )
             if post is not None:
                 df = post(df)
             bucket_dfs[name] = df

@@ -3893,6 +3893,46 @@ def match_phrase_topk(
     )
 
 
+def phrase_matcher(reader: "IndexReader", phrase: str | list[str], slop: int = 0):
+    """(distinct_terms, matcher) for composing a match_phrase query
+    context with aggs/count: matcher(rows, dels) -> SORTED local ids of
+    the docs whose phrase frequency > 0 in one shard (the exact/sloppy
+    kernel run unbounded; scores discarded — idf_sum=1 placeholder).
+    Returns None when a slot term is missing from the dictionary
+    (conjunctive: the matched set is empty everywhere). The caller feeds
+    `distinct_terms` to the positional postings read and `matcher` to
+    search_aggs(matcher=..., needs_pos=True) — the matched set is
+    computed per shard next to the postings, never collected globally."""
+    _require_positions(reader, "match_phrase (agg/count context)")
+    from engine.textnorm import standard_tokenize_py
+
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        return None
+    distinct = list(dict.fromkeys(terms))
+    stats = reader.term_stats(distinct)
+    if any(t not in stats for t in distinct):
+        return None
+    slots = [[t] for t in terms]
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+
+    def matcher(rows: list, dels) -> np.ndarray:
+        if slop:
+            top = _phrase_slop_shard_topk(
+                rows, slots, slop, 1.0, 1 << 31, k1, b, avgdl, dels
+            )
+        else:
+            top = _phrase_shard_topk(rows, slots, 1.0, 1 << 31, k1, b, avgdl, dels)
+        if not top:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.array([t[0] for t in top], dtype=np.int64))
+
+    return distinct, matcher
+
+
 def match_phrase_prefix_topk(
     reader: "IndexReader",
     phrase: str | list[str],

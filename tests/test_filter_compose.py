@@ -165,3 +165,73 @@ def test_kernel_api_filters_spark_path(spark, fc_index):
         loc = [(r["url"], round(r["score"], 9)) for r in fn("local").collect()]
         spk = [(r["url"], round(r["score"], 9)) for r in fn("spark").collect()]
         assert loc == spk and loc
+
+
+def test_aggs_and_count_under_phrase(spark, fc_index):
+    """Round-5 composition: {"query": {"match_phrase": ...}, "aggs"/
+    "track_total_hits"} — the matched set comes from the per-shard
+    positional phrase matcher (docs with phrase freq > 0), computed next
+    to the postings, then feeds the same docvalue agg/count machinery."""
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+
+    def brute_matched(slop=0):
+        got = set()
+        for u, t, _g, _nc, _r in rows:
+            toks = t.split()
+            if slop == 0:
+                if any(toks[i:i + 2] == ["hash", "table"]
+                       for i in range(len(toks) - 1)):
+                    got.add(u)
+            else:
+                # sloppy: hash at i, table at j, |(j-1) - i| <= slop
+                hs = [i for i, w in enumerate(toks) if w == "hash"]
+                ts = [j for j, w in enumerate(toks) if w == "table"]
+                if any(abs((j - 1) - i) <= slop for i in hs for j in ts):
+                    got.add(u)
+        return got
+
+    for slop in (0, 2):
+        q = {"match_phrase": {"text": {"query": "hash table", "slop": slop}}}
+        resp = search(reader, {
+            "query": q, "size": 0, "track_total_hits": True,
+            "aggs": {"by_grp": {"terms": {"field": "grp", "size": 10}}},
+        })
+        want = brute_matched(slop)
+        assert resp["hits"]["total"]["value"] == len(want), f"slop={slop}"
+        from collections import Counter
+        grp_of = {u: g for u, _t, g, _nc, _r in rows}
+        want_counts = Counter(grp_of[u] for u in want)
+        got_counts = {
+            b["key"]: b["doc_count"]
+            for b in resp["aggregations"]["by_grp"]["buckets"]
+        }
+        assert got_counts == dict(want_counts), f"slop={slop}"
+
+    # phrase + filter context + aggs compose together
+    resp = search(reader, {
+        "query": {"bool": {"must": [
+            {"match_phrase": {"text": "hash table"}}], "filter": FILTER_BODY}},
+        "size": 0, "aggs": {"g": {"terms": {"field": "grp", "size": 10}}},
+    })
+    want = brute_matched(0) & _allowed(rows)
+    got = {b["key"]: b["doc_count"]
+           for b in resp["aggregations"]["g"]["buckets"]}
+    assert sum(got.values()) == len(want) and set(got) <= {"b"}
+
+    # a dead slot term: empty buckets, zero total (conjunctive semantics)
+    resp = search(reader, {
+        "query": {"match_phrase": {"text": "hash zzzznope"}},
+        "size": 0, "track_total_hits": True,
+        "aggs": {"g": {"terms": {"field": "grp"}}},
+    })
+    assert resp["hits"]["total"]["value"] == 0
+    assert resp["aggregations"]["g"]["buckets"] == []
+
+    # sampler under a phrase query raises the documented gate
+    with pytest.raises(ValueError, match="not composed"):
+        search(reader, {
+            "query": {"match_phrase": {"text": "hash table"}}, "size": 0,
+            "aggs": {"s": {"sampler": {"shard_size": 5},
+                           "aggs": {"t": {"terms": {"field": "grp"}}}}},
+        })
