@@ -4449,12 +4449,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
         "agg_ttest_paired": q_agg_ttest_paired,
-        "agg_div_sampler": q_agg_div_sampler,
-        "agg_auto_date_histogram": q_agg_auto_date_histogram,
-        "l11_stop_tokens": q_l11_stop_tokens,
-        "pinned_topk": q_pinned_topk,
-        "agg_percentile_ranks": q_agg_percentile_ranks,
-        "agg_top_metrics": q_agg_top_metrics,
+        # --- slots 45-50: the round-5 late additions (combined_fields +
+        # the filter-context/aggs-under-phrase composition lift) rotate
+        # INTO the driver gate; the displaced six (judge-replayed in r4)
+        # move below it, still fully self-certified ---
+        "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "bm25_mf_filtered_topk": q_bm25_mf_filtered,
+        "bm25_bool_filtered_topk": q_bm25_bool_filtered,
+        "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
+        "sqs_filtered_topk": q_sqs_filtered,
+        "agg_terms_phrase": q_agg_terms_phrase,
         # ---------------- driver gate boundary (50 entries) ----------------
         # previously driver-certified rows (r1-r4 green), self-cert covered:
         "stats_repetition": q_stats_repetition,
@@ -4559,14 +4563,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_quality_score": q_quality_score,
         "stats_doc_fingerprint": q_doc_fingerprint,
         "ev_sliding_stats": q_ev_sliding_stats,
-        # --- round-5 late addition (below the 50-slot gate; certified by
-        # the full self-cert run): ES combined_fields query ---
-        "bm25_combined_fields_topk": q_bm25_combined_fields,
-        "bm25_mf_filtered_topk": q_bm25_mf_filtered,
-        "bm25_bool_filtered_topk": q_bm25_bool_filtered,
-        "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
-        "sqs_filtered_topk": q_sqs_filtered,
-        "agg_terms_phrase": q_agg_terms_phrase,
+        # --- displaced from slots 45-50 by the rotation above (green
+        # driver history + r4 judge replay + full self-cert) ---
+        "agg_div_sampler": q_agg_div_sampler,
+        "agg_auto_date_histogram": q_agg_auto_date_histogram,
+        "l11_stop_tokens": q_l11_stop_tokens,
+        "pinned_topk": q_pinned_topk,
+        "agg_percentile_ranks": q_agg_percentile_ranks,
+        "agg_top_metrics": q_agg_top_metrics,
     }
 
 
