@@ -1470,6 +1470,8 @@ def search_sort(
     execution: str = "auto",
     filters=(),
     runtime: dict[str, str] | None = None,
+    matcher=None,
+    needs_pos: bool = False,
 ) -> DataFrame:
     """Field-sorted search with search_after deep paging (the ES `sort`
     clause + `search_after` cursor — the scalable alternative to
@@ -1560,12 +1562,19 @@ def search_sort(
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
     stats = reader.term_stats(terms)
     live = [t for t in terms if t in stats]
-    if not live or (mode == "and" and len(live) < len(terms)):
+    if not live or (
+        matcher is None and mode == "and" and len(live) < len(terms)
+    ) or (matcher is not None and len(live) < len(terms)):
         return spark.createDataFrame([], f"url string, sort_val {vt}")
     terms, n_terms = live, len(live)
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
     fields = list(dict.fromkeys(gather_flds + ["url"] + filter_fields(filters)))
+
+    def matched(rows: list, dels) -> np.ndarray:
+        if matcher is not None:
+            return matcher(rows, dels)
+        return _matched_local_ids(rows, mode_b, n_terms, dels)
 
     def gather_page_input(shard: int, m: np.ndarray) -> pd.DataFrame:
         tbl = _gather_docvalues(index_dir, shard, fields, m)
@@ -1586,9 +1595,7 @@ def search_sort(
 
     def shard_page(pdf_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf_key[0])
-        m = _matched_local_ids(
-            list(pdf.itertuples()), mode_b, n_terms, tomb.get(shard)
-        )
+        m = matched(list(pdf.itertuples()), tomb.get(shard))
         if m.size == 0:
             return pd.DataFrame({"url": pd.Series([], dtype=object), "v": []})
         return page(gather_page_input(shard, m))
@@ -1597,11 +1604,15 @@ def search_sort(
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
-        by_shard = reader.postings_local(terms)
+        by_shard = (
+            reader.postings_pos_local(terms)
+            if needs_pos
+            else reader.postings_local(terms)
+        )
         if by_shard is not None:
             frames = []
             for shard, rows in by_shard.items():
-                m = _matched_local_ids(rows, mode, n_terms, tomb.get(shard))
+                m = matched(rows, tomb.get(shard))
                 if m.size == 0:
                     continue
                 frames.append(gather_page_input(shard, m))

@@ -1104,7 +1104,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # all (the matched set is still computed by the aggs/total paths)
         hits = []
     elif sort_spec:
-        terms, mode = _query_terms_or_none(query)
+        # phrase queries sort via the positional matcher (_agg_context)
+        terms, mode, matcher, needs_pos = _agg_context(reader, query)
         ((fld, o),) = (
             sort_spec[0].items() if isinstance(sort_spec[0], dict)
             else ((sort_spec[0], "asc"),)
@@ -1125,6 +1126,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else (),
             runtime=rt or None,
+            matcher=matcher, needs_pos=needs_pos,
         ).collect()[frm:]
         hits = [
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
@@ -1177,7 +1179,11 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 from engine.query import highlight_fragments
 
                 hl = body["highlight"]
-                terms, _mode = _query_terms_or_none(query)
+                # phrase bodies highlight their slot terms (every
+                # occurrence, not only in-phrase ones — ES plain-
+                # highlighter behavior, documented divergence from the
+                # unified highlighter's position-aware passages)
+                terms, _mode, _matcher, _np_ = _agg_context(reader, query)
                 frags = {
                     r["url"]: r["fragment"]
                     for r in highlight_fragments(

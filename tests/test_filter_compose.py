@@ -235,3 +235,46 @@ def test_aggs_and_count_under_phrase(spark, fc_index):
             "aggs": {"s": {"sampler": {"shard_size": 5},
                            "aggs": {"t": {"terms": {"field": "grp"}}}}},
         })
+
+
+def test_sort_and_highlight_under_phrase(spark, fc_index):
+    """sort + search_after and highlight compose with match_phrase: the
+    sort path uses the positional matcher's matched set; highlight marks
+    the phrase's slot terms (plain-highlighter behavior)."""
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    matched = {
+        u for u, t, _g, _nc, _r in rows
+        if any(t.split()[i:i + 2] == ["hash", "table"]
+               for i in range(len(t.split()) - 1))
+    }
+    body = {"query": {"match_phrase": {"text": "hash table"}},
+            "sort": [{"nc": {"order": "asc"}}], "size": 500}
+    hits = search(reader, body)["hits"]["hits"]
+    nc_of = {u: nc for u, _t, _g, nc, _r in rows}
+    assert {h["_id"] for h in hits} == matched
+    vals = [h["sort"][0] for h in hits]
+    assert vals == sorted(vals)
+    # search_after resumes exactly after the cursor
+    cur = hits[2]["sort"]
+    body2 = dict(body, search_after=cur, size=500)
+    page2 = search(reader, body2)["hits"]["hits"]
+    assert [h["_id"] for h in page2] == [h["_id"] for h in hits[3:]]
+    # phrase + filter + sort
+    body3 = {"query": {"bool": {"must": [
+        {"match_phrase": {"text": "hash table"}}], "filter": FILTER_BODY}},
+        "sort": [{"nc": {"order": "asc"}}], "size": 500}
+    hits3 = search(reader, body3)["hits"]["hits"]
+    assert {h["_id"] for h in hits3} == matched & _allowed(rows)
+    assert all(nc_of[h["_id"]] == h["sort"][0] for h in hits3)
+    # highlight marks the slot terms
+    corpus = spark.createDataFrame(
+        [(u, t) for u, t, _g, _nc, _r in rows], "url string, text string"
+    )
+    resp = search(reader, {
+        "query": {"match_phrase": {"text": "hash table"}}, "size": 3,
+        "highlight": {"fields": {"text": {}}},
+    }, corpus=corpus)
+    for h in resp["hits"]["hits"]:
+        assert "<em>hash</em>" in h["highlight"]["text"][0] or \
+               "<em>table</em>" in h["highlight"]["text"][0]
