@@ -399,11 +399,20 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"(text_fields={reader.text_fields})"
             )
         if m.get("type") == "phrase":
-            if flds != [reader.field]:
-                raise ValueError(
-                    "multi_match phrase supports the primary field only"
+            slop_ = int(m.get("slop", 0))
+            if len(flds) == 1:
+                r = reader if flds[0] == reader.field else reader.for_field(flds[0])
+                return match_phrase_topk(
+                    r, m["query"], k=k, slop=slop_, filters=filters
                 )
-            return match_phrase_topk(reader, m["query"], k=k, filters=filters)
+            from engine.query import bm25_multifield_phrase_topk
+
+            # several fields: dis_max of per-field phrase scores (Lucene)
+            return bm25_multifield_phrase_topk(
+                reader, m["query"], specs, k=k, slop=slop_,
+                tie_breaker=float(m.get("tie_breaker", 0.0)),
+                filters=filters,
+            )
         from engine.oracle import analyze_query_py
 
         if len(flds) == 1:
@@ -513,18 +522,26 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
-        if fld != "text":
-            raise ValueError("match_phrase supports the text field")
+        if fld not in reader.text_fields:
+            raise ValueError(
+                f"match_phrase on field {fld!r}: not an indexed text field "
+                f"(indexed: {reader.text_fields})"
+            )
+        r = reader if fld == reader.field else reader.for_field(fld)
         text = spec["query"] if isinstance(spec, dict) else spec
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
-        return match_phrase_topk(reader, text, k=k, slop=slop, filters=filters)
+        return match_phrase_topk(r, text, k=k, slop=slop, filters=filters)
     if "match_phrase_prefix" in query:
         ((fld, spec),) = query["match_phrase_prefix"].items()
-        if fld != "text":
-            raise ValueError("match_phrase_prefix supports the text field")
+        if fld not in reader.text_fields:
+            raise ValueError(
+                f"match_phrase_prefix on field {fld!r}: not an indexed text "
+                f"field (indexed: {reader.text_fields})"
+            )
+        r = reader if fld == reader.field else reader.for_field(fld)
         text = spec["query"] if isinstance(spec, dict) else spec
         return match_phrase_prefix_topk(
-            reader, text, k=k,
+            r, text, k=k,
             slop=int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
             max_expansions=(
                 int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50

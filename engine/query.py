@@ -3893,6 +3893,59 @@ def match_phrase_topk(
     )
 
 
+def bm25_multifield_phrase_topk(
+    reader: "IndexReader",
+    phrase: str | list[str],
+    fields: list,
+    k: int = 10,
+    slop: int = 0,
+    tie_breaker: float = 0.0,
+    filters=(),
+) -> DataFrame:
+    """ES multi_match type=phrase over SEVERAL indexed fields: per-field
+    match_phrase scores (each field's own positional postings, df, avgdl)
+    blended dis_max — max + tie_breaker * rest (Lucene wraps per-field
+    PhraseQuery in a DisjunctionMaxQuery). "title^2" boost syntax.
+
+    Exactness: each field's FULL phrase match set is materialized (phrase
+    matching is conjunctive over the slots, so the set is small — the
+    same bound the filter-context mask relies on) and the blend is
+    computed per doc over the union BEFORE top-k, so any tie_breaker is
+    exact. Filter clauses ride every per-field leg (identical docvalue
+    mask -> identical restriction). Shared docmap => per-field doc_ids
+    coincide by construction."""
+    fb = parse_field_boosts(fields)
+    unknown = [n for n, _ in fb if n not in reader.text_fields]
+    if unknown:
+        raise ValueError(
+            f"multi_match phrase fields {unknown} are not indexed "
+            f"(text_fields={reader.text_fields})"
+        )
+    frames = []
+    for name, boost in fb:
+        r = reader if name == reader.field else reader.for_field(name)
+        pdf = match_phrase_topk(
+            r, phrase, k=1 << 31, slop=slop, filters=filters
+        ).toPandas()
+        if len(pdf):
+            pdf = pdf.copy()
+            pdf["score"] = pdf["score"] * boost
+            frames.append(pdf[["url", "doc_id", "score"]])
+    if not frames:
+        return _empty_topk(reader.spark)
+    allp = pd.concat(frames, ignore_index=True)
+    g = allp.groupby(["url", "doc_id"], sort=False)["score"]
+    agg = g.agg(["max", "sum"]).reset_index()
+    agg["score"] = agg["max"] + tie_breaker * (agg["sum"] - agg["max"])
+    agg = agg.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return reader.spark.createDataFrame(
+        agg[["url", "doc_id", "score"]],
+        "url string, doc_id long, score double",
+    )
+
+
 def phrase_matcher(reader: "IndexReader", phrase: str | list[str], slop: int = 0):
     """(distinct_terms, matcher) for composing a match_phrase query
     context with aggs/count: matcher(rows, dels) -> SORTED local ids of

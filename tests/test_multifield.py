@@ -495,3 +495,52 @@ def test_dsl_multifield_filter_context(spark, mf_dv_index):
         assert [round(h["_score"], 9) for h in resp["hits"]["hits"]] == [
             round(r["score"], 9) for r in want
         ]
+
+
+def test_multifield_phrase_dismax(spark, tmp_path_factory):
+    """multi_match type=phrase over two fields: dis_max of per-field
+    match_phrase scores (max + tie_breaker * rest), title boosted 2x.
+    Blend identity vs the independently-oracled per-field phrase kernels;
+    DSL multi_match type=phrase routes both single- and multi-field."""
+    from engine.dsl import search
+    from engine.query import bm25_multifield_phrase_topk, match_phrase_topk
+
+    rows = [
+        ("p1", "alpha beta gamma", "red green blue alpha beta"),
+        ("p2", "beta alpha gamma alpha beta", "green red blue"),
+        ("p3", "alpha beta again alpha beta", "alpha beta red"),
+        ("p4", "gamma gamma", "red green alpha"),
+        ("p5", "alpha beta", "alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, title string")
+    out = str(tmp_path_factory.mktemp("mfph") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4,
+                text_fields=["text", "title"], index_options="positions")
+    r = IndexReader(spark, out)
+    tb = 0.3
+    per_field = {}
+    for fld, boost in (("text", 1.0), ("title", 2.0)):
+        rv = r if fld == "text" else r.for_field("title")
+        per_field[fld] = {
+            x["url"]: boost * x["score"]
+            for x in match_phrase_topk(rv, "alpha beta", k=100).collect()
+        }
+    urls = set(per_field["text"]) | set(per_field["title"])
+    want = {}
+    for u in urls:
+        vals = [per_field[f].get(u, 0.0) for f in per_field]
+        want[u] = max(vals) + tb * (sum(vals) - max(vals))
+    got = bm25_multifield_phrase_topk(
+        r, "alpha beta", ["title^2", "text"], k=100, tie_breaker=tb
+    ).collect()
+    assert {x["url"]: round(x["score"], 9) for x in got} == {
+        u: round(s, 9) for u, s in want.items()
+    }
+    # DSL routes: multi-field phrase == the kernel; named-field phrase
+    resp = search(r, {"query": {"multi_match": {
+        "query": "alpha beta", "fields": ["title^2", "text"],
+        "type": "phrase", "tie_breaker": tb}}, "size": 100})
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [x["url"] for x in got]
+    resp_t = search(r, {"query": {"match_phrase": {"title": "alpha beta"}},
+                        "size": 100})
+    assert {h["_id"] for h in resp_t["hits"]["hits"]} == set(per_field["title"])
