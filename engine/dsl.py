@@ -1606,11 +1606,26 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
         raise ValueError("scroll needs exactly one sort field")
     ((fld, o),) = srt[0].items()
     order = o.get("order", "asc") if isinstance(o, dict) else o
-    terms, mode = _query_terms_or_none(body.get("query", {"match_all": {}}))
+    q = body.get("query", {"match_all": {}})
+    phrase = None
+    if "match_phrase" in q:
+        # phrase scroll: the stateless token carries the phrase SPEC
+        # (matcher closures don't serialize); _scroll_page rebuilds the
+        # positional matcher from it on every page
+        ((pfld, spec),) = q["match_phrase"].items()
+        if pfld != "text":
+            raise ValueError("scroll match_phrase supports the text field")
+        phrase = {
+            "text": spec["query"] if isinstance(spec, dict) else spec,
+            "slop": int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
+        }
+        terms, mode = None, "or"
+    else:
+        terms, mode = _query_terms_or_none(q)
     token = {
         "dir": reader.dir,
         "snap": len(list_snapshots(reader.dir)),
-        "terms": terms, "mode": mode,
+        "terms": terms, "mode": mode, "phrase": phrase,
         "field": fld, "asc": order == "asc", "size": int(size),
         "after": None,
     }
@@ -1648,9 +1663,19 @@ def _scroll_page(spark, token: dict) -> dict:
                 microseconds=val["__ts_us__"]
             )
         after = (val, url)
+    terms, matcher, needs_pos = token["terms"], None, False
+    if token.get("phrase"):
+        from engine.query import phrase_matcher
+
+        pm = phrase_matcher(r, token["phrase"]["text"], token["phrase"]["slop"])
+        if pm is None:
+            return {"hits": {"hits": []}}  # dead slot term: empty scroll
+        terms, matcher = pm
+        needs_pos = True
     rows = search_sort(
-        r, token["terms"], token["field"], k=token["size"],
+        r, terms, token["field"], k=token["size"],
         mode=token["mode"], ascending=token["asc"], search_after=after,
+        matcher=matcher, needs_pos=needs_pos,
     ).collect()
     hits = [
         {"_id": x["url"], "sort": [x["sort_val"], x["url"]]} for x in rows

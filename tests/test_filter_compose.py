@@ -278,3 +278,31 @@ def test_sort_and_highlight_under_phrase(spark, fc_index):
     for h in resp["hits"]["hits"]:
         assert "<em>hash</em>" in h["highlight"]["text"][0] or \
                "<em>table</em>" in h["highlight"]["text"][0]
+
+
+def test_scroll_under_phrase(spark, fc_index):
+    """Scroll (stateless token) over a match_phrase query: the token
+    carries the phrase spec; every page rebuilds the positional matcher
+    and resumes exactly (concatenated pages == sorted matched set)."""
+    from engine.dsl import scroll_next, scroll_search
+
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    matched = {
+        u for u, t, _g, _nc, _r in rows
+        if any(t.split()[i:i + 2] == ["hash", "table"]
+               for i in range(len(t.split()) - 1))
+    }
+    nc_of = {u: nc for u, _t, _g, nc, _r in rows}
+    want = sorted(matched, key=lambda u: (nc_of[u], u))
+    resp = scroll_search(
+        reader,
+        {"query": {"match_phrase": {"text": "hash table"}},
+         "sort": [{"nc": {"order": "asc"}}]},
+        size=7,
+    )
+    got = [h["_id"] for h in resp["hits"]["hits"]]
+    while resp.get("_scroll_id"):
+        resp = scroll_next(spark, resp["_scroll_id"])
+        got.extend(h["_id"] for h in resp["hits"]["hits"])
+    assert got == want
