@@ -1344,7 +1344,8 @@ def MF_TITLE_SPARK():
 
 
 def _bm25_multifield_sql(
-    terms: list[str], mtype: str, tb: float, k: int = 10, flt: str | None = None
+    terms: list[str], mtype: str, tb: float, k: int = 10,
+    flt: str | None = None, op: str = "or",
 ) -> str:
     """Relational oracle for true multi-field multi_match over the
     two-field (text + derived title, title boost 2.0) index: per-field
@@ -1441,14 +1442,20 @@ ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {k}
         if mtype == "most_fields"
         else f"greatest(s_t, s_x) + {tb} * (s_t + s_x - greatest(s_t, s_x))"
     )
+    n = len(dict.fromkeys(terms))
+    # operator=and, field-centric: each field scores only docs holding
+    # ALL query terms IN that field (the engine's n_required semantics)
+    and_x = (
+        f"HAVING count(DISTINCT term) = {n}" if op == "and" else ""
+    )
     return f"""{base},
 fx AS (
   SELECT doc_id, sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {imp}) AS s
-  FROM tfx JOIN dfx USING (term) CROSS JOIN sx GROUP BY doc_id
+  FROM tfx JOIN dfx USING (term) CROSS JOIN sx GROUP BY doc_id {and_x}
 ),
 ft AS (
   SELECT doc_id, 2.0 * sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * {imp}) AS s
-  FROM tft JOIN dft USING (term) CROSS JOIN st GROUP BY doc_id
+  FROM tft JOIN dft USING (term) CROSS JOIN st GROUP BY doc_id {and_x}
 ),
 scored AS (
   SELECT coalesce(fx.doc_id, ft.doc_id) AS doc_id,
@@ -1563,6 +1570,21 @@ def q_bm25_combined_fields(spark, sf_dir):
     reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
     top = bm25_multifield_topk(
         reader, MF_TERMS, ["title^2", "text"], k=25, mtype="combined_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_mf_and(spark, sf_dir):
+    """ES multi_match best_fields operator=and over the two-field index:
+    a field's match score survives only where the doc holds ALL query
+    terms IN that field; docs no field fully matched drop (the round-5
+    n_required kernel semantics, engine/query.py _mf_shard_topk)."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25,
+        mtype="best_fields", tie_breaker=MF_TB, operator="and",
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
@@ -4459,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
         "sqs_filtered_topk": q_sqs_filtered,
         "agg_terms_phrase": q_agg_terms_phrase,
+        "bm25_mf_and_topk": q_bm25_mf_and,
         # ---------------- driver gate boundary (50 entries) ----------------
         # previously driver-certified rows (r1-r4 green), self-cert covered:
         "stats_repetition": q_stats_repetition,
@@ -5621,6 +5644,9 @@ FROM ppl CROSS JOIN cuts""",
         ),
         "sqs_filtered_topk": _sqs_sql(
             ["hash", "table"], "merge", "b", "dup", k=25, flt="n_chars >= 200"
+        ),
+        "bm25_mf_and_topk": _bm25_multifield_sql(
+            MF_TERMS, "best_fields", MF_TB, k=10, op="and"
         ),
         "agg_terms_phrase": _toks_cte() + f""",
 pos AS (

@@ -424,9 +424,8 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             )
         # true multi-field: per-field postings + stats, blended per type;
         # filter context composes as the post-blend docvalue mask
-        # (engine/query._mf_shard_topk local_filter)
-        if m.get("operator", "or").lower() != "or":
-            raise ValueError("multi-field multi_match supports operator=or")
+        # (engine/query._mf_shard_topk local_filter); operator=and per
+        # _mf_shard_topk's n_required semantics
         from engine.query import bm25_multifield_topk
 
         return bm25_multifield_topk(
@@ -434,6 +433,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             mtype=m.get("type", "best_fields"),
             tie_breaker=float(m.get("tie_breaker", 0.0)),
             filters=filters,
+            operator=m.get("operator", "or").lower(),
         )
     if "combined_fields" in query:
         # ES combined_fields: the listed fields score as ONE synthetic
@@ -448,13 +448,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"combined_fields fields {unknown} are not indexed "
                 f"(text_fields={reader.text_fields})"
             )
-        if m.get("operator", "or").lower() != "or":
-            raise ValueError("combined_fields supports operator=or")
         from engine.query import bm25_multifield_topk
 
         return bm25_multifield_topk(
             reader, m["query"], specs, k=k, mtype="combined_fields",
             filters=filters,
+            operator=m.get("operator", "or").lower(),
         )
     if "constant_score" in query:
         from engine.aggs import constant_score_topk

@@ -1129,6 +1129,7 @@ def _mf_shard_topk(
     dels: np.ndarray | None = None,
     dl_lookup: tuple[np.ndarray, dict[str, np.ndarray]] | None = None,
     local_filter=None,
+    n_required: int = 0,
 ) -> list[tuple[int, float]]:
     """True multi-field top-k over one shard — fields with their OWN
     postings/df/avgdl (ES multi_match over e.g. title+body), unlike
@@ -1152,7 +1153,14 @@ def _mf_shard_topk(
     dl_lookup = (sorted local_id array, {field: aligned dl array}) for
     the shard — the docmap's dl__<field> columns, this engine's norms.
     Blending happens on full per-doc arrays before any truncation
-    (a doc outside every field's top-k can still win the blend)."""
+    (a doc outside every field's top-k can still win the blend).
+
+    n_required > 0 = ES operator=and with that many analyzed query
+    terms. Field-centric types (best_fields/most_fields: each field is
+    its own match query) keep a field's score only when the doc contains
+    ALL query terms IN that field, and drop docs no field fully matched;
+    term-centric types (cross_fields/combined_fields) require each term
+    in AT LEAST ONE field (Lucene's blended-term conjunction)."""
     combined = mtype == "combined_fields"
     decoded: list[tuple[str, str, np.ndarray, np.ndarray]] = []
     all_docs: list[np.ndarray] = []
@@ -1195,6 +1203,17 @@ def _mf_shard_topk(
         score = np.zeros(nu)
         for term, tfc in per_term.items():
             score += blended_idfs[term] * P.bm25_impact(tfc, dl_c, avgdl_c, k1, b)
+        if n_required:
+            if len(per_term) < n_required:
+                return []
+            cnt = np.zeros(nu, dtype=np.int64)
+            for tfc in per_term.values():
+                cnt += tfc > 0
+            keep = cnt >= n_required
+            uniq, score = uniq[keep], score[keep]
+            nu = uniq.size
+            if nu == 0:
+                return []
     elif mtype == "cross_fields":
         score = np.zeros(nu)
         per_term: dict[str, np.ndarray] = {}
@@ -1205,8 +1224,23 @@ def _mf_shard_topk(
             np.maximum.at(arr, np.searchsorted(uniq, d), imp)
         for term, arr in per_term.items():
             score += blended_idfs[term] * arr
+        if n_required:
+            # and: every query term in AT LEAST ONE field (blended-term
+            # conjunction) — a term with zero per-doc impact everywhere
+            # in this shard simply never satisfies it
+            if len(per_term) < n_required:
+                return []
+            cnt = np.zeros(nu, dtype=np.int64)
+            for arr in per_term.values():
+                cnt += arr > 0
+            keep = cnt >= n_required
+            uniq, score = uniq[keep], score[keep]
+            nu = uniq.size
+            if nu == 0:
+                return []
     else:
         per_field: dict[str, np.ndarray] = {}
+        hits_field: dict[str, np.ndarray] = {}
         for f, term, d, imp in decoded:
             idf = idfs_by_field[f].get(term)
             if not idf:
@@ -1215,8 +1249,27 @@ def _mf_shard_topk(
             sf += np.bincount(
                 np.searchsorted(uniq, d), weights=idf * imp, minlength=nu
             )
+            if n_required:
+                hf = hits_field.setdefault(f, np.zeros(nu, dtype=np.int64))
+                hf[np.searchsorted(uniq, d)] += 1  # one row per (f,term)
         if not per_field:
             return []
+        if n_required:
+            # and, field-centric: each field is its own operator=and
+            # match — its score survives only where the doc holds ALL
+            # query terms in THAT field; docs no field fully matched drop
+            any_full = np.zeros(nu, dtype=bool)
+            for f, sf in per_field.items():
+                full = hits_field.get(f)
+                full = (
+                    np.zeros(nu, dtype=bool)
+                    if full is None
+                    else full >= n_required
+                )
+                sf *= full
+                any_full |= full
+            if not any_full.any():
+                return []
         mat = np.stack(list(per_field.values()))
         tot = mat.sum(axis=0)
         if mtype == "most_fields":
@@ -1224,6 +1277,11 @@ def _mf_shard_topk(
         else:  # best_fields
             mx = mat.max(axis=0)
             score = mx + tie_breaker * (tot - mx)
+        if n_required:
+            uniq, score = uniq[any_full], score[any_full]
+            nu = uniq.size
+            if nu == 0:
+                return []
     if local_filter is not None:
         # ES filter context: restricts the matched set, never the scores —
         # the docvalue mask applies AFTER accumulation (the per-term
@@ -1745,6 +1803,7 @@ def bm25_multifield_topk(
     execution: str = "auto",
     lookup: str = "auto",
     filters=(),
+    operator: str = "or",
 ) -> DataFrame:
     """ES multi_match over a multi-field index (url, doc_id, score):
     per-field postings + per-field df/avgdl, blended per `mtype`
@@ -1776,7 +1835,13 @@ def bm25_multifield_topk(
             raise ValueError(
                 f"field {name!r} is not indexed (text_fields={reader.text_fields})"
             )
+    if operator not in ("or", "and"):
+        raise ValueError(f"multi_match operator must be or/and, got {operator!r}")
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+    # operator=and requires every ANALYZED term (semantics per
+    # _mf_shard_topk's n_required docstring: field-centric for
+    # best/most_fields, term-centric for cross/combined_fields)
+    n_required = len(terms) if operator == "and" else 0
     readers = {name: reader.for_field(name) for name, _ in fb}
     stats = {name: readers[name].term_stats(terms) for name, _ in fb}
     live = [t for t in terms if any(t in stats[name] for name, _ in fb)]
@@ -1785,7 +1850,7 @@ def bm25_multifield_topk(
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(None).cast("double").alias("score"),
     )
-    if not live:
+    if not live or (n_required and len(live) < n_required):
         return empty
     n_docs = reader.n_docs
     idfs_by_field = {
@@ -1822,6 +1887,7 @@ def bm25_multifield_topk(
         return _mf_shard_topk(
             rows_by_field, idfs_by_field, blended_idfs, avgdl_by_field,
             boosts, mtype, tie_breaker, k, k1, b, dels, dl_lookup, lf,
+            n_required,
         )
 
     heap_rows: list[tuple[int, int, float]] | None = None

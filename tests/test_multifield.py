@@ -388,9 +388,17 @@ def test_combined_fields_dsl_and_guards(spark, mf_index):
         bm25_multifield_topk(
             reader, "web", ["title^0.5", "text"], k=5, mtype="combined_fields"
         )
-    with pytest.raises(ValueError, match="operator=or"):
-        search(reader, {"query": {"combined_fields": {
-            "query": "web", "fields": ["title", "text"], "operator": "and"}}})
+    # operator=and (round-5 lift): every term required in >= 1 field
+    resp_and = search(reader, {"query": {"combined_fields": {
+        "query": "web search", "fields": ["title", "text"],
+        "operator": "and"}}, "size": 500})
+    resp_or = search(reader, {"query": {"combined_fields": {
+        "query": "web search", "fields": ["title", "text"]}}, "size": 500})
+    or_scores = {h["_id"]: h["_score"] for h in resp_or["hits"]["hits"]}
+    and_ids = {h["_id"] for h in resp_and["hits"]["hits"]}
+    assert and_ids < set(or_scores)  # strict subset on this corpus
+    for h in resp_and["hits"]["hits"]:  # AND never rescores survivors
+        assert h["_score"] == pytest.approx(or_scores[h["_id"]], rel=1e-12)
     with pytest.raises(ValueError, match="unknown multi_match type"):
         bm25_multifield_topk(reader, "web", ["text"], k=5, mtype="nope")
 
@@ -544,3 +552,48 @@ def test_multifield_phrase_dismax(spark, tmp_path_factory):
     resp_t = search(r, {"query": {"match_phrase": {"title": "alpha beta"}},
                         "size": 100})
     assert {h["_id"] for h in resp_t["hits"]["hits"]} == set(per_field["title"])
+
+
+@pytest.mark.parametrize("mtype", ["best_fields", "most_fields", "cross_fields"])
+def test_multifield_operator_and(spark, mf_index, mtype):
+    """multi_match operator=and: field-centric for best/most_fields (a
+    field scores only where the doc holds ALL query terms IN that field;
+    docs no field fully matched drop), term-centric for cross_fields
+    (every term in >= 1 field). Surviving docs keep their operator=or
+    blend scores for cross_fields; for best/most a partially-matching
+    field's contribution is zeroed."""
+    out, rows, _ = mf_index
+    reader = IndexReader(spark, out)
+    q = "web search"
+    terms = analyze_query_py(q)
+    tok = {u: (analyze_tokens(t or ""), analyze_tokens(ti or ""))
+           for u, t, ti in rows}
+
+    def field_full(u, fi):
+        return all(t in tok[u][fi] for t in terms)
+
+    got = bm25_multifield_topk(
+        reader, q, ["title^2", "text"], k=500, mtype=mtype, operator="and",
+    ).collect()
+    got_ids = {r["url"] for r in got}
+    if mtype == "cross_fields":
+        want = {u for u in tok
+                if all(t in tok[u][0] or t in tok[u][1] for t in terms)}
+        # scores identical to the or-blend for survivors
+        or_scores = {r["url"]: r["score"] for r in bm25_multifield_topk(
+            reader, q, ["title^2", "text"], k=500, mtype=mtype).collect()}
+        for r in got:
+            assert r["score"] == pytest.approx(or_scores[r["url"]], rel=1e-12)
+    else:
+        want = {u for u in tok if field_full(u, 0) or field_full(u, 1)}
+        # per-field zeroing: a doc fully matched ONLY by text scores as
+        # the text field alone — equal to the single-field AND match
+        only_text = [u for u in want if field_full(u, 0) and not field_full(u, 1)]
+        if only_text:
+            single = {r["url"]: r["score"] for r in bm25_topk(
+                reader, terms, k=500, mode="and").collect()}
+            by_url = {r["url"]: r["score"] for r in got}
+            for u in only_text:
+                assert by_url[u] == pytest.approx(single[u], rel=1e-12)
+    assert got_ids == want, mtype
+    assert got_ids, f"{mtype}: empty AND set — weak corpus"
