@@ -428,12 +428,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         # _mf_shard_topk's n_required semantics
         from engine.query import bm25_multifield_topk
 
+        msm_ = m.get("minimum_should_match")
         return bm25_multifield_topk(
             reader, m["query"], specs, k=k,
             mtype=m.get("type", "best_fields"),
             tie_breaker=float(m.get("tie_breaker", 0.0)),
             filters=filters,
             operator=m.get("operator", "or").lower(),
+            minimum_should_match=int(msm_) if msm_ is not None else None,
         )
     if "combined_fields" in query:
         # ES combined_fields: the listed fields score as ONE synthetic

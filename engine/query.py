@@ -1804,6 +1804,7 @@ def bm25_multifield_topk(
     lookup: str = "auto",
     filters=(),
     operator: str = "or",
+    minimum_should_match: int | None = None,
 ) -> DataFrame:
     """ES multi_match over a multi-field index (url, doc_id, score):
     per-field postings + per-field df/avgdl, blended per `mtype`
@@ -1837,11 +1838,21 @@ def bm25_multifield_topk(
             )
     if operator not in ("or", "and"):
         raise ValueError(f"multi_match operator must be or/and, got {operator!r}")
+    if operator == "and" and minimum_should_match is not None:
+        raise ValueError("operator=and already requires every term; "
+                         "minimum_should_match composes with operator=or only")
     terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
-    # operator=and requires every ANALYZED term (semantics per
-    # _mf_shard_topk's n_required docstring: field-centric for
-    # best/most_fields, term-centric for cross/combined_fields)
-    n_required = len(terms) if operator == "and" else 0
+    # operator=and requires every ANALYZED term; minimum_should_match=N
+    # requires at least N — both ride the same kernel masks (semantics
+    # per _mf_shard_topk's n_required docstring: field-centric for
+    # best/most_fields, term-centric for cross/combined_fields; the
+    # masks compare >=, so any threshold works)
+    n_required = (
+        len(terms) if operator == "and" else int(minimum_should_match or 0)
+    )
+    if n_required > len(terms):
+        # Lucene: msm above the clause count is unsatisfiable, not clamped
+        return _empty_topk(reader.spark)
     readers = {name: reader.for_field(name) for name, _ in fb}
     stats = {name: readers[name].term_stats(terms) for name, _ in fb}
     live = [t for t in terms if any(t in stats[name] for name, _ in fb)]

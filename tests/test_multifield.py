@@ -597,3 +597,47 @@ def test_multifield_operator_and(spark, mf_index, mtype):
                 assert by_url[u] == pytest.approx(single[u], rel=1e-12)
     assert got_ids == want, mtype
     assert got_ids, f"{mtype}: empty AND set — weak corpus"
+
+
+def test_multifield_minimum_should_match(spark, mf_index):
+    """multi_match minimum_should_match=N (operator=or): at least N of
+    the analyzed terms required — field-centric for best_fields (>= N in
+    one field), term-centric for cross_fields (>= N across fields).
+    Survivor scores equal the plain or-blend; msm above the clause count
+    matches nothing (Lucene, not clamped)."""
+    from engine.dsl import search
+
+    out, rows, _ = mf_index
+    reader = IndexReader(spark, out)
+    q, n = "web search data", 2
+    terms = analyze_query_py(q)
+    tok = {u: (analyze_tokens(t or ""), analyze_tokens(ti or ""))
+           for u, t, ti in rows}
+    for mtype in ("best_fields", "cross_fields"):
+        got = bm25_multifield_topk(
+            reader, q, ["title^2", "text"], k=500, mtype=mtype,
+            minimum_should_match=n,
+        ).collect()
+        if mtype == "cross_fields":
+            want = {u for u in tok if sum(
+                1 for t in terms if t in tok[u][0] or t in tok[u][1]) >= n}
+        else:
+            want = {u for u in tok if any(
+                sum(1 for t in terms if t in tok[u][fi]) >= n
+                for fi in (0, 1))}
+        assert {r["url"] for r in got} == want, mtype
+        assert want, mtype
+    # DSL routes msm; msm > clause count matches nothing
+    resp = search(reader, {"query": {"multi_match": {
+        "query": q, "fields": ["title^2", "text"],
+        "minimum_should_match": 2}}, "size": 500})
+    assert len(resp["hits"]["hits"]) > 0
+    none = bm25_multifield_topk(
+        reader, q, ["title^2", "text"], k=10, minimum_should_match=99,
+    ).collect()
+    assert none == []
+    with pytest.raises(ValueError, match="operator=and already"):
+        bm25_multifield_topk(
+            reader, q, ["title", "text"], operator="and",
+            minimum_should_match=2,
+        )
