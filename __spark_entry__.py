@@ -453,6 +453,48 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _bm25_match_fuzzy_sql(q: str, k: int = 10) -> str:
+    """match + fuzziness=AUTO oracle: UNION of each token's own fuzzy
+    expansion set (per-token AUTO distance, df DESC / term ASC, per-token
+    50-cap), deduped, then the relational BM25 with per-term idf — twin
+    of the engine's per-token expand_fuzzy -> ranked-OR rewrite."""
+    legs = []
+    for t in q.split():
+        d = 0 if len(t) <= 2 else (1 if len(t) <= 5 else 2)
+        legs.append(
+            f"(SELECT term, df FROM alldf WHERE abs(length(term) - {len(t)})"
+            f" <= {d} AND levenshtein(term, '{t}') <= {d} "
+            f"ORDER BY df DESC, term ASC LIMIT {FUZZY_MAX_EXPANSIONS})"
+        )
+    union = "\n  UNION\n  ".join(legs)
+    return f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+alltf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  GROUP BY doc_id, dl, term
+),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY term),
+expanded AS (
+  SELECT DISTINCT term, df FROM (
+  {union}
+  )
+),
+tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM expanded)),
+scored AS (
+  SELECT doc_id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
+  FROM tf JOIN expanded USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_bool_sql(
     must: list[str], should: list[str], must_not: list[str],
     msm: int, k: int = 10, flt: str | None = None,
@@ -1572,6 +1614,28 @@ def q_bm25_combined_fields(spark, sf_dir):
         reader, MF_TERMS, ["title^2", "text"], k=25, mtype="combined_fields",
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+FUZZY_MATCH_Q = "strean tabel"  # two typos: stream/table (1 edit each)
+
+
+def q_bm25_match_fuzzy(spark, sf_dir):
+    """ES match + fuzziness=AUTO: each analyzed token rewrites to its
+    dictionary expansions (per-token AUTO edit distance, df-ordered
+    50-cap), then one ranked OR union — the multi-token generalization of
+    the fuzzy query mode (engine/dsl.py match fuzziness routing)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"match": {"text": {"query": FUZZY_MATCH_Q,
+                                     "fuzziness": "AUTO"}}},
+        "size": 40,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    return _round_rerank(df)
 
 
 def q_bm25_mf_and(spark, sf_dir):
@@ -4482,6 +4546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_filtered_topk": q_sqs_filtered,
         "agg_terms_phrase": q_agg_terms_phrase,
         "bm25_mf_and_topk": q_bm25_mf_and,
+        "bm25_match_fuzzy_topk": q_bm25_match_fuzzy,
         # ---------------- driver gate boundary (50 entries) ----------------
         # previously driver-certified rows (r1-r4 green), self-cert covered:
         "stats_repetition": q_stats_repetition,
@@ -5648,6 +5713,7 @@ FROM ppl CROSS JOIN cuts""",
         "bm25_mf_and_topk": _bm25_multifield_sql(
             MF_TERMS, "best_fields", MF_TB, k=10, op="and"
         ),
+        "bm25_match_fuzzy_topk": _bm25_match_fuzzy_sql(FUZZY_MATCH_Q, k=10),
         "agg_terms_phrase": _toks_cte() + f""",
 pos AS (
   SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos

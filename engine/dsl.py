@@ -560,13 +560,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         not_c = not_c if isinstance(not_c, list) else [not_c]
         def _flattenable(c) -> bool:
             # match/term/terms clauses flatten into the bool kernel's term
-            # lists — EXCEPT a match carrying minimum_should_match, whose
-            # sub-clause semantics the flatten would silently drop
+            # lists — EXCEPT a match carrying minimum_should_match or
+            # fuzziness, whose sub-clause semantics the flatten would
+            # silently drop
             if not any(kk in c for kk in ("match", "term", "terms")):
                 return False
             spec = next(iter(c["match"].values())) if "match" in c else None
             return not (
-                isinstance(spec, dict) and spec.get("minimum_should_match")
+                isinstance(spec, dict)
+                and (
+                    spec.get("minimum_should_match")
+                    or spec.get("fuzziness") is not None
+                )
             )
 
         if (
@@ -809,6 +814,29 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             return bm25_topk(reader, v, k=k, mode=kind, filters=filters)
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
+    if "match" in query:
+        spec_ = next(iter(query["match"].values()))
+        fz = spec_.get("fuzziness") if isinstance(spec_, dict) else None
+        if fz is not None:
+            # ES match + fuzziness: each analyzed token rewrites to its
+            # dictionary expansions (AUTO or explicit edits, per-token
+            # 50-cap df-ordered — the frozen scoring_boolean rewrite the
+            # fuzzy query mode uses), then one ranked OR union. Frozen
+            # divergences: operator=and / minimum_should_match over fuzzy
+            # groups are not composed (raise), and expansions score with
+            # their own idf (not ES's top_terms_blended_freqs blend).
+            if op != "or" or msm is not None:
+                raise ValueError(
+                    "match fuzziness composes with operator=or only "
+                    "(no minimum_should_match; documented divergence)"
+                )
+            me = None if str(fz).upper() == "AUTO" else int(fz)
+            mx = int(spec_.get("max_expansions", 50))
+            expanded = list(dict.fromkeys(
+                e for t in terms
+                for e in r.expand_fuzzy(t, max_edits=me, max_expansions=mx)
+            ))
+            return bm25_topk(r, expanded, k=k, mode="or", filters=filters)
     if msm is not None:
         from engine.query import bm25_bool_topk as _bool
 

@@ -306,3 +306,31 @@ def test_scroll_under_phrase(spark, fc_index):
         resp = scroll_next(spark, resp["_scroll_id"])
         got.extend(h["_id"] for h in resp["hits"]["hits"])
     assert got == want
+
+
+def test_match_fuzziness(spark, fc_index):
+    """match + fuzziness=AUTO: per-token dictionary expansion (df-ordered
+    50-cap) then ranked OR union; composes with filter context; fuzziness
+    with operator=and or minimum_should_match raises the documented
+    divergence."""
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    # 'hashh' (1 edit from hash) + 'tablee' (1 edit from table)
+    got = search(reader, {"query": {"match": {"text": {
+        "query": "hashh tablee", "fuzziness": "AUTO"}}}, "size": 300,
+    })["hits"]["hits"]
+    want = search(reader, {"query": {"bool": {"should": [
+        {"match": {"text": "hash"}}, {"match": {"text": "table"}},
+    ]}}, "size": 300})["hits"]["hits"]
+    # expansions on this vocab are exactly {hash} and {table}: identical
+    # matched set with identical scores (per-expansion idf rewrite)
+    assert {h["_id"]: round(h["_score"], 9) for h in got} == {
+        h["_id"]: round(h["_score"], 9) for h in want
+    } and got
+    filt = search(reader, {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "hashh", "fuzziness": 1}}}],
+        "filter": FILTER_BODY}}, "size": 300})["hits"]["hits"]
+    assert {h["_id"] for h in filt} <= _allowed(rows) and filt
+    with pytest.raises(ValueError, match="operator=or only"):
+        search(reader, {"query": {"match": {"text": {
+            "query": "hashh", "fuzziness": 1, "operator": "and"}}}})
