@@ -398,20 +398,35 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"multi_match fields {unknown} are not indexed "
                 f"(text_fields={reader.text_fields})"
             )
-        if m.get("type") == "phrase":
+        if m.get("type") in ("phrase", "phrase_prefix", "bool_prefix"):
+            kind_ = m["type"]
             slop_ = int(m.get("slop", 0))
+            maxexp_ = int(m.get("max_expansions", 50))
             if len(flds) == 1:
                 r = reader if flds[0] == reader.field else reader.for_field(flds[0])
-                return match_phrase_topk(
-                    r, m["query"], k=k, slop=slop_, filters=filters
+                if kind_ == "phrase":
+                    return match_phrase_topk(
+                        r, m["query"], k=k, slop=slop_, filters=filters
+                    )
+                if kind_ == "phrase_prefix":
+                    return match_phrase_prefix_topk(
+                        r, m["query"], k=k, slop=slop_,
+                        max_expansions=maxexp_, filters=filters,
+                    )
+                from engine.query import match_bool_prefix_topk
+
+                return match_bool_prefix_topk(
+                    r, m["query"], k=k, max_expansions=maxexp_,
+                    filters=filters,
                 )
             from engine.query import bm25_multifield_phrase_topk
 
-            # several fields: dis_max of per-field phrase scores (Lucene)
+            # several fields: dis_max of per-field leg scores (Lucene
+            # wraps each field's query in a DisjunctionMaxQuery)
             return bm25_multifield_phrase_topk(
                 reader, m["query"], specs, k=k, slop=slop_,
                 tie_breaker=float(m.get("tie_breaker", 0.0)),
-                filters=filters,
+                filters=filters, kind=kind_, max_expansions=maxexp_,
             )
         from engine.oracle import analyze_query_py
 

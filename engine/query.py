@@ -3978,32 +3978,50 @@ def bm25_multifield_phrase_topk(
     slop: int = 0,
     tie_breaker: float = 0.0,
     filters=(),
+    kind: str = "phrase",
+    max_expansions: int = 50,
 ) -> DataFrame:
-    """ES multi_match type=phrase over SEVERAL indexed fields: per-field
-    match_phrase scores (each field's own positional postings, df, avgdl)
-    blended dis_max — max + tie_breaker * rest (Lucene wraps per-field
-    PhraseQuery in a DisjunctionMaxQuery). "title^2" boost syntax.
+    """ES multi_match type=phrase / phrase_prefix / bool_prefix over
+    SEVERAL indexed fields: per-field leg scores (each field's own
+    postings, df, avgdl) blended dis_max — max + tie_breaker * rest
+    (Lucene wraps the per-field queries in a DisjunctionMaxQuery).
+    "title^2" boost syntax. kind picks the per-field leg: "phrase" =
+    match_phrase, "phrase_prefix" = match_phrase_prefix (last slot
+    expands), "bool_prefix" = match_bool_prefix (ranked OR union with the
+    last token as prefix).
 
-    Exactness: each field's FULL phrase match set is materialized (phrase
-    matching is conjunctive over the slots, so the set is small — the
-    same bound the filter-context mask relies on) and the blend is
-    computed per doc over the union BEFORE top-k, so any tie_breaker is
-    exact. Filter clauses ride every per-field leg (identical docvalue
-    mask -> identical restriction). Shared docmap => per-field doc_ids
-    coincide by construction."""
+    Exactness: each field's FULL match set is materialized (phrase legs
+    are conjunctive hence small; bool_prefix legs are OR unions — the
+    one leg to watch at scale, same footprint as running that match on
+    the field alone) and the blend is computed per doc over the union
+    BEFORE top-k, so any tie_breaker is exact. Filter clauses ride every
+    per-field leg (identical docvalue mask -> identical restriction).
+    Shared docmap => per-field doc_ids coincide by construction."""
     fb = parse_field_boosts(fields)
     unknown = [n for n, _ in fb if n not in reader.text_fields]
     if unknown:
         raise ValueError(
-            f"multi_match phrase fields {unknown} are not indexed "
+            f"multi_match {kind} fields {unknown} are not indexed "
             f"(text_fields={reader.text_fields})"
         )
     frames = []
     for name, boost in fb:
         r = reader if name == reader.field else reader.for_field(name)
-        pdf = match_phrase_topk(
-            r, phrase, k=1 << 31, slop=slop, filters=filters
-        ).toPandas()
+        if kind == "phrase":
+            leg = match_phrase_topk(r, phrase, k=1 << 31, slop=slop, filters=filters)
+        elif kind == "phrase_prefix":
+            leg = match_phrase_prefix_topk(
+                r, phrase, k=1 << 31, slop=slop,
+                max_expansions=max_expansions, filters=filters,
+            )
+        elif kind == "bool_prefix":
+            leg = match_bool_prefix_topk(
+                r, phrase, k=1 << 31, max_expansions=max_expansions,
+                filters=filters,
+            )
+        else:
+            raise ValueError(f"unknown multi-field phrase kind {kind!r}")
+        pdf = leg.toPandas()
         if len(pdf):
             pdf = pdf.copy()
             pdf["score"] = pdf["score"] * boost

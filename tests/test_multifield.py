@@ -641,3 +641,67 @@ def test_multifield_minimum_should_match(spark, mf_index):
             reader, q, ["title", "text"], operator="and",
             minimum_should_match=2,
         )
+
+
+@pytest.mark.parametrize("kind", ["phrase_prefix", "bool_prefix"])
+def test_multifield_prefix_kinds_dismax(spark, tmp_path_factory, kind):
+    """multi_match type=phrase_prefix / bool_prefix over two fields:
+    dis_max of per-field leg scores (max + tie_breaker * rest), title
+    boosted 2x — blend identity vs the independently-tested single-field
+    kernels; DSL routes both the multi-field and single-field shapes."""
+    from engine.dsl import search
+    from engine.query import (
+        bm25_multifield_phrase_topk,
+        match_bool_prefix_topk,
+        match_phrase_prefix_topk,
+    )
+
+    rows = [
+        ("p1", "alpha beta gamma", "red green blue alpha betamax"),
+        ("p2", "beta alpha gamma alpha betty", "green red blue"),
+        ("p3", "alpha beta again alpha beta", "alpha betator red"),
+        ("p4", "gamma gamma", "red green alpha"),
+        ("p5", "alpha beta", "alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, title string")
+    out = str(tmp_path_factory.mktemp(f"mfpk_{kind}") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4,
+                text_fields=["text", "title"], index_options="positions")
+    r = IndexReader(spark, out)
+    tb = 0.3
+    per_field = {}
+    for fld, boost in (("text", 1.0), ("title", 2.0)):
+        rv = r if fld == "text" else r.for_field("title")
+        leg = (
+            match_phrase_prefix_topk(rv, "alpha bet", k=100)
+            if kind == "phrase_prefix"
+            else match_bool_prefix_topk(rv, "alpha bet", k=100)
+        )
+        per_field[fld] = {x["url"]: boost * x["score"] for x in leg.collect()}
+    urls = set(per_field["text"]) | set(per_field["title"])
+    assert urls, "weak corpus — no leg matched"
+    want = {}
+    for u in urls:
+        vals = [per_field[f].get(u, 0.0) for f in per_field]
+        want[u] = max(vals) + tb * (sum(vals) - max(vals))
+    got = bm25_multifield_phrase_topk(
+        r, "alpha bet", ["title^2", "text"], k=100, tie_breaker=tb, kind=kind
+    ).collect()
+    assert {x["url"]: round(x["score"], 9) for x in got} == {
+        u: round(s, 9) for u, s in want.items()
+    }
+    # DSL multi-field route == the kernel
+    resp = search(r, {"query": {"multi_match": {
+        "query": "alpha bet", "fields": ["title^2", "text"],
+        "type": kind, "tie_breaker": tb}}, "size": 100})
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [x["url"] for x in got]
+    assert [round(h["_score"], 9) for h in resp["hits"]["hits"]] == [
+        round(x["score"], 9) for x in got
+    ]
+    # DSL single-field route == the single-field kernel on that field
+    resp_t = search(r, {"query": {"multi_match": {
+        "query": "alpha bet", "fields": ["title"], "type": kind}},
+        "size": 100})
+    assert {h["_id"] for h in resp_t["hits"]["hits"]} == {
+        u for u, s in per_field["title"].items()
+    }
