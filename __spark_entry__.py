@@ -303,7 +303,10 @@ FROM scored{res_join} {res_where} ORDER BY round({score_expr}, 6) DESC, doc_id A
 """
 
 
-def _bm25_rewrite_sql(term_pred: str, k: int = 10, cap: int | None = None) -> str:
+def _bm25_rewrite_sql(
+    term_pred: str, k: int = 10, cap: int | None = None,
+    text_expr: str = "text", raw: bool = False,
+) -> str:
     """Shared oracle for the dictionary-rewrite query modes (prefix /
     wildcard / regexp): Lucene-style top_terms_N rewrite — the dictionary
     terms matching `term_pred` ordered by df DESC (term ASC tiebreak),
@@ -311,8 +314,14 @@ def _bm25_rewrite_sql(term_pred: str, k: int = 10, cap: int | None = None) -> st
     IndexReader.expand_prefix / expand_wildcard / expand_regexp +
     bm25_topk mode='prefix'/'wildcard'/'regexp')."""
     cap = PREFIX_MAX_EXPANSIONS if cap is None else cap
+    tail = (
+        "SELECT doc_id, score_raw AS s FROM scored"
+        if raw
+        else f"""SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}"""
+    )
     return f"""
-{_toks_cte()},
+{_toks_cte(text_expr=text_expr)},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
 alltf AS (
@@ -333,8 +342,7 @@ scored AS (
   FROM tf JOIN expanded USING (term) CROSS JOIN stats
   GROUP BY doc_id
 )
-SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+{tail}
 """
 
 
@@ -1172,7 +1180,8 @@ ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 
 
 def _phrase_span_sql(
-    terms: list[str], slop: int, k: int = 10, prefix: str | None = None
+    terms: list[str], slop: int, k: int = 10, prefix: str | None = None,
+    text_expr: str = "text", raw: bool = False,
 ) -> str:
     """Sloppy match_phrase / match_phrase_prefix oracle (declarative twin
     of engine/query.py _phrase_slop_shard_topk, and of the exact kernel at
@@ -1237,8 +1246,14 @@ def _phrase_span_sql(
         )
         cross_extra = " CROSS JOIN dfu"
     idf_terms = " + ".join(idf_parts)
+    tail = (
+        "SELECT doc_id, score_raw AS s FROM scored"
+        if raw
+        else f"""SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}"""
+    )
     return f"""
-{_toks_cte()},
+{_toks_cte(text_expr=text_expr)},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
 pos AS (
@@ -1262,8 +1277,7 @@ scored AS (
          ({idf_terms}) * (pf / (pf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS score_raw
   FROM pf JOIN d USING (doc_id) CROSS JOIN stats CROSS JOIN dfw{cross_extra}
 )
-SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+{tail}
 """
 
 
@@ -1519,8 +1533,10 @@ def _mf_index_dir(spark, sf_dir):
     from engine.index_build import build_index
 
     src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
-    # mf2 = + lang/n_chars docvalues (filter context on multi-field queries)
-    h = hashlib.md5((src + "|layout=mf2").encode())
+    # mf3p = mf2 (+ lang/n_chars docvalues) + positional postings so the
+    # multi-field phrase kinds (multi_match phrase / phrase_prefix) run
+    # on the same fixture
+    h = hashlib.md5((src + "|layout=mf3p").encode())
     paths = [src]
     if os.path.isdir(src):
         paths = sorted(
@@ -1543,6 +1559,7 @@ def _mf_index_dir(spark, sf_dir):
             spark, d, out_dir, n_shards=4, n_buckets=8,
             text_fields=["text", "title"],
             docvalue_cols=["lang", "n_chars"],
+            index_options="positions",
         )
         os.utime(out_dir)
         import glob
@@ -1612,6 +1629,77 @@ def q_bm25_combined_fields(spark, sf_dir):
     reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
     top = bm25_multifield_topk(
         reader, MF_TERMS, ["title^2", "text"], k=25, mtype="combined_fields",
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def _mf_dismax_sql(leg_text: str, leg_title: str, tb: float, k: int = 25) -> str:
+    """Blend two raw per-field leg queries (each `SELECT doc_id, s` over
+    its own field's tokens/stats — produced by _phrase_span_sql /
+    _bm25_rewrite_sql with raw=True) under the multi_match dis_max
+    semantics: title leg boosted 2.0, score = max + tb * rest (engine
+    twin: engine/query.py bm25_multifield_phrase_topk)."""
+    blend = f"greatest(sx, st) + {tb} * (sx + st - greatest(sx, st))"
+    return f"""
+WITH fx AS (SELECT doc_id, s FROM ({leg_text})),
+ft AS (SELECT doc_id, 2.0 * s AS s FROM ({leg_title})),
+b AS (
+  SELECT coalesce(fx.doc_id, ft.doc_id) AS doc_id,
+         coalesce(fx.s, 0.0) AS sx, coalesce(ft.s, 0.0) AS st
+  FROM fx FULL OUTER JOIN ft ON fx.doc_id = ft.doc_id
+)
+SELECT doc_id, round({blend}, 6) AS score
+FROM b ORDER BY round({blend}, 6) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def q_bm25_mf_phrase(spark, sf_dir):
+    """ES multi_match type=phrase over the two-field positional index:
+    per-field match_phrase scores (each field's own positional postings,
+    df, avgdl), blended dis_max — max + tie_breaker * rest, title
+    boosted 2x (Lucene wraps per-field PhraseQuery in a
+    DisjunctionMaxQuery)."""
+    from engine.query import IndexReader, bm25_multifield_phrase_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_phrase_topk(
+        reader, PHRASE_Q, ["title^2", "text"], k=25, tie_breaker=MF_TB,
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_bm25_mf_pprefix(spark, sf_dir):
+    """ES multi_match type=phrase_prefix over the two-field positional
+    index: per-field match_phrase_prefix legs (the LAST slot expands
+    against each field's OWN dictionary; pseudo-term df = that field's
+    exact union doc count), blended dis_max with title boosted 2x."""
+    from engine.query import IndexReader, bm25_multifield_phrase_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_phrase_topk(
+        reader, f"{PPREFIX_HEAD} {PPREFIX_PRE}", ["title^2", "text"], k=25,
+        tie_breaker=MF_TB, kind="phrase_prefix",
+        max_expansions=PREFIX_MAX_EXPANSIONS,
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+MF_MBP_Q = "hash join s"  # leading exact terms + trailing prefix
+
+
+def q_bm25_mf_bool_prefix(spark, sf_dir):
+    """ES multi_match type=bool_prefix over the two-field index: per-field
+    match_bool_prefix legs (leading tokens as should term clauses, the
+    last token expanding df-ordered against each field's OWN dictionary —
+    the cap is not binding on this corpus so the predicate union is the
+    exact rewrite), blended dis_max with title boosted 2x."""
+    from engine.query import IndexReader, bm25_multifield_phrase_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = bm25_multifield_phrase_topk(
+        reader, MF_MBP_Q, ["title^2", "text"], k=25,
+        tie_breaker=MF_TB, kind="bool_prefix",
+        max_expansions=PREFIX_MAX_EXPANSIONS,
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
@@ -4540,6 +4628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # INTO the driver gate; the displaced six (judge-replayed in r4)
         # move below it, still fully self-certified ---
         "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "bm25_mf_phrase_topk": q_bm25_mf_phrase,
+        "bm25_mf_pprefix_topk": q_bm25_mf_pprefix,
+        "bm25_mf_bool_prefix_topk": q_bm25_mf_bool_prefix,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
         "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
@@ -5689,6 +5780,28 @@ SELECT doc_id, n_tokens, ppl,
 FROM ppl CROSS JOIN cuts""",
         "bm25_combined_fields_topk": _bm25_multifield_sql(
             MF_TERMS, "combined_fields", 0.0, k=10
+        ),
+        "bm25_mf_phrase_topk": _mf_dismax_sql(
+            _phrase_span_sql(PHRASE_Q.split(), 0, raw=True),
+            _phrase_span_sql(PHRASE_Q.split(), 0, raw=True,
+                             text_expr=MF_TITLE_SQL),
+            MF_TB, k=10,
+        ),
+        "bm25_mf_pprefix_topk": _mf_dismax_sql(
+            _phrase_span_sql([PPREFIX_HEAD], 0, prefix=PPREFIX_PRE, raw=True),
+            _phrase_span_sql([PPREFIX_HEAD], 0, prefix=PPREFIX_PRE, raw=True,
+                             text_expr=MF_TITLE_SQL),
+            MF_TB, k=10,
+        ),
+        "bm25_mf_bool_prefix_topk": _mf_dismax_sql(
+            _bm25_rewrite_sql(
+                "(term LIKE 's%' OR term IN ('hash', 'join'))", raw=True
+            ),
+            _bm25_rewrite_sql(
+                "(term LIKE 's%' OR term IN ('hash', 'join'))", raw=True,
+                text_expr=MF_TITLE_SQL,
+            ),
+            MF_TB, k=10,
         ),
         "bm25_mf_filtered_topk": _bm25_multifield_sql(
             MF_TERMS, "best_fields", MF_TB, k=10,
