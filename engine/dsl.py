@@ -57,6 +57,21 @@ def _clause_filters(clauses: list) -> tuple:
     return tuple(out)
 
 
+def _text_reader(reader, fld: str, kind: str):
+    """Resolve a named text field to its per-field reader view — the
+    single-field lift every query kind shares. Multi-field indexes keep
+    one docmap, so per-field doc_ids coincide by construction and the
+    resolved reader composes with filters/sort/aggs unchanged."""
+    if fld == reader.field:
+        return reader
+    if fld in reader.text_fields:
+        return reader.for_field(fld)
+    raise ValueError(
+        f"{kind} on field {fld!r}: not an indexed text field "
+        f"(indexed: {reader.text_fields})"
+    )
+
+
 def _match_terms(
     clause: dict, allowed: tuple[str, ...] = ("text",)
 ) -> tuple[list[str], str, int | None, str]:
@@ -379,12 +394,11 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         # takes them per-request) and scoring is Lucene SynonymQuery
         # blended stats (engine/query.py bm25_synonym_topk)
         ((fld, spec),) = query["synonym_match"].items()
-        if fld != "text":
-            raise ValueError("synonym_match supports the text field")
+        r = _text_reader(reader, fld, "synonym_match")
         from engine.query import bm25_synonym_topk
 
         return bm25_synonym_topk(
-            reader, spec["groups"], k=k,
+            r, spec["groups"], k=k,
             mode=spec.get("operator", "or").lower(),
             filters=filters,
         )
@@ -488,20 +502,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         from engine.query import terms_set_topk
 
         ((fld, spec),) = query["terms_set"].items()
-        if fld != "text":
-            raise ValueError("terms_set supports the text field")
+        r = _text_reader(reader, fld, "terms_set")
         return terms_set_topk(
-            reader, list(spec["terms"]), spec["minimum_should_match_field"],
+            r, list(spec["terms"]), spec["minimum_should_match_field"],
             k=k, filters=filters,
         )
     if "match_bool_prefix" in query:
         from engine.query import match_bool_prefix_topk
 
         ((fld, spec),) = query["match_bool_prefix"].items()
-        if fld != "text":
-            raise ValueError("match_bool_prefix supports the text field")
+        r = _text_reader(reader, fld, "match_bool_prefix")
         text = spec["query"] if isinstance(spec, dict) else spec
-        return match_bool_prefix_topk(reader, text, k=k, filters=filters)
+        return match_bool_prefix_topk(r, text, k=k, filters=filters)
     if "rank_feature" in query:
         from engine.aggs import rank_feature_topk
 
@@ -617,16 +629,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         # span kinds: span_term blocks stay single-term slots, span_or
         # blocks of span_terms become alternative slots.
         ((fld, spec),) = query["span_term"].items()
-        if fld != "text":
-            raise ValueError("span_term supports the text field")
+        r = _text_reader(reader, fld, "span_term")
         value = spec["value"] if isinstance(spec, dict) else spec
-        return bm25_topk(reader, [value], k=k, filters=filters)
+        return bm25_topk(r, [value], k=k, filters=filters)
     if "span_near" in query:
         s = query["span_near"]
         from engine.spans import span_near_topk
 
+        flds: set = set()
+        slots = _span_clauses(s["clauses"], flds)
+        r = _text_reader(reader, flds.pop(), "span_near")
         return span_near_topk(
-            reader, _span_clauses(s["clauses"]), k=k,
+            r, slots, k=k,
             slop=int(s.get("slop", 0)),
             in_order=bool(s.get("in_order", True)),
             filters=filters,
@@ -634,33 +648,37 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "span_or" in query:
         # top-level span_or: one slot of alternatives (unit spans)
         s = query["span_or"]
-        (alts,) = _span_clauses([{"span_or": s}])
+        flds: set = set()
+        (alts,) = _span_clauses([{"span_or": s}], flds)
         from engine.spans import span_or_topk
 
-        return span_or_topk(reader, alts, k=k, filters=filters)
+        r = _text_reader(reader, flds.pop(), "span_or")
+        return span_or_topk(r, alts, k=k, filters=filters)
     if "span_not" in query:
         s = query["span_not"]
         inc = s["include"]
+        flds: set = set()
         if "span_near" in inc:
-            include = _span_clauses(inc["span_near"]["clauses"])
+            include = _span_clauses(inc["span_near"]["clauses"], flds)
             slop = int(inc["span_near"].get("slop", 0))
             in_order = bool(inc["span_near"].get("in_order", True))
         else:
-            include = _span_clauses([inc])
+            include = _span_clauses([inc], flds)
             slop, in_order = 0, True
         exc = s["exclude"]
         if "span_or" in exc:
-            exclude = _span_clauses([exc])[0]
+            exclude = _span_clauses([exc], flds)[0]
         elif "span_term" in exc:
-            exclude = _span_clauses([exc])[0]
+            exclude = _span_clauses([exc], flds)[0]
         else:
             raise ValueError(
                 "span_not exclude must be span_term or span_or of span_terms"
             )
         from engine.spans import span_not_topk
 
+        r = _text_reader(reader, flds.pop(), "span_not")
         return span_not_topk(
-            reader, include, exclude, k=k, slop=slop, in_order=in_order,
+            r, include, exclude, k=k, slop=slop, in_order=in_order,
             pre=int(s.get("pre", s.get("dist", 0))),
             post=int(s.get("post", s.get("dist", 0))),
             filters=filters,
@@ -674,12 +692,11 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 "(nested spans are a documented divergence)"
             )
         ((fld, spec),) = m["span_term"].items()
-        if fld != "text":
-            raise ValueError("span_first supports the text field")
+        r = _text_reader(reader, fld, "span_first")
         from engine.spans import span_first_topk
 
         return span_first_topk(
-            reader,
+            r,
             spec["value"] if isinstance(spec, dict) else spec,
             end=int(s["end"]), k=k, filters=filters,
         )
@@ -695,8 +712,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         # >= 0 (ES's -1 = unlimited would make the combinatorial span
         # count unbounded; use a bool/match query for pure conjunction).
         ((fld, rule),) = query["intervals"].items()
-        if fld != "text":
-            raise ValueError("intervals supports the text field")
+        r = _text_reader(reader, fld, "intervals")
 
         def _rule_terms(r_: dict) -> tuple[list, int, bool]:
             if "match" in r_:
@@ -735,34 +751,42 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         from engine.spans import span_near_topk
 
         if len(iv_terms) == 1:
-            return bm25_topk(reader, iv_terms, k=k, filters=filters)
+            return bm25_topk(r, iv_terms, k=k, filters=filters)
         return span_near_topk(
-            reader, iv_terms, k=k, slop=max_gaps, in_order=ordered,
+            r, iv_terms, k=k, slop=max_gaps, in_order=ordered,
             filters=filters,
         )
     if "simple_query_string" in query:
         s = query["simple_query_string"]
         flds = s.get("fields", ["text"])
-        if flds not in (["text"], ["text^1.0"]):
-            raise ValueError("simple_query_string supports the text field")
+        if len(flds) != 1 or flds[0].split("^")[1:] not in ([], ["1.0"], ["1"]):
+            raise ValueError(
+                "simple_query_string supports ONE unboosted indexed field"
+            )
+        r = _text_reader(
+            reader, flds[0].split("^")[0], "simple_query_string"
+        )
         from engine.querystring import simple_query_string_topk
 
         return simple_query_string_topk(
-            reader, s["query"], k=k,
+            r, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
             filters=filters,
         )
     if "query_string" in query:
         s = query["query_string"]
-        flds = s.get("fields", ["text"])
-        if flds not in (["text"], ["text^1.0"]) or s.get(
-            "default_field", "text"
-        ) != "text":
-            raise ValueError("query_string supports the text field")
+        dflt = s.get("default_field")
+        flds = s.get("fields", [dflt or "text"])
+        if len(flds) != 1 or flds[0].split("^")[1:] not in ([], ["1.0"], ["1"]):
+            raise ValueError("query_string supports ONE unboosted indexed field")
+        fld = flds[0].split("^")[0]
+        if dflt is not None and dflt != fld:
+            raise ValueError("query_string default_field conflicts with fields")
+        r = _text_reader(reader, fld, "query_string")
         from engine.querystring import query_string_topk
 
         return query_string_topk(
-            reader, s["query"], k=k,
+            r, s["query"], k=k,
             default_operator=s.get("default_operator", "or").lower(),
             max_expansions=int(s.get("fuzzy_max_expansions", 50)),
             filters=filters,
@@ -823,10 +847,9 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     for kind in ("prefix", "wildcard", "regexp", "fuzzy"):
         if kind in query:
             ((fld, spec),) = query[kind].items()
-            if fld != "text":
-                raise ValueError(f"{kind} supports the text field")
+            r = _text_reader(reader, fld, kind)
             v = spec["value"] if isinstance(spec, dict) else spec
-            return bm25_topk(reader, v, k=k, mode=kind, filters=filters)
+            return bm25_topk(r, v, k=k, mode=kind, filters=filters)
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
     if "match" in query:
@@ -875,15 +898,21 @@ def _rescore_df(reader, query: dict, spec, k: int):
     if "match_phrase" not in rq:
         raise ValueError("rescore_query supports match_phrase (phrase rescorer)")
     ((fld, pspec),) = rq["match_phrase"].items()
-    if fld != "text":
-        raise ValueError("match_phrase rescorer supports the text field")
+    r = _text_reader(reader, fld, "match_phrase rescorer")
     text = pspec["query"] if isinstance(pspec, dict) else pspec
     slop = int(pspec.get("slop", 0)) if isinstance(pspec, dict) else 0
-    terms, op, msm, _f = _match_terms(query)
+    terms, op, msm, bfld = _match_terms(
+        query, allowed=tuple(reader.text_fields)
+    )
     if msm is not None:
         raise ValueError("rescore over minimum_should_match is not composed")
+    if bfld != fld:
+        raise ValueError(
+            f"rescore base query field {bfld!r} must equal the rescorer "
+            f"field {fld!r} (cross-field rescore is a documented divergence)"
+        )
     return rescore_topk(
-        reader, terms, text, k=k,
+        r, terms, text, k=k,
         window_size=int(spec.get("window_size", 10)),
         query_weight=float(q.get("query_weight", 1.0)),
         rescore_weight=float(q.get("rescore_query_weight", 1.0)),
@@ -961,12 +990,15 @@ def _attach_matched_queries(reader, query: dict, hits: list) -> None:
 
 
 def _agg_context(reader, query: dict):
-    """(terms, mode, matcher, needs_pos) of the aggs matched set — the
-    term-query kinds pass through _query_terms_or_none; match_phrase
+    """(reader, terms, mode, matcher, needs_pos) of the aggs matched set —
+    the term-query kinds pass through _query_terms_or_none; match_phrase
     (exact or sloppy) supplies a per-shard positional matcher
     (engine.query.phrase_matcher: docs with phrase freq > 0) so
-    {"query": {"match_phrase": ...}, "aggs": ...} composes. The matched
-    set is computed per shard next to its postings — never collected."""
+    {"query": {"match_phrase": ...}, "aggs": ...} composes. The returned
+    reader is the phrase field's per-field view (shared docmap, so the
+    matched doc set composes with the caller's sort/agg columns). The
+    matched set is computed per shard next to its postings — never
+    collected."""
     if "bool" in query:
         # bool {must: [ONE match_phrase], filter: [...]}: the filter is
         # extracted by the caller (_clause_filters) — recurse on the
@@ -981,8 +1013,7 @@ def _agg_context(reader, query: dict):
             return _agg_context(reader, must_c[0])
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
-        if fld != "text":
-            raise ValueError("match_phrase supports the text field")
+        reader = _text_reader(reader, fld, "match_phrase")
         text = spec["query"] if isinstance(spec, dict) else spec
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
         from engine.query import phrase_matcher
@@ -991,11 +1022,11 @@ def _agg_context(reader, query: dict):
         if pm is None:
             # a dead slot term: conjunctive empty set — [] under "and"
             # short-circuits to the empty bucket table in search_aggs
-            return ["\x00dead\x00"], "and", None, False
+            return reader, ["\x00dead\x00"], "and", None, False
         terms, matcher = pm
-        return terms, "or", matcher, True
+        return reader, terms, "or", matcher, True
     terms, mode = _query_terms_or_none(query)
-    return terms, mode, None, False
+    return reader, terms, mode, None, False
 
 
 def _query_terms_or_none(query: dict):
@@ -1017,16 +1048,27 @@ def _query_terms_or_none(query: dict):
     return terms, op
 
 
-def _span_clauses(clauses: list) -> list[list]:
+def _span_clauses(clauses: list, fields: set | None = None) -> list[list]:
     """span clause blocks -> engine slot lists: span_term -> [term],
     span_or (of span_terms) -> [alt, alt, ...]. Deeper nesting raises
-    (documented divergence)."""
+    (documented divergence). Every clause must name the SAME field
+    (Lucene requires it); the names seen are accumulated into `fields`
+    for the caller to resolve against the index."""
+    if fields is None:
+        fields = set()
     slots: list[list] = []
+
+    def _take(fld: str):
+        fields.add(fld)
+        if len(fields) > 1:
+            raise ValueError(
+                f"span clauses must all name ONE field (got {sorted(fields)})"
+            )
+
     for cl in clauses:
         if set(cl) == {"span_term"}:
             ((fld, spec),) = cl["span_term"].items()
-            if fld != "text":
-                raise ValueError("span clauses support the text field")
+            _take(fld)
             slots.append([spec["value"] if isinstance(spec, dict) else spec])
         elif set(cl) == {"span_or"}:
             alts = []
@@ -1039,8 +1081,7 @@ def _span_clauses(clauses: list) -> list[list]:
                         "(deeper nesting is a documented divergence)"
                     )
                 ((fld, spec),) = inner["span_term"].items()
-                if fld != "text":
-                    raise ValueError("span clauses support the text field")
+                _take(fld)
                 alts.append(spec["value"] if isinstance(spec, dict) else spec)
             slots.append(alts)
         else:
@@ -1166,7 +1207,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         hits = []
     elif sort_spec:
         # phrase queries sort via the positional matcher (_agg_context)
-        terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        ar, terms, mode, matcher, needs_pos = _agg_context(reader, query)
         ((fld, o),) = (
             sort_spec[0].items() if isinstance(sort_spec[0], dict)
             else ((sort_spec[0], "asc"),)
@@ -1181,7 +1222,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             for n, s in (body.get("runtime_mappings") or {}).items()
         }
         rows = search_sort(
-            reader, terms, fld, k=frm + size, mode=mode,
+            ar, terms, fld, k=frm + size, mode=mode,
             ascending=order == "asc",
             search_after=tuple(after) if after else None,
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
@@ -1244,7 +1285,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 # occurrence, not only in-phrase ones — ES plain-
                 # highlighter behavior, documented divergence from the
                 # unified highlighter's position-aware passages)
-                terms, _mode, _matcher, _np_ = _agg_context(reader, query)
+                _ar2, terms, _mode, _matcher, _np_ = _agg_context(reader, query)
                 frags = {
                     r["url"]: r["fragment"]
                     for r in highlight_fragments(
@@ -1360,9 +1401,9 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # ES reports hits.total even at size:0 (default track_total_hits
         # caps at 10k; our count path is exact, so relation is "eq") —
         # phrase queries count via the positional matcher (_agg_context)
-        terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        ar, terms, mode, matcher, needs_pos = _agg_context(reader, query)
         total = search_count(
-            reader, terms, mode,
+            ar, terms, mode,
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else (),
             matcher=matcher, needs_pos=needs_pos,
@@ -1373,7 +1414,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
     aggs_spec = body.get("aggs") or body.get("aggregations") or {}
     if aggs_spec:
-        terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        areader, terms, mode, matcher, needs_pos = _agg_context(reader, query)
         filt = (
             _clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else ()
@@ -1503,7 +1544,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 continue
             agg, post = _compile_agg(spec)
             df = search_aggs(
-                reader, terms, agg, mode=mode, filters=filt,
+                areader, terms, agg, mode=mode, filters=filt,
                 matcher=matcher, needs_pos=needs_pos,
             )
             if post is not None:
@@ -1546,10 +1587,11 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 from engine.query import suggest_terms as _st
 
                 t_ = spec["term"]
-                if t_.get("field", "text") != "text":
-                    raise ValueError("term suggester supports the text field")
+                r_ = _text_reader(
+                    reader, t_.get("field", reader.field), "term suggester"
+                )
                 df = _st(
-                    reader, spec["text"],
+                    r_, spec["text"],
                     max_edits=int(t_.get("max_edits", 2)),
                     size=int(t_.get("size", 5)),
                     prefix_length=int(t_.get("prefix_length", 0)),
@@ -1558,10 +1600,11 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 from engine.query import suggest_phrase as _sp
 
                 p_ = spec["phrase"]
-                if p_.get("field", "text") != "text":
-                    raise ValueError("phrase suggester supports the text field")
+                r_ = _text_reader(
+                    reader, p_.get("field", reader.field), "phrase suggester"
+                )
                 df = _sp(
-                    reader, spec["text"],
+                    r_, spec["text"],
                     size=int(p_.get("size", 5)),
                     max_edits=int(p_.get("max_edits", 2)),
                 )
@@ -1569,11 +1612,11 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 from engine.query import suggest_complete as _sc
 
                 c_ = spec["completion"]
-                if c_.get("field", "text") != "text":
-                    raise ValueError(
-                        "completion suggester supports the text field"
-                    )
-                df = _sc(reader, spec["prefix"], size=int(c_.get("size", 10)))
+                r_ = _text_reader(
+                    reader, c_.get("field", reader.field),
+                    "completion suggester",
+                )
+                df = _sc(r_, spec["prefix"], size=int(c_.get("size", 10)))
             else:
                 raise ValueError(
                     f"unsupported suggester: {sorted(set(spec) - {'text', 'prefix'})}"
@@ -1657,11 +1700,11 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
         # (matcher closures don't serialize); _scroll_page rebuilds the
         # positional matcher from it on every page
         ((pfld, spec),) = q["match_phrase"].items()
-        if pfld != "text":
-            raise ValueError("scroll match_phrase supports the text field")
+        _text_reader(reader, pfld, "scroll match_phrase")  # validate
         phrase = {
             "text": spec["query"] if isinstance(spec, dict) else spec,
             "slop": int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
+            "tfield": pfld,
         }
         terms, mode = None, "or"
     else:
@@ -1711,6 +1754,9 @@ def _scroll_page(spark, token: dict) -> dict:
     if token.get("phrase"):
         from engine.query import phrase_matcher
 
+        pfld = token["phrase"].get("tfield", r.field)
+        if pfld != r.field:
+            r = r.for_field(pfld)
         pm = phrase_matcher(r, token["phrase"]["text"], token["phrase"]["slop"])
         if pm is None:
             return {"hits": {"hits": []}}  # dead slot term: empty scroll

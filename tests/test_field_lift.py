@@ -1,0 +1,238 @@
+"""Round-5 field lift: every DSL query kind that was gated to the primary
+`text` field now routes to ANY indexed text field via reader.for_field
+(shared docmap => per-field doc_ids coincide). Invariant judged here: for
+each kind, search() with the field named == the same kernel invoked
+directly on the per-field reader view (independently tested elsewhere).
+Unknown fields and cross-field span mixes must still raise."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.dsl import scroll_next, scroll_search, search
+from engine.index_build import build_index
+from engine.query import IndexReader
+
+ROWS = [
+    ("d1", "alpha beta gamma delta alpha", "red green blue alpha"),
+    ("d2", "beta alpha delta", "green blue green alphax"),
+    ("d3", "alpha beta beta gamma", "alpha beta red"),
+    ("d4", "gamma delta delta", "red red green alpha beta"),
+    ("d5", "alpha beta", "blue alpha beta green"),
+    ("d6", "delta gamma alpha", "alpha green red blue"),
+]
+
+
+@pytest.fixture(scope="module")
+def lift_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(u, t, ti, len(t)) for u, t, ti in ROWS],
+        "url string, text string, title string, nc long",
+    )
+    out = str(tmp_path_factory.mktemp("lift") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], index_options="positions",
+        docvalue_cols=["nc"],
+    )
+    return out
+
+
+def _ids(resp):
+    return [h["_id"] for h in resp["hits"]["hits"]]
+
+
+def _scores(resp):
+    return [round(h["_score"], 9) for h in resp["hits"]["hits"]]
+
+
+def _want(df):
+    rows = df.collect()
+    return [r["url"] for r in rows], [round(r["score"], 9) for r in rows]
+
+
+def test_rewrite_kinds_on_title(spark, lift_index):
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    for kind, val in (
+        ("prefix", "gre"),
+        ("wildcard", "g*een"),
+        ("regexp", "gr.en|blu."),
+        ("fuzzy", "grean"),
+    ):
+        resp = search(r, {"query": {kind: {"title": {"value": val}}},
+                          "size": 10})
+        wid, ws = _want(bm25_topk(rt, val, k=10, mode=kind))
+        assert _ids(resp) == wid and _scores(resp) == ws, kind
+
+
+def test_term_union_kinds_on_title(spark, lift_index):
+    from engine.query import (
+        bm25_synonym_topk,
+        match_bool_prefix_topk,
+        terms_set_topk,
+    )
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"match_bool_prefix": {"title": "red gr"}},
+                      "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        match_bool_prefix_topk(rt, "red gr", k=10)
+    )
+    resp = search(r, {"query": {"terms_set": {"title": {
+        "terms": ["red", "green", "blue"],
+        "minimum_should_match_field": "nc"}}}, "size": 10})
+    got = terms_set_topk(rt, ["red", "green", "blue"], "nc", k=10)
+    assert (_ids(resp), _scores(resp)) == _want(got)
+    resp = search(r, {"query": {"synonym_match": {"title": {
+        "groups": [["red", "green"], ["blue"]]}}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        bm25_synonym_topk(rt, [["red", "green"], ["blue"]], k=10)
+    )
+
+
+def test_span_kinds_on_title(spark, lift_index):
+    from engine.spans import (
+        span_first_topk,
+        span_near_topk,
+        span_not_topk,
+        span_or_topk,
+    )
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"span_near": {
+        "clauses": [{"span_term": {"title": "red"}},
+                    {"span_term": {"title": "green"}}],
+        "slop": 1, "in_order": False}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        span_near_topk(rt, [["red"], ["green"]], k=10, slop=1, in_order=False)
+    )
+    resp = search(r, {"query": {"span_or": {
+        "clauses": [{"span_term": {"title": "red"}},
+                    {"span_term": {"title": "blue"}}]}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        span_or_topk(rt, ["red", "blue"], k=10)
+    )
+    resp = search(r, {"query": {"span_not": {
+        "include": {"span_term": {"title": "green"}},
+        "exclude": {"span_term": {"title": "blue"}},
+        "dist": 1}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        span_not_topk(rt, [["green"]], ["blue"], k=10, pre=1, post=1)
+    )
+    resp = search(r, {"query": {"span_first": {
+        "match": {"span_term": {"title": "green"}}, "end": 2}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        span_first_topk(rt, "green", end=2, k=10)
+    )
+    # intervals routes onto the span engine
+    resp = search(r, {"query": {"intervals": {"title": {"match": {
+        "query": "red green", "max_gaps": 1, "ordered": False}}}},
+        "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        span_near_topk(rt, [["red"], ["green"]], k=10, slop=1, in_order=False)
+    )
+    with pytest.raises(ValueError, match="ONE field"):
+        search(r, {"query": {"span_near": {
+            "clauses": [{"span_term": {"title": "red"}},
+                        {"span_term": {"text": "alpha"}}]}}, "size": 10})
+
+
+def test_querystring_kinds_on_title(spark, lift_index):
+    from engine.querystring import query_string_topk, simple_query_string_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"simple_query_string": {
+        "query": "red | blue", "fields": ["title"]}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        simple_query_string_topk(rt, "red | blue", k=10)
+    )
+    resp = search(r, {"query": {"query_string": {
+        "query": "red OR blue", "default_field": "title"}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        query_string_topk(rt, "red OR blue", k=10)
+    )
+
+
+def test_rescore_sort_aggs_count_scroll_on_title(spark, lift_index):
+    from engine.query import rescore_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    # rescore: base match on title + phrase rescorer on title
+    resp = search(r, {
+        "query": {"match": {"title": "alpha green"}},
+        "rescore": {"window_size": 5, "query": {
+            "rescore_query": {"match_phrase": {"title": "alpha beta"}},
+            "query_weight": 1.0, "rescore_query_weight": 2.0}},
+        "size": 5})
+    assert (_ids(resp), _scores(resp)) == _want(rescore_topk(
+        rt, ["alpha", "green"], "alpha beta", k=5, window_size=5,
+        query_weight=1.0, rescore_weight=2.0))
+    with pytest.raises(ValueError, match="must equal the rescorer"):
+        search(r, {"query": {"match": {"text": "alpha"}},
+                   "rescore": {"query": {"rescore_query": {
+                       "match_phrase": {"title": "alpha beta"}}}},
+                   "size": 5})
+    # sort path over a title phrase (the _agg_context lift)
+    resp = search(r, {"query": {"match_phrase": {"title": "alpha beta"}},
+                      "sort": [{"nc": {"order": "desc"}}], "size": 10})
+    phrase_docs = {u for u, t, ti in ROWS if "alpha beta" in ti}
+    assert set(_ids(resp)) == phrase_docs
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    assert _ids(resp) == sorted(phrase_docs, key=lambda u: (-ncs[u], u))
+    # track_total_hits + aggs under a title phrase
+    resp = search(r, {"query": {"match_phrase": {"title": "alpha beta"}},
+                      "track_total_hits": True,
+                      "aggs": {"s": {"stats": {"field": "nc"}}},
+                      "size": 0})
+    assert resp["hits"]["total"]["value"] == len(phrase_docs)
+    st = resp["aggregations"]["s"]["buckets"][0]
+    assert st["v_count"] == len(phrase_docs)
+    assert st["v_sum"] == sum(ncs[u] for u in phrase_docs)
+    # scroll over a title phrase
+    page = scroll_search(
+        r, {"query": {"match_phrase": {"title": "alpha beta"}},
+            "sort": [{"nc": {"order": "asc"}}]}, size=1)
+    seen = [h["_id"] for h in page["hits"]["hits"]]
+    while page.get("_scroll_id") and page["hits"]["hits"]:
+        page = scroll_next(spark, page["_scroll_id"])
+        seen += [h["_id"] for h in page["hits"]["hits"]]
+    assert seen == sorted(phrase_docs, key=lambda u: (ncs[u], u))
+
+
+def test_suggesters_on_title(spark, lift_index):
+    from engine.query import suggest_complete, suggest_phrase, suggest_terms
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"suggest": {
+        "s1": {"text": "gren", "term": {"field": "title"}},
+        "s2": {"text": "red gren", "phrase": {"field": "title"}},
+        "s3": {"prefix": "gr", "completion": {"field": "title"}},
+    }, "size": 0})
+    assert resp["suggest"]["s1"][0]["options"] == [
+        x.asDict() for x in suggest_terms(rt, "gren").collect()]
+    assert resp["suggest"]["s2"][0]["options"] == [
+        x.asDict() for x in suggest_phrase(rt, "red gren").collect()]
+    assert resp["suggest"]["s3"][0]["options"] == [
+        x.asDict() for x in suggest_complete(rt, "gr").collect()]
+
+
+def test_unknown_field_raises(spark, lift_index):
+    r = IndexReader(spark, lift_index)
+    for body in (
+        {"query": {"prefix": {"nope": {"value": "g"}}}},
+        {"query": {"match_bool_prefix": {"nope": "red gr"}}},
+        {"query": {"span_near": {"clauses": [
+            {"span_term": {"nope": "red"}}]}}},
+        {"query": {"simple_query_string": {"query": "red",
+                                           "fields": ["nope"]}}},
+    ):
+        with pytest.raises(ValueError, match="not an indexed text field"):
+            search(r, {**body, "size": 5})
