@@ -1684,6 +1684,30 @@ def q_bm25_mf_pprefix(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+TITLE_PREFIX_Q = "s"  # title dictionary: src* sources + s-words
+
+
+def q_title_prefix(spark, sf_dir):
+    """Field-lifted DSL prefix query: `prefix` on the NON-primary `title`
+    field of the two-field index routes to the per-field reader view
+    (engine/dsl.py _text_reader) — postings, df ordering, and the
+    expansion cap all come from the title field's own dictionary."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    resp = search(
+        reader,
+        {"query": {"prefix": {"title": {"value": TITLE_PREFIX_Q}}},
+         "size": 25},
+    )
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df)
+
+
 MF_MBP_Q = "hash join s"  # leading exact terms + trailing prefix
 
 
@@ -4628,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # INTO the driver gate; the displaced six (judge-replayed in r4)
         # move below it, still fully self-certified ---
         "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "title_prefix_topk": q_title_prefix,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_pprefix_topk": q_bm25_mf_pprefix,
         "bm25_mf_bool_prefix_topk": q_bm25_mf_bool_prefix,
@@ -5780,6 +5805,9 @@ SELECT doc_id, n_tokens, ppl,
 FROM ppl CROSS JOIN cuts""",
         "bm25_combined_fields_topk": _bm25_multifield_sql(
             MF_TERMS, "combined_fields", 0.0, k=10
+        ),
+        "title_prefix_topk": _bm25_rewrite_sql(
+            f"term LIKE '{TITLE_PREFIX_Q}%'", k=10, text_expr=MF_TITLE_SQL
         ),
         "bm25_mf_phrase_topk": _mf_dismax_sql(
             _phrase_span_sql(PHRASE_Q.split(), 0, raw=True),
