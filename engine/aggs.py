@@ -2110,6 +2110,7 @@ def significant_terms(
     text_col: str = "text",
     execution: str = "auto",
     filters=(),
+    stats_reader: IndexReader | None = None,
 ) -> DataFrame:
     """ES `significant_terms` on the indexed text field: terms
     overrepresented in the matched (foreground) set vs the whole index
@@ -2153,7 +2154,13 @@ def significant_terms(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
-    bg = spark.read.parquet(os.path.join(reader.dir, reader._ts_sub)).select(
+    # significant_text on a NON-query field: the foreground matched set
+    # comes from the QUERY's field (reader), the background df and the
+    # re-analyzed column from the NAMED field (stats_reader) — ES reads
+    # _source for the named field while the query matches wherever it
+    # matched. Shared docmap => n_docs identical.
+    sr = stats_reader or reader
+    bg = spark.read.parquet(os.path.join(sr.dir, sr._ts_sub)).select(
         "term", "df"
     )
     fr = F.col("doc_count") / F.lit(float(n_fg))

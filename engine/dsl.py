@@ -1270,33 +1270,47 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             rows = df.collect()[frm:]
             hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
             if body.get("highlight"):
-                if corpus is None and "text" in getattr(reader, "stored_cols", []):
-                    # stored-source index: highlight from the index itself
-                    corpus = reader.stored_source_df()
-                if corpus is None:
-                    raise ValueError(
-                        "highlight needs the source text: build the index "
-                        "with store_source=... or search(..., corpus=df)"
-                    )
                 from engine.query import highlight_fragments
 
                 hl = body["highlight"]
-                # phrase bodies highlight their slot terms (every
-                # occurrence, not only in-phrase ones — ES plain-
-                # highlighter behavior, documented divergence from the
-                # unified highlighter's position-aware passages)
+                # ES highlight.fields: each requested field highlights
+                # from its own stored column (or a caller corpus column).
+                # Frozen require_field_match=false behavior: the query's
+                # terms are marked in EVERY requested field (ES's default
+                # true would need per-field query attribution). Phrase
+                # bodies highlight their slot terms (every occurrence,
+                # not only in-phrase ones — ES plain-highlighter
+                # behavior, documented divergence from the unified
+                # highlighter's position-aware passages).
+                hfields = list(hl.get("fields") or {"text": {}})
+                stored = getattr(reader, "stored_cols", [])
+                src = None
+                if corpus is None and any(f in stored for f in hfields):
+                    src = reader.stored_source_df()
                 _ar2, terms, _mode, _matcher, _np_ = _agg_context(reader, query)
-                frags = {
-                    r["url"]: r["fragment"]
-                    for r in highlight_fragments(
-                        df, corpus, terms, id_col="url",
-                        pre_tag=hl.get("pre_tags", ["<em>"])[0],
-                        post_tag=hl.get("post_tags", ["</em>"])[0],
-                    ).collect()
-                }
-                for h in hits:
-                    if h["_id"] in frags:
-                        h["highlight"] = {"text": [frags[h["_id"]]]}
+                for hf in hfields:
+                    csrc = corpus if (
+                        corpus is not None and hf in corpus.columns
+                    ) else (src if hf in stored else None)
+                    if csrc is None:
+                        raise ValueError(
+                            f"highlight field {hf!r} needs the source text: "
+                            "build the index with store_source=... or "
+                            "search(..., corpus=df)"
+                        )
+                    frags = {
+                        r["url"]: r["fragment"]
+                        for r in highlight_fragments(
+                            df, csrc, terms, id_col="url", text_col=hf,
+                            pre_tag=hl.get("pre_tags", ["<em>"])[0],
+                            post_tag=hl.get("post_tags", ["</em>"])[0],
+                        ).collect()
+                    }
+                    for h in hits:
+                        if h["_id"] in frags:
+                            h.setdefault("highlight", {})[hf] = [
+                                frags[h["_id"]]
+                            ]
 
     if body.get("min_score") is not None:
         # ES min_score: drop hits scoring below the floor. The count path
@@ -1470,14 +1484,15 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 # the source corpus (the index stores no text), same as
                 # highlight.
                 sg = spec.get("significant_text") or spec["significant_terms"]
-                if sg.get("field", "text") != "text":
-                    raise ValueError("significant_text supports the text field")
-                if corpus is None and "text" in getattr(reader, "stored_cols", []):
-                    corpus = reader.stored_source_df()
-                if corpus is None:
+                sgf = sg.get("field", "text")
+                if corpus is None or sgf not in corpus.columns:
+                    if sgf in getattr(reader, "stored_cols", []):
+                        corpus = reader.stored_source_df()
+                if corpus is None or sgf not in corpus.columns:
                     raise ValueError(
-                        "significant_text needs the source text: build the "
-                        "index with store_source=... or search(..., corpus=...)"
+                        f"significant_text field {sgf!r} needs the source "
+                        "text: build the index with store_source=... or "
+                        "search(..., corpus=...)"
                     )
                 if terms is None:
                     raise ValueError(
@@ -1485,9 +1500,12 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                     )
                 from engine.aggs import significant_terms as _sig
 
+                # foreground matched set: the QUERY's field; background
+                # df + re-analyzed column: the NAMED field's reader view
                 df = _sig(
-                    reader, terms, corpus, size=sg.get("size", 10),
-                    mode=mode, filters=filt,
+                    areader, terms, corpus, size=sg.get("size", 10),
+                    mode=mode, filters=filt, text_col=sgf,
+                    stats_reader=_text_reader(reader, sgf, "significant_text"),
                 )
                 bucket_dfs[name] = df
                 out["aggregations"][name] = {

@@ -236,3 +236,79 @@ def test_unknown_field_raises(spark, lift_index):
     ):
         with pytest.raises(ValueError, match="not an indexed text field"):
             search(r, {**body, "size": 5})
+
+
+@pytest.fixture(scope="module")
+def stored_lift_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(u, t, ti, len(t)) for u, t, ti in ROWS],
+        "url string, text string, title string, nc long",
+    )
+    out = str(tmp_path_factory.mktemp("lift_src") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], index_options="positions",
+        docvalue_cols=["nc"], store_source=["text", "title"],
+    )
+    return out
+
+
+def test_highlight_named_fields(spark, stored_lift_index):
+    r = IndexReader(spark, stored_lift_index)
+    resp = search(r, {
+        "query": {"match": {"text": "alpha"}},
+        "highlight": {"fields": {"text": {}, "title": {}}},
+        "size": 10})
+    assert resp["hits"]["hits"], "weak corpus"
+    by_id = {u: (t, ti) for u, t, ti in ROWS}
+    for h in resp["hits"]["hits"]:
+        t, ti = by_id[h["_id"]]
+        hl = h.get("highlight", {})
+        # every text hit contains alpha -> marked fragment present
+        assert "<em>alpha</em>" in hl["text"][0]
+        # title fragment present when the title contains the SUBSTRING
+        # (the frozen locate() contract); the <em> mark needs a word-
+        # boundary occurrence
+        if "alpha" in ti.split():
+            assert "<em>alpha</em>" in hl["title"][0]
+        elif "alpha" in ti:
+            assert "<em>" not in hl["title"][0]
+        else:
+            assert "title" not in hl
+    # unknown / unstored field fails closed
+    with pytest.raises(ValueError, match="needs the source text"):
+        search(r, {"query": {"match": {"text": "alpha"}},
+                   "highlight": {"fields": {"nope": {}}}, "size": 5})
+
+
+def test_significant_text_named_field(spark, stored_lift_index):
+    """significant_text on the NON-query field: foreground = query-field
+    matched docs; background df + re-analysis from the named field.
+    Brute twin recomputes JLH from ROWS."""
+    r = IndexReader(spark, stored_lift_index)
+    resp = search(r, {
+        "query": {"match": {"text": "gamma"}},
+        "aggs": {"sig": {"significant_text": {"field": "title", "size": 5}}},
+        "size": 0})
+    buckets = resp["aggregations"]["sig"]["buckets"]
+    # brute: fg = docs whose TEXT holds gamma; per-term fg df over TITLE
+    fg = [ti for u, t, ti in ROWS if "gamma" in t.split()]
+    n_fg, n_docs = len(fg), len(ROWS)
+    fg_df: dict = {}
+    for ti in fg:
+        for w in set(ti.split()):
+            fg_df[w] = fg_df.get(w, 0) + 1
+    bg_df: dict = {}
+    for u, t, ti in ROWS:
+        for w in set(ti.split()):
+            bg_df[w] = bg_df.get(w, 0) + 1
+    want = []
+    for w, c in fg_df.items():
+        fr, br = c / n_fg, bg_df[w] / n_docs
+        sc = (fr - br) * (fr / br)
+        if sc > 0:
+            want.append((w, c, bg_df[w], round(sc, 6)))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    got = [(b["term"], b["doc_count"], b["bg_count"], b["score"])
+           for b in buckets]
+    assert got == want[:5]
