@@ -412,6 +412,21 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"multi_match fields {unknown} are not indexed "
                 f"(text_fields={reader.text_fields})"
             )
+        if m.get("fuzziness") is not None:
+            # ES multi_match + fuzziness: supported for ONE field (it
+            # degenerates to match + fuzziness); per-field fuzzy
+            # expansion under a blend is a documented divergence
+            if len(flds) > 1:
+                raise ValueError(
+                    "multi_match fuzziness composes with ONE field "
+                    "(per-field fuzzy blending is a documented divergence)"
+                )
+            sub = {"match": {flds[0]: {
+                "query": m["query"], "fuzziness": m["fuzziness"],
+                "max_expansions": int(m.get("max_expansions", 50)),
+                "operator": m.get("operator", "or"),
+            }}}
+            return _hits_df(reader, sub, k, filters)
         if m.get("type") in ("phrase", "phrase_prefix", "bool_prefix"):
             kind_ = m["type"]
             slop_ = int(m.get("slop", 0))

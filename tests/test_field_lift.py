@@ -312,3 +312,20 @@ def test_significant_text_named_field(spark, stored_lift_index):
     got = [(b["term"], b["doc_count"], b["bg_count"], b["score"])
            for b in buckets]
     assert got == want[:5]
+
+
+def test_multi_match_fuzziness_routes(spark, lift_index):
+    """multi_match + fuzziness: one field degenerates to match+fuzziness
+    (identical hits/scores); several fields fail closed."""
+    r = IndexReader(spark, lift_index)
+    a = search(r, {"query": {"multi_match": {
+        "query": "alpa", "fields": ["title"], "fuzziness": "AUTO"}},
+        "size": 10})
+    b = search(r, {"query": {"match": {"title": {
+        "query": "alpa", "fuzziness": "AUTO"}}}, "size": 10})
+    assert _ids(a) == _ids(b) and _scores(a) == _scores(b)
+    assert _ids(a), "weak corpus — fuzzy matched nothing"
+    with pytest.raises(ValueError, match="ONE field"):
+        search(r, {"query": {"multi_match": {
+            "query": "alpa", "fields": ["title", "text"],
+            "fuzziness": "AUTO"}}, "size": 10})
