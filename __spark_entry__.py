@@ -1684,6 +1684,31 @@ def q_bm25_mf_pprefix(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
+def q_post_filter(spark, sf_dir):
+    """ES post_filter through the DSL: the HITS page is restricted by the
+    docvalue predicate (exact, pre-top-k — the shared filter-context
+    machinery) while scores stay corpus-global; aggs/total would keep the
+    unfiltered scope (tested in test_field_lift; this row oracles the
+    restricted hit ranking)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"match": {"text": " ".join(BM25_TERMS)}},
+        "post_filter": {"bool": {"filter": [
+            {"term": {"lang": FLT_LANG}},
+            {"range": {"n_chars": {"gte": FLT_LO, "lt": FLT_HI}}},
+        ]}},
+        "size": 25,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df)
+
+
 TITLE_PREFIX_Q = "s"  # title dictionary: src* sources + s-words
 
 
@@ -4652,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # INTO the driver gate; the displaced six (judge-replayed in r4)
         # move below it, still fully self-certified ---
         "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_pprefix_topk": q_bm25_mf_pprefix,
@@ -5805,6 +5831,13 @@ SELECT doc_id, n_tokens, ppl,
 FROM ppl CROSS JOIN cuts""",
         "bm25_combined_fields_topk": _bm25_multifield_sql(
             MF_TERMS, "combined_fields", 0.0, k=10
+        ),
+        "post_filter_topk": _bm25_sql(
+            BM25_TERMS, k=10,
+            docvalue_filter=(
+                f"lang = '{FLT_LANG}' AND n_chars >= {FLT_LO} "
+                f"AND n_chars < {FLT_HI}"
+            ),
         ),
         "title_prefix_topk": _bm25_rewrite_sql(
             f"term LIKE '{TITLE_PREFIX_Q}%'", k=10, text_expr=MF_TITLE_SQL

@@ -44,7 +44,11 @@ from engine.docvalues import ExistsFilter, RangeFilter, TermFilter
 def _clause_filters(clauses: list) -> tuple:
     out = []
     for c in clauses:
-        if "term" in c:
+        if "bool" in c and set(c["bool"]) == {"filter"}:
+            # a pure filter-bool wrapper (the common post_filter shape)
+            # flattens into its clause list
+            out.extend(_clause_filters(c["bool"]["filter"]))
+        elif "term" in c:
             ((f, v),) = c["term"].items()
             out.append(TermFilter(f, v["value"] if isinstance(v, dict) else v))
         elif "range" in c:
@@ -1212,7 +1216,14 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     frm = int(body.get("from", 0))
     if frm + size > 10_000:
         raise ValueError("from+size > 10000; use sort + search_after")
-    filters = ()
+    # ES post_filter: restricts the HITS (exact, pre-top-k — the shared
+    # filter-context machinery), while aggregations and hits.total keep
+    # the unfiltered query scope. Frozen scope: the scoring-hits and
+    # sort paths; collapse/rescore fail closed below.
+    filters = (
+        _clause_filters([body["post_filter"]])
+        if body.get("post_filter") is not None else ()
+    )
     out: dict = {}
 
     sort_spec = body.get("sort")
@@ -1240,8 +1251,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             ar, terms, fld, k=frm + size, mode=mode,
             ascending=order == "asc",
             search_after=tuple(after) if after else None,
-            filters=_clause_filters(query.get("bool", {}).get("filter", []))
-            if "bool" in query else (),
+            filters=(_clause_filters(query.get("bool", {}).get("filter", []))
+                     if "bool" in query else ()) + filters,
             runtime=rt or None,
             matcher=matcher, needs_pos=needs_pos,
         ).collect()[frm:]
@@ -1252,6 +1263,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     elif body.get("collapse"):
         from engine.aggs import collapse_topk
 
+        if filters:
+            raise ValueError("post_filter + collapse is not composed")
         terms, mode = _query_terms_or_none(query)
         if terms is None:
             raise ValueError("collapse needs a scoring query (match/term)")
@@ -1270,6 +1283,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             for r in rows
         ]
     elif body.get("rescore"):
+        if filters:
+            raise ValueError("post_filter + rescore is not composed")
         df = _rescore_df(reader, query, body["rescore"], frm + size)
         rows = df.collect()[frm:]
         hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
@@ -1278,7 +1293,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         if df is None:  # match_all: first `size` live docs in url order
             from engine.aggs import live_docmap
 
-            dm = live_docmap(reader)
+            dm = live_docmap(reader, filters)
             rows = dm.select("url").orderBy("url").limit(frm + size).collect()[frm:]
             hits = [{"_id": r["url"], "_score": 1.0} for r in rows]
         else:

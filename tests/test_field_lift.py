@@ -329,3 +329,46 @@ def test_multi_match_fuzziness_routes(spark, lift_index):
         search(r, {"query": {"multi_match": {
             "query": "alpa", "fields": ["title", "text"],
             "fuzziness": "AUTO"}}, "size": 10})
+
+
+def test_post_filter(spark, lift_index):
+    """ES post_filter: hits restricted (exact, pre-top-k), aggs and
+    hits.total keep the unfiltered query scope."""
+    r = IndexReader(spark, lift_index)
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    cut = sorted(ncs.values())[len(ncs) // 2]
+    body = {
+        "query": {"match": {"text": "alpha"}},
+        "post_filter": {"range": {"nc": {"gte": cut}}},
+        "track_total_hits": True,
+        "aggs": {"s": {"stats": {"field": "nc"}}},
+        "size": 10,
+    }
+    resp = search(r, body)
+    alpha_docs = {u for u, t, ti in ROWS if "alpha" in t.split()}
+    kept = {u for u in alpha_docs if ncs[u] >= cut}
+    assert set(_ids(resp)) == kept
+    # unfiltered query scope for total + aggs
+    assert resp["hits"]["total"]["value"] == len(alpha_docs)
+    st = resp["aggregations"]["s"]["buckets"][0]
+    assert st["v_count"] == len(alpha_docs)
+    assert st["v_sum"] == sum(ncs[u] for u in alpha_docs)
+    # scores of survivors equal the unfiltered query's scores (ES)
+    base = search(r, {"query": {"match": {"text": "alpha"}}, "size": 10})
+    base_s = dict(zip(_ids(base), _scores(base)))
+    for h in resp["hits"]["hits"]:
+        assert round(h["_score"], 9) == base_s[h["_id"]]
+    # match_all + post_filter pages the filtered docmap
+    resp = search(r, {"query": {"match_all": {}},
+                      "post_filter": {"range": {"nc": {"gte": cut}}},
+                      "size": 10})
+    assert set(_ids(resp)) == {u for u in ncs if ncs[u] >= cut}
+    # sort path composes; collapse / rescore fail closed
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "post_filter": {"range": {"nc": {"gte": cut}}},
+                      "sort": [{"nc": "asc"}], "size": 10})
+    assert _ids(resp) == sorted(kept, key=lambda u: (ncs[u], u))
+    with pytest.raises(ValueError, match="not composed"):
+        search(r, {"query": {"match": {"text": "alpha"}},
+                   "post_filter": {"term": {"nc": 5}},
+                   "collapse": {"field": "nc"}, "size": 5})
