@@ -812,33 +812,56 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         )
     if "boosting" in query:
         bq = query["boosting"]
-        pos, _op, _m, _f = _match_terms(bq["positive"])
-        neg, _op2, _m2, _f2 = _match_terms(bq["negative"])
+        af = tuple(reader.text_fields)
+        pos, _op, _m, pfld = _match_terms(bq["positive"], allowed=af)
+        neg, _op2, _m2, nfld = _match_terms(bq["negative"], allowed=af)
+        if pfld != nfld:
+            raise ValueError(
+                "boosting positive and negative clauses must name ONE "
+                "field (cross-field demotion is a documented divergence)"
+            )
         from engine.query import bm25_boosting_topk
 
         return bm25_boosting_topk(
-            reader, pos, neg, negative_boost=float(bq.get("negative_boost", 0.5)),
+            _text_reader(reader, pfld, "boosting"), pos, neg,
+            negative_boost=float(bq.get("negative_boost", 0.5)),
             k=k, filters=filters,
         )
     if "dis_max" in query:
         d = query["dis_max"]
-        terms = [t for c in d["queries"] for t in _match_terms(c)[0]]
+        af = tuple(reader.text_fields)
+        parsed = [_match_terms(c, allowed=af) for c in d["queries"]]
+        dflds = {pf[3] for pf in parsed}
+        if len(dflds) > 1:
+            raise ValueError(
+                "dis_max legs must name ONE field (use multi_match "
+                "best_fields for cross-field dis_max)"
+            )
+        terms = [t for pf in parsed for t in pf[0]]
         return bm25_dismax_topk(
-            reader, terms, k=k, tie_breaker=d.get("tie_breaker", 0.0)
+            _text_reader(reader, dflds.pop(), "dis_max"), terms, k=k,
+            tie_breaker=d.get("tie_breaker", 0.0)
         )
     if "more_like_this" in query:
         m = query["more_like_this"]
+        mlf = m.get("fields", [reader.field])
+        if len(mlf) != 1:
+            raise ValueError("more_like_this supports ONE field")
         like = m["like"] if isinstance(m["like"], str) else m["like"][0]
         return mlt_topk(
-            reader, like, max_query_terms=m.get("max_query_terms", 5), k=k
+            _text_reader(reader, mlf[0], "more_like_this"), like,
+            max_query_terms=m.get("max_query_terms", 5), k=k
         )
     if "pinned" in query:
         p = query["pinned"]
-        terms, op, _, _f = _match_terms(p["organic"])
+        terms, op, _, ofld = _match_terms(
+            p["organic"], allowed=tuple(reader.text_fields)
+        )
         from engine.aggs import pinned_topk
 
         return pinned_topk(
-            reader, p["ids"], terms, k=k, mode=op, filters=filters
+            _text_reader(reader, ofld, "pinned"), p["ids"], terms, k=k,
+            mode=op, filters=filters
         )
     if "script_score" in query:
         f = query["script_score"]

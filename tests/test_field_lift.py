@@ -372,3 +372,44 @@ def test_post_filter(spark, lift_index):
         search(r, {"query": {"match": {"text": "alpha"}},
                    "post_filter": {"term": {"nc": 5}},
                    "collapse": {"field": "nc"}, "size": 5})
+
+
+def test_boosting_dismax_mlt_pinned_on_title(spark, lift_index):
+    from engine.aggs import pinned_topk
+    from engine.query import bm25_boosting_topk, bm25_dismax_topk, mlt_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"boosting": {
+        "positive": {"match": {"title": "green"}},
+        "negative": {"match": {"title": "blue"}},
+        "negative_boost": 0.4}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        bm25_boosting_topk(rt, ["green"], ["blue"], negative_boost=0.4, k=10)
+    )
+    with pytest.raises(ValueError, match="ONE\n?\\s*field|ONE field"):
+        search(r, {"query": {"boosting": {
+            "positive": {"match": {"title": "green"}},
+            "negative": {"match": {"text": "alpha"}}}}, "size": 10})
+    resp = search(r, {"query": {"dis_max": {
+        "queries": [{"match": {"title": "red"}},
+                    {"match": {"title": "blue"}}],
+        "tie_breaker": 0.3}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        bm25_dismax_topk(rt, ["red", "blue"], k=10, tie_breaker=0.3)
+    )
+    with pytest.raises(ValueError, match="ONE field"):
+        search(r, {"query": {"dis_max": {"queries": [
+            {"match": {"title": "red"}}, {"match": {"text": "alpha"}}]}},
+            "size": 10})
+    resp = search(r, {"query": {"more_like_this": {
+        "like": "red green blue", "fields": ["title"],
+        "max_query_terms": 3}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        mlt_topk(rt, "red green blue", max_query_terms=3, k=10)
+    )
+    resp = search(r, {"query": {"pinned": {
+        "ids": ["d6"], "organic": {"match": {"title": "green"}}}},
+        "size": 10})
+    want = pinned_topk(rt, ["d6"], ["green"], k=10).collect()
+    assert _ids(resp) == [x["url"] for x in want]
