@@ -631,13 +631,25 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             # kinds that can't compose raise their own documented
             # divergence instead of _match_terms' misleading field error
             return _hits_df(reader, must_c[0], k, filt)
-        must = [t for c in must_c for t in _match_terms(c)[0]]
-        should = [t for c in should_c for t in _match_terms(c)[0]]
-        must_not = [t for c in not_c for t in _match_terms(c)[0]]
+        af = tuple(reader.text_fields)
+        pm = [_match_terms(c, allowed=af) for c in must_c]
+        ps = [_match_terms(c, allowed=af) for c in should_c]
+        pn = [_match_terms(c, allowed=af) for c in not_c]
+        bflds = {x[3] for x in pm + ps + pn}
+        if len(bflds) > 1:
+            raise ValueError(
+                f"bool term clauses must all name ONE field (got "
+                f"{sorted(bflds)}; cross-field bool scoring is a "
+                "documented divergence — use multi_match)"
+            )
+        br = _text_reader(reader, bflds.pop(), "bool") if bflds else reader
+        must = [t for x in pm for t in x[0]]
+        should = [t for x in ps for t in x[0]]
+        must_not = [t for x in pn for t in x[0]]
         if not (should or must_not):
-            return bm25_topk(reader, must, k=k, mode="and", filters=filt)
+            return bm25_topk(br, must, k=k, mode="and", filters=filt)
         return bm25_bool_topk(
-            reader, must=must, should=should, must_not=must_not, k=k,
+            br, must=must, should=should, must_not=must_not, k=k,
             minimum_should_match=b.get("minimum_should_match"),
             filters=filt,
         )
@@ -866,24 +878,30 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "script_score" in query:
         f = query["script_score"]
         inner = f.get("query", {"match_all": {}})
-        terms, op, _, _f = (
-            _match_terms(inner) if "match_all" not in inner else ([], "or", None, "text")
+        terms, op, _, sfld = (
+            _match_terms(inner, allowed=tuple(reader.text_fields))
+            if "match_all" not in inner else ([], "or", None, reader.field)
         )
         if not terms:
             raise ValueError("script_score needs a match/term query")
         return bm25_topk(
-            reader, terms, k=k, mode=op, filters=filters,
+            _text_reader(reader, sfld, "script_score"), terms, k=k,
+            mode=op, filters=filters,
             script=f["script"]["source"],
         )
     if "function_score" in query:
         f = query["function_score"]
         fvf = f["field_value_factor"]
         inner = f.get("query", {"match_all": {}})
-        terms, op, _, _f = _match_terms(inner) if "match_all" not in inner else ([], "or", None, "text")
+        terms, op, _, ffld = (
+            _match_terms(inner, allowed=tuple(reader.text_fields))
+            if "match_all" not in inner else ([], "or", None, reader.field)
+        )
         if not terms:
             raise ValueError("function_score needs a match/term query")
         return bm25_topk(
-            reader, terms, k=k, mode=op, filters=filters,
+            _text_reader(reader, ffld, "function_score"), terms, k=k,
+            mode=op, filters=filters,
             boost=(fvf["field"], fvf.get("factor", 1.0)),
         )
     for kind in ("prefix", "wildcard", "regexp", "fuzzy"):
@@ -1067,14 +1085,24 @@ def _agg_context(reader, query: dict):
             return reader, ["\x00dead\x00"], "and", None, False
         terms, matcher = pm
         return reader, terms, "or", matcher, True
-    terms, mode = _query_terms_or_none(query)
+    fl: set = set()
+    terms, mode = _query_terms_or_none(
+        query, allowed=tuple(reader.text_fields), fields_out=fl
+    )
+    if fl:
+        reader = _text_reader(reader, fl.pop(), "query")
     return reader, terms, mode, None, False
 
 
-def _query_terms_or_none(query: dict):
+def _query_terms_or_none(
+    query: dict, allowed: tuple = ("text",), fields_out: set | None = None
+):
     """The analyzed term list driving aggs/sort/count for this query, or
     None for match_all. Raises for query kinds whose matched set is not a
-    plain term query (phrase/dis_max/mlt aggs are not composed yet)."""
+    plain term query (phrase/dis_max/mlt aggs are not composed yet).
+    `allowed`/`fields_out` let field-lifted callers accept any indexed
+    field and learn which ONE the clauses named (mixes raise)."""
+    fo = set() if fields_out is None else fields_out
     if "match_all" in query:
         return None, "or"
     if "bool" in query:
@@ -1084,9 +1112,15 @@ def _query_terms_or_none(query: dict):
         must_c = [c for c in must_c if "match_all" not in c]
         if not must_c:  # pure filter-context bool: match_all semantics
             return None, "or"
-        terms = [t for c in must_c for t in _match_terms(c)[0]]
-        return terms, "and"
-    terms, op, _msm, _f = _match_terms(query)
+        parsed = [_match_terms(c, allowed=allowed) for c in must_c]
+        fo.update(x[3] for x in parsed)
+        if len(fo) > 1:
+            raise ValueError(
+                f"term clauses must all name ONE field (got {sorted(fo)})"
+            )
+        return [t for x in parsed for t in x[0]], "and"
+    terms, op, _msm, f = _match_terms(query, allowed=allowed)
+    fo.add(f)
     return terms, op
 
 

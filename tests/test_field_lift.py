@@ -413,3 +413,52 @@ def test_boosting_dismax_mlt_pinned_on_title(spark, lift_index):
         "size": 10})
     want = pinned_topk(rt, ["d6"], ["green"], k=10).collect()
     assert _ids(resp) == [x["url"] for x in want]
+
+
+def test_bool_and_agg_contexts_on_title(spark, lift_index):
+    from engine.query import bm25_bool_topk, bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    # bool must/should/must_not all on title == the kernel on the view
+    resp = search(r, {"query": {"bool": {
+        "must": [{"match": {"title": "green"}}],
+        "should": [{"match": {"title": "red"}}],
+        "must_not": [{"match": {"title": "alphax"}}]}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(bm25_bool_topk(
+        rt, must=["green"], should=["red"], must_not=["alphax"], k=10))
+    with pytest.raises(ValueError, match="ONE field"):
+        search(r, {"query": {"bool": {
+            "must": [{"match": {"title": "green"}},
+                     {"match": {"text": "alpha"}}]}}, "size": 10})
+    # sort / aggs / count over a TERM query on title (the
+    # _query_terms_or_none lift through _agg_context)
+    green_docs = {u for u, t, ti in ROWS if "green" in ti.split()}
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    resp = search(r, {"query": {"match": {"title": "green"}},
+                      "sort": [{"nc": "asc"}], "size": 10})
+    assert _ids(resp) == sorted(green_docs, key=lambda u: (ncs[u], u))
+    resp = search(r, {"query": {"match": {"title": "green"}},
+                      "track_total_hits": True,
+                      "aggs": {"s": {"stats": {"field": "nc"}}}, "size": 0})
+    assert resp["hits"]["total"]["value"] == len(green_docs)
+    st = resp["aggregations"]["s"]["buckets"][0]
+    assert st["v_count"] == len(green_docs)
+    assert st["v_sum"] == sum(ncs[u] for u in green_docs)
+
+
+def test_script_function_score_on_title(spark, lift_index):
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"script_score": {
+        "query": {"match": {"title": "green"}},
+        "script": {"source": "_score * 2"}}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        bm25_topk(rt, ["green"], k=10, script="_score * 2"))
+    resp = search(r, {"query": {"function_score": {
+        "query": {"match": {"title": "green"}},
+        "field_value_factor": {"field": "nc", "factor": 0.5}}}, "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(
+        bm25_topk(rt, ["green"], k=10, boost=("nc", 0.5)))
