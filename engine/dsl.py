@@ -561,7 +561,10 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return constant_score_topk(
             reader, _clause_filters([query]) + filters, boost=1.0, k=k
         )
-    if "term" in query and next(iter(query["term"])) != "text":
+    if "term" in query and next(iter(query["term"])) not in reader.text_fields:
+        # term on a DOCVALUE (keyword-ish) field: constant score 1.0;
+        # term on any indexed text field falls through to the BM25
+        # scoring path (_match_terms) below
         from engine.aggs import constant_score_topk
 
         return constant_score_topk(

@@ -462,3 +462,19 @@ def test_script_function_score_on_title(spark, lift_index):
         "field_value_factor": {"field": "nc", "factor": 0.5}}}, "size": 10})
     assert (_ids(resp), _scores(resp)) == _want(
         bm25_topk(rt, ["green"], k=10, boost=("nc", 0.5)))
+
+
+def test_term_query_on_title_scores_bm25(spark, lift_index):
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"term": {"title": {"value": "green"}}},
+                      "size": 10})
+    assert (_ids(resp), _scores(resp)) == _want(bm25_topk(rt, ["green"], k=10))
+    # docvalue term still constant-scores
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    some = next(iter(ncs.values()))
+    resp = search(r, {"query": {"term": {"nc": some}}, "size": 10})
+    assert set(_ids(resp)) == {u for u, v in ncs.items() if v == some}
+    assert all(h["_score"] == 1.0 for h in resp["hits"]["hits"])
