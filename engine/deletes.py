@@ -479,10 +479,13 @@ def delete_by_query(spark: SparkSession, index_dir: str, body: dict) -> int:
     query = body.get("query", body) if isinstance(body, dict) else body
     if "query" in query:  # accept either a full body or a bare query
         query = query["query"]
-    terms, mode, filters = compile_query_context(query)
     reader = IndexReader(spark, index_dir)
+    terms, mode, filters, qfld = compile_query_context(
+        query, text_fields=tuple(reader.text_fields)
+    )
     if terms is None:
         urls = live_docmap(reader, filters).select("url")
     else:
-        urls = matched_urls(reader, terms, mode=mode, filters=filters)
+        r = reader if qfld in (None, reader.field) else reader.for_field(qfld)
+        urls = matched_urls(r, terms, mode=mode, filters=filters)
     return delete_docs(spark, index_dir, urls)

@@ -319,8 +319,10 @@ def update_by_query(
     query = body.get("query", body) if isinstance(body, dict) else body
     if "query" in query:
         query = query["query"]
-    terms, mode, filters = compile_query_context(query)
     reader = IndexReader(spark, src_dir)
+    terms, mode, filters, qfld = compile_query_context(
+        query, text_fields=tuple(reader.text_fields)
+    )
     if "text" not in reader.stored_cols:
         raise ValueError(
             "update_by_query needs the index built with store_source "
@@ -329,7 +331,8 @@ def update_by_query(
     if terms is None:
         urls = live_docmap(reader, filters).select("url")
     else:
-        urls = matched_urls(reader, terms, mode=mode, filters=filters)
+        r = reader if qfld in (None, reader.field) else reader.for_field(qfld)
+        urls = matched_urls(r, terms, mode=mode, filters=filters)
     dv_cols = list(reader.manifest.get("docvalue_cols") or [])
     src = reader.stored_source_df().select("url", "text")
     if dv_cols:

@@ -478,3 +478,24 @@ def test_term_query_on_title_scores_bm25(spark, lift_index):
     resp = search(r, {"query": {"term": {"nc": some}}, "size": 10})
     assert set(_ids(resp)) == {u for u, v in ncs.items() if v == some}
     assert all(h["_score"] == 1.0 for h in resp["hits"]["hits"])
+
+
+def test_delete_by_query_on_title(spark, tmp_path_factory):
+    """delete_by_query with the match on a NON-primary field: the matched
+    set comes from that field's postings."""
+    from engine.deletes import delete_by_query
+    from engine.query import bm25_topk
+
+    df = spark.createDataFrame(
+        [(u, t, ti, len(t)) for u, t, ti in ROWS],
+        "url string, text string, title string, nc long",
+    )
+    out = str(tmp_path_factory.mktemp("dbq_t") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4,
+                text_fields=["text", "title"])
+    delete_by_query(spark, out, {"query": {"match": {"title": "blue"}}})
+    r = IndexReader(spark, out)
+    live = {x["url"] for x in bm25_topk(r, ["alpha"], k=100).collect()}
+    blue = {u for u, t, ti in ROWS if "blue" in ti.split()}
+    alpha = {u for u, t, ti in ROWS if "alpha" in t.split()}
+    assert live == alpha - blue
