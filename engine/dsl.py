@@ -1819,14 +1819,19 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
             "tfield": pfld,
         }
         terms, mode = None, "or"
+        tfield = None
     else:
-        terms, mode = _query_terms_or_none(q)
+        fl: set = set()
+        terms, mode = _query_terms_or_none(
+            q, allowed=tuple(reader.text_fields), fields_out=fl
+        )
+        tfield = fl.pop() if fl else None
     token = {
         "dir": reader.dir,
         "snap": len(list_snapshots(reader.dir)),
         "terms": terms, "mode": mode, "phrase": phrase,
         "field": fld, "asc": order == "asc", "size": int(size),
-        "after": None,
+        "after": None, "tfield": tfield,
     }
     return _scroll_page(reader.spark, token)
 
@@ -1863,6 +1868,9 @@ def _scroll_page(spark, token: dict) -> dict:
             )
         after = (val, url)
     terms, matcher, needs_pos = token["terms"], None, False
+    tf_ = token.get("tfield")
+    if tf_ and tf_ != r.field:
+        r = r.for_field(tf_)
     if token.get("phrase"):
         from engine.query import phrase_matcher
 

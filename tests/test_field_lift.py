@@ -499,3 +499,17 @@ def test_delete_by_query_on_title(spark, tmp_path_factory):
     blue = {u for u, t, ti in ROWS if "blue" in ti.split()}
     alpha = {u for u, t, ti in ROWS if "alpha" in t.split()}
     assert live == alpha - blue
+
+
+def test_scroll_term_query_on_title(spark, lift_index):
+    r = IndexReader(spark, lift_index)
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    green = {u for u, t, ti in ROWS if "green" in ti.split()}
+    page = scroll_search(
+        r, {"query": {"match": {"title": "green"}},
+            "sort": [{"nc": {"order": "asc"}}]}, size=1)
+    seen = [h["_id"] for h in page["hits"]["hits"]]
+    while page.get("_scroll_id") and page["hits"]["hits"]:
+        page = scroll_next(spark, page["_scroll_id"])
+        seen += [h["_id"] for h in page["hits"]["hits"]]
+    assert seen == sorted(green, key=lambda u: (ncs[u], u))
