@@ -705,3 +705,58 @@ def test_multifield_prefix_kinds_dismax(spark, tmp_path_factory, kind):
     assert {h["_id"] for h in resp_t["hits"]["hits"]} == {
         u for u, s in per_field["title"].items()
     }
+
+
+def test_three_field_index(spark, tmp_path_factory):
+    """THREE analyzed fields in one index: multi_match blends all three
+    (brute per-field oracle), each field is independently queryable, and
+    the per-field views expose their own stats — guards against hidden
+    two-field assumptions in the blend kernels."""
+    from engine.dsl import search
+    from engine.oracle import analyze_query_py as _an
+
+    rows = [
+        ("t1", "alpha beta gamma", "red green", "cat dog alpha"),
+        ("t2", "beta beta", "green alpha blue", "dog bird"),
+        ("t3", "alpha alpha beta", "red blue", "cat alpha bird"),
+        ("t4", "gamma gamma", "alpha green red", "bird bird cat"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, text string, title string, snippet string")
+    out = str(tmp_path_factory.mktemp("mf3") / "idx")
+    build_index(spark, df, out, n_shards=2, n_buckets=4,
+                text_fields=["text", "title", "snippet"])
+    r = IndexReader(spark, out)
+    assert set(r.text_fields) == {"text", "title", "snippet"}
+    q = "alpha"
+    # brute per-field BM25 (K1/B module constants), most_fields = sum
+    import math as _m
+
+    def field_scores(fi):
+        toks = [x[1 + fi].split() for x in rows]
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks) / n
+        df_ = sum(1 for t in toks if q in t)
+        idf = _m.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        out_ = {}
+        for (u, *_), t in zip(rows, toks):
+            tf = t.count(q)
+            if tf:
+                out_[u] = idf * tf / (tf + K1 * (1 - B + B * len(t) / avgdl))
+        return out_
+    per = [field_scores(i) for i in range(3)]
+    boosts = {"text": 1.0, "title": 2.0, "snippet": 3.0}
+    want = {}
+    for i, fname in enumerate(("text", "title", "snippet")):
+        for u, s_ in per[i].items():
+            want[u] = want.get(u, 0.0) + boosts[fname] * s_
+    got = bm25_multifield_topk(
+        r, _an(q), ["text", "title^2", "snippet^3"], k=10,
+        mtype="most_fields",
+    ).collect()
+    assert {x["url"]: round(x["score"], 9) for x in got} == {
+        u: round(s_, 9) for u, s_ in want.items()}
+    # the third field is independently queryable through the DSL
+    resp = search(r, {"query": {"match": {"snippet": "cat"}}, "size": 10})
+    cats = {u for u, t, ti, sn in rows if "cat" in sn.split()}
+    assert {h["_id"] for h in resp["hits"]["hits"]} == cats
