@@ -1329,7 +1329,10 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
         if filters:
             raise ValueError("post_filter + collapse is not composed")
-        terms, mode = _query_terms_or_none(query)
+        fl: set = set()
+        terms, mode = _query_terms_or_none(
+            query, allowed=tuple(reader.text_fields), fields_out=fl
+        )
         if terms is None:
             raise ValueError("collapse needs a scoring query (match/term)")
         filt = (
@@ -1337,7 +1340,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             if "bool" in query else ()
         )
         rows = collapse_topk(
-            reader, terms, body["collapse"]["field"], k=frm + size,
+            _text_reader(reader, fl.pop(), "collapse") if fl else reader,
+            terms, body["collapse"]["field"], k=frm + size,
             mode=mode, filters=filt,
         ).collect()[frm:]
         fld = body["collapse"]["field"]

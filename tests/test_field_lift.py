@@ -513,3 +513,15 @@ def test_scroll_term_query_on_title(spark, lift_index):
         page = scroll_next(spark, page["_scroll_id"])
         seen += [h["_id"] for h in page["hits"]["hits"]]
     assert seen == sorted(green, key=lambda u: (ncs[u], u))
+
+
+def test_collapse_on_title(spark, lift_index):
+    from engine.aggs import collapse_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"match": {"title": "green"}},
+                      "collapse": {"field": "nc"}, "size": 10})
+    want = collapse_topk(rt, ["green"], "nc", k=10).collect()
+    assert _ids(resp) == [x["url"] for x in want]
+    assert _scores(resp) == [round(x["score"], 9) for x in want]
