@@ -947,9 +947,13 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     return bm25_topk(r, terms, k=k, mode=op, filters=filters)
 
 
-def _rescore_df(reader, query: dict, spec, k: int):
+def _rescore_df(reader, query: dict, spec, k: int, filters=()):
     """Compile the ES `rescore` block (query rescorer, phrase rescore
-    query) to engine.query.rescore_topk over the base match/term query."""
+    query) to engine.query.rescore_topk over the base match/term query.
+    `filters` (the body's post_filter, compiled): Lucene applies the
+    post_filter at hit COLLECTION, before the rescore phase — so the
+    rescore window is the top window_size of (base query ∩ filter),
+    which is exactly rescore_topk's filtered base kernel."""
     from engine.query import rescore_topk
 
     if isinstance(spec, list):  # ES accepts a list of rescorers; one supported
@@ -979,7 +983,7 @@ def _rescore_df(reader, query: dict, spec, k: int):
         window_size=int(spec.get("window_size", 10)),
         query_weight=float(q.get("query_weight", 1.0)),
         rescore_weight=float(q.get("rescore_query_weight", 1.0)),
-        slop=slop, mode=op,
+        slop=slop, mode=op, filters=filters,
     )
 
 
@@ -1189,16 +1193,64 @@ def compile_query_context(query: dict, text_fields: tuple = ("text",)):
     return terms, mode, filters, (fl.pop() if fl else None)
 
 
+def _knn_filter_pred(clause: dict, cols: list):
+    """One ES knn.filter clause -> a Spark Column predicate over the
+    embeddings table. Scope: term / terms / range on a metadata column
+    of the vectors table (ES filters knn on the DOCUMENT's fields; the
+    engine's frozen layout keeps vector metadata beside the vectors,
+    so the filterable fields are the embeddings table's columns).
+    Unknown fields and clause kinds fail closed."""
+    ((kind, body),) = clause.items()
+    if kind == "term":
+        ((f, v),) = body.items()
+        val = v["value"] if isinstance(v, dict) else v
+        pred = F.col(f) == F.lit(val)
+    elif kind == "terms":
+        ((f, vals),) = body.items()
+        pred = F.col(f).isin(list(vals))
+    elif kind == "range":
+        ((f, spec),) = body.items()
+        pred = F.lit(True)
+        if spec.get("gte") is not None:
+            pred = pred & (F.col(f) >= F.lit(spec["gte"]))
+        if spec.get("gt") is not None:
+            pred = pred & (F.col(f) > F.lit(spec["gt"]))
+        if spec.get("lt") is not None:
+            pred = pred & (F.col(f) < F.lit(spec["lt"]))
+        if spec.get("lte") is not None:
+            pred = pred & (F.col(f) <= F.lit(spec["lte"]))
+    else:
+        raise ValueError(f"unsupported knn filter clause: {kind}")
+    if f not in cols:
+        raise ValueError(
+            f"knn filter field {f!r} not a column of the embeddings "
+            f"table (have: {cols})"
+        )
+    return pred
+
+
 def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
     """ES top-level `knn` block -> hits by cosine similarity over the
     embeddings table (vec_id, embedding). Exact brute-force when
     num_candidates is absent or >= the ES default ceiling; the
     LSH-bucketed ANN path otherwise (the documented scale path —
-    candidates ~ bucket collisions, exact re-rank)."""
+    candidates ~ bucket collisions, exact re-rank).
+
+    `knn.filter` (ES PRE-filter: all k results satisfy it — not a
+    post-filter that can return < k) compiles term/terms/range clauses
+    on the embeddings table's metadata columns to Spark predicates on
+    the scan, so Catalyst pushes them into the parquet read and the
+    ANN kernels only ever see qualifying vectors."""
     from engine.simsearch import cosine_topk, lsh_ann_topk
 
     if embeddings is None:
         raise ValueError("knn needs the embeddings table: search(..., embeddings=df)")
+    flt = spec.get("filter")
+    if flt is not None:
+        for clause in flt if isinstance(flt, list) else [flt]:
+            embeddings = embeddings.where(
+                _knn_filter_pred(clause, embeddings.columns)
+            )
     vec = [float(x) for x in spec["query_vector"]]
     k = int(spec.get("k", 10))
     probes = spark.createDataFrame(
@@ -1282,8 +1334,12 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         raise ValueError("from+size > 10000; use sort + search_after")
     # ES post_filter: restricts the HITS (exact, pre-top-k — the shared
     # filter-context machinery), while aggregations and hits.total keep
-    # the unfiltered query scope. Frozen scope: the scoring-hits and
-    # sort paths; collapse/rescore fail closed below.
+    # the unfiltered query scope. Composes with the scoring-hits, sort,
+    # collapse, and rescore paths: in Lucene the post_filter wraps the
+    # hit COLLECTOR, so a collapsed group representative or a rescore
+    # window entry must itself pass the filter — exactly what passing
+    # the filter into those kernels (candidates masked pre-top-k,
+    # surviving scores unchanged) computes.
     filters = (
         _clause_filters([body["post_filter"]])
         if body.get("post_filter") is not None else ()
@@ -1327,8 +1383,6 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     elif body.get("collapse"):
         from engine.aggs import collapse_topk
 
-        if filters:
-            raise ValueError("post_filter + collapse is not composed")
         fl: set = set()
         terms, mode = _query_terms_or_none(
             query, allowed=tuple(reader.text_fields), fields_out=fl
@@ -1342,7 +1396,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         rows = collapse_topk(
             _text_reader(reader, fl.pop(), "collapse") if fl else reader,
             terms, body["collapse"]["field"], k=frm + size,
-            mode=mode, filters=filt,
+            mode=mode, filters=filt + filters,
         ).collect()[frm:]
         fld = body["collapse"]["field"]
         hits = [
@@ -1351,9 +1405,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             for r in rows
         ]
     elif body.get("rescore"):
-        if filters:
-            raise ValueError("post_filter + rescore is not composed")
-        df = _rescore_df(reader, query, body["rescore"], frm + size)
+        df = _rescore_df(reader, query, body["rescore"], frm + size,
+                         filters=filters)
         rows = df.collect()[frm:]
         hits = [{"_id": r["url"], "_score": r["score"]} for r in rows]
     else:

@@ -4177,6 +4177,7 @@ def rescore_topk(
     rescore_weight: float = 1.0,
     slop: int = 0,
     mode: str = "or",
+    filters=(),
 ) -> DataFrame:
     """ES `rescore` (query rescorer, score_mode=total): re-rank the top
     `window_size` hits of the base BM25 query by blending in a
@@ -4203,16 +4204,30 @@ def rescore_topk(
 
     if k > window_size:
         raise ValueError(f"k={k} > window_size={window_size}")
-    # over-fetch so the rounded window boundary region is fully present
-    base = bm25_topk_rows(reader, query, k=window_size + 16, mode=mode)
+    # over-fetch so the rounded window boundary region is fully present.
+    # filters (ES post_filter): applied at hit collection, so the window
+    # is cut from the FILTERED base ranking — survivor scores unchanged
+    # (the filter-context contract), exactly Lucene's filtered collector.
+    base = bm25_topk_rows(
+        reader, query, k=window_size + 16, mode=mode, filters=filters
+    )
     if not base:
         return _empty_topk(reader.spark)
     base.sort(key=lambda r: (-round(r[2], 6), r[1]))
     window = base[:window_size]
-    offs = np.asarray(reader.shard_offsets(), dtype=np.int64)
+    # doc_id -> (shard, local) inverse map. shard_offsets() marks EMPTY
+    # shards with a -1 sentinel (tiny corpora routinely leave a shard
+    # empty); searchsorted needs a monotone boundary array, so build it
+    # from the non-empty shards only (their offsets strictly increase —
+    # each holds >= 1 doc) and index back to the real shard numbers.
+    offs_raw = reader.shard_offsets()
+    live = sorted((off, s) for s, off in enumerate(offs_raw) if off >= 0)
+    bounds = np.asarray([off for off, _ in live], dtype=np.int64)
+    shard_of = np.asarray([s for _, s in live], dtype=np.int64)
     doc_ids = np.asarray([r[1] for r in window], dtype=np.int64)
-    shards = np.searchsorted(offs, doc_ids, side="right") - 1
-    locals_ = doc_ids - offs[shards]
+    idx = np.searchsorted(bounds, doc_ids, side="right") - 1
+    shards = shard_of[idx]
+    locals_ = doc_ids - bounds[idx]
     allow_by_shard: dict[int, np.ndarray] = {
         int(s): np.sort(locals_[shards == s]) for s in np.unique(shards)
     }

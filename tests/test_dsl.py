@@ -287,6 +287,78 @@ def test_knn_block(spark, dsl_index):
         )
 
 
+def test_knn_filter(spark, dsl_index):
+    """ES knn.filter is a PRE-filter: every one of the k results
+    satisfies it (not a post-filter that can return < k). Identity:
+    knn with filter == exact cosine_topk over the pre-filtered
+    embeddings frame. Unknown fields / clause kinds fail closed."""
+    import numpy as np
+    import pytest as _pt
+
+    from engine.dsl import search
+    from engine.query import IndexReader
+    from engine.simsearch import cosine_topk
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)],
+         "en" if i % 3 else "de", float(i))
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, lang string, ts double"
+    )
+    r = IndexReader(spark, dsl_index)
+    q = [float(x) for x in rng.normal(size=8)]
+    probes = spark.createDataFrame(
+        [(-1, q)], "probe_id long, embedding array<float>"
+    )
+
+    def _want(pred):
+        return [
+            (x["neighbor_id"], x["cos"])
+            for x in cosine_topk(emb.where(pred).select("vec_id", "embedding"),
+                                 probes, k=5).orderBy("rank").collect()
+        ]
+
+    # single term clause
+    resp = search(r, {"knn": {"query_vector": q, "k": 5,
+                              "filter": {"term": {"lang": "en"}}}},
+                  embeddings=emb)
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert got == _want("lang = 'en'") and len(got) == 5
+    assert all(i % 3 != 0 for i, _ in got)  # every hit passes the filter
+
+    # list of clauses = AND (ES bool filter context); range + terms
+    resp = search(r, {"knn": {"query_vector": q, "k": 5, "filter": [
+        {"range": {"ts": {"gte": 10, "lt": 45}}},
+        {"terms": {"lang": ["en"]}},
+    ]}}, embeddings=emb)
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert got == _want("ts >= 10 AND ts < 45 AND lang = 'en'")
+    assert all(10 <= i < 45 and i % 3 != 0 for i, _ in got)
+
+    # ANN path: candidates drawn only from qualifying vectors
+    resp = search(r, {"knn": {"query_vector": q, "k": 5,
+                              "num_candidates": 50,
+                              "filter": {"term": {"lang": "en"}}}},
+                  embeddings=emb)
+    ann = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert all(i % 3 != 0 for i, _ in ann)
+    want = _want("lang = 'en'")
+    assert [a for a in ann if a in want] == [w for w in want if w in ann]
+
+    # fail closed: unknown field, unsupported clause kind
+    with _pt.raises(ValueError, match="not a column"):
+        search(r, {"knn": {"query_vector": q, "k": 3,
+                           "filter": {"term": {"nope": 1}}}},
+               embeddings=emb)
+    with _pt.raises(ValueError, match="unsupported knn filter"):
+        search(r, {"knn": {"query_vector": q, "k": 3,
+                           "filter": {"match": {"lang": "en"}}}},
+               embeddings=emb)
+
+
 def test_dsl_new_agg_types(spark, dsl_index):
     """The _search aggs block compiles multi_terms / extended_stats /
     weighted_avg / terms-in-terms to the matching engine specs."""

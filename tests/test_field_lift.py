@@ -363,15 +363,89 @@ def test_post_filter(spark, lift_index):
                       "post_filter": {"range": {"nc": {"gte": cut}}},
                       "size": 10})
     assert set(_ids(resp)) == {u for u in ncs if ncs[u] >= cut}
-    # sort path composes; collapse / rescore fail closed
+    # sort path composes (collapse / rescore composition has its own tests)
     resp = search(r, {"query": {"match": {"text": "alpha"}},
                       "post_filter": {"range": {"nc": {"gte": cut}}},
                       "sort": [{"nc": "asc"}], "size": 10})
     assert _ids(resp) == sorted(kept, key=lambda u: (ncs[u], u))
-    with pytest.raises(ValueError, match="not composed"):
-        search(r, {"query": {"match": {"text": "alpha"}},
-                   "post_filter": {"term": {"nc": 5}},
-                   "collapse": {"field": "nc"}, "size": 5})
+
+
+def test_post_filter_collapse(spark, lift_index):
+    """post_filter + collapse (Lucene: the filter wraps the hit
+    collector, so group representatives are chosen among FILTERED docs,
+    with unfiltered filter-context scores). Brute: survivors = query
+    matches passing the filter; per-nc group keep the best base score;
+    groups ranked by that score."""
+    r = IndexReader(spark, lift_index)
+    ncs = {u: len(t) for u, t, ti in ROWS}
+    base = search(r, {"query": {"match": {"text": "delta"}}, "size": 10})
+    base_s = dict(zip(_ids(base), _scores(base)))  # unfiltered scores
+
+    resp = search(r, {"query": {"match": {"text": "delta"}},
+                      "post_filter": {"range": {"nc": {"gte": 16}}},
+                      "collapse": {"field": "nc"}, "size": 10})
+    survivors = [u for u in base_s if ncs[u] >= 16]
+    groups: dict = {}
+    for u in survivors:
+        b = groups.get(ncs[u])
+        if b is None or round(base_s[u], 6) > round(base_s[b], 6):
+            groups[ncs[u]] = u
+    want = sorted(groups.values(), key=lambda u: -round(base_s[u], 6))
+    assert _ids(resp) == want
+    # survivor scores are the unfiltered query's scores (filter context;
+    # collapse_topk's frozen spec rounds to 6 dp)
+    for h in resp["hits"]["hits"]:
+        assert round(h["_score"], 6) == round(base_s[h["_id"]], 6)
+    # the nc=17 group has two members (d4, d6); both pass the filter and
+    # exactly one representative (the higher tf) must surface
+    assert "d4" in want and "d6" not in want
+    # a term post_filter narrows to one group
+    resp = search(r, {"query": {"match": {"text": "delta"}},
+                      "post_filter": {"term": {"nc": 17}},
+                      "collapse": {"field": "nc"}, "size": 10})
+    assert _ids(resp) == ["d4"]
+
+
+def test_post_filter_rescore(spark, lift_index):
+    """post_filter + rescore: the rescore window is cut from the
+    FILTERED base ranking (Lucene applies post_filter at collection,
+    before the rescore phase). Cross-check against two independently
+    tested kernels: the filtered base ranking (bm25_topk + filters)
+    picks the window; an all-docs-window rescore_topk supplies the
+    per-doc blended score."""
+    from engine.dsl import _clause_filters
+    from engine.query import bm25_topk, rescore_topk
+
+    r = IndexReader(spark, lift_index)
+    flt = _clause_filters([{"range": {"nc": {"gte": 16}}}])
+    qw, rw, window = 0.7, 1.5, 3
+
+    fb = [x["url"] for x in
+          bm25_topk(r, ["alpha", "gamma"], k=10, filters=flt).collect()]
+    assert len(fb) >= window + 1, "weak fixture — window must cut something"
+    blend = {
+        x["url"]: x["score"]
+        for x in rescore_topk(
+            r, ["alpha", "gamma"], ["alpha", "beta"], k=10, window_size=32,
+            query_weight=qw, rescore_weight=rw,
+        ).collect()
+    }
+    want = sorted(fb[:window], key=lambda u: -round(blend[u], 6))
+    assert len({round(blend[u], 6) for u in want}) == len(want), "tie — weak fixture"
+
+    resp = search(r, {
+        "query": {"match": {"text": "alpha gamma"}},
+        "post_filter": {"range": {"nc": {"gte": 16}}},
+        "rescore": {"window_size": window, "query": {
+            "rescore_query": {"match_phrase": {"text": {"query": "alpha beta"}}},
+            "query_weight": qw, "rescore_query_weight": rw}},
+        "size": window})
+    assert _ids(resp) == want
+    for h in resp["hits"]["hits"]:
+        assert round(h["_score"], 6) == round(blend[h["_id"]], 6)
+    # a doc outside the filtered window never enters the rescore phase
+    dropped = [u for u in blend if u not in fb]
+    assert set(_ids(resp)).isdisjoint(dropped)
 
 
 def test_boosting_dismax_mlt_pinned_on_title(spark, lift_index):
