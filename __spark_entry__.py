@@ -1709,6 +1709,100 @@ def q_post_filter(spark, sf_dir):
     return _round_rerank(df)
 
 
+def q_post_filter_collapse(spark, sf_dir):
+    """post_filter x collapse through the DSL (Lucene: the post_filter
+    wraps the hit COLLECTOR, so group representatives are chosen among
+    FILTERED docs) — one hit per `source` group among docs passing the
+    lang/n_chars post_filter, scores corpus-global (filter context)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"match": {"text": " ".join(BM25_TERMS)}},
+        "post_filter": {"bool": {"filter": [
+            {"term": {"lang": FLT_LANG}},
+            {"range": {"n_chars": {"gte": FLT_LO, "lt": FLT_HI}}},
+        ]}},
+        "collapse": {"field": "source"},
+        "size": 10,
+    })
+    rows = [
+        (int(h["_id"]), float(h["_score"]), h["fields"]["source"][0])
+        for h in resp["hits"]["hits"]
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "doc_id long, score double, source string"
+    )
+    return df.where(F.col("doc_id").isNotNull()) if not rows else df
+
+
+def q_post_filter_rescore(spark, sf_dir):
+    """post_filter x rescore through the DSL: the rescore window is cut
+    from the FILTERED base ranking (Lucene applies post_filter at hit
+    collection, before the rescore phase). RESCORE_WINDOW covers every
+    matched doc at test scale, so the oracle is the closed-form blend
+    over the filter-surviving base-matching docs."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"match": {"text": " ".join(BM25_TERMS)}},
+        "post_filter": {"bool": {"filter": [
+            {"term": {"lang": FLT_LANG}},
+            {"range": {"n_chars": {"gte": FLT_LO, "lt": FLT_HI}}},
+        ]}},
+        "rescore": {"window_size": RESCORE_WINDOW, "query": {
+            "rescore_query": {"match_phrase": {"text": {"query": PHRASE_Q}}},
+            "query_weight": RESCORE_QW,
+            "rescore_query_weight": RESCORE_RW,
+        }},
+        "size": 40,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df, k=25)
+
+
+KNN_FILTER_LABEL = 1  # frozen knn.filter constants (embeddings metadata)
+KNN_FILTER_MIN_ID = 5
+
+
+def q_knn_filtered(spark, sf_dir):
+    """ES knn with `filter` (PRE-filter contract: every one of the k
+    results satisfies it) through the DSL: term + range clauses on the
+    embeddings table's metadata columns compile to Spark predicates on
+    the scan (pushed into the parquet read), so the exact cosine kernel
+    only ever sees qualifying vectors. Probe = vec 0's own embedding."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    emb = _emb(spark, sf_dir)
+    qvec = [
+        float(x) for x in
+        emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(r, {"knn": {
+        "query_vector": qvec, "k": 10,
+        "filter": [
+            {"term": {"label": KNN_FILTER_LABEL}},
+            {"range": {"vec_id": {"gte": KNN_FILTER_MIN_ID}}},
+        ],
+    }}, embeddings=emb)
+    rows = [
+        (int(h["_id"]), float(h["_score"]), i)
+        for i, h in enumerate(resp["hits"]["hits"], 1)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "neighbor_id long, cos double, rank long"
+    )
+    return df.where(F.col("neighbor_id").isNotNull()) if not rows else df
+
+
 TITLE_PREFIX_Q = "s"  # title dictionary: src* sources + s-words
 
 
@@ -2180,12 +2274,16 @@ def q_bm25_rescore(spark, sf_dir):
 
 
 def _bm25_rescore_sql(
-    base_terms: list[str], phrase: list[str], qw: float, rw: float, k: int
+    base_terms: list[str], phrase: list[str], qw: float, rw: float, k: int,
+    flt: str | None = None,
 ) -> str:
     """rescore oracle: the relational BM25 CTE (base recall scores) LEFT
     JOINed to the exact-adjacency phrase CTE (_phrase_sql semantics), final
     score = qw * base + rw * coalesce(phrase, 0) — valid because the
-    driver query's window covers the whole matched set."""
+    driver query's window covers the whole matched set. `flt` (the
+    post_filter twin): Lucene applies post_filter at hit collection,
+    before the rescore phase, so the final ranking is over filtered
+    base-matching docs with unchanged (corpus-global) scores."""
     tl = ", ".join(f"'{t}'" for t in base_terms)
     impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
     joins = [
@@ -2246,6 +2344,7 @@ phr AS (
 )
 SELECT doc_id, round({qw} * bs + {rw} * coalesce(ps, 0.0), 6) AS score
 FROM base LEFT JOIN phr USING (doc_id)
+     {"JOIN documents USING (doc_id) WHERE " + flt if flt else ""}
 ORDER BY round({qw} * bs + {rw} * coalesce(ps, 0.0), 6) DESC, doc_id ASC
 LIMIT {k}
 """
@@ -2544,12 +2643,17 @@ def q_collapse_lang(spark, sf_dir):
     )
 
 
-def _collapse_sql(terms: list[str], field: str, k: int) -> str:
+def _collapse_sql(
+    terms: list[str], field: str, k: int, flt: str | None = None
+) -> str:
     """collapse oracle: the relational BM25 CTE rounded to 6 dp, joined
     to the document attribute, one row per group via a QUALIFY window
-    (best score, doc_id tiebreak), top-k groups."""
+    (best score, doc_id tiebreak), top-k groups. `flt` (the post_filter
+    twin): candidates are restricted BEFORE the window — representatives
+    are chosen among filtered docs — while scores stay corpus-global."""
     tl = ", ".join(f"'{t}'" for t in terms)
     impact = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    where_flt = f"WHERE {flt}" if flt else ""
     return f"""
 {_toks_cte()},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -2570,6 +2674,7 @@ scored AS (
 )
 SELECT s.doc_id, s.score, docs.{field} AS {field}
 FROM scored s JOIN documents docs USING (doc_id)
+{where_flt}
 QUALIFY row_number() OVER (
   PARTITION BY docs.{field} ORDER BY s.score DESC, s.doc_id ASC
 ) = 1
@@ -4680,17 +4785,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
-        "bm25_mf_pprefix_topk": q_bm25_mf_pprefix,
-        "bm25_mf_bool_prefix_topk": q_bm25_mf_bool_prefix,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
-        "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
         "sqs_filtered_topk": q_sqs_filtered,
         "agg_terms_phrase": q_agg_terms_phrase,
         "bm25_mf_and_topk": q_bm25_mf_and,
         "bm25_match_fuzzy_topk": q_bm25_match_fuzzy,
+        # round-5 final-session additions (post_filter composes with
+        # collapse/rescore; knn.filter pre-filter) take the last three
+        # gate slots; the displaced mf pprefix/bool_prefix + filtered
+        # phrase rows share their blend/mask kernels with in-gate rows
+        # (bm25_mf_phrase_topk, bm25_mf_filtered_topk) and stay
+        # self-certified below:
+        "post_filter_collapse_topk": q_post_filter_collapse,
+        "post_filter_rescore_topk": q_post_filter_rescore,
+        "knn_filtered_topk": q_knn_filtered,
         # ---------------- driver gate boundary (50 entries) ----------------
         # previously driver-certified rows (r1-r4 green), self-cert covered:
+        "bm25_mf_pprefix_topk": q_bm25_mf_pprefix,
+        "bm25_mf_bool_prefix_topk": q_bm25_mf_bool_prefix,
+        "bm25_phrase_filtered_topk": q_bm25_phrase_filtered,
         "stats_repetition": q_stats_repetition,
         "stats_pii_scrub": q_stats_pii_scrub,
         "sim_cosine_topk": q_cosine_topk,
@@ -5839,6 +5953,36 @@ FROM ppl CROSS JOIN cuts""",
                 f"AND n_chars < {FLT_HI}"
             ),
         ),
+        "post_filter_collapse_topk": _collapse_sql(
+            BM25_TERMS, "source", k=10,
+            flt=(
+                f"docs.lang = '{FLT_LANG}' AND docs.n_chars >= {FLT_LO} "
+                f"AND docs.n_chars < {FLT_HI}"
+            ),
+        ),
+        "post_filter_rescore_topk": _bm25_rescore_sql(
+            BM25_TERMS, PHRASE_Q.split(), RESCORE_QW, RESCORE_RW, k=25,
+            flt=(
+                f"lang = '{FLT_LANG}' AND n_chars >= {FLT_LO} "
+                f"AND n_chars < {FLT_HI}"
+            ),
+        ),
+        "knn_filtered_topk": f"""
+WITH p AS (SELECT embedding::DOUBLE[] AS pvec FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec FROM embeddings
+  WHERE label = {KNN_FILTER_LABEL} AND vec_id >= {KNN_FILTER_MIN_ID}
+),
+s AS (
+  SELECT neighbor_id,
+         round(list_dot_product(cvec, pvec)
+               / (sqrt(list_dot_product(cvec, cvec))
+                  * sqrt(list_dot_product(pvec, pvec))), 6) AS cos
+  FROM c CROSS JOIN p
+),
+r AS (SELECT *, row_number() OVER (ORDER BY cos DESC, neighbor_id ASC) AS rk FROM s)
+SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
+""",
         "title_prefix_topk": _bm25_rewrite_sql(
             f"term LIKE '{TITLE_PREFIX_Q}%'", k=10, text_expr=MF_TITLE_SQL
         ),
