@@ -1350,6 +1350,7 @@ def search_aggs(
     filters=(),
     matcher=None,
     needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """Aggregation over the docs matching `query` (None = match_all).
 
@@ -1365,6 +1366,13 @@ def search_aggs(
     `query` then supplies the postings read's term list and needs_pos=True
     reads the positional stream. The matched set is computed per shard
     next to its postings (never collected), preserving the scale shape.
+    src: optional postings-source override (engine.query
+    MultiFieldPostings — multi_match / combined_fields query contexts):
+    the rows come from src.local()/src.df() (a union over field views
+    with a `field` tag) instead of `query`'s single-field read; a
+    matcher MUST accompany it, and `query` is ignored for reading and
+    liveness gating (the source already pruned dead (field, term)
+    pairs; its constructor gates the all-dead case).
     execution: 'auto' serves small queries driver-side (no Spark job for
     the matched-set work), 'spark' forces the scatter-gather path,
     'local' forces driver-side (raises if postings aren't local)."""
@@ -1394,17 +1402,23 @@ def search_aggs(
             tbl = tbl.filter(pa.array(filter_mask(tbl, filters)))
         return tbl
 
-    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
-    stats = reader.term_stats(terms)
-    live = [t for t in terms if t in stats]
-    if not live or (
-        matcher is None and mode == "and" and len(live) < len(terms)
-    ) or (matcher is not None and len(live) < len(terms)):
-        # matcher contexts are conjunctive over their term list (phrase):
-        # any dead term empties the matched set everywhere
-        empty = spark.createDataFrame([], _partial_schema(agg, vt))
-        return _combine(spark, empty, agg, vt)
-    terms, n_terms = live, len(live)
+    if src is None:
+        terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+        stats = reader.term_stats(terms)
+        live = [t for t in terms if t in stats]
+        if not live or (
+            matcher is None and mode == "and" and len(live) < len(terms)
+        ) or (matcher is not None and len(live) < len(terms)):
+            # matcher contexts are conjunctive over their term list (phrase):
+            # any dead term empties the matched set everywhere
+            empty = spark.createDataFrame([], _partial_schema(agg, vt))
+            return _combine(spark, empty, agg, vt)
+        terms, n_terms = live, len(live)
+        total_postings = sum(stats[t] for t in terms)
+    else:
+        assert matcher is not None, "src= needs a matcher"
+        terms, n_terms = [], 0
+        total_postings = src.total_postings
     tomb = reader.tombstones()
     index_dir, fields_b, mode_b = reader.dir, fields, mode
 
@@ -1426,12 +1440,12 @@ def search_aggs(
         return _partial_frame(masked_gather(shard, m), agg, vt)
 
     pschema = _partial_schema(agg, vt)
-    total_postings = sum(stats[t] for t in terms)
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
         by_shard = (
-            reader.postings_pos_local(terms)
+            src.local() if src is not None
+            else reader.postings_pos_local(terms)
             if needs_pos
             else reader.postings_local(terms)
         )
@@ -1452,7 +1466,7 @@ def search_aggs(
             raise ValueError("execution='local' needs a local postings directory")
 
     partials = (
-        reader.postings(terms)
+        (src.df() if src is not None else reader.postings(terms))
         .groupBy("shard")
         .applyInPandas(shard_partials, pschema)
     )
@@ -1472,6 +1486,7 @@ def search_sort(
     runtime: dict[str, str] | None = None,
     matcher=None,
     needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """Field-sorted search with search_after deep paging (the ES `sort`
     clause + `search_after` cursor — the scalable alternative to
@@ -1559,14 +1574,20 @@ def search_sort(
             .select("url", F.col("v").alias("sort_val"))
         )
 
-    terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
-    stats = reader.term_stats(terms)
-    live = [t for t in terms if t in stats]
-    if not live or (
-        matcher is None and mode == "and" and len(live) < len(terms)
-    ) or (matcher is not None and len(live) < len(terms)):
-        return spark.createDataFrame([], f"url string, sort_val {vt}")
-    terms, n_terms = live, len(live)
+    if src is None:
+        terms = analyze_query_py(query) if isinstance(query, str) else list(dict.fromkeys(query))
+        stats = reader.term_stats(terms)
+        live = [t for t in terms if t in stats]
+        if not live or (
+            matcher is None and mode == "and" and len(live) < len(terms)
+        ) or (matcher is not None and len(live) < len(terms)):
+            return spark.createDataFrame([], f"url string, sort_val {vt}")
+        terms, n_terms = live, len(live)
+        total_postings = sum(stats[t] for t in terms)
+    else:
+        assert matcher is not None, "src= needs a matcher"
+        terms, n_terms = [], 0
+        total_postings = src.total_postings
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
     fields = list(dict.fromkeys(gather_flds + ["url"] + filter_fields(filters)))
@@ -1600,12 +1621,12 @@ def search_sort(
             return pd.DataFrame({"url": pd.Series([], dtype=object), "v": []})
         return page(gather_page_input(shard, m))
 
-    total_postings = sum(stats[t] for t in terms)
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
         by_shard = (
-            reader.postings_pos_local(terms)
+            src.local() if src is not None
+            else reader.postings_pos_local(terms)
             if needs_pos
             else reader.postings_local(terms)
         )
@@ -1626,7 +1647,8 @@ def search_sort(
             raise ValueError("execution='local' needs a local postings directory")
 
     partials = (
-        reader.postings(terms).groupBy("shard").applyInPandas(shard_page, pschema)
+        (src.df() if src is not None else reader.postings(terms))
+        .groupBy("shard").applyInPandas(shard_page, pschema)
     )
     return (
         partials.orderBy(*order).limit(k)
@@ -1996,6 +2018,7 @@ def matched_urls(
     filters=(),
     matcher=None,
     needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """DataFrame of the _ids (urls) of docs matching the query context —
     the foreground set feeding significant_terms (and a useful primitive
@@ -2010,17 +2033,23 @@ def matched_urls(
         raise ValueError(
             f"filter field(s) {missing} not in index docvalues {dv_cols}"
         )
-    terms = (
-        analyze_query_py(query) if isinstance(query, str)
-        else list(dict.fromkeys(query))
-    )
-    stats = reader.term_stats(terms)
-    live = [t for t in terms if t in stats]
-    if not live or (
-        matcher is None and mode == "and" and len(live) < len(terms)
-    ) or (matcher is not None and len(live) < len(terms)):
-        return spark.createDataFrame([], "url string")
-    terms, n_terms = live, len(live)
+    if src is None:
+        terms = (
+            analyze_query_py(query) if isinstance(query, str)
+            else list(dict.fromkeys(query))
+        )
+        stats = reader.term_stats(terms)
+        live = [t for t in terms if t in stats]
+        if not live or (
+            matcher is None and mode == "and" and len(live) < len(terms)
+        ) or (matcher is not None and len(live) < len(terms)):
+            return spark.createDataFrame([], "url string")
+        terms, n_terms = live, len(live)
+        total_postings = sum(stats[t] for t in terms)
+    else:
+        assert matcher is not None, "src= needs a matcher"
+        terms, n_terms = [], 0
+        total_postings = src.total_postings
     tomb = reader.tombstones()
     index_dir, mode_b = reader.dir, mode
     fields = list(dict.fromkeys(["url"] + filter_fields(filters)))
@@ -2043,12 +2072,12 @@ def matched_urls(
             return pd.DataFrame({"url": pd.Series([], dtype=object)})
         return gather(shard, m)
 
-    total_postings = sum(stats[t] for t in terms)
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
         by_shard = (
-            reader.postings_pos_local(terms)
+            src.local() if src is not None
+            else reader.postings_pos_local(terms)
             if needs_pos
             else reader.postings_local(terms)
         )
@@ -2067,7 +2096,7 @@ def matched_urls(
             raise ValueError("execution='local' needs a local postings directory")
 
     return (
-        reader.postings(terms)
+        (src.df() if src is not None else reader.postings(terms))
         .groupBy("shard")
         .applyInPandas(shard_urls, "url string")
     )
@@ -2081,6 +2110,7 @@ def search_count(
     filters=(),
     matcher=None,
     needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """ES `_count`: doc_count of the query context (None = match_all),
     filter clauses included. The kernel path counts over the matched-id
@@ -2095,7 +2125,7 @@ def search_count(
         return dm.agg(F.count(F.lit(1)).alias("doc_count"))
     return matched_urls(
         reader, query, mode, execution, filters,
-        matcher=matcher, needs_pos=needs_pos,
+        matcher=matcher, needs_pos=needs_pos, src=src,
     ).agg(F.count(F.lit(1)).alias("doc_count"))
 
 

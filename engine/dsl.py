@@ -1057,25 +1057,30 @@ def _attach_matched_queries(reader, query: dict, hits: list) -> None:
 
 
 def _agg_context(reader, query: dict):
-    """(reader, terms, mode, matcher, needs_pos) of the aggs matched set —
-    the term-query kinds pass through _query_terms_or_none; match_phrase
-    (exact or sloppy) supplies a per-shard positional matcher
-    (engine.query.phrase_matcher: docs with phrase freq > 0) so
-    {"query": {"match_phrase": ...}, "aggs": ...} composes. The returned
-    reader is the phrase field's per-field view (shared docmap, so the
-    matched doc set composes with the caller's sort/agg columns). The
-    matched set is computed per shard next to its postings — never
-    collected."""
+    """(reader, terms, mode, matcher, needs_pos, src) of the aggs matched
+    set — the term-query kinds pass through _query_terms_or_none;
+    match_phrase (exact or sloppy) supplies a per-shard positional
+    matcher (engine.query.phrase_matcher: docs with phrase freq > 0);
+    multi_match / combined_fields supply a multi-field matcher + union
+    postings source (engine.query.multifield_matcher: the per-type
+    matched-set laws over field-tagged rows) — so {"query":
+    {"match_phrase"|"multi_match": ...}, "aggs"|"sort"|...} composes.
+    The returned reader is the query field's per-field view (shared
+    docmap, so the matched doc set composes with the caller's sort/agg
+    columns). The matched set is computed per shard next to its
+    postings — never collected."""
     if "bool" in query:
-        # bool {must: [ONE match_phrase], filter: [...]}: the filter is
+        # bool {must: [ONE non-term query], filter: [...]}: the filter is
         # extracted by the caller (_clause_filters) — recurse on the
-        # phrase clause so phrase + filter + aggs composes
+        # clause so phrase/multi-field + filter + aggs composes
         b = query["bool"]
         must_c = b.get("must", [])
         must_c = must_c if isinstance(must_c, list) else [must_c]
         if (
             len(must_c) == 1 and not b.get("should") and not b.get("must_not")
-            and isinstance(must_c[0], dict) and "match_phrase" in must_c[0]
+            and isinstance(must_c[0], dict)
+            and ("match_phrase" in must_c[0] or "multi_match" in must_c[0]
+                 or "combined_fields" in must_c[0])
         ):
             return _agg_context(reader, must_c[0])
     if "match_phrase" in query:
@@ -1089,16 +1094,44 @@ def _agg_context(reader, query: dict):
         if pm is None:
             # a dead slot term: conjunctive empty set — [] under "and"
             # short-circuits to the empty bucket table in search_aggs
-            return reader, ["\x00dead\x00"], "and", None, False
+            return reader, ["\x00dead\x00"], "and", None, False, None
         terms, matcher = pm
-        return reader, terms, "or", matcher, True
+        return reader, terms, "or", matcher, True, None
+    if "multi_match" in query or "combined_fields" in query:
+        key = "multi_match" if "multi_match" in query else "combined_fields"
+        m = query[key]
+        if m.get("type") in ("phrase", "phrase_prefix", "bool_prefix") or (
+            m.get("fuzziness") is not None
+        ):
+            raise ValueError(
+                f"{key} type={m.get('type')!r}/fuzziness as a query context "
+                "(aggs/sort/_count) is not composed (documented divergence)"
+            )
+        from engine.oracle import analyze_query_py
+        from engine.query import multifield_matcher
+
+        msm_ = m.get("minimum_should_match")
+        ctx = multifield_matcher(
+            reader, m.get("fields", [reader.field]), m["query"],
+            mtype=(m.get("type", "best_fields") if key == "multi_match"
+                   else "combined_fields"),
+            operator=m.get("operator", "or").lower(),
+            minimum_should_match=int(msm_) if msm_ is not None else None,
+        )
+        terms = analyze_query_py(m["query"])
+        if ctx is None:
+            # no term live in any field (or unsatisfiable requirement):
+            # empty matched set everywhere
+            return reader, ["\x00dead\x00"], "and", None, False, None
+        src, matcher = ctx
+        return reader, terms, "or", matcher, False, src
     fl: set = set()
     terms, mode = _query_terms_or_none(
         query, allowed=tuple(reader.text_fields), fields_out=fl
     )
     if fl:
         reader = _text_reader(reader, fl.pop(), "query")
-    return reader, terms, mode, None, False
+    return reader, terms, mode, None, False, None
 
 
 def _query_terms_or_none(
@@ -1352,8 +1385,8 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # all (the matched set is still computed by the aggs/total paths)
         hits = []
     elif sort_spec:
-        # phrase queries sort via the positional matcher (_agg_context)
-        ar, terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        # phrase/multi-field queries sort via their matcher (_agg_context)
+        ar, terms, mode, matcher, needs_pos, mf_src = _agg_context(reader, query)
         ((fld, o),) = (
             sort_spec[0].items() if isinstance(sort_spec[0], dict)
             else ((sort_spec[0], "asc"),)
@@ -1374,7 +1407,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             filters=(_clause_filters(query.get("bool", {}).get("filter", []))
                      if "bool" in query else ()) + filters,
             runtime=rt or None,
-            matcher=matcher, needs_pos=needs_pos,
+            matcher=matcher, needs_pos=needs_pos, src=mf_src,
         ).collect()[frm:]
         hits = [
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
@@ -1438,7 +1471,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 src = None
                 if corpus is None and any(f in stored for f in hfields):
                     src = reader.stored_source_df()
-                _ar2, terms, _mode, _matcher, _np_ = _agg_context(reader, query)
+                _ar2, terms, _mode, _matcher, _np_, _src_ = _agg_context(reader, query)
                 for hf in hfields:
                     csrc = corpus if (
                         corpus is not None and hf in corpus.columns
@@ -1565,13 +1598,13 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     if body.get("track_total_hits") or frm + size == 0:
         # ES reports hits.total even at size:0 (default track_total_hits
         # caps at 10k; our count path is exact, so relation is "eq") —
-        # phrase queries count via the positional matcher (_agg_context)
-        ar, terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        # phrase/multi-field queries count via their matcher (_agg_context)
+        ar, terms, mode, matcher, needs_pos, mf_src = _agg_context(reader, query)
         total = search_count(
             ar, terms, mode,
             filters=_clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else (),
-            matcher=matcher, needs_pos=needs_pos,
+            matcher=matcher, needs_pos=needs_pos, src=mf_src,
         ).collect()[0]["doc_count"]
         relation = "eq"
     else:
@@ -1579,7 +1612,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
 
     aggs_spec = body.get("aggs") or body.get("aggregations") or {}
     if aggs_spec:
-        areader, terms, mode, matcher, needs_pos = _agg_context(reader, query)
+        areader, terms, mode, matcher, needs_pos, mf_src = _agg_context(reader, query)
         filt = (
             _clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else ()
@@ -1598,10 +1631,12 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         for name, spec in aggs_spec.items():
             if matcher is not None and any(g in spec for g in _MATCHER_GATED):
                 # these sub-paths take a term list, not a matcher — an OR
-                # over the phrase's terms would be the WRONG matched set
+                # over the phrase's/multi-field query's terms would be
+                # the WRONG matched set
                 raise ValueError(
                     f"{name}: sampler/significant/top_metrics under a "
-                    "phrase query is not composed (term queries only)"
+                    "phrase or multi-field query is not composed "
+                    "(term queries only)"
                 )
             sib = next((s for s in _SIBLINGS if s in spec), None)
             if sib:
@@ -1714,7 +1749,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             agg, post = _compile_agg(spec)
             df = search_aggs(
                 areader, terms, agg, mode=mode, filters=filt,
-                matcher=matcher, needs_pos=needs_pos,
+                matcher=matcher, needs_pos=needs_pos, src=mf_src,
             )
             if post is not None:
                 df = post(df)

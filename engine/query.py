@@ -1793,6 +1793,156 @@ def parse_field_boosts(fields: list) -> list[tuple[str, float]]:
     return out
 
 
+_MfRow = namedtuple("_MfRow", "field term docs_bin tfs_bin dls_bin blocks")
+
+
+class MultiFieldPostings:
+    """Union postings source over several field views of ONE index
+    generation, feeding search_aggs / search_sort / search_count /
+    matched_urls (their `src=` hook) with field-tagged rows for a
+    multi-field matcher.
+
+    Scale shape: all fields share one docmap, so local doc ids are
+    field-independent and a multi-field matched set is computable PER
+    SHARD from the union of the fields' postings — the same
+    zero-extra-shuffle shape as the single-field kernels. Each
+    (field, live-terms) read is bucket-pruned + term-pushdown; the
+    matched set never leaves its shard."""
+
+    def __init__(self, reader: "IndexReader", fields: list[str], terms: list[str]):
+        self.reader = reader
+        self.pairs: list[tuple] = []  # (field, field_reader, live_terms)
+        self.total_postings = 0
+        for f in fields:
+            r = reader.for_field(f)
+            st = r.term_stats(terms)
+            live = [t for t in terms if t in st]
+            if live:
+                self.pairs.append((f, r, live))
+                self.total_postings += sum(st[t] for t in live)
+
+    def local(self):
+        """{shard: [row, ...]} with rows carrying .field, or None when the
+        postings aren't a local directory (caller takes the Spark path)."""
+        merged: dict[int, list] = {}
+        for f, r, live in self.pairs:
+            by = r.postings_local(live)
+            if by is None:
+                return None
+            for shard, rows in by.items():
+                merged.setdefault(shard, []).extend(
+                    _MfRow(f, x.term, x.docs_bin, x.tfs_bin, x.dls_bin, x.blocks)
+                    for x in rows
+                )
+        return merged
+
+    def df(self) -> DataFrame:
+        """Union postings DataFrame with a `field` literal column (the
+        rows reach the matcher as itertuples, so the tag rides along)."""
+        out = None
+        for f, r, live in self.pairs:
+            d = r.postings(live).withColumn("field", F.lit(f))
+            out = d if out is None else out.unionByName(d)
+        assert out is not None, "caller gates on total_postings == 0"
+        return out
+
+
+def multifield_matcher(
+    reader: "IndexReader",
+    fields: list,
+    query: str | list[str],
+    mtype: str = "best_fields",
+    operator: str = "or",
+    minimum_should_match: int | None = None,
+):
+    """(src, matcher) for composing multi_match / combined_fields as a
+    QUERY CONTEXT (aggs / sort / _count / matched_urls): only the matched
+    SET is needed, never scores. Returns None when the matched set is
+    empty everywhere by construction (no term live in any field, or an
+    unsatisfiable requirement).
+
+    Matched-set laws mirror _mf_shard_topk's n_required scoring masks:
+      field-centric (best_fields / most_fields): a field matches a doc
+        when it holds >= req of the ANALYZED query terms (req = all
+        terms under operator=and, else minimum_should_match or 1); the
+        doc matches when ANY field does.
+      term-centric (cross_fields / combined_fields): a term matches a
+        doc when ANY field holds it; the doc matches when >= req of the
+        analyzed terms do.
+    req counts the FULL analyzed term list, so a term dead in every
+    field still raises the bar under operator=and (Lucene: msm above the
+    satisfiable clause count is unsatisfiable, not clamped)."""
+    if mtype not in ("best_fields", "most_fields", "cross_fields", "combined_fields"):
+        raise ValueError(f"unknown multi_match type {mtype!r}")
+    if operator not in ("or", "and"):
+        raise ValueError(f"multi_match operator must be or/and, got {operator!r}")
+    if operator == "and" and minimum_should_match is not None:
+        raise ValueError("operator=and already requires every term; "
+                         "minimum_should_match composes with operator=or only")
+    names = [n for n, _ in parse_field_boosts(fields)]
+    for n in names:
+        if n not in reader.text_fields:
+            raise ValueError(
+                f"field {n!r} is not indexed (text_fields={reader.text_fields})"
+            )
+    terms = (
+        analyze_query_py(query) if isinstance(query, str)
+        else list(dict.fromkeys(query))
+    )
+    req = len(terms) if operator == "and" else int(minimum_should_match or 1)
+    if not terms or req > len(terms):
+        return None
+    src = MultiFieldPostings(reader, names, terms)
+    if src.total_postings == 0:
+        return None
+    field_centric = mtype in ("best_fields", "most_fields")
+
+    def _at_least(arrs: list[np.ndarray], need: int) -> np.ndarray | None:
+        """Docs appearing in >= `need` of the (unique-doc) arrays."""
+        arrs = [a for a in arrs if a.size]
+        if not arrs or len(arrs) < need:
+            return None
+        if need <= 1:
+            return arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+        cat, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        m = cat[cnt >= need]
+        return m if m.size else None
+
+    def matcher(rows: list, dels) -> np.ndarray:
+        per: dict[tuple, np.ndarray] = {}
+        for r in rows:
+            d, _t, _l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            per[(r.field, r.term)] = d
+        if field_centric:
+            sets = [
+                m for f in names
+                if (m := _at_least(
+                    [per[(f, t)] for t in terms if (f, t) in per], req
+                )) is not None
+            ]
+            m = (
+                None if not sets
+                else sets[0] if len(sets) == 1
+                else np.unique(np.concatenate(sets))
+            )
+        else:
+            unions = [
+                u for t in terms
+                if (u := _at_least(
+                    [per[(f, t)] for f in names if (f, t) in per], 1
+                )) is not None
+            ]
+            m = _at_least(unions, req)
+        if m is None or m.size == 0:
+            return np.empty(0, dtype=np.int64)
+        keep = _live_mask(m, dels)
+        return m if keep is None else m[keep]
+
+    return src, matcher
+
+
 def bm25_multifield_topk(
     reader: IndexReader,
     query: str | list[str],
