@@ -621,6 +621,9 @@ def top_metrics(
     ascending: bool = True,
     mode: str = "or",
     filters=(),
+    matcher=None,
+    needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """ES `top_metrics` (size=1, the default): the metric docvalue of THE
     top matched doc by the sort docvalue ((sort, _id) total order, the
@@ -633,6 +636,7 @@ def top_metrics(
     top = search_sort(
         reader, query, sort_field, k=1, mode=mode,
         ascending=ascending, filters=filters,
+        matcher=matcher, needs_pos=needs_pos, src=src,
     ).collect()
     if not top:
         return reader.spark.createDataFrame(
@@ -2141,6 +2145,9 @@ def significant_terms(
     execution: str = "auto",
     filters=(),
     stats_reader: IndexReader | None = None,
+    matcher=None,
+    needs_pos: bool = False,
+    src=None,
 ) -> DataFrame:
     """ES `significant_terms` on the indexed text field: terms
     overrepresented in the matched (foreground) set vs the whole index
@@ -2165,7 +2172,10 @@ def significant_terms(
     spark = reader.spark
     from engine.textnorm import standard_tokenize_col
 
-    fg_ids = matched_urls(reader, query, mode, execution, filters)
+    fg_ids = matched_urls(
+        reader, query, mode, execution, filters,
+        matcher=matcher, needs_pos=needs_pos, src=src,
+    )
     t = F.col(text_col)
     docs = corpus.filter(t.isNotNull() & (t != "")).select(
         F.col(id_col).cast("string").alias("url"), t.alias("_t")

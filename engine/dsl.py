@@ -1624,19 +1624,17 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         )
         bucket_dfs: dict = {}
         siblings = []
-        _MATCHER_GATED = (
-            "sampler", "diversified_sampler", "significant_text",
-            "significant_terms", "top_metrics",
-        )
+        _MATCHER_GATED = ("sampler", "diversified_sampler")
         for name, spec in aggs_spec.items():
             if matcher is not None and any(g in spec for g in _MATCHER_GATED):
-                # these sub-paths take a term list, not a matcher — an OR
-                # over the phrase's/multi-field query's terms would be
-                # the WRONG matched set
+                # the sampler's top cut needs per-doc SCORES, which a
+                # matched-set matcher doesn't carry — an OR over the
+                # phrase's/multi-field query's terms would be the WRONG
+                # sample (significant_*/top_metrics need only the matched
+                # set and DO compose via matcher/src)
                 raise ValueError(
-                    f"{name}: sampler/significant/top_metrics under a "
-                    "phrase or multi-field query is not composed "
-                    "(term queries only)"
+                    f"{name}: sampler under a phrase or multi-field "
+                    "query is not composed (term queries only)"
                 )
             sib = next((s for s in _SIBLINGS if s in spec), None)
             if sib:
@@ -1692,6 +1690,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                     areader, terms, corpus, size=sg.get("size", 10),
                     mode=mode, filters=filt, text_col=sgf,
                     stats_reader=_text_reader(reader, sgf, "significant_text"),
+                    matcher=matcher, needs_pos=needs_pos, src=mf_src,
                 )
                 bucket_dfs[name] = df
                 out["aggregations"][name] = {
@@ -1707,8 +1706,9 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 from engine.aggs import top_metrics as _tm
 
                 df = _tm(
-                    reader, terms, sf, tm["metrics"]["field"],
+                    areader, terms, sf, tm["metrics"]["field"],
                     ascending=order == "asc", mode=mode, filters=filt,
+                    matcher=matcher, needs_pos=needs_pos, src=mf_src,
                 )
                 bucket_dfs[name] = df
                 out["aggregations"][name] = {

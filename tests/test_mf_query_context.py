@@ -49,11 +49,16 @@ def ctx_index(spark, tmp_path_factory):
         if i % 17 == 0:
             title = None
         rows.append((f"u{i:04d}", text, title, "enfrde"[2 * (i % 3):2 * (i % 3) + 2]))
-    df = spark.createDataFrame(rows, "url string, text string, title string, lang string")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "url string, text string, title string, lang string"
+    ).withColumn("n_chars", F.length("text"))
     out = str(tmp_path_factory.mktemp("mfctx") / "idx")
     build_index(
         spark, df, out, n_shards=2, n_buckets=4, bucket_chunk=2,
-        text_fields=["text", "title"], docvalue_cols=["lang"],
+        text_fields=["text", "title"], docvalue_cols=["lang", "n_chars"],
+        index_options="positions",
     )
     return out, rows
 
@@ -200,6 +205,91 @@ def test_dead_everywhere_and_unsatisfiable(spark, ctx_index):
     r3 = search(reader, {"query": _body("cross_fields", "web zzzz", "and"),
                          "size": 0, "track_total_hits": True})
     assert r3["hits"]["total"]["value"] == 0
+
+
+def test_top_metrics_under_multifield(spark, ctx_index):
+    """top_metrics composes with a multi-field query context: the metric
+    docvalue of THE top matched doc by the sort docvalue (search_sort
+    k=1 over the matcher's matched set)."""
+    from engine.dsl import search
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    exp = _matched(rows, "best_fields", "web search", "and")
+    lang = {u: l for u, _, _, l in rows}
+    nch = {u: len(t) for u, t, _, _ in rows}
+    top = min(exp, key=lambda u: (nch[u], u))
+    r = search(reader, {
+        "query": _body("best_fields", "web search", "and"), "size": 0,
+        "aggs": {"tm": {"top_metrics": {
+            "metrics": {"field": "lang"}, "sort": [{"n_chars": "asc"}],
+        }}},
+    })
+    (b,) = r["aggregations"]["tm"]["buckets"]
+    assert (b["url"], b["sort_val"], b["metric"]) == (top, nch[top], lang[top])
+
+
+def test_top_metrics_under_phrase(spark, ctx_index):
+    """top_metrics composes with a match_phrase query context (the
+    positional matcher path, needs_pos=True)."""
+    from engine.dsl import search
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    exp = {
+        u for u, t, _, _ in rows
+        if any(t.split()[i:i + 2] == ["web", "search"]
+               for i in range(len(t.split()) - 1))
+    }
+    assert exp, "weak corpus — phrase matched nothing"
+    nch = {u: len(t) for u, t, _, _ in rows}
+    top = min(exp, key=lambda u: (nch[u], u))
+    r = search(reader, {
+        "query": {"match_phrase": {"text": "web search"}}, "size": 0,
+        "aggs": {"tm": {"top_metrics": {
+            "metrics": {"field": "n_chars"}, "sort": [{"n_chars": "asc"}],
+        }}},
+    })
+    (b,) = r["aggregations"]["tm"]["buckets"]
+    assert (b["url"], b["metric"]) == (top, nch[top])
+
+
+def test_significant_text_under_multifield(spark, ctx_index):
+    """significant_text composes with a multi-field query context:
+    foreground = the multi_match matched set, background df from the
+    index; brute JLH twin recomputed from rows."""
+    from engine.dsl import search
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    corpus = spark.createDataFrame(
+        rows, "url string, text string, title string, lang string"
+    )
+    r = search(reader, {
+        "query": _body("cross_fields", "web search", "and"), "size": 0,
+        "aggs": {"sig": {"significant_text": {"field": "text", "size": 5}}},
+    }, corpus=corpus)
+    fg = [t for u, t, _, _ in rows if u in _matched(rows, "cross_fields", "web search", "and")]
+    n_fg, n_docs = len(fg), len(rows)
+    assert n_fg, "weak corpus"
+    fg_df: dict = {}
+    for t in fg:
+        for w in set(t.split()):
+            fg_df[w] = fg_df.get(w, 0) + 1
+    bg_df: dict = {}
+    for _, t, _, _ in rows:
+        for w in set(t.split()):
+            bg_df[w] = bg_df.get(w, 0) + 1
+    want = []
+    for w, c in fg_df.items():
+        fr, br = c / n_fg, bg_df[w] / n_docs
+        sc = (fr - br) * (fr / br)
+        if sc > 0:
+            want.append((w, c, bg_df[w], round(sc, 6)))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    got = [(b["term"], b["doc_count"], b["bg_count"], b["score"])
+           for b in r["aggregations"]["sig"]["buckets"]]
+    assert got == want[:5]
 
 
 def test_guards(spark, ctx_index):
