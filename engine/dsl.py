@@ -1100,13 +1100,26 @@ def _agg_context(reader, query: dict):
     if "multi_match" in query or "combined_fields" in query:
         key = "multi_match" if "multi_match" in query else "combined_fields"
         m = query[key]
-        if m.get("type") in ("phrase", "phrase_prefix", "bool_prefix") or (
+        if m.get("type") in ("phrase_prefix", "bool_prefix") or (
             m.get("fuzziness") is not None
         ):
             raise ValueError(
                 f"{key} type={m.get('type')!r}/fuzziness as a query context "
                 "(aggs/sort/_count) is not composed (documented divergence)"
             )
+        if m.get("type") == "phrase":
+            # dis_max of per-field match_phrase: the matched set is the
+            # UNION of the fields' phrase-matching docs
+            from engine.query import multifield_phrase_matcher
+
+            ctx = multifield_phrase_matcher(
+                reader, m.get("fields", [reader.field]), m["query"],
+                slop=int(m.get("slop", 0)),
+            )
+            if ctx is None:
+                return reader, ["\x00dead\x00"], "and", None, False, None
+            src, matcher = ctx
+            return reader, [], "or", matcher, True, src
         from engine.oracle import analyze_query_py
         from engine.query import multifield_matcher
 

@@ -1794,6 +1794,10 @@ def parse_field_boosts(fields: list) -> list[tuple[str, float]]:
 
 
 _MfRow = namedtuple("_MfRow", "field term docs_bin tfs_bin dls_bin blocks")
+_MfPosRow = namedtuple(
+    "_MfPosRow",
+    "field term docs_bin tfs_bin dls_bin blocks pos_bin pos_offs",
+)
 
 
 class MultiFieldPostings:
@@ -1809,15 +1813,25 @@ class MultiFieldPostings:
     (field, live-terms) read is bucket-pruned + term-pushdown; the
     matched set never leaves its shard."""
 
-    def __init__(self, reader: "IndexReader", fields: list[str], terms: list[str]):
+    def __init__(
+        self,
+        reader: "IndexReader",
+        fields: list[str],
+        terms: list[str],
+        require_all: bool = False,
+        needs_pos: bool = False,
+    ):
         self.reader = reader
+        self.needs_pos = needs_pos
         self.pairs: list[tuple] = []  # (field, field_reader, live_terms)
         self.total_postings = 0
         for f in fields:
             r = reader.for_field(f)
             st = r.term_stats(terms)
             live = [t for t in terms if t in st]
-            if live:
+            # require_all: a conjunctive (phrase) context — a field with
+            # ANY dead slot term matches nothing and reads nothing
+            if live and (not require_all or len(live) == len(terms)):
                 self.pairs.append((f, r, live))
                 self.total_postings += sum(st[t] for t in live)
 
@@ -1826,12 +1840,21 @@ class MultiFieldPostings:
         postings aren't a local directory (caller takes the Spark path)."""
         merged: dict[int, list] = {}
         for f, r, live in self.pairs:
-            by = r.postings_local(live)
+            by = (
+                r.postings_pos_local(live) if self.needs_pos
+                else r.postings_local(live)
+            )
             if by is None:
                 return None
             for shard, rows in by.items():
                 merged.setdefault(shard, []).extend(
-                    _MfRow(f, x.term, x.docs_bin, x.tfs_bin, x.dls_bin, x.blocks)
+                    _MfPosRow(
+                        f, x.term, x.docs_bin, x.tfs_bin, x.dls_bin,
+                        x.blocks, x.pos_bin, x.pos_offs,
+                    ) if self.needs_pos
+                    else _MfRow(
+                        f, x.term, x.docs_bin, x.tfs_bin, x.dls_bin, x.blocks
+                    )
                     for x in rows
                 )
         return merged
@@ -1939,6 +1962,70 @@ def multifield_matcher(
             return np.empty(0, dtype=np.int64)
         keep = _live_mask(m, dels)
         return m if keep is None else m[keep]
+
+    return src, matcher
+
+
+def multifield_phrase_matcher(
+    reader: "IndexReader",
+    fields: list,
+    phrase: str | list[str],
+    slop: int = 0,
+):
+    """(src, matcher) for composing multi_match type=phrase as a QUERY
+    CONTEXT (aggs / sort / _count): ES scores it as a dis_max of
+    per-field match_phrase queries, so the matched set is the UNION of
+    the fields' phrase-matching docs. Per field, the matched set is the
+    exact/sloppy phrase kernel run unbounded with scores discarded (the
+    single-field phrase_matcher law); a field missing ANY slot term
+    matches nothing (conjunctive) and its postings aren't read. Returns
+    None when every field is dead. Pair with needs_pos=True."""
+    _require_positions(reader, "multi_match type=phrase (agg/count context)")
+    from engine.textnorm import standard_tokenize_py
+
+    names = [n for n, _ in parse_field_boosts(fields)]
+    for n in names:
+        if n not in reader.text_fields:
+            raise ValueError(
+                f"field {n!r} is not indexed (text_fields={reader.text_fields})"
+            )
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        return None
+    distinct = list(dict.fromkeys(terms))
+    src = MultiFieldPostings(
+        reader, names, distinct, require_all=True, needs_pos=True
+    )
+    if not src.pairs:
+        return None
+    slots = [[t] for t in terms]
+    # per-field kernel params (avgdl is per-field; scores are discarded
+    # so only dl-norm shape differs — kept per-field for exactness)
+    params = {f: (r.k1, r.b, r.avgdl) for f, r, _ in src.pairs}
+
+    def matcher(rows: list, dels) -> np.ndarray:
+        by_field: dict[str, list] = {}
+        for r in rows:
+            by_field.setdefault(r.field, []).append(r)
+        sets = []
+        for f, frows in by_field.items():
+            k1, b, avgdl = params[f]
+            if slop:
+                top = _phrase_slop_shard_topk(
+                    frows, slots, slop, 1.0, 1 << 31, k1, b, avgdl, dels
+                )
+            else:
+                top = _phrase_shard_topk(
+                    frows, slots, 1.0, 1 << 31, k1, b, avgdl, dels
+                )
+            if top:
+                sets.append(np.array([t[0] for t in top], dtype=np.int64))
+        if not sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(sets))
 
     return src, matcher
 

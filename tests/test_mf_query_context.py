@@ -292,12 +292,68 @@ def test_significant_text_under_multifield(spark, ctx_index):
     assert got == want[:5]
 
 
+def _phrase_hits(s, words):
+    toks = _toks(s)
+    return any(
+        toks[i:i + len(words)] == words for i in range(len(toks) - len(words) + 1)
+    )
+
+
+def test_mm_phrase_as_context(spark, ctx_index):
+    """multi_match type=phrase as a query context: ES scores it as a
+    dis_max of per-field match_phrase, so the matched set is the UNION
+    of the fields' phrase-matching docs — count/aggs/sort restrict to
+    exactly that set."""
+    from engine.dsl import search
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    words = ["web", "search"]
+    exp = {
+        u for u, t, ti, _ in rows
+        if _phrase_hits(t, words) or _phrase_hits(ti or "", words)
+    }
+    assert exp, "weak corpus — phrase matched nothing"
+    lang = {u: l for u, _, _, l in rows}
+    body = {"query": {"multi_match": {
+        "query": "web search", "fields": ["text", "title"], "type": "phrase",
+    }}}
+    r = search(reader, {**body, "size": 0, "track_total_hits": True,
+                        "aggs": {"l": {"terms": {"field": "lang"}}}})
+    assert r["hits"]["total"]["value"] == len(exp)
+    got_b = {b["key"]: b["doc_count"] for b in r["aggregations"]["l"]["buckets"]}
+    assert got_b == dict(Counter(lang[u] for u in exp))
+    r2 = search(reader, {**body, "size": 6, "sort": [{"lang": "asc"}]})
+    assert [h["_id"] for h in r2["hits"]["hits"]] == sorted(
+        exp, key=lambda u: (lang[u], u)
+    )[:6]
+    # a phrase matching ONLY via the title field still counts (union law)
+    only_title = {
+        u for u, t, ti, _ in rows
+        if _phrase_hits(ti or "", words) and not _phrase_hits(t, words)
+    }
+    if only_title:
+        r3 = search(reader, {
+            "query": {"multi_match": {"query": "web search",
+                                      "fields": ["title"], "type": "phrase"}},
+            "size": 0, "track_total_hits": True})
+        assert r3["hits"]["total"]["value"] == len(
+            {u for u, _, ti, _ in rows if _phrase_hits(ti or "", words)}
+        )
+    # dead-in-every-field phrase: empty set
+    r4 = search(reader, {"query": {"multi_match": {
+        "query": "web zzzznope", "fields": ["text", "title"],
+        "type": "phrase"}}, "size": 0, "track_total_hits": True})
+    assert r4["hits"]["total"]["value"] == 0
+
+
 def test_guards(spark, ctx_index):
     from engine.dsl import search
 
     out, rows = ctx_index
     reader = IndexReader(spark, out)
-    mm = {"query": "web search", "fields": ["text", "title"], "type": "phrase"}
+    mm = {"query": "web search", "fields": ["text", "title"],
+          "type": "phrase_prefix"}
     with pytest.raises(ValueError, match="query context"):
         search(reader, {"query": {"multi_match": mm}, "size": 0,
                         "aggs": {"l": {"terms": {"field": "lang"}}}})
