@@ -1056,6 +1056,42 @@ def _attach_matched_queries(reader, query: dict, hits: list) -> None:
         h["matched_queries"] = got
 
 
+def _mm_context_matcher(reader, key: str, m: dict):
+    """(src, matcher, needs_pos) for a multi_match / combined_fields
+    query CONTEXT (aggs / sort / _count / scroll), or None when the
+    matched set is empty everywhere by construction. Raises for the
+    uncomposed shapes (phrase_prefix / bool_prefix / fuzziness —
+    documented divergences) and for unindexed fields."""
+    if m.get("type") in ("phrase_prefix", "bool_prefix") or (
+        m.get("fuzziness") is not None
+    ):
+        raise ValueError(
+            f"{key} type={m.get('type')!r}/fuzziness as a query context "
+            "(aggs/sort/_count) is not composed (documented divergence)"
+        )
+    if m.get("type") == "phrase":
+        # dis_max of per-field match_phrase: the matched set is the
+        # UNION of the fields' phrase-matching docs
+        from engine.query import multifield_phrase_matcher
+
+        ctx = multifield_phrase_matcher(
+            reader, m.get("fields", [reader.field]), m["query"],
+            slop=int(m.get("slop", 0)),
+        )
+        return None if ctx is None else (*ctx, True)
+    from engine.query import multifield_matcher
+
+    msm_ = m.get("minimum_should_match")
+    ctx = multifield_matcher(
+        reader, m.get("fields", [reader.field]), m["query"],
+        mtype=(m.get("type", "best_fields") if key == "multi_match"
+               else "combined_fields"),
+        operator=m.get("operator", "or").lower(),
+        minimum_should_match=int(msm_) if msm_ is not None else None,
+    )
+    return None if ctx is None else (*ctx, False)
+
+
 def _agg_context(reader, query: dict):
     """(reader, terms, mode, matcher, needs_pos, src) of the aggs matched
     set — the term-query kinds pass through _query_terms_or_none;
@@ -1100,44 +1136,16 @@ def _agg_context(reader, query: dict):
     if "multi_match" in query or "combined_fields" in query:
         key = "multi_match" if "multi_match" in query else "combined_fields"
         m = query[key]
-        if m.get("type") in ("phrase_prefix", "bool_prefix") or (
-            m.get("fuzziness") is not None
-        ):
-            raise ValueError(
-                f"{key} type={m.get('type')!r}/fuzziness as a query context "
-                "(aggs/sort/_count) is not composed (documented divergence)"
-            )
-        if m.get("type") == "phrase":
-            # dis_max of per-field match_phrase: the matched set is the
-            # UNION of the fields' phrase-matching docs
-            from engine.query import multifield_phrase_matcher
-
-            ctx = multifield_phrase_matcher(
-                reader, m.get("fields", [reader.field]), m["query"],
-                slop=int(m.get("slop", 0)),
-            )
-            if ctx is None:
-                return reader, ["\x00dead\x00"], "and", None, False, None
-            src, matcher = ctx
-            return reader, [], "or", matcher, True, src
-        from engine.oracle import analyze_query_py
-        from engine.query import multifield_matcher
-
-        msm_ = m.get("minimum_should_match")
-        ctx = multifield_matcher(
-            reader, m.get("fields", [reader.field]), m["query"],
-            mtype=(m.get("type", "best_fields") if key == "multi_match"
-                   else "combined_fields"),
-            operator=m.get("operator", "or").lower(),
-            minimum_should_match=int(msm_) if msm_ is not None else None,
-        )
-        terms = analyze_query_py(m["query"])
+        ctx = _mm_context_matcher(reader, key, m)
         if ctx is None:
             # no term live in any field (or unsatisfiable requirement):
             # empty matched set everywhere
             return reader, ["\x00dead\x00"], "and", None, False, None
-        src, matcher = ctx
-        return reader, terms, "or", matcher, False, src
+        src, matcher, needs_pos = ctx
+        from engine.oracle import analyze_query_py
+
+        terms = [] if needs_pos else analyze_query_py(m["query"])
+        return reader, terms, "or", matcher, needs_pos, src
     fl: set = set()
     terms, mode = _query_terms_or_none(
         query, allowed=tuple(reader.text_fields), fields_out=fl
@@ -1911,8 +1919,18 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
     ((fld, o),) = srt[0].items()
     order = o.get("order", "asc") if isinstance(o, dict) else o
     q = body.get("query", {"match_all": {}})
-    phrase = None
-    if "match_phrase" in q:
+    phrase = mm = None
+    if "multi_match" in q or "combined_fields" in q:
+        # multi-field scroll: the stateless token carries the query SPEC
+        # (matcher closures don't serialize); _scroll_page rebuilds the
+        # multi-field matcher from it on every page. Validation happens
+        # here (bad fields / unsupported type raise on page 1, not mid-
+        # scroll) by building the matcher once and discarding it.
+        key = "multi_match" if "multi_match" in q else "combined_fields"
+        _mm_context_matcher(reader, key, q[key])  # validate, fail fast
+        mm = {"key": key, "spec": q[key]}
+        terms, mode, tfield = None, "or", None
+    elif "match_phrase" in q:
         # phrase scroll: the stateless token carries the phrase SPEC
         # (matcher closures don't serialize); _scroll_page rebuilds the
         # positional matcher from it on every page
@@ -1934,7 +1952,7 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
     token = {
         "dir": reader.dir,
         "snap": len(list_snapshots(reader.dir)),
-        "terms": terms, "mode": mode, "phrase": phrase,
+        "terms": terms, "mode": mode, "phrase": phrase, "mm": mm,
         "field": fld, "asc": order == "asc", "size": int(size),
         "after": None, "tfield": tfield,
     }
@@ -1972,11 +1990,17 @@ def _scroll_page(spark, token: dict) -> dict:
                 microseconds=val["__ts_us__"]
             )
         after = (val, url)
-    terms, matcher, needs_pos = token["terms"], None, False
+    terms, matcher, needs_pos, mf_src = token["terms"], None, False, None
     tf_ = token.get("tfield")
     if tf_ and tf_ != r.field:
         r = r.for_field(tf_)
-    if token.get("phrase"):
+    if token.get("mm"):
+        ctx = _mm_context_matcher(r, token["mm"]["key"], token["mm"]["spec"])
+        if ctx is None:
+            return {"hits": {"hits": []}}  # dead everywhere: empty scroll
+        mf_src, matcher, needs_pos = ctx[0], ctx[1], ctx[2]
+        terms = []
+    elif token.get("phrase"):
         from engine.query import phrase_matcher
 
         pfld = token["phrase"].get("tfield", r.field)
@@ -1990,7 +2014,7 @@ def _scroll_page(spark, token: dict) -> dict:
     rows = search_sort(
         r, terms, token["field"], k=token["size"],
         mode=token["mode"], ascending=token["asc"], search_after=after,
-        matcher=matcher, needs_pos=needs_pos,
+        matcher=matcher, needs_pos=needs_pos, src=mf_src,
     ).collect()
     hits = [
         {"_id": x["url"], "sort": [x["sort_val"], x["url"]]} for x in rows

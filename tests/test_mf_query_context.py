@@ -347,6 +347,48 @@ def test_mm_phrase_as_context(spark, ctx_index):
     assert r4["hits"]["total"]["value"] == 0
 
 
+def test_scroll_over_multifield(spark, ctx_index):
+    """Scroll pages through a multi-field matched set: the stateless
+    token carries the multi_match spec and every page rebuilds the
+    matcher against the pinned snapshot — full traversal equals the
+    brute matched set in (sort_val, _id) order."""
+    from engine.dsl import scroll_next, scroll_search
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    lang = {u: l for u, _, _, l in rows}
+    for body_q, mtype, kw in [
+        (_body("most_fields", "web search rank", msm=2), "most_fields",
+         {"msm": 2}),
+        ({"multi_match": {"query": "web search",
+                          "fields": ["text", "title"], "type": "phrase"}},
+         None, {}),
+    ]:
+        if mtype:
+            exp = _matched(rows, mtype, "web search rank", msm=kw["msm"])
+        else:
+            exp = {
+                u for u, t, ti, _ in rows
+                if _phrase_hits(t, ["web", "search"])
+                or _phrase_hits(ti or "", ["web", "search"])
+            }
+        want = sorted(exp, key=lambda u: (lang[u], u))
+        resp = scroll_search(
+            reader, {"query": body_q, "sort": [{"lang": "asc"}]}, size=25
+        )
+        got = [h["_id"] for h in resp["hits"]["hits"]]
+        while resp.get("_scroll_id") and resp["hits"]["hits"]:
+            resp = scroll_next(spark, resp["_scroll_id"])
+            got += [h["_id"] for h in resp["hits"]["hits"]]
+        assert got == want
+    # unsupported shapes fail fast on page 1
+    with pytest.raises(ValueError, match="query context"):
+        scroll_search(reader, {
+            "query": {"multi_match": {"query": "web", "fields": ["text"],
+                                      "type": "bool_prefix"}},
+            "sort": [{"lang": "asc"}]})
+
+
 def test_guards(spark, ctx_index):
     from engine.dsl import search
 
