@@ -462,8 +462,9 @@ def delete_by_query(spark: SparkSession, index_dir: str, body: dict) -> int:
     """ES `_delete_by_query`: tombstone every live document whose _id
     matches the DSL body's query context — the common housekeeping call
     the reference delegates to Elasticsearch. Composes the dispatcher's
-    query-context compiler (engine/dsl.py compile_query_context:
-    match_all / match / term / terms / bool must + filter context) with
+    matched-set compiler (engine/dsl.py matched_urls_for_query:
+    match_all / match / term / terms / match_phrase / multi_match /
+    combined_fields + bool filter context, any indexed field) with
     the url-list tombstone writer above; returns the number of NEW
     tombstone rows (one snapshot, so the whole delete is one atomic
     point-in-time step for readers).
@@ -472,20 +473,12 @@ def delete_by_query(spark: SparkSession, index_dir: str, body: dict) -> int:
     postings kernels a search uses (engine/aggs.py matched_urls), never
     a corpus scan; match_all composes the live docmap with pushed filter
     predicates instead."""
-    from engine.aggs import live_docmap, matched_urls
-    from engine.dsl import compile_query_context
+    from engine.dsl import matched_urls_for_query
     from engine.query import IndexReader
 
     query = body.get("query", body) if isinstance(body, dict) else body
     if "query" in query:  # accept either a full body or a bare query
         query = query["query"]
     reader = IndexReader(spark, index_dir)
-    terms, mode, filters, qfld = compile_query_context(
-        query, text_fields=tuple(reader.text_fields)
-    )
-    if terms is None:
-        urls = live_docmap(reader, filters).select("url")
-    else:
-        r = reader if qfld in (None, reader.field) else reader.for_field(qfld)
-        urls = matched_urls(r, terms, mode=mode, filters=filters)
+    urls = matched_urls_for_query(reader, query)
     return delete_docs(spark, index_dir, urls)

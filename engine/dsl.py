@@ -1247,6 +1247,28 @@ def compile_query_context(query: dict, text_fields: tuple = ("text",)):
     return terms, mode, filters, (fl.pop() if fl else None)
 
 
+def matched_urls_for_query(reader, query: dict):
+    """DataFrame of the _ids (urls) matching a DSL query context — the
+    shared back-end for the set-valued APIs (delete_by_query /
+    update_by_query). Composes every context kind _agg_context handles:
+    match_all (live docmap + pushed filters), term kinds on any indexed
+    field, match_phrase (positional matcher), multi_match /
+    combined_fields (multi-field matcher + union postings source) —
+    each optionally bool-wrapped with filter clauses."""
+    from engine.aggs import live_docmap, matched_urls
+
+    filters = ()
+    if "bool" in query:
+        filters = _clause_filters(query["bool"].get("filter", []))
+    ar, terms, mode, matcher, needs_pos, src = _agg_context(reader, query)
+    if terms is None:
+        return live_docmap(ar, filters).select("url")
+    return matched_urls(
+        ar, terms, mode=mode, filters=filters,
+        matcher=matcher, needs_pos=needs_pos, src=src,
+    )
+
+
 def _knn_filter_pred(clause: dict, cols: list):
     """One ES knn.filter clause -> a Spark Column predicate over the
     embeddings table. Scope: term / terms / range on a metadata column

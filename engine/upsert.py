@@ -312,27 +312,19 @@ def update_by_query(
     the same assumption — _update_by_query on the whole index is a
     rebuild); upsert_docs merges postings without touching unmatched
     buckets' doc rows beyond the one merge pass it already does."""
-    from engine.aggs import live_docmap, matched_urls
-    from engine.dsl import compile_query_context
+    from engine.dsl import matched_urls_for_query
     from engine.query import IndexReader
 
     query = body.get("query", body) if isinstance(body, dict) else body
     if "query" in query:
         query = query["query"]
     reader = IndexReader(spark, src_dir)
-    terms, mode, filters, qfld = compile_query_context(
-        query, text_fields=tuple(reader.text_fields)
-    )
     if "text" not in reader.stored_cols:
         raise ValueError(
             "update_by_query needs the index built with store_source "
             "including 'text' (the document body to rewrite)"
         )
-    if terms is None:
-        urls = live_docmap(reader, filters).select("url")
-    else:
-        r = reader if qfld in (None, reader.field) else reader.for_field(qfld)
-        urls = matched_urls(r, terms, mode=mode, filters=filters)
+    urls = matched_urls_for_query(reader, query)
     dv_cols = list(reader.manifest.get("docvalue_cols") or [])
     src = reader.stored_source_df().select("url", "text")
     if dv_cols:

@@ -109,3 +109,79 @@ def test_update_by_query_needs_stored_text(spark, tmp_path):
             spark, src, {"query": {"match": {"text": "fig"}}},
             lambda df: df, str(tmp_path / "out"),
         )
+
+
+def test_delete_by_query_phrase(spark, tmp_path):
+    """delete_by_query matches a match_phrase query context (positional
+    matcher): only docs holding the exact adjacency are tombstoned."""
+    out = str(tmp_path / "idx")
+    _build(spark, out, index_options="positions")
+    n = delete_by_query(
+        spark, out, {"query": {"match_phrase": {"text": "banana cherry"}}}
+    )
+    assert n == 2  # a1 ("...banana cherry"), a3 ("banana cherry...")
+    r = IndexReader(spark, out)
+    hits = {x["url"] for x in bm25_topk(r, ["banana"], k=10).collect()}
+    assert hits == {"a2"}
+
+
+def test_delete_by_query_multifield(spark, tmp_path):
+    """delete_by_query matches a multi_match query context over a
+    two-field index: the union matched set (field-centric best_fields)
+    is tombstoned; a title-only match counts."""
+    out = str(tmp_path / "idx")
+    rows = [(u, t, ("kiwi topic" if u == "a6" else "plain"), n)
+            for u, t, n in DOCS]
+    df = spark.createDataFrame(rows, "url string, text string, title string, num long")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], docvalue_cols=["num"],
+    )
+    n = delete_by_query(spark, out, {"query": {"multi_match": {
+        "query": "apple kiwi", "fields": ["text", "title"],
+    }}})
+    assert n == 3  # a1, a2 (apple in text) + a6 (kiwi in title)
+    r = IndexReader(spark, out)
+    hits = {x["url"] for x in bm25_topk(r, ["elder"], k=10).collect()}
+    assert hits == {"a4", "a5"}  # a6 tombstoned via its title
+
+
+def test_update_by_query_phrase(spark, tmp_path):
+    """update_by_query selects via a match_phrase context and rewrites
+    only the matched docs."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _build(spark, src, index_options="positions", store_source=["text"])
+    update_by_query(
+        spark, src,
+        {"query": {"match_phrase": {"text": "banana cherry"}}},
+        lambda d: d.withColumn("text", F.concat(F.col("text"), F.lit(" zzyx"))),
+        out,
+    )
+    r = IndexReader(spark, out)
+    hits = {x["url"] for x in bm25_topk(r, ["zzyx"], k=10).collect()}
+    assert hits == {"a1", "a3"}
+
+
+def test_update_by_query_multifield_raises(spark, tmp_path):
+    """update_by_query SELECTS via a multi_match context, but the
+    replace-by-url merge is single-field (documented upsert divergence)
+    — the call fails closed with the rebuild pointer instead of writing
+    a half-merged generation."""
+    src = str(tmp_path / "src")
+    rows = [(u, t, ("kiwi topic" if u == "a6" else "plain"), n)
+            for u, t, n in DOCS]
+    df = spark.createDataFrame(rows, "url string, text string, title string, num long")
+    build_index(
+        spark, df, src, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], docvalue_cols=["num"],
+        store_source=["text", "title"],
+    )
+    with pytest.raises(ValueError, match="single-field"):
+        update_by_query(
+            spark, src,
+            {"query": {"multi_match": {"query": "kiwi",
+                                       "fields": ["text", "title"]}}},
+            lambda d: d,
+            str(tmp_path / "out"),
+        )
