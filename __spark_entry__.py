@@ -1971,6 +1971,25 @@ def q_mm_ctx_count_msm(spark, sf_dir):
     return search_count(r, [], matcher=matcher, src=src)
 
 
+def q_mm_ctx_phrase_agg(spark, sf_dir):
+    """terms agg on lang restricted to a multi_match type=phrase matched
+    set over BOTH fields (ES: dis_max of per-field match_phrase, so the
+    matched set is the UNION of the fields' phrase-matching docs) — the
+    phrase leg of the multi-field query-context composition
+    (engine/query.py multifield_phrase_matcher)."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader, multifield_phrase_matcher
+
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    ctx = multifield_phrase_matcher(r, ["title", "text"], PHRASE_Q)
+    if ctx is None:
+        return search_aggs(r, ["\x00dead\x00"], TermsAgg("lang", size=10), mode="and")
+    src, matcher = ctx
+    return search_aggs(
+        r, [], TermsAgg("lang", size=10), matcher=matcher, src=src
+    )
+
+
 def q_mm_ctx_sort_nchars(spark, sf_dir):
     """Field-sorted page (n_chars asc, _id tiebreak) over the matched set
     of a combined_fields query (term-centric union match) — the
@@ -4818,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ctx_agg_lang": q_mm_ctx_agg_lang,
         "mm_ctx_count_msm": q_mm_ctx_count_msm,
         "mm_ctx_sort_nchars": q_mm_ctx_sort_nchars,
+        "mm_ctx_phrase_agg": q_mm_ctx_phrase_agg,
         "bm25_synonym_topk": q_bm25_synonym,
         "bm25_multifield_topk": q_bm25_multifield,
         "bm25_source_topk": q_bm25_source,
@@ -5025,6 +5045,20 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, n_chars AS sort_val FROM m "
             "ORDER BY n_chars ASC, doc_id::VARCHAR ASC LIMIT 15"
         ),
+        "mm_ctx_phrase_agg": _mf_ctx_cte("TRUE") + f""",
+px AS (SELECT doc_id, unnest(xt) AS term, generate_subscripts(xt, 1) AS pos FROM base),
+pt AS (SELECT doc_id, unnest(tt) AS term, generate_subscripts(tt, 1) AS pos FROM base),
+fx AS (SELECT DISTINCT p0.doc_id FROM px p0
+       JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = '{PHRASE_Q.split()[0]}' AND p1.term = '{PHRASE_Q.split()[1]}'),
+ft AS (SELECT DISTINCT p0.doc_id FROM pt p0
+       JOIN pt p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = '{PHRASE_Q.split()[0]}' AND p1.term = '{PHRASE_Q.split()[1]}'),
+u AS (SELECT doc_id FROM fx UNION SELECT doc_id FROM ft)
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM u JOIN m USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
         "p_reject_filter": (
             "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "
             "WHERE text IS NOT NULL AND text != ''"
