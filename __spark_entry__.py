@@ -253,6 +253,7 @@ def _bm25_sql(
     boost_sql: str | None = None,
     score_sql: str | None = None,
     text_expr: str = "text",
+    raw: bool = False,
 ) -> str:
     """Relational BM25 oracle. corpus_filter: docs removed BEFORE stats
     (compaction semantics — the docs never existed); result_filter: docs
@@ -281,6 +282,12 @@ def _bm25_sql(
     score_expr = score_sql or (
         f"score_raw + {boost_sql}" if boost_sql else "score_raw"
     )
+    tail = (
+        f"SELECT doc_id, {score_expr} AS s FROM scored{res_join} {res_where}"
+        if raw
+        else f"""SELECT doc_id, round({score_expr}, 6) AS score
+FROM scored{res_join} {res_where} ORDER BY round({score_expr}, 6) DESC, doc_id ASC LIMIT {k}"""
+    )
     return f"""
 {cte},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
@@ -298,8 +305,7 @@ scored AS (
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
   GROUP BY doc_id
 )
-SELECT doc_id, round({score_expr}, 6) AS score
-FROM scored{res_join} {res_where} ORDER BY round({score_expr}, 6) DESC, doc_id ASC LIMIT {k}
+{tail}
 """
 
 
@@ -1652,16 +1658,21 @@ def q_bm25_combined_fields(spark, sf_dir):
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
 
 
-def _mf_dismax_sql(leg_text: str, leg_title: str, tb: float, k: int = 25) -> str:
+def _mf_dismax_sql(
+    leg_text: str, leg_title: str, tb: float, k: int = 25,
+    title_boost: float = 2.0,
+) -> str:
     """Blend two raw per-field leg queries (each `SELECT doc_id, s` over
     its own field's tokens/stats — produced by _phrase_span_sql /
-    _bm25_rewrite_sql with raw=True) under the multi_match dis_max
-    semantics: title leg boosted 2.0, score = max + tb * rest (engine
-    twin: engine/query.py bm25_multifield_phrase_topk)."""
+    _bm25_rewrite_sql / _bm25_sql with raw=True) under dis_max
+    semantics: title leg boosted `title_boost` (2.0 = the frozen
+    multi_match fixtures; 1.0 = unboosted general dis_max legs),
+    score = max + tb * rest (engine twins: engine/query.py
+    bm25_multifield_phrase_topk and blend_dismax_frames)."""
     blend = f"greatest(sx, st) + {tb} * (sx + st - greatest(sx, st))"
     return f"""
 WITH fx AS (SELECT doc_id, s FROM ({leg_text})),
-ft AS (SELECT doc_id, 2.0 * s AS s FROM ({leg_title})),
+ft AS (SELECT doc_id, {title_boost} * s AS s FROM ({leg_title})),
 b AS (
   SELECT coalesce(fx.doc_id, ft.doc_id) AS doc_id,
          coalesce(fx.s, 0.0) AS sx, coalesce(ft.s, 0.0) AS st
@@ -1701,6 +1712,34 @@ def q_bm25_mf_pprefix(spark, sf_dir):
         max_expansions=PREFIX_MAX_EXPANSIONS,
     )
     return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_dismax_cross(spark, sf_dir):
+    """ES dis_max with heterogeneous cross-field legs through the DSL
+    (round-5 general dis_max, engine/dsl.py): leg 1 = match on `text`
+    (BM25 ranked union), leg 2 = match_phrase on the derived `title`
+    field (positional kernel on the title postings); each leg compiles
+    UNBOUNDED so the tie_breaker blend (max + tb * rest,
+    engine/query.py blend_dismax_frames) is exact."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"dis_max": {
+            "queries": [
+                {"match": {"text": " ".join(MF_TERMS)}},
+                {"match_phrase": {"title": PHRASE_Q}},
+            ],
+            "tie_breaker": MF_TB,
+        }},
+        "size": 25,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df)
 
 
 def q_post_filter(spark, sf_dir):
@@ -4889,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_combined_fields_topk": q_bm25_combined_fields,
         "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
+        "dismax_cross_topk": q_dismax_cross,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6123,6 +6163,12 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
 """,
         "title_prefix_topk": _bm25_rewrite_sql(
             f"term LIKE '{TITLE_PREFIX_Q}%'", k=10, text_expr=MF_TITLE_SQL
+        ),
+        "dismax_cross_topk": _mf_dismax_sql(
+            _bm25_sql(MF_TERMS, raw=True),
+            _phrase_span_sql(PHRASE_Q.split(), 0, raw=True,
+                             text_expr=MF_TITLE_SQL),
+            MF_TB, k=10, title_boost=1.0,
         ),
         "bm25_mf_phrase_topk": _mf_dismax_sql(
             _phrase_span_sql(PHRASE_Q.split(), 0, raw=True),

@@ -843,20 +843,51 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             k=k, filters=filters,
         )
     if "dis_max" in query:
+        # Two frozen routings (documented split):
+        # 1. ALL-term legs on ONE field, no filter context -> the
+        #    reference's multi-field mapping analog: the union terms
+        #    blended across the per-field SCORING VARIANTS
+        #    (bm25_dismax_topk default/nonorms/doconly,
+        #    search_scheme.json:140-180) — the original DSL contract,
+        #    kept for back-compat (test_field_lift freezes it).
+        # 2. Every other shape — cross-field legs, non-term legs
+        #    (match_phrase, prefix, bool, ...), or ANY filter context —
+        #    follows ES DisjunctionMaxQuery per-LEG semantics: each leg
+        #    compiles through this dispatcher UNBOUNDED (k = 2^31, full
+        #    match set, so tie_breaker is exact), filters ride every
+        #    leg (identical docvalue mask -> identical restriction),
+        #    blend = max + tie_breaker * rest
+        #    (engine/query.py blend_dismax_frames, the same helper the
+        #    multi-field phrase kinds use). Shapes that previously
+        #    raised ("legs must name ONE field") or silently dropped
+        #    the filter context now compose.
         d = query["dis_max"]
         af = tuple(reader.text_fields)
-        parsed = [_match_terms(c, allowed=af) for c in d["queries"]]
-        dflds = {pf[3] for pf in parsed}
-        if len(dflds) > 1:
-            raise ValueError(
-                "dis_max legs must name ONE field (use multi_match "
-                "best_fields for cross-field dis_max)"
-            )
-        terms = [t for pf in parsed for t in pf[0]]
-        return bm25_dismax_topk(
-            _text_reader(reader, dflds.pop(), "dis_max"), terms, k=k,
-            tie_breaker=d.get("tie_breaker", 0.0)
-        )
+        legs = d["queries"]
+        tb = float(d.get("tie_breaker", 0.0))
+        if not filters:
+            try:
+                parsed = [_match_terms(c, allowed=af) for c in legs]
+            except ValueError:
+                parsed = None
+            if parsed is not None and len({pf[3] for pf in parsed}) == 1:
+                terms = [t for pf in parsed for t in pf[0]]
+                return bm25_dismax_topk(
+                    _text_reader(reader, parsed[0][3], "dis_max"), terms,
+                    k=k, tie_breaker=tb,
+                )
+        from engine.query import blend_dismax_frames
+
+        frames = []
+        for leg in legs:
+            if "match_all" in leg:
+                raise ValueError(
+                    "dis_max does not compose a match_all leg (a "
+                    "constant-score leg over the whole corpus)"
+                )
+            ldf = _hits_df(reader, leg, 1 << 31, filters)
+            frames.append(ldf.toPandas())
+        return blend_dismax_frames(reader.spark, frames, tb, k)
     if "more_like_this" in query:
         m = query["more_like_this"]
         mlf = m.get("fields", [reader.field])

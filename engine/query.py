@@ -4263,8 +4263,23 @@ def bm25_multifield_phrase_topk(
             pdf = pdf.copy()
             pdf["score"] = pdf["score"] * boost
             frames.append(pdf[["url", "doc_id", "score"]])
+    return blend_dismax_frames(reader.spark, frames, tie_breaker, k)
+
+
+def blend_dismax_frames(
+    spark, frames: list, tie_breaker: float, k: int
+) -> DataFrame:
+    """Lucene DisjunctionMaxQuery blend over FULL per-leg match sets:
+    score = max(leg scores) + tie_breaker * (sum - max) per doc, then
+    (score desc, doc_id asc) top-k. Each frame is a pandas DataFrame
+    with (url, doc_id, score) holding ONE leg's complete (unbounded-k)
+    scored match set — any boost must already be applied by the caller.
+    Exact for every tie_breaker because no leg was truncated before the
+    blend. Shared by bm25_multifield_phrase_topk and the DSL's general
+    dis_max (engine/dsl.py) so the two blends cannot drift."""
+    frames = [f for f in frames if len(f)]
     if not frames:
-        return _empty_topk(reader.spark)
+        return _empty_topk(spark)
     allp = pd.concat(frames, ignore_index=True)
     g = allp.groupby(["url", "doc_id"], sort=False)["score"]
     agg = g.agg(["max", "sum"]).reset_index()
@@ -4272,7 +4287,7 @@ def bm25_multifield_phrase_topk(
     agg = agg.sort_values(
         ["score", "doc_id"], ascending=[False, True], kind="mergesort"
     ).head(k)
-    return reader.spark.createDataFrame(
+    return spark.createDataFrame(
         agg[["url", "doc_id", "score"]],
         "url string, doc_id long, score double",
     )

@@ -1,0 +1,162 @@
+"""Round-5 general dis_max: the DSL's dis_max now follows ES
+DisjunctionMaxQuery per-LEG semantics for every shape beyond the frozen
+same-field all-term contract (which stays routed to the scoring-variant
+blend, test_field_lift). Invariants judged here: cross-field and
+mixed-kind legs blend max + tie_breaker * rest over FULL leg match sets
+(exact for any tie_breaker), filter context rides every leg, and the
+blend equals a hand-computed per-doc reference built from the
+independently-tested single kernels."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine.dsl import _clause_filters, search
+from engine.index_build import build_index
+from engine.query import IndexReader
+
+ROWS = [
+    ("d1", "alpha beta gamma delta alpha", "red green blue alpha"),
+    ("d2", "beta alpha delta", "green blue green alphax"),
+    ("d3", "alpha beta beta gamma", "alpha beta red"),
+    ("d4", "gamma delta delta", "red red green alpha beta"),
+    ("d5", "alpha beta", "blue alpha beta green"),
+    ("d6", "delta gamma alpha", "alpha green red blue"),
+]
+
+
+@pytest.fixture(scope="module")
+def lift_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(u, t, ti, len(t)) for u, t, ti in ROWS],
+        "url string, text string, title string, nc long",
+    )
+    out = str(tmp_path_factory.mktemp("dmx") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], index_options="positions",
+        docvalue_cols=["nc"],
+    )
+    return out
+
+
+def _ids(resp):
+    return [h["_id"] for h in resp["hits"]["hits"]]
+
+
+def _scores(resp):
+    return [round(h["_score"], 9) for h in resp["hits"]["hits"]]
+
+
+def _hand_blend(legs, tb, k):
+    """Per-doc ES dis_max over full leg row-lists [(url, score), ...]."""
+    by_doc: dict[str, list[float]] = {}
+    for rows in legs:
+        for u, s in rows:
+            by_doc.setdefault(u, []).append(s)
+    scored = [
+        (u, max(ss) + tb * (sum(ss) - max(ss))) for u, ss in by_doc.items()
+    ]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return (
+        [u for u, _ in scored[:k]],
+        [round(s, 9) for _, s in scored[:k]],
+    )
+
+
+def _rows(df):
+    return [(r["url"], r["score"]) for r in df.collect()]
+
+
+def test_cross_field_term_legs(spark, lift_index):  # noqa: F811
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    legs = [_rows(bm25_topk(r, ["alpha"], k=1 << 31)),
+            _rows(bm25_topk(rt, ["red"], k=1 << 31))]
+    for tb in (0.0, 0.3, 1.0):
+        resp = search(r, {"query": {"dis_max": {
+            "queries": [{"match": {"text": "alpha"}},
+                        {"match": {"title": "red"}}],
+            "tie_breaker": tb}}, "size": 10})
+        wid, ws = _hand_blend(legs, tb, 10)
+        assert _ids(resp) == wid and _scores(resp) == ws, tb
+
+
+def test_mixed_kind_legs(spark, lift_index):  # noqa: F811
+    from engine.query import bm25_topk, match_phrase_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    legs = [_rows(bm25_topk(r, ["alpha", "beta"], k=1 << 31)),
+            _rows(match_phrase_topk(rt, "alpha beta", k=1 << 31))]
+    resp = search(r, {"query": {"dis_max": {
+        "queries": [{"match": {"text": "alpha beta"}},
+                    {"match_phrase": {"title": "alpha beta"}}],
+        "tie_breaker": 0.4}}, "size": 10})
+    wid, ws = _hand_blend(legs, 0.4, 10)
+    assert _ids(resp) == wid and _scores(resp) == ws
+
+
+def test_single_nonterm_leg_is_identity(spark, lift_index):  # noqa: F811
+    from engine.query import match_phrase_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    want = _rows(match_phrase_topk(rt, "alpha beta", k=10))
+    resp = search(r, {"query": {"dis_max": {
+        "queries": [{"match_phrase": {"title": "alpha beta"}}],
+        "tie_breaker": 0.7}}, "size": 10})
+    assert _ids(resp) == [u for u, _ in want]
+    assert _scores(resp) == [round(s, 9) for _, s in want]
+
+
+def test_filter_context_rides_every_leg(spark, lift_index):  # noqa: F811
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    filt = _clause_filters([{"range": {"nc": {"gte": 18}}}])
+    legs = [_rows(bm25_topk(r, ["alpha"], k=1 << 31, filters=filt)),
+            _rows(bm25_topk(rt, ["green"], k=1 << 31, filters=filt))]
+    body = {"query": {"bool": {
+        "must": [{"dis_max": {
+            "queries": [{"match": {"text": "alpha"}},
+                        {"match": {"title": "green"}}],
+            "tie_breaker": 0.3}}],
+        "filter": [{"range": {"nc": {"gte": 18}}}]}}, "size": 10}
+    resp = search(r, body)
+    wid, ws = _hand_blend(legs, 0.3, 10)
+    assert _ids(resp) == wid and _scores(resp) == ws
+    # restriction identity: the filtered page is exactly the unfiltered
+    # blend restricted to filter-passing docs, scores untouched
+    un = search(r, {"query": {"dis_max": {
+        "queries": [{"match": {"text": "alpha"}},
+                    {"match": {"title": "green"}}],
+        "tie_breaker": 0.3}}, "size": 10})
+    keep = set(wid)
+    want = [(u, s) for u, s in zip(_ids(un), _scores(un)) if u in keep]
+    assert list(zip(_ids(resp), _scores(resp))) == want
+
+
+def test_match_all_leg_raises(spark, lift_index):  # noqa: F811
+    r = IndexReader(spark, lift_index)
+    with pytest.raises(ValueError, match="match_all"):
+        search(r, {"query": {"dis_max": {"queries": [
+            {"match_all": {}}, {"match": {"text": "alpha"}}]}}, "size": 5})
+
+
+def test_frozen_same_field_term_path_unchanged(spark, lift_index):  # noqa: F811
+    from engine.query import bm25_dismax_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    resp = search(r, {"query": {"dis_max": {
+        "queries": [{"match": {"title": "red"}},
+                    {"match": {"title": "blue"}}],
+        "tie_breaker": 0.3}}, "size": 10})
+    want = bm25_dismax_topk(rt, ["red", "blue"], k=10, tie_breaker=0.3)
+    rows = want.collect()
+    assert _ids(resp) == [x["url"] for x in rows]
+    assert _scores(resp) == [round(x["score"], 9) for x in rows]

@@ -472,10 +472,24 @@ def test_boosting_dismax_mlt_pinned_on_title(spark, lift_index):
     assert (_ids(resp), _scores(resp)) == _want(
         bm25_dismax_topk(rt, ["red", "blue"], k=10, tie_breaker=0.3)
     )
-    with pytest.raises(ValueError, match="ONE field"):
-        search(r, {"query": {"dis_max": {"queries": [
-            {"match": {"title": "red"}}, {"match": {"text": "alpha"}}]}},
-            "size": 10})
+    # cross-field legs no longer raise: they follow ES per-LEG dis_max
+    # (full blend laws in test_dismax_general) — tie_breaker=0 is max
+    resp = search(r, {"query": {"dis_max": {"queries": [
+        {"match": {"title": "red"}}, {"match": {"text": "alpha"}}]}},
+        "size": 10})
+    from engine.query import bm25_topk
+
+    by_doc: dict[str, list[float]] = {}
+    for leg_df in (bm25_topk(rt, ["red"], k=1 << 31),
+                   bm25_topk(r, ["alpha"], k=1 << 31)):
+        for x in leg_df.collect():
+            by_doc.setdefault(x["url"], []).append(x["score"])
+    want_rows = sorted(
+        ((u, max(ss)) for u, ss in by_doc.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert _ids(resp) == [u for u, _ in want_rows]
+    assert _scores(resp) == [round(s, 9) for _, s in want_rows]
     resp = search(r, {"query": {"more_like_this": {
         "like": "red green blue", "fields": ["title"],
         "max_query_terms": 3}}, "size": 10})
