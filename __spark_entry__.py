@@ -467,11 +467,16 @@ FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
-def _bm25_match_fuzzy_sql(q: str, k: int = 10) -> str:
+def _bm25_match_fuzzy_sql(
+    q: str, k: int = 10, text_expr: str = "text", raw: bool = False,
+) -> str:
     """match + fuzziness=AUTO oracle: UNION of each token's own fuzzy
     expansion set (per-token AUTO distance, df DESC / term ASC, per-token
     50-cap), deduped, then the relational BM25 with per-term idf — twin
-    of the engine's per-token expand_fuzzy -> ranked-OR rewrite."""
+    of the engine's per-token expand_fuzzy -> ranked-OR rewrite. With
+    text_expr the expansion dictionary and stats are the NAMED field's
+    own (the engine expands against each field's for_field view); raw
+    returns the unrounded full match set for dis_max blending."""
     legs = []
     for t in q.split():
         d = 0 if len(t) <= 2 else (1 if len(t) <= 5 else 2)
@@ -481,8 +486,14 @@ def _bm25_match_fuzzy_sql(q: str, k: int = 10) -> str:
             f"ORDER BY df DESC, term ASC LIMIT {FUZZY_MAX_EXPANSIONS})"
         )
     union = "\n  UNION\n  ".join(legs)
+    tail = (
+        "SELECT doc_id, score_raw AS s FROM scored"
+        if raw
+        else f"""SELECT doc_id, round(score_raw, 6) AS score
+FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}"""
+    )
     return f"""
-{_toks_cte()},
+{_toks_cte(text_expr=text_expr)},
 d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
 alltf AS (
@@ -504,8 +515,7 @@ scored AS (
   FROM tf JOIN expanded USING (term) CROSS JOIN stats
   GROUP BY doc_id
 )
-SELECT doc_id, round(score_raw, 6) AS score
-FROM scored ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+{tail}
 """
 
 
@@ -1731,6 +1741,31 @@ def q_dismax_cross(spark, sf_dir):
                 {"match": {"text": " ".join(MF_TERMS)}},
                 {"match_phrase": {"title": PHRASE_Q}},
             ],
+            "tie_breaker": MF_TB,
+        }},
+        "size": 25,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df)
+
+
+def q_mm_fuzzy_blend(spark, sf_dir):
+    """ES multi_match best_fields + fuzziness over SEVERAL fields
+    (round-5 lift, engine/dsl.py): each field runs its own
+    match-with-fuzziness (per-field dictionary expansion under that
+    field's df order and stats), legs blended dis_max with tie_breaker
+    over FULL match sets (engine/query.py blend_dismax_frames)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"multi_match": {
+            "query": FUZZY_MATCH_Q, "fields": ["text", "title"],
+            "fuzziness": "AUTO", "type": "best_fields",
             "tie_breaker": MF_TB,
         }},
         "size": 25,
@@ -4929,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
         "dismax_cross_topk": q_dismax_cross,
+        "mm_fuzzy_blend_topk": q_mm_fuzzy_blend,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6168,6 +6204,12 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
             _bm25_sql(MF_TERMS, raw=True),
             _phrase_span_sql(PHRASE_Q.split(), 0, raw=True,
                              text_expr=MF_TITLE_SQL),
+            MF_TB, k=10, title_boost=1.0,
+        ),
+        "mm_fuzzy_blend_topk": _mf_dismax_sql(
+            _bm25_match_fuzzy_sql(FUZZY_MATCH_Q, raw=True),
+            _bm25_match_fuzzy_sql(FUZZY_MATCH_Q, raw=True,
+                                  text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
         "bm25_mf_phrase_topk": _mf_dismax_sql(

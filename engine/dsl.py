@@ -417,20 +417,44 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 f"(text_fields={reader.text_fields})"
             )
         if m.get("fuzziness") is not None:
-            # ES multi_match + fuzziness: supported for ONE field (it
-            # degenerates to match + fuzziness); per-field fuzzy
-            # expansion under a blend is a documented divergence
-            if len(flds) > 1:
+            # ES multi_match + fuzziness: each field runs its own
+            # match-with-fuzziness (per-field dictionary expansion,
+            # per-field stats), then ES blends per type — best_fields =
+            # DisjunctionMaxQuery over the per-field legs (tie_breaker),
+            # most_fields = bool should, i.e. the SUM of leg scores
+            # (= the same blend with tie_breaker 1). Each leg compiles
+            # UNBOUNDED so the blend is exact; filters ride every leg.
+            # cross_fields/phrase types don't define fuzziness -> raise.
+            mtype_ = m.get("type", "best_fields")
+            if mtype_ not in ("best_fields", "most_fields"):
                 raise ValueError(
-                    "multi_match fuzziness composes with ONE field "
-                    "(per-field fuzzy blending is a documented divergence)"
+                    f"multi_match type={mtype_} does not compose with "
+                    "fuzziness (ES defines it for best_fields/most_fields)"
                 )
-            sub = {"match": {flds[0]: {
-                "query": m["query"], "fuzziness": m["fuzziness"],
-                "max_expansions": int(m.get("max_expansions", 50)),
-                "operator": m.get("operator", "or"),
-            }}}
-            return _hits_df(reader, sub, k, filters)
+            def _fuzzy_leg(fld: str) -> dict:
+                return {"match": {fld: {
+                    "query": m["query"], "fuzziness": m["fuzziness"],
+                    "max_expansions": int(m.get("max_expansions", 50)),
+                    "operator": m.get("operator", "or"),
+                }}}
+            if len(flds) == 1:
+                return _hits_df(reader, _fuzzy_leg(flds[0]), k, filters)
+            from engine.query import blend_dismax_frames, parse_field_boosts
+
+            tb = (
+                1.0 if mtype_ == "most_fields"
+                else float(m.get("tie_breaker", 0.0))
+            )
+            frames = []
+            for name, boost in parse_field_boosts(specs):
+                pdf = _hits_df(
+                    reader, _fuzzy_leg(name), 1 << 31, filters
+                ).toPandas()
+                if len(pdf):
+                    pdf = pdf.copy()
+                    pdf["score"] = pdf["score"] * boost
+                frames.append(pdf)
+            return blend_dismax_frames(reader.spark, frames, tb, k)
         if m.get("type") in ("phrase", "phrase_prefix", "bool_prefix"):
             kind_ = m["type"]
             slop_ = int(m.get("slop", 0))

@@ -316,7 +316,9 @@ def test_significant_text_named_field(spark, stored_lift_index):
 
 def test_multi_match_fuzziness_routes(spark, lift_index):
     """multi_match + fuzziness: one field degenerates to match+fuzziness
-    (identical hits/scores); several fields fail closed."""
+    (identical hits/scores); several fields blend per-field fuzzy legs —
+    best_fields = dis_max (max + tie_breaker * rest), most_fields = sum
+    — each leg being exactly the single-field match+fuzziness query."""
     r = IndexReader(spark, lift_index)
     a = search(r, {"query": {"multi_match": {
         "query": "alpa", "fields": ["title"], "fuzziness": "AUTO"}},
@@ -325,10 +327,33 @@ def test_multi_match_fuzziness_routes(spark, lift_index):
         "query": "alpa", "fuzziness": "AUTO"}}}, "size": 10})
     assert _ids(a) == _ids(b) and _scores(a) == _scores(b)
     assert _ids(a), "weak corpus — fuzzy matched nothing"
-    with pytest.raises(ValueError, match="ONE field"):
+
+    def _leg(fld):
+        resp = search(r, {"query": {"match": {fld: {
+            "query": "alpa", "fuzziness": "AUTO"}}}, "size": 1000})
+        return {h["_id"]: h["_score"] for h in resp["hits"]["hits"]}
+
+    legs = [_leg("title"), _leg("text")]
+    for mtype, blend in (
+        ("best_fields", lambda ss: max(ss) + 0.3 * (sum(ss) - max(ss))),
+        ("most_fields", lambda ss: sum(ss)),
+    ):
+        got = search(r, {"query": {"multi_match": {
+            "query": "alpa", "fields": ["title", "text"],
+            "fuzziness": "AUTO", "type": mtype, "tie_breaker": 0.3}},
+            "size": 10})
+        by: dict[str, list[float]] = {}
+        for lg in legs:
+            for u, s in lg.items():
+                by.setdefault(u, []).append(s)
+        want = sorted(((u, blend(ss)) for u, ss in by.items()),
+                      key=lambda t: (-t[1], t[0]))[:10]
+        assert _ids(got) == [u for u, _ in want], mtype
+        assert _scores(got) == [round(s, 9) for _, s in want], mtype
+    with pytest.raises(ValueError, match="cross_fields"):
         search(r, {"query": {"multi_match": {
             "query": "alpa", "fields": ["title", "text"],
-            "fuzziness": "AUTO"}}, "size": 10})
+            "fuzziness": "AUTO", "type": "cross_fields"}}, "size": 10})
 
 
 def test_post_filter(spark, lift_index):
