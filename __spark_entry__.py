@@ -1777,6 +1777,37 @@ def q_mm_fuzzy_blend(spark, sf_dir):
     return _round_rerank(df)
 
 
+def q_mlt_mf(spark, sf_dir):
+    """ES more_like_this over BOTH indexed fields of the two-field index
+    (round-5 lift, engine/query.py mlt_multifield_topk): candidate
+    (field, term) pairs score like-tf x that field's BM25-idf, the
+    global top-5 pairs are kept (score desc, field asc, term asc frozen
+    tie rule), then the per-field term queries run as bool-should —
+    per-field BM25 legs summed per doc."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    like = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == MLT_DOC)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"more_like_this": {
+            "like": like, "fields": ["text", "title"],
+            "max_query_terms": 5,
+        }},
+        "size": 25,
+    })
+    rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, score double")
+    if not rows:
+        df = df.where(F.col("doc_id").isNotNull())
+    return _round_rerank(df)
+
+
 def q_post_filter(spark, sf_dir):
     """ES post_filter through the DSL: the HITS page is restricted by the
     docvalue predicate (exact, pre-top-k — the shared filter-context
@@ -4965,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_prefix_topk": q_title_prefix,
         "dismax_cross_topk": q_dismax_cross,
         "mm_fuzzy_blend_topk": q_mm_fuzzy_blend,
+        "mlt_mf_topk": q_mlt_mf,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6206,6 +6238,51 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
+        "mlt_mf_topk": f"""
+WITH tx AS (SELECT doc_id, {TOK.format(c='text')} AS toks
+            FROM documents WHERE text IS NOT NULL AND text != ''),
+dx AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM tx),
+sx AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dx),
+atx AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dx)
+        GROUP BY doc_id, dl, term),
+adx AS (SELECT term, count(*)::BIGINT AS df FROM atx GROUP BY term),
+tt AS (SELECT doc_id, {TOK.format(c=MF_TITLE_SQL)} AS toks
+       FROM documents WHERE text IS NOT NULL AND text != ''),
+dt2 AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM tt),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dt2),
+att AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dt2)
+        GROUP BY doc_id, dl, term),
+adt AS (SELECT term, count(*)::BIGINT AS df FROM att GROUP BY term),
+liketf AS (SELECT term, count(*)::BIGINT AS ltf
+           FROM (SELECT unnest(toks) AS term FROM tx WHERE doc_id = {MLT_DOC})
+           GROUP BY term),
+cand AS (
+  SELECT 'text' AS fld, term,
+         ltf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS s
+  FROM liketf JOIN adx USING (term) CROSS JOIN sx
+  UNION ALL
+  SELECT 'title', term,
+         ltf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+  FROM liketf JOIN adt USING (term) CROSS JOIN st
+),
+sel AS (SELECT fld, term FROM cand ORDER BY s DESC, fld ASC, term ASC LIMIT 5),
+scx AS (
+  SELECT doc_id, sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS s
+  FROM atx JOIN adx USING (term) CROSS JOIN sx
+  WHERE term IN (SELECT term FROM sel WHERE fld = 'text') GROUP BY doc_id),
+sct AS (
+  SELECT doc_id, sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS s
+  FROM att JOIN adt USING (term) CROSS JOIN st
+  WHERE term IN (SELECT term FROM sel WHERE fld = 'title') GROUP BY doc_id),
+b AS (SELECT coalesce(scx.doc_id, sct.doc_id) AS doc_id,
+             coalesce(scx.s, 0.0) + coalesce(sct.s, 0.0) AS s
+      FROM scx FULL OUTER JOIN sct ON scx.doc_id = sct.doc_id)
+SELECT doc_id, round(s, 6) AS score
+FROM b ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10""",
         "mm_fuzzy_blend_topk": _mf_dismax_sql(
             _bm25_match_fuzzy_sql(FUZZY_MATCH_Q, raw=True),
             _bm25_match_fuzzy_sql(FUZZY_MATCH_Q, raw=True,

@@ -915,12 +915,21 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "more_like_this" in query:
         m = query["more_like_this"]
         mlf = m.get("fields", [reader.field])
-        if len(mlf) != 1:
-            raise ValueError("more_like_this supports ONE field")
         like = m["like"] if isinstance(m["like"], str) else m["like"][0]
-        return mlt_topk(
-            _text_reader(reader, mlf[0], "more_like_this"), like,
-            max_query_terms=m.get("max_query_terms", 5), k=k
+        if len(mlf) == 1:
+            return mlt_topk(
+                _text_reader(reader, mlf[0], "more_like_this"), like,
+                max_query_terms=m.get("max_query_terms", 5), k=k,
+                filters=filters,
+            )
+        # several fields: global (field, term) selection + per-field
+        # bool-should sum (engine/query.py mlt_multifield_topk)
+        from engine.query import mlt_multifield_topk
+
+        return mlt_multifield_topk(
+            reader, like, mlf,
+            max_query_terms=m.get("max_query_terms", 5), k=k,
+            filters=filters,
         )
     if "pinned" in query:
         p = query["pinned"]

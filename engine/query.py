@@ -3176,6 +3176,65 @@ def mlt_topk(
     return bm25_topk(reader, terms, k=k, **bm25_kwargs)
 
 
+def mlt_multifield_topk(
+    reader: "IndexReader",
+    like_text: str,
+    fields: list,
+    max_query_terms: int = 5,
+    k: int = 10,
+    filters=(),
+) -> DataFrame:
+    """ES `more_like_this` over SEVERAL fields (round-5 lift): candidate
+    (field, term) pairs score ltf x that FIELD's BM25-idf (each field's
+    own df/n_docs via its for_field view), the global top
+    `max_query_terms` pairs are kept — frozen tie rule: score desc,
+    field asc, term asc (Lucene's MoreLikeThis priority queue does not
+    specify cross-field tie order) — and the result is the bool-should
+    of the per-field term queries: per-field BM25 legs run UNBOUNDED
+    and SUM per doc (blend_dismax_frames tie_breaker=1). Selection is
+    driver-side by the same contract as mlt_topk (the like text is ONE
+    document; df lookups are pruned term_stats reads)."""
+    import math
+    from collections import Counter
+
+    from engine.textnorm import standard_tokenize_py
+
+    ltf = Counter(standard_tokenize_py(like_text.lower()))
+    cands: list[tuple[float, str, str]] = []
+    views: dict[str, "IndexReader"] = {}
+    for name in fields:
+        if "^" in str(name):
+            raise ValueError(
+                "more_like_this fields do not take ^boosts (documented "
+                "divergence: per-field boosting of selected terms)"
+            )
+        if name not in reader.text_fields:
+            raise ValueError(
+                f"more_like_this field {name!r} is not indexed "
+                f"(text_fields={reader.text_fields})"
+            )
+        r = reader if name == reader.field else reader.for_field(name)
+        views[name] = r
+        stats = r.term_stats(list(ltf))
+        n = float(r.n_docs)
+        for t, c in ltf.items():
+            if t in stats:
+                cands.append((
+                    c * math.log(1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5)),
+                    name, t,
+                ))
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    by_field: dict[str, list[str]] = {}
+    for _, name, t in cands[:max_query_terms]:
+        by_field.setdefault(name, []).append(t)
+    frames = []
+    for name, terms in by_field.items():
+        frames.append(
+            bm25_topk(views[name], terms, k=1 << 31, filters=filters).toPandas()
+        )
+    return blend_dismax_frames(reader.spark, frames, 1.0, k)
+
+
 def percolate(
     queries: "DataFrame",
     docs: "DataFrame",

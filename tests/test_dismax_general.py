@@ -160,3 +160,48 @@ def test_frozen_same_field_term_path_unchanged(spark, lift_index):  # noqa: F811
     rows = want.collect()
     assert _ids(resp) == [x["url"] for x in rows]
     assert _scores(resp) == [round(x["score"], 9) for x in rows]
+
+
+def test_mlt_multifield(spark, lift_index):  # noqa: F811
+    """more_like_this over two fields: global (field, term) tf x idf
+    selection (score desc, field asc, term asc) then per-field BM25
+    bool-should SUM — hand-recomputed from the single kernels."""
+    import math
+    from collections import Counter
+
+    from engine.query import IndexReader, bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    rt = r.for_field("title")
+    like = "alpha beta red red green"
+    n_q = 4
+    ltf = Counter(like.split())
+    cands = []
+    for name, view in (("text", r), ("title", rt)):
+        stats = view.term_stats(list(ltf))
+        n = float(view.n_docs)
+        for t, c in ltf.items():
+            if t in stats:
+                idf = math.log(1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5))
+                cands.append((c * idf, name, t))
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    by_field: dict[str, list[str]] = {}
+    for _, name, t in cands[:n_q]:
+        by_field.setdefault(name, []).append(t)
+    assert len(by_field) == 2, "selection should span both fields"
+    by_doc: dict[str, float] = {}
+    for name, terms in by_field.items():
+        view = r if name == "text" else rt
+        for x in bm25_topk(view, terms, k=1 << 31).collect():
+            by_doc[x["url"]] = by_doc.get(x["url"], 0.0) + x["score"]
+    want = sorted(by_doc.items(), key=lambda t: (-t[1], t[0]))[:10]
+
+    resp = search(r, {"query": {"more_like_this": {
+        "like": like, "fields": ["text", "title"],
+        "max_query_terms": n_q}}, "size": 10})
+    assert _ids(resp) == [u for u, _ in want]
+    assert _scores(resp) == [round(s, 9) for _, s in want]
+
+    with pytest.raises(ValueError, match="boost"):
+        search(r, {"query": {"more_like_this": {
+            "like": like, "fields": ["text", "title^2"]}}, "size": 10})
