@@ -1808,6 +1808,46 @@ def q_mlt_mf(spark, sf_dir):
     return _round_rerank(df)
 
 
+SQS_MF_Q = '"hash table" merge -dup'  # frozen multi-field sqs driver query
+QS_MF_Q = '"hash table" AND merge -dup'  # frozen multi-field query_string
+
+
+def q_sqs_mf(spark, sf_dir):
+    """ES simple_query_string over TWO fields with a title^2 weight
+    (round-5 lift, engine/querystring.py sqs_multifield_topk): Lucene
+    SimpleQueryParser field weights — per clause, the SUM over fields
+    of boost_f x that field's clause score (phrase + term clauses, one
+    negation excluded wherever it matches)."""
+    from engine.query import IndexReader
+    from engine.querystring import sqs_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = sqs_multifield_topk(
+        reader, SQS_MF_Q, ["text", "title^2"], k=25
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
+def q_qs_mf(spark, sf_dir):
+    """ES query_string over TWO fields with title^2 and tie_breaker
+    (round-5 lift, engine/querystring.py qs_multifield_topk): every
+    LEAF becomes a dis_max over per-field legs (type=best_fields), the
+    bool structure above is shared — here two AND-ed leaves (phrase +
+    term) and one negation."""
+    from engine.query import IndexReader
+    from engine.querystring import qs_multifield_topk
+
+    reader = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    top = qs_multifield_topk(
+        reader, QS_MF_Q, ["text", "title^2"], k=25, tie_breaker=MF_TB
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
+
+
 def q_post_filter(spark, sf_dir):
     """ES post_filter through the DSL: the HITS page is restricted by the
     docvalue predicate (exact, pre-top-k — the shared filter-context
@@ -4997,6 +5037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_cross_topk": q_dismax_cross,
         "mm_fuzzy_blend_topk": q_mm_fuzzy_blend,
         "mlt_mf_topk": q_mlt_mf,
+        "sqs_mf_topk": q_sqs_mf,
+        "qs_mf_topk": q_qs_mf,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6238,6 +6280,67 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
+        "sqs_mf_topk": f"""
+WITH cp AS (
+  SELECT doc_id, sum(s) AS s FROM (
+    SELECT doc_id, s FROM ({_phrase_span_sql(["hash", "table"], 0, raw=True)})
+    UNION ALL
+    SELECT doc_id, 2.0 * s
+    FROM ({_phrase_span_sql(["hash", "table"], 0, raw=True, text_expr=MF_TITLE_SQL)})
+  ) GROUP BY doc_id
+),
+ct AS (
+  SELECT doc_id, sum(s) AS s FROM (
+    SELECT doc_id, s FROM ({_bm25_sql(["merge"], raw=True)})
+    UNION ALL
+    SELECT doc_id, 2.0 * s
+    FROM ({_bm25_sql(["merge"], raw=True, text_expr=MF_TITLE_SQL)})
+  ) GROUP BY doc_id
+),
+neg AS (
+  SELECT doc_id FROM ({_bm25_sql(["dup"], raw=True)})
+  UNION
+  SELECT doc_id FROM ({_bm25_sql(["dup"], raw=True, text_expr=MF_TITLE_SQL)})
+),
+agg AS (
+  SELECT doc_id, sum(s) AS sc
+  FROM (SELECT * FROM cp UNION ALL SELECT * FROM ct) GROUP BY doc_id
+)
+SELECT doc_id, round(sc, 6) AS score FROM agg
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY round(sc, 6) DESC, doc_id ASC LIMIT 10""",
+        "qs_mf_topk": f"""
+WITH lp AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(a.s, 0.0), coalesce(2.0 * b.s, 0.0))
+         + {MF_TB} * (coalesce(a.s, 0.0) + coalesce(2.0 * b.s, 0.0)
+                      - greatest(coalesce(a.s, 0.0), coalesce(2.0 * b.s, 0.0))) AS s
+  FROM ({_phrase_span_sql(["hash", "table"], 0, raw=True)}) a
+  FULL OUTER JOIN
+       ({_phrase_span_sql(["hash", "table"], 0, raw=True, text_expr=MF_TITLE_SQL)}) b
+  ON a.doc_id = b.doc_id
+),
+lt AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         greatest(coalesce(a.s, 0.0), coalesce(2.0 * b.s, 0.0))
+         + {MF_TB} * (coalesce(a.s, 0.0) + coalesce(2.0 * b.s, 0.0)
+                      - greatest(coalesce(a.s, 0.0), coalesce(2.0 * b.s, 0.0))) AS s
+  FROM ({_bm25_sql(["merge"], raw=True)}) a
+  FULL OUTER JOIN
+       ({_bm25_sql(["merge"], raw=True, text_expr=MF_TITLE_SQL)}) b
+  ON a.doc_id = b.doc_id
+),
+neg AS (
+  SELECT doc_id FROM ({_bm25_sql(["dup"], raw=True)})
+  UNION
+  SELECT doc_id FROM ({_bm25_sql(["dup"], raw=True, text_expr=MF_TITLE_SQL)})
+),
+agg AS (
+  SELECT lp.doc_id, lp.s + lt.s AS sc FROM lp JOIN lt ON lp.doc_id = lt.doc_id
+)
+SELECT doc_id, round(sc, 6) AS score FROM agg
+WHERE doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY round(sc, 6) DESC, doc_id ASC LIMIT 10""",
         "mlt_mf_topk": f"""
 WITH tx AS (SELECT doc_id, {TOK.format(c='text')} AS toks
             FROM documents WHERE text IS NOT NULL AND text != ''),

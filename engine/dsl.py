@@ -817,17 +817,23 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "simple_query_string" in query:
         s = query["simple_query_string"]
         flds = s.get("fields", ["text"])
-        if len(flds) != 1 or flds[0].split("^")[1:] not in ([], ["1.0"], ["1"]):
-            raise ValueError(
-                "simple_query_string supports ONE unboosted indexed field"
+        if len(flds) == 1 and flds[0].split("^")[1:] in ([], ["1.0"], ["1"]):
+            r = _text_reader(
+                reader, flds[0].split("^")[0], "simple_query_string"
             )
-        r = _text_reader(
-            reader, flds[0].split("^")[0], "simple_query_string"
-        )
-        from engine.querystring import simple_query_string_topk
+            from engine.querystring import simple_query_string_topk
 
-        return simple_query_string_topk(
-            r, s["query"], k=k,
+            return simple_query_string_topk(
+                r, s["query"], k=k,
+                default_operator=s.get("default_operator", "or").lower(),
+                filters=filters,
+            )
+        # several (or boosted) fields: Lucene SimpleQueryParser field
+        # weights — per-clause SUM across per-field legs
+        from engine.querystring import sqs_multifield_topk
+
+        return sqs_multifield_topk(
+            reader, s["query"], flds, k=k,
             default_operator=s.get("default_operator", "or").lower(),
             filters=filters,
         )
@@ -835,17 +841,42 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         s = query["query_string"]
         dflt = s.get("default_field")
         flds = s.get("fields", [dflt or "text"])
-        if len(flds) != 1 or flds[0].split("^")[1:] not in ([], ["1.0"], ["1"]):
-            raise ValueError("query_string supports ONE unboosted indexed field")
-        fld = flds[0].split("^")[0]
-        if dflt is not None and dflt != fld:
-            raise ValueError("query_string default_field conflicts with fields")
-        r = _text_reader(reader, fld, "query_string")
-        from engine.querystring import query_string_topk
+        if len(flds) == 1 and flds[0].split("^")[1:] in ([], ["1.0"], ["1"]):
+            fld = flds[0].split("^")[0]
+            if dflt is not None and dflt != fld:
+                raise ValueError(
+                    "query_string default_field conflicts with fields"
+                )
+            r = _text_reader(reader, fld, "query_string")
+            from engine.querystring import query_string_topk
 
-        return query_string_topk(
-            r, s["query"], k=k,
+            return query_string_topk(
+                r, s["query"], k=k,
+                default_operator=s.get("default_operator", "or").lower(),
+                max_expansions=int(s.get("fuzzy_max_expansions", 50)),
+                filters=filters,
+            )
+        # several (or boosted) fields: every LEAF becomes a dis_max over
+        # the per-field sub-queries (ES type=best_fields + tie_breaker;
+        # most_fields = the same blend with tie_breaker 1)
+        if dflt is not None:
+            raise ValueError("query_string default_field conflicts with fields")
+        qtype = s.get("type", "best_fields")
+        if qtype not in ("best_fields", "most_fields"):
+            raise ValueError(
+                f"query_string type={qtype} is not composed over several "
+                "fields (best_fields/most_fields only)"
+            )
+        tb = (
+            1.0 if qtype == "most_fields"
+            else float(s.get("tie_breaker", 0.0))
+        )
+        from engine.querystring import qs_multifield_topk
+
+        return qs_multifield_topk(
+            reader, s["query"], flds, k=k,
             default_operator=s.get("default_operator", "or").lower(),
+            tie_breaker=tb,
             max_expansions=int(s.get("fuzzy_max_expansions", 50)),
             filters=filters,
         )

@@ -870,3 +870,308 @@ def query_string_topk(
         reader, distinct, needs_pos, run_kernel, total_postings, k,
         lookup, execution,
     )
+
+
+def sqs_multifield_topk(
+    reader: IndexReader,
+    query: str,
+    fields: list,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    filters=(),
+):
+    """simple_query_string over SEVERAL indexed fields (round-5 lift).
+
+    Lucene's SimpleQueryParser with field weights builds, per clause, a
+    BooleanQuery of SHOULD per-field sub-queries — so a clause's score
+    is the SUM over fields of boost_f x that field's clause score, and
+    a clause matches wherever ANY field matches. Clauses then combine
+    exactly as in the single-field kernel: positive clause scores sum;
+    default_operator "and" requires every positive clause matched (in
+    >= 1 field); a negated clause excludes docs it matches in any
+    field. "title^2" boost syntax is honored per field.
+
+    Exactness: every (clause, field) leg is the already-frozen
+    single-field kernel run UNBOUNDED (term = single-term BM25, prefix
+    = the df-ordered capped expansion against that FIELD's own
+    dictionary as a ranked union, phrase = the frozen pseudo-term
+    phrase score on that field's positional postings), and the clause
+    algebra is computed per doc over the full legs before top-k — no
+    leg truncation, so sums and exclusions are exact. filters ride
+    every leg (identical docvalue mask -> identical restriction).
+    Scale shape: legs are the same reads the single-field query does,
+    once per field; only the per-doc merge is driver-side, bounded by
+    the union match set (the same bound the single-field OR kernel's
+    accumulator carries per shard)."""
+    from engine.query import (
+        _empty_topk,
+        bm25_topk,
+        match_phrase_topk,
+        parse_field_boosts,
+    )
+
+    if default_operator not in ("or", "and"):
+        raise ValueError(
+            f"default_operator must be or/and, got {default_operator!r}"
+        )
+    and_mode = default_operator == "and"
+    clauses = parse_simple_query_string(query)
+    if not any(not c.neg for c in clauses):
+        raise ValueError(
+            "simple_query_string needs at least one positive clause "
+            "(pure negation is served by the filter path, frozen divergence)"
+        )
+    fb = parse_field_boosts(fields)
+    unknown = [n for n, _ in fb if n not in reader.text_fields]
+    if unknown:
+        raise ValueError(
+            f"simple_query_string fields {unknown} are not indexed "
+            f"(text_fields={reader.text_fields})"
+        )
+    views = {
+        n: (reader if n == reader.field else reader.for_field(n))
+        for n, _ in fb
+    }
+
+    def _leg(c: Clause, name: str):
+        view = views[name]
+        if c.kind == "phrase":
+            return match_phrase_topk(
+                view, list(c.terms), k=1 << 31, slop=c.slop, filters=filters
+            )
+        if c.kind == "prefix":
+            terms = view.expand_prefix(c.terms[0], max_expansions)
+            if not terms:
+                return None
+            return bm25_topk(view, terms, k=1 << 31, filters=filters)
+        return bm25_topk(view, list(c.terms), k=1 << 31, filters=filters)
+
+    pos_maps, neg_maps = [], []
+    for c in clauses:
+        per: dict[str, tuple[int, float]] = {}
+        for name, boost in fb:
+            leg = _leg(c, name)
+            if leg is None:
+                continue
+            for row in leg.toPandas().itertuples(index=False):
+                prev = per.get(row.url)
+                per[row.url] = (
+                    row.doc_id,
+                    (prev[1] if prev else 0.0) + boost * row.score,
+                )
+        if c.neg:
+            if per:
+                neg_maps.append(per)
+        else:
+            pos_maps.append(per)
+    spark = reader.spark
+    total: dict[str, tuple[int, float, int]] = {}
+    for per in pos_maps:
+        if and_mode and not per:
+            return _empty_topk(spark)
+        for u, (d, s) in per.items():
+            t = total.get(u)
+            total[u] = (d, (t[1] if t else 0.0) + s, (t[2] if t else 0) + 1)
+    if and_mode:
+        need = len(pos_maps)
+        total = {u: v for u, v in total.items() if v[2] == need}
+    for per in neg_maps:
+        for u in per:
+            total.pop(u, None)
+    if not total:
+        return _empty_topk(spark)
+    rows = sorted(
+        ((u, d, s) for u, (d, s, _c) in total.items()),
+        key=lambda x: (-x[2], x[1]),
+    )[:k]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
+
+
+def qs_multifield_topk(
+    reader: IndexReader,
+    query: str,
+    fields: list,
+    k: int = 10,
+    default_operator: str = "or",
+    tie_breaker: float = 0.0,
+    max_expansions: int = 50,
+    filters=(),
+):
+    """Lucene query_string over SEVERAL indexed fields (round-5 lift).
+
+    ES's QueryStringQueryParser with multiple fields rewrites every LEAF
+    clause (term / fuzzy / prefix / wildcard / phrase) into a
+    DisjunctionMaxQuery over the per-field sub-queries (type=best_fields,
+    the default; `tie_breaker` as in ES) — the bool structure above the
+    leaves is shared. This evaluator mirrors the single-field kernel's
+    spec-tree semantics EXACTLY (engine _qs_eval: must intersection,
+    should union, matching-children score sum, must_not exclusion,
+    leaf/bool boost multiplication, analyzed-away children dropped) but
+    evaluates driver-side over FULL per-(leaf, field) match sets, each
+    leg being the frozen single-field kernel run unbounded against that
+    field's OWN dictionary and stats; leaf blend = max + tie_breaker *
+    rest, scaled by "title^2" field boosts, so collapsing to one
+    unboosted field reproduces query_string_topk identically. filters
+    ride every leg. Scale shape: legs are the same pruned reads the
+    single-field query does, once per field; the driver-side merge is
+    bounded by the union match set."""
+    from engine.query import (
+        _empty_topk,
+        bm25_topk,
+        match_phrase_topk,
+        parse_field_boosts,
+    )
+
+    root = parse_query_string(query, default_operator)
+    if root is None:
+        return _empty_topk(reader.spark)
+    if not _qs_has_positive(root):
+        raise ValueError(
+            "query_string needs at least one positive clause "
+            "(pure negation is served by the filter path, frozen divergence)"
+        )
+    fb = parse_field_boosts(fields)
+    unknown = [n for n, _ in fb if n not in reader.text_fields]
+    if unknown:
+        raise ValueError(
+            f"query_string fields {unknown} are not indexed "
+            f"(text_fields={reader.text_fields})"
+        )
+    views = {
+        n: (reader if n == reader.field else reader.for_field(n))
+        for n, _ in fb
+    }
+    tb = float(tie_breaker)
+
+    def _leg_df(view, kind, payload, slop):
+        if kind == "phrase":
+            return match_phrase_topk(
+                view, payload, k=1 << 31, slop=slop, filters=filters
+            )
+        if kind == "terms":
+            return bm25_topk(view, payload, k=1 << 31, filters=filters)
+        raise AssertionError(kind)
+
+    def _leaf(node):
+        """leaf node -> dict url -> (doc_id, score) blended across
+        fields, or None when the leaf analyzes away entirely."""
+        kind = node[0]
+        legs: list[dict] = []
+        analyzed_away = False
+        for name, fboost in fb:
+            view = views[name]
+            if kind == "term":
+                _, t, fuzzy, boost = node
+                ts = (
+                    [t] if fuzzy is None
+                    else view.expand_fuzzy(
+                        t, None if fuzzy == "auto" else fuzzy, max_expansions
+                    )
+                )
+                df = _leg_df(view, "terms", list(ts), 0) if ts else None
+            elif kind == "prefix":
+                ts = view.expand_prefix(node[1], max_expansions)
+                boost = node[2]
+                df = _leg_df(view, "terms", list(ts), 0) if ts else None
+            elif kind == "wild":
+                ts = view.expand_wildcard(node[1], max_expansions)
+                boost = node[2]
+                df = _leg_df(view, "terms", list(ts), 0) if ts else None
+            else:  # phrase
+                slots = standard_tokenize_py(node[1].lower())
+                boost = node[3]
+                if not slots:
+                    analyzed_away = True
+                    df = None
+                elif len(slots) == 1:
+                    df = _leg_df(view, "terms", slots, 0)
+                else:
+                    df = _leg_df(view, "phrase", list(slots), node[2])
+            per: dict = {}
+            if df is not None:
+                for row in df.toPandas().itertuples(index=False):
+                    per[row.url] = (row.doc_id, fboost * row.score)
+            legs.append(per)
+        if analyzed_away:
+            return None
+        out: dict = {}
+        for per in legs:
+            for u, (d, s) in per.items():
+                prev = out.get(u)
+                if prev is None:
+                    out[u] = (d, s, s)
+                else:
+                    out[u] = (d, max(prev[1], s), prev[2] + s)
+        return {
+            u: (d, boost * (mx + tb * (sm - mx)))
+            for u, (d, mx, sm) in out.items()
+        }
+
+    def _eval(node):
+        """node -> dict url -> (doc_id, score); None = analyzed away."""
+        if node[0] != "bool":
+            return _leaf(node)
+        _, children, boost = node
+        must_res, should_res, not_res = [], [], []
+        kept_any = False
+        for occ, ch in children:
+            r = _eval(ch)
+            if r is None:
+                continue  # analyzed away: dropped like _qs_expand's None
+            kept_any = True
+            if occ == "must_not":
+                if r:
+                    not_res.append(r)
+            elif occ == "must":
+                if not r:
+                    return {}
+                must_res.append(r)
+            elif r:
+                should_res.append(r)
+        if not kept_any:
+            return None  # every child analyzed away -> node drops
+        if must_res:
+            base = set(must_res[0])
+            for r in must_res[1:]:
+                base &= set(r)
+        elif should_res:
+            base = set()
+            for r in should_res:
+                base |= set(r)
+        else:
+            return {}
+        if not base:
+            return {}
+        out = {}
+        for r in must_res + should_res:
+            for u in base:
+                if u in r:
+                    d, s = r[u]
+                    prev = out.get(u)
+                    out[u] = (d, (prev[1] if prev else 0.0) + s)
+        for r in not_res:
+            for u in r:
+                out.pop(u, None)
+        if boost != 1.0:
+            out = {u: (d, s * boost) for u, (d, s) in out.items()}
+        return out
+
+    res = _eval(root)
+    if not res:
+        return _empty_topk(reader.spark)
+    rows = sorted(
+        ((u, d, s) for u, (d, s) in res.items()),
+        key=lambda x: (-x[2], x[1]),
+    )[:k]
+    import pandas as pd
+
+    return reader.spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "doc_id", "score"]),
+        "url string, doc_id long, score double",
+    )
