@@ -4938,6 +4938,31 @@ WHERE v IS NOT NULL GROUP BY v ORDER BY doc_count DESC, key ASC
 """
 
 
+def q_agg_sampler_phrase(spark, sf_dir):
+    """ES sampler + terms sub-agg under a match_phrase query context
+    through the DSL (round-5 lift, engine/query.py
+    phrase_scored_matcher): the sample is the global top-40 matched docs
+    by TRUE phrase BM25 (6-dp rounded, url-asc ties) bucketed by lang —
+    the scored matcher runs per shard next to its positional postings."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _phrase_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"match_phrase": {"text": PHRASE_Q}}, "size": 0,
+        "aggs": {"s": {"sampler": {"shard_size": 40},
+                       "aggs": {"t": {"terms": {"field": "lang"}}}}},
+    })
+    rows = [(b["key"], b["doc_count"])
+            for b in resp["aggregations"]["s"]["buckets"]]
+    df = spark.createDataFrame(
+        rows or [(None, None)], "key string, doc_count long"
+    )
+    if not rows:
+        df = df.where(F.col("key").isNotNull())
+    return df
+
+
 def q_agg_sampler(spark, sf_dir):
     """ES sampler agg + terms sub-agg: terms on lang over the top-150
     best-scoring matched docs (frozen global cut, 6-dp rounded score with
@@ -5039,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_mf_topk": q_mlt_mf,
         "sqs_mf_topk": q_sqs_mf,
         "qs_mf_topk": q_qs_mf,
+        "agg_sampler_phrase": q_agg_sampler_phrase,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6280,6 +6306,18 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
+        "agg_sampler_phrase": f"""
+WITH ph AS (
+  SELECT doc_id, round(s, 6) AS score
+  FROM ({_phrase_span_sql(PHRASE_Q.split(), 0, raw=True)})
+),
+j AS (
+  SELECT p.doc_id, p.score, docs.lang AS v
+  FROM ph p JOIN documents docs USING (doc_id)
+),
+samp AS (SELECT v FROM j ORDER BY score DESC, doc_id::VARCHAR ASC LIMIT 40)
+SELECT v::VARCHAR AS key, count(*)::BIGINT AS doc_count FROM samp
+WHERE v IS NOT NULL GROUP BY v ORDER BY doc_count DESC, key ASC""",
         "sqs_mf_topk": f"""
 WITH cp AS (
   SELECT doc_id, sum(s) AS s FROM (

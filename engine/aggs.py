@@ -1855,6 +1855,8 @@ def sampler_terms(
     mode: str = "or",
     execution: str = "auto",
     filters=(),
+    scored_matcher=None,
+    needs_pos: bool = False,
 ) -> DataFrame:
     """ES `sampler` / `diversified_sampler` aggregation with a `terms`
     sub-agg: restrict the aggregation scope to the top-`sample_size`
@@ -1879,7 +1881,16 @@ def sampler_terms(
     `max_per_value` rows (diversified) — any member of the global
     sample has, within its own shard, rank <= its global rank on both
     orderings, so the shard streams are a superset of the sample; the
-    driver merge is O(emitted), never corpus-sized."""
+    driver merge is O(emitted), never corpus-sized.
+
+    scored_matcher (round-5 lift): per-shard scored-match-set override —
+    scored_matcher(rows, dels) -> [(local_id, score), ...] with the
+    QUERY's true scores (engine.query.phrase_scored_matcher for a
+    match_phrase context); `query` then supplies the postings read's
+    distinct term list and needs_pos=True switches the read to the
+    positional stream. mode is ignored (the kernel owns matching);
+    everything downstream (rounding, diversified cap, global cut,
+    bucketing) is identical, so the frozen sampling spec is unchanged."""
     spark = reader.spark
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
@@ -1913,6 +1924,15 @@ def sampler_terms(
                 "g": pd.Series([], dtype=object)}
         empty = pd.DataFrame(cols)
         dels = tomb.get(shard)
+        if scored_matcher is not None:
+            top = scored_matcher(rows, dels)
+            if not top:
+                return empty
+            uniq = np.array([t[0] for t in top], dtype=np.int64)
+            scores = np.array([t[1] for t in top], dtype=np.float64)
+            order = np.argsort(uniq, kind="stable")  # gather wants sorted
+            uniq, scores = uniq[order], scores[order]
+            return _finish_shard(shard, uniq, scores, empty)
         locs_parts, contrib_parts, term_docs = [], [], []
         for r in rows:
             idf = idfs.get(r.term)
@@ -1942,6 +1962,9 @@ def sampler_terms(
             uniq, scores = uniq[m], scores[m]
         if uniq.size == 0:
             return empty
+        return _finish_shard(shard, uniq, scores, empty)
+
+    def _finish_shard(shard: int, uniq, scores, empty) -> pd.DataFrame:
         tbl = gather_docvalues(index_dir, shard, gat_fields, uniq)
         if filters:
             fm = np.asarray(filter_mask(tbl, filters))
@@ -1976,7 +1999,10 @@ def sampler_terms(
     if execution == "local" or (
         execution == "auto" and total_postings <= reader.LOCAL_MAX_POSTINGS
     ):
-        by_shard = reader.postings_local(live)
+        by_shard = (
+            reader.postings_pos_local(live) if needs_pos
+            else reader.postings_local(live)
+        )
         if by_shard is not None:
             frames = [shard_sample(s, rows) for s, rows in by_shard.items()]
             frames = [f_ for f_ in frames if len(f_)]

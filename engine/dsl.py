@@ -1151,6 +1151,29 @@ def _attach_matched_queries(reader, query: dict, hits: list) -> None:
         h["matched_queries"] = got
 
 
+def _phrase_context_spec(reader, query: dict):
+    """(field_view_reader, phrase_text, slop) when the query context is a
+    plain match_phrase (optionally wrapped in a single-must bool whose
+    filter the caller extracts), else None — the shape the sampler's
+    scored-matcher lift (engine.query.phrase_scored_matcher) accepts."""
+    if "bool" in query:
+        b = query["bool"]
+        must_c = b.get("must", [])
+        must_c = must_c if isinstance(must_c, list) else [must_c]
+        if (
+            len(must_c) == 1 and not b.get("should") and not b.get("must_not")
+            and isinstance(must_c[0], dict) and "match_phrase" in must_c[0]
+        ):
+            return _phrase_context_spec(reader, must_c[0])
+    if "match_phrase" not in query:
+        return None
+    ((fld, spec),) = query["match_phrase"].items()
+    r = _text_reader(reader, fld, "match_phrase")
+    text = spec["query"] if isinstance(spec, dict) else spec
+    slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+    return r, text, slop
+
+
 def _mm_context_matcher(reader, key: str, m: dict):
     """(src, matcher, needs_pos) for a multi_match / combined_fields
     query CONTEXT (aggs / sort / _count / scroll), or None when the
@@ -1764,15 +1787,21 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         siblings = []
         _MATCHER_GATED = ("sampler", "diversified_sampler")
         for name, spec in aggs_spec.items():
-            if matcher is not None and any(g in spec for g in _MATCHER_GATED):
-                # the sampler's top cut needs per-doc SCORES, which a
-                # matched-set matcher doesn't carry — an OR over the
-                # phrase's/multi-field query's terms would be the WRONG
-                # sample (significant_*/top_metrics need only the matched
-                # set and DO compose via matcher/src)
+            if (
+                matcher is not None
+                and any(g in spec for g in _MATCHER_GATED)
+                and _phrase_context_spec(reader, query) is None
+            ):
+                # the sampler's top cut needs per-doc SCORES; a phrase
+                # context composes via phrase_scored_matcher (true
+                # phrase BM25, round-5 lift), but a multi-field blend's
+                # per-doc score isn't carried by its matched-set matcher
+                # — an OR over the blend's terms would be the WRONG
+                # sample (significant_*/top_metrics need only the
+                # matched set and DO compose via matcher/src)
                 raise ValueError(
-                    f"{name}: sampler under a phrase or multi-field "
-                    "query is not composed (term queries only)"
+                    f"{name}: sampler under a multi-field query is not "
+                    "composed (term and phrase queries only)"
                 )
             sib = next((s for s in _SIBLINGS if s in spec), None)
             if sib:
@@ -1871,14 +1900,35 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 ((_sn, s2),) = sub2.items()
                 from engine.aggs import sampler_terms
 
-                df = sampler_terms(
-                    reader, terms, s2["terms"]["field"],
-                    sample_size=sp.get("shard_size", 100),
-                    diversify_field=sp.get("field")
-                    if samp == "diversified_sampler" else None,
-                    max_per_value=sp.get("max_docs_per_value", 1),
-                    mode=mode, filters=filt,
-                )
+                if matcher is not None:
+                    # phrase context (the gate above admits only it):
+                    # re-derive a SCORED matcher — true phrase BM25
+                    # drives the sampler's top cut
+                    from engine.query import phrase_scored_matcher
+
+                    preader, ptext, pslop = _phrase_context_spec(
+                        reader, query
+                    )
+                    sm_terms, sm = phrase_scored_matcher(
+                        preader, ptext, pslop
+                    )
+                    df = sampler_terms(
+                        preader, sm_terms, s2["terms"]["field"],
+                        sample_size=sp.get("shard_size", 100),
+                        diversify_field=sp.get("field")
+                        if samp == "diversified_sampler" else None,
+                        max_per_value=sp.get("max_docs_per_value", 1),
+                        filters=filt, scored_matcher=sm, needs_pos=True,
+                    )
+                else:
+                    df = sampler_terms(
+                        reader, terms, s2["terms"]["field"],
+                        sample_size=sp.get("shard_size", 100),
+                        diversify_field=sp.get("field")
+                        if samp == "diversified_sampler" else None,
+                        max_per_value=sp.get("max_docs_per_value", 1),
+                        mode=mode, filters=filt,
+                    )
                 bucket_dfs[name] = df
                 out["aggregations"][name] = {
                     "buckets": [r.asDict() for r in df.collect()]

@@ -4392,6 +4392,47 @@ def phrase_matcher(reader: "IndexReader", phrase: str | list[str], slop: int = 0
     return distinct, matcher
 
 
+def phrase_scored_matcher(reader: "IndexReader", phrase: str | list[str],
+                          slop: int = 0):
+    """(distinct_terms, scored_matcher) for the sampler aggs under a
+    match_phrase query context (round-5 lift): scored_matcher(rows,
+    dels) -> the shard's full [(local_id, score)] phrase match list
+    with the TRUE phrase BM25 score (idf_sum = slot-counted member
+    idfs, identical to match_phrase_topk — unlike phrase_matcher's
+    discarded-score placeholder), ordered score desc / doc asc. The
+    sampler's top cut is by score, so the placeholder would pick the
+    WRONG sample. Returns None when a slot term is missing from the
+    dictionary (conjunctive: empty everywhere)."""
+    _require_positions(reader, "match_phrase (sampler context)")
+    from engine.textnorm import standard_tokenize_py
+
+    terms = (
+        standard_tokenize_py(phrase.lower()) if isinstance(phrase, str)
+        else list(phrase)
+    )
+    if not terms:
+        return None
+    distinct = list(dict.fromkeys(terms))
+    stats = reader.term_stats(distinct)
+    if any(t not in stats for t in distinct):
+        return None
+    idf_sum = float(
+        sum(P.bm25_idf(stats[t], reader.n_docs) for t in terms)  # dups counted
+    )
+    slots = [[t] for t in terms]
+    k1, b, avgdl = reader.k1, reader.b, reader.avgdl
+
+    def scored(rows: list, dels) -> list:
+        if slop:
+            return _phrase_slop_shard_topk(
+                rows, slots, slop, idf_sum, 1 << 31, k1, b, avgdl, dels
+            )
+        return _phrase_shard_topk(rows, slots, idf_sum, 1 << 31, k1, b,
+                                  avgdl, dels)
+
+    return distinct, scored
+
+
 def match_phrase_prefix_topk(
     reader: "IndexReader",
     phrase: str | list[str],

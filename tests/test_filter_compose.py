@@ -228,13 +228,67 @@ def test_aggs_and_count_under_phrase(spark, fc_index):
     assert resp["hits"]["total"]["value"] == 0
     assert resp["aggregations"]["g"]["buckets"] == []
 
-    # sampler under a phrase query raises the documented gate
-    with pytest.raises(ValueError, match="not composed"):
-        search(reader, {
-            "query": {"match_phrase": {"text": "hash table"}}, "size": 0,
-            "aggs": {"s": {"sampler": {"shard_size": 5},
-                           "aggs": {"t": {"terms": {"field": "grp"}}}}},
-        })
+    # sampler under a phrase query composes via the SCORED phrase
+    # matcher (round-5 lift): sample = global top shard_size docs by
+    # 6-dp-rounded TRUE phrase BM25 (url asc ties), then terms-bucketed
+    from engine.query import match_phrase_topk
+
+    full = match_phrase_topk(reader, "hash table", k=1 << 31).collect()
+    grp_of = {u: g for u, _t, g, _nc, _r in rows}
+    ranked = sorted(
+        ((x["url"], round(x["score"], 6)) for x in full),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert len(ranked) > 5, "weak corpus — need > shard_size matches"
+    sample = [u for u, _s in ranked[:5]]
+    from collections import Counter
+
+    want_counts = Counter(grp_of[u] for u in sample)
+    resp = search(reader, {
+        "query": {"match_phrase": {"text": "hash table"}}, "size": 0,
+        "aggs": {"s": {"sampler": {"shard_size": 5},
+                       "aggs": {"t": {"terms": {"field": "grp"}}}}},
+    })
+    got = {b["key"]: b["doc_count"]
+           for b in resp["aggregations"]["s"]["buckets"]}
+    assert got == dict(want_counts)
+
+    # diversified_sampler under the phrase: greedy per-value cap before
+    # the size cut, same score order
+    per_grp: dict[str, int] = {}
+    div_sample = []
+    for u, _s in ranked:
+        g = grp_of[u]
+        if per_grp.get(g, 0) < 2:
+            per_grp[g] = per_grp.get(g, 0) + 1
+            div_sample.append(u)
+        if len(div_sample) == 4:
+            break
+    resp = search(reader, {
+        "query": {"match_phrase": {"text": "hash table"}}, "size": 0,
+        "aggs": {"s": {"diversified_sampler": {
+            "shard_size": 4, "field": "grp", "max_docs_per_value": 2},
+            "aggs": {"t": {"terms": {"field": "grp"}}}}},
+    })
+    got = {b["key"]: b["doc_count"]
+           for b in resp["aggregations"]["s"]["buckets"]}
+    assert got == dict(Counter(grp_of[u] for u in div_sample))
+
+    # phrase + filter context + sampler: the filter mask rides the
+    # scored matched set before the cut
+    allowed = _allowed(rows)
+    frank = [u for u, _s in ranked if u in allowed][:5]
+    resp = search(reader, {
+        "query": {"bool": {"must": [
+            {"match_phrase": {"text": "hash table"}}],
+            "filter": FILTER_BODY}},
+        "size": 0,
+        "aggs": {"s": {"sampler": {"shard_size": 5},
+                       "aggs": {"t": {"terms": {"field": "grp"}}}}},
+    })
+    got = {b["key"]: b["doc_count"]
+           for b in resp["aggregations"]["s"]["buckets"]}
+    assert got == dict(Counter(grp_of[u] for u in frank))
 
 
 def test_sort_and_highlight_under_phrase(spark, fc_index):
