@@ -71,11 +71,8 @@ def upsert_docs(
         manifest = json.load(f)
     with_pos = manifest.get("index_options", "freqs") == "positions"
     schema = POSTING_SCHEMA_POS if with_pos else POSTING_SCHEMA
-    if len(manifest.get("text_fields", ["text"])) > 1:
-        raise ValueError(
-            "upsert_docs supports single-field indexes (multi-field merge "
-            "is a documented divergence; rebuild via build_index)"
-        )
+    fields = list(manifest.get("text_fields") or ["text"])
+    multi = len(fields) > 1
     n_shards, n_buckets = manifest["n_shards"], manifest["n_buckets"]
     k1, b = manifest["k1"], manifest["b"]
     dv_cols = list(manifest.get("docvalue_cols") or [])
@@ -87,15 +84,38 @@ def upsert_docs(
     def path(name: str) -> str:
         return os.path.join(out_dir, name)
 
-    valid, _rejects = split_rejects(new_pages)
+    valid, _rejects = split_rejects(new_pages, fields[0])
     # batch contract: unique urls (cheap to verify driver-side on the
     # already-tiny-by-assumption update batch)
-    batch = valid.select(
-        "url",
-        standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
-        *dv_cols,
-        *[F.col(c).alias(f"src__{c}") for c in stored],
-    ).withColumn("dl", F.size("tokens")).persist()
+    if multi:
+        # per-field token arrays, mirroring build_index's multi-field
+        # tokenization (coalesce: a secondary field may be null); the
+        # primary field keeps the frozen tokens/dl names
+        tok_sel = [
+            standard_tokenize_col(
+                F.lower(F.coalesce(F.col(f), F.lit("")))
+            ).alias(f"tokens__{f}")
+            for f in fields
+        ]
+        batch = valid.select(
+            "url", *tok_sel, *dv_cols,
+            *[F.col(c).alias(f"src__{c}") for c in stored],
+        )
+        for f in fields:
+            batch = batch.withColumn(f"dl__{f}", F.size(f"tokens__{f}"))
+        batch = (
+            batch.withColumn("tokens", F.col(f"tokens__{fields[0]}"))
+            .withColumn("dl", F.col(f"dl__{fields[0]}"))
+            .persist()
+        )
+    else:
+        batch = valid.select(
+            "url",
+            standard_tokenize_col(F.lower(F.col("text"))).alias("tokens"),
+            *dv_cols,
+            *[F.col(c).alias(f"src__{c}") for c in stored],
+        ).withColumn("dl", F.size("tokens")).persist()
+    dlx = [f"dl__{f}" for f in fields] if multi else []
     try:
         n_batch = batch.count()
         if batch.select("url").distinct().count() != n_batch:
@@ -130,11 +150,17 @@ def upsert_docs(
         kept = kept.withColumn(
             "new_local", F.row_number().over(w).cast("long") - 1
         )
-        kept_counts = {
-            r["shard"]: (r["cnt"], r["sdl"])
-            for r in kept.groupBy("shard")
-            .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"))
+        kept_rows_agg = (
+            kept.groupBy("shard")
+            .agg(
+                F.count("*").alias("cnt"), F.sum("dl").alias("sdl"),
+                *[F.sum(c).alias(c) for c in dlx],
+            )
             .collect()
+        )
+        kept_counts = {r["shard"]: (r["cnt"], r["sdl"]) for r in kept_rows_agg}
+        kept_field_sums = {
+            c: sum(int(r[c] or 0) for r in kept_rows_agg) for c in dlx
         }
 
         # ---- delta docs: same shard hash, local ids continue the shard --
@@ -156,11 +182,17 @@ def upsert_docs(
         )
 
         # ---- global stats + ids (exact fresh-build stats) ---------------
-        delta_agg = {
-            r["shard"]: (r["cnt"], r["sdl"])
-            for r in delta.groupBy("shard")
-            .agg(F.count("*").alias("cnt"), F.sum("dl").alias("sdl"))
+        delta_rows_agg = (
+            delta.groupBy("shard")
+            .agg(
+                F.count("*").alias("cnt"), F.sum("dl").alias("sdl"),
+                *[F.sum(c).alias(c) for c in dlx],
+            )
             .collect()
+        )
+        delta_agg = {r["shard"]: (r["cnt"], r["sdl"]) for r in delta_rows_agg}
+        delta_field_sums = {
+            c: sum(int(r[c] or 0) for r in delta_rows_agg) for c in dlx
         }
         n_docs = sum(c for c, _ in kept_counts.values()) + sum(
             c for c, _ in delta_agg.values()
@@ -170,6 +202,16 @@ def upsert_docs(
             + sum(s or 0 for _, s in delta_agg.values())
         )
         avgdl = sum_dl / n_docs if n_docs else 0.0
+        field_stats = {}
+        if multi:
+            # per-field POST-upsert stats (ES scores each field with its
+            # own avgdl); field 0's numbers coincide with avgdl/sum_dl
+            for f in fields:
+                s = kept_field_sums[f"dl__{f}"] + delta_field_sums[f"dl__{f}"]
+                field_stats[f] = {
+                    "avgdl": s / n_docs if n_docs else 0.0,
+                    "sum_dl": int(s),
+                }
         offsets, acc = {}, 0
         for s in range(n_shards):
             offsets[s] = acc
@@ -183,16 +225,17 @@ def upsert_docs(
         )
         kept_rows = kept.select(
             "shard", F.col("new_local").alias("local_id"), "url", "dl",
-            *dv_cols, *src_names,
+            *dlx, *dv_cols, *src_names,
         )
         delta_rows = delta.select(
-            "shard", "local_id", "url", "dl", *dv_cols, *src_names
+            "shard", "local_id", "url", "dl", *dlx, *dv_cols, *src_names
         )
         (
             kept_rows.unionByName(delta_rows)
             .join(F.broadcast(off_df), "shard")
             .withColumn("doc_id", F.col("shard_offset") + F.col("local_id"))
-            .select("shard", "local_id", "doc_id", "url", "dl", *dv_cols, *src_names)
+            .select("shard", "local_id", "doc_id", "url", "dl", *dlx,
+                    *dv_cols, *src_names)
             .repartition(n_shards, "shard")
             .sortWithinPartitions("local_id")
             .write.mode("overwrite")
@@ -200,55 +243,72 @@ def upsert_docs(
             .parquet(path("docmap"))
         )
 
-        # ---- postings: rewrite main (no shuffle) ++ encode delta, merge -
-        main_post = spark.read.parquet(os.path.join(src_dir, "postings"))
-        rewritten = main_post.mapInPandas(
-            _make_rewriter(deleted, avgdl, k1, b, positions=with_pos), schema
-        )
-        tok_col = (
-            [F.posexplode("tokens").alias("pos", "term")]
-            if with_pos
-            else [F.explode("tokens").alias("term")]
-        )
-        tf = (
-            delta.select("shard", "local_id", "dl", *tok_col)
-            .withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-            )
-        )
+        # ---- postings: rewrite main (no shuffle) ++ encode delta, merge
+        # (one pass per indexed field; each field rewrites and encodes
+        # against its OWN post-upsert avgdl, into postings/field=<f>) ---
         n_parts = max(
             1, min(n_buckets * n_shards, 2 * spark.sparkContext.defaultParallelism)
         )
         sort_keys = ["shard", "term", "local_id"] + (["pos"] if with_pos else [])
-        delta_post = (
-            tf.repartition(n_parts, "bucket", "shard")
-            .sortWithinPartitions(*sort_keys)
-            .mapInArrow(_make_encoder(avgdl, k1, b, positions=with_pos), schema)
-        )
-        merger = _make_merger(avgdl, k1, b, positions=with_pos)
-        (
-            rewritten.unionByName(delta_post)
-            .repartition(n_parts, "bucket", "shard")
-            .sortWithinPartitions("shard", "term")
-            .mapInPandas(merger, schema)
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path("postings"))
-        )
+        for fld in fields:
+            fsub = f"/field={fld}" if multi else ""
+            avg_f = field_stats[fld]["avgdl"] if multi else avgdl
+            tcol = f"tokens__{fld}" if multi else "tokens"
+            dl_col = f"dl__{fld}" if multi else "dl"
+            main_post = spark.read.parquet(
+                os.path.join(src_dir, "postings" + fsub)
+            )
+            rewritten = main_post.mapInPandas(
+                _make_rewriter(deleted, avg_f, k1, b, positions=with_pos),
+                schema,
+            )
+            tok_col = (
+                [F.posexplode(tcol).alias("pos", "term")]
+                if with_pos
+                else [F.explode(tcol).alias("term")]
+            )
+            tf = (
+                delta.select(
+                    "shard", "local_id", F.col(dl_col).alias("dl"), *tok_col
+                )
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+                )
+            )
+            delta_post = (
+                tf.repartition(n_parts, "bucket", "shard")
+                .sortWithinPartitions(*sort_keys)
+                .mapInArrow(
+                    _make_encoder(avg_f, k1, b, positions=with_pos), schema
+                )
+            )
+            merger = _make_merger(avg_f, k1, b, positions=with_pos)
+            (
+                rewritten.unionByName(delta_post)
+                .repartition(n_parts, "bucket", "shard")
+                .sortWithinPartitions("shard", "term")
+                .mapInPandas(merger, schema)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(path("postings" + fsub))
+            )
     finally:
         batch.unpersist()
 
     # ---- derived tables + manifest (same shapes as the batch build) -----
-    merged = spark.read.parquet(path("postings"))
-    (
-        merged.groupBy("bucket", "term")
-        .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
-        .repartition(max(1, n_buckets // 2), "bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(path("term_stats"))
-    )
+    for fld in fields:
+        fsub = f"/field={fld}" if multi else ""
+        merged = spark.read.parquet(path("postings" + fsub))
+        (
+            merged.groupBy("bucket", "term")
+            .agg(F.sum("df_local").alias("df"), F.sum("cf_local").alias("cf"))
+            .repartition(max(1, n_buckets // 2), "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path("term_stats" + fsub))
+        )
     _local_df(
         spark,
         [(n_docs, float(avgdl), sum_dl, 0)],
@@ -263,6 +323,8 @@ def upsert_docs(
         shard_offsets=[offsets[s] for s in range(n_shards)],
         job_id=job_id,
     )
+    if multi:
+        new_manifest["field_stats"] = field_stats
     ckpt = {
         "job_id": job_id,
         "stages": ["docmap", "stats", "postings", "term_stats"],
@@ -319,20 +381,23 @@ def update_by_query(
     if "query" in query:
         query = query["query"]
     reader = IndexReader(spark, src_dir)
-    if "text" not in reader.stored_cols:
+    fields = list(reader.manifest.get("text_fields") or ["text"])
+    missing_src = [f for f in fields if f not in reader.stored_cols]
+    if missing_src:
         raise ValueError(
             "update_by_query needs the index built with store_source "
-            "including 'text' (the document body to rewrite)"
+            f"including every indexed text field (missing {missing_src} "
+            "— the document bodies to rewrite)"
         )
     urls = matched_urls_for_query(reader, query)
     dv_cols = list(reader.manifest.get("docvalue_cols") or [])
-    src = reader.stored_source_df().select("url", "text")
+    src = reader.stored_source_df().select("url", *fields)
     if dv_cols:
         dv = reader.docmap().select("url", *dv_cols)
         src = src.join(dv, "url")
     matched = src.join(F.broadcast(urls.distinct()), "url")
     batch = transform(matched)
-    want = ["url", "text"] + dv_cols
+    want = ["url", *fields] + dv_cols
     missing = [c for c in want if c not in batch.columns]
     if missing:
         raise ValueError(f"transform dropped required column(s) {missing}")

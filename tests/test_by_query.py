@@ -163,25 +163,60 @@ def test_update_by_query_phrase(spark, tmp_path):
     assert hits == {"a1", "a3"}
 
 
-def test_update_by_query_multifield_raises(spark, tmp_path):
-    """update_by_query SELECTS via a multi_match context, but the
-    replace-by-url merge is single-field (documented upsert divergence)
-    — the call fails closed with the rebuild pointer instead of writing
-    a half-merged generation."""
+def test_update_by_query_multifield(spark, tmp_path):
+    """update_by_query over a TWO-field index (round-5 lift): the merge
+    re-encodes EVERY field's postings against that field's own
+    post-upsert avgdl; the result is (url, score)-identical per field to
+    a fresh two-field build over the updated corpus."""
     src = str(tmp_path / "src")
-    rows = [(u, t, ("kiwi topic" if u == "a6" else "plain"), n)
+    out = str(tmp_path / "out")
+    rows = [(u, t, ("kiwi topic" if u == "a6" else "plain topic"), n)
             for u, t, n in DOCS]
-    df = spark.createDataFrame(rows, "url string, text string, title string, num long")
+    df = spark.createDataFrame(
+        rows, "url string, text string, title string, num long"
+    )
     build_index(
         spark, df, src, n_shards=2, n_buckets=4,
         text_fields=["text", "title"], docvalue_cols=["num"],
         store_source=["text", "title"],
     )
-    with pytest.raises(ValueError, match="single-field"):
-        update_by_query(
-            spark, src,
-            {"query": {"multi_match": {"query": "kiwi",
-                                       "fields": ["text", "title"]}}},
-            lambda d: d,
-            str(tmp_path / "out"),
-        )
+    update_by_query(
+        spark, src,
+        {"query": {"multi_match": {"query": "kiwi",
+                                   "fields": ["text", "title"]}}},
+        lambda d: d.withColumn(
+            "title", F.concat(F.col("title"), F.lit(" zzyx"))
+        ),
+        out,
+    )
+    r = IndexReader(spark, out)
+    rt = r.for_field("title")
+    assert {x["url"] for x in bm25_topk(rt, ["zzyx"], k=10).collect()} == {"a6"}
+    # only the matched doc was rewritten; text field untouched
+    assert {x["url"] for x in bm25_topk(r, ["apple"], k=10).collect()} == {
+        "a1", "a2"
+    }
+
+    # fresh-build identity: both fields score identically to a from-
+    # scratch build over the post-update corpus (per-field avgdl exact)
+    fresh = str(tmp_path / "fresh")
+    rows2 = [(u, t, (ti + " zzyx" if u == "a6" else ti), n)
+             for u, t, ti, n in rows]
+    df2 = spark.createDataFrame(
+        rows2, "url string, text string, title string, num long"
+    )
+    build_index(
+        spark, df2, fresh, n_shards=2, n_buckets=4,
+        text_fields=["text", "title"], docvalue_cols=["num"],
+    )
+    fr = IndexReader(spark, fresh)
+    ft = fr.for_field("title")
+    for view_u, view_f, terms in (
+        (r, fr, ["banana", "date"]),
+        (rt, ft, ["topic", "kiwi", "zzyx"]),
+    ):
+        got = {(x["url"], round(x["score"], 9))
+               for x in bm25_topk(view_u, terms, k=20).collect()}
+        want = {(x["url"], round(x["score"], 9))
+                for x in bm25_topk(view_f, terms, k=20).collect()}
+        assert got == want, terms
