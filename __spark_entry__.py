@@ -2135,6 +2135,29 @@ def q_mm_ctx_phrase_agg(spark, sf_dir):
     )
 
 
+def q_mm_ctx_pprefix_agg(spark, sf_dir):
+    """terms agg on lang restricted to a multi_match type=phrase_prefix
+    matched set over BOTH fields (round-5 lift): per field, head-term
+    adjacency with the LAST slot expanded against that FIELD's own
+    dictionary (df-ordered cap); matched set = the UNION of the fields'
+    matches (ES dis_max leg law) — engine/query.py
+    multifield_phrase_matcher kind='phrase_prefix'."""
+    from engine.aggs import TermsAgg, search_aggs
+    from engine.query import IndexReader, multifield_phrase_matcher
+
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    ctx = multifield_phrase_matcher(
+        r, ["title", "text"], f"{PPREFIX_HEAD} {PPREFIX_PRE}",
+        kind="phrase_prefix", max_expansions=PREFIX_MAX_EXPANSIONS,
+    )
+    if ctx is None:
+        return search_aggs(r, ["\x00dead\x00"], TermsAgg("lang", size=10), mode="and")
+    src, matcher = ctx
+    return search_aggs(
+        r, [], TermsAgg("lang", size=10), matcher=matcher, src=src
+    )
+
+
 def q_mm_ctx_sort_nchars(spark, sf_dir):
     """Field-sorted page (n_chars asc, _id tiebreak) over the matched set
     of a combined_fields query (term-centric union match) — the
@@ -5065,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqs_mf_topk": q_sqs_mf,
         "qs_mf_topk": q_qs_mf,
         "agg_sampler_phrase": q_agg_sampler_phrase,
+        "mm_ctx_pprefix_agg": q_mm_ctx_pprefix_agg,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6306,6 +6330,20 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
+        "mm_ctx_pprefix_agg": _mf_ctx_cte("TRUE") + f""",
+px AS (SELECT doc_id, unnest(xt) AS term, generate_subscripts(xt, 1) AS pos FROM base),
+pt AS (SELECT doc_id, unnest(tt) AS term, generate_subscripts(tt, 1) AS pos FROM base),
+fx AS (SELECT DISTINCT p0.doc_id FROM px p0
+       JOIN px p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = '{PPREFIX_HEAD}' AND p1.term LIKE '{PPREFIX_PRE}%'),
+ft AS (SELECT DISTINCT p0.doc_id FROM pt p0
+       JOIN pt p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       WHERE p0.term = '{PPREFIX_HEAD}' AND p1.term LIKE '{PPREFIX_PRE}%'),
+u AS (SELECT doc_id FROM fx UNION SELECT doc_id FROM ft)
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM u JOIN m USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
         "agg_sampler_phrase": f"""
 WITH ph AS (
   SELECT doc_id, round(s, 6) AS score

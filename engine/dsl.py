@@ -1178,25 +1178,54 @@ def _mm_context_matcher(reader, key: str, m: dict):
     """(src, matcher, needs_pos) for a multi_match / combined_fields
     query CONTEXT (aggs / sort / _count / scroll), or None when the
     matched set is empty everywhere by construction. Raises for the
-    uncomposed shapes (phrase_prefix / bool_prefix / fuzziness —
-    documented divergences) and for unindexed fields."""
-    if m.get("type") in ("phrase_prefix", "bool_prefix") or (
-        m.get("fuzziness") is not None
-    ):
+    uncomposed shapes (fuzziness — documented divergence) and for
+    unindexed fields."""
+    if m.get("fuzziness") is not None:
         raise ValueError(
-            f"{key} type={m.get('type')!r}/fuzziness as a query context "
-            "(aggs/sort/_count) is not composed (documented divergence)"
+            f"{key} fuzziness as a query context (aggs/sort/_count) is "
+            "not composed (documented divergence)"
         )
-    if m.get("type") == "phrase":
-        # dis_max of per-field match_phrase: the matched set is the
-        # UNION of the fields' phrase-matching docs
+    if m.get("type") in ("phrase", "phrase_prefix"):
+        # dis_max of per-field match_phrase / match_phrase_prefix: the
+        # matched set is the UNION of the fields' matching docs
         from engine.query import multifield_phrase_matcher
 
         ctx = multifield_phrase_matcher(
             reader, m.get("fields", [reader.field]), m["query"],
-            slop=int(m.get("slop", 0)),
+            slop=int(m.get("slop", 0)), kind=m["type"],
+            max_expansions=int(m.get("max_expansions", 50)),
         )
         return None if ctx is None else (*ctx, True)
+    if m.get("type") == "bool_prefix":
+        # dis_max of per-field match_bool_prefix OR unions: matched =
+        # any head term OR any last-token expansion, in any field
+        from engine.oracle import analyze_query_py
+        from engine.query import multifield_union_matcher
+
+        if m.get("operator", "or").lower() != "or" or m.get(
+            "minimum_should_match"
+        ):
+            raise ValueError(
+                f"{key} bool_prefix context composes with operator=or "
+                "only (and/msm over a prefix union is a documented "
+                "divergence)"
+            )
+        toks = analyze_query_py(m["query"])
+        if not toks:
+            return None
+        head, pre = toks[:-1], toks[-1]
+        maxexp = int(m.get("max_expansions", 50))
+        tbf = {}
+        for spec_f in m.get("fields", [reader.field]):
+            f = spec_f.split("^")[0]
+            r = _text_reader(reader, f, key)
+            tbf[f] = list(dict.fromkeys(
+                head + list(r.expand_prefix(pre, maxexp))
+            ))
+        ctx = multifield_union_matcher(
+            reader, m.get("fields", [reader.field]), tbf
+        )
+        return None if ctx is None else (*ctx, False)
     from engine.query import multifield_matcher
 
     msm_ = m.get("minimum_should_match")

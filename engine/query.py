@@ -1817,21 +1817,28 @@ class MultiFieldPostings:
         self,
         reader: "IndexReader",
         fields: list[str],
-        terms: list[str],
+        terms,
         require_all: bool = False,
         needs_pos: bool = False,
     ):
+        """terms: one list shared by every field, or {field: [term, ...]}
+        when the read list is field-specific (per-field prefix/fuzzy
+        expansions — round-5 phrase_prefix/bool_prefix contexts); a
+        field absent from the dict reads nothing."""
         self.reader = reader
         self.needs_pos = needs_pos
         self.pairs: list[tuple] = []  # (field, field_reader, live_terms)
         self.total_postings = 0
         for f in fields:
+            tl = terms.get(f, []) if isinstance(terms, dict) else terms
+            if not tl:
+                continue
             r = reader.for_field(f)
-            st = r.term_stats(terms)
-            live = [t for t in terms if t in st]
+            st = r.term_stats(tl)
+            live = [t for t in tl if t in st]
             # require_all: a conjunctive (phrase) context — a field with
             # ANY dead slot term matches nothing and reads nothing
-            if live and (not require_all or len(live) == len(terms)):
+            if live and (not require_all or len(live) == len(tl)):
                 self.pairs.append((f, r, live))
                 self.total_postings += sum(st[t] for t in live)
 
@@ -1971,16 +1978,24 @@ def multifield_phrase_matcher(
     fields: list,
     phrase: str | list[str],
     slop: int = 0,
+    kind: str = "phrase",
+    max_expansions: int = 50,
 ):
-    """(src, matcher) for composing multi_match type=phrase as a QUERY
-    CONTEXT (aggs / sort / _count): ES scores it as a dis_max of
-    per-field match_phrase queries, so the matched set is the UNION of
-    the fields' phrase-matching docs. Per field, the matched set is the
-    exact/sloppy phrase kernel run unbounded with scores discarded (the
-    single-field phrase_matcher law); a field missing ANY slot term
-    matches nothing (conjunctive) and its postings aren't read. Returns
+    """(src, matcher) for composing multi_match type=phrase (or
+    phrase_prefix, round-5 lift) as a QUERY CONTEXT (aggs / sort /
+    _count): ES scores these as a dis_max of per-field queries, so the
+    matched set is the UNION of the fields' matching docs. Per field,
+    the matched set is the exact/sloppy phrase kernel run unbounded with
+    scores discarded (the single-field phrase_matcher law); a field
+    missing ANY slot term matches nothing (conjunctive) and its
+    postings aren't read. kind="phrase_prefix": the LAST token expands
+    against each FIELD's own dictionary (df-ordered, max_expansions
+    cap — the match_phrase_prefix_topk rewrite) into that field's final
+    slot alternatives; a field with an empty expansion is dead. Returns
     None when every field is dead. Pair with needs_pos=True."""
-    _require_positions(reader, "multi_match type=phrase (agg/count context)")
+    _require_positions(
+        reader, f"multi_match type={kind} (agg/count context)"
+    )
     from engine.textnorm import standard_tokenize_py
 
     names = [n for n, _ in parse_field_boosts(fields)]
@@ -1995,13 +2010,38 @@ def multifield_phrase_matcher(
     )
     if not terms:
         return None
-    distinct = list(dict.fromkeys(terms))
-    src = MultiFieldPostings(
-        reader, names, distinct, require_all=True, needs_pos=True
-    )
-    if not src.pairs:
-        return None
-    slots = [[t] for t in terms]
+    slots_of: dict[str, list] = {}
+    if kind == "phrase":
+        distinct = list(dict.fromkeys(terms))
+        src = MultiFieldPostings(
+            reader, names, distinct, require_all=True, needs_pos=True
+        )
+        if not src.pairs:
+            return None
+        for f, _r, _l in src.pairs:
+            slots_of[f] = [[t] for t in terms]
+    elif kind == "phrase_prefix":
+        head, pre = terms[:-1], terms[-1]
+        terms_by_field: dict[str, list] = {}
+        for f in names:
+            r = reader.for_field(f)
+            st = r.term_stats(list(dict.fromkeys(head))) if head else {}
+            if any(t not in st for t in head):
+                continue
+            exps = list(r.expand_prefix(pre, max_expansions))
+            if not exps:
+                continue
+            terms_by_field[f] = list(dict.fromkeys(head + exps))
+            slots_of[f] = [[t] for t in head] + [exps]
+        if not terms_by_field:
+            return None
+        src = MultiFieldPostings(
+            reader, names, terms_by_field, require_all=True, needs_pos=True
+        )
+        if not src.pairs:
+            return None
+    else:
+        raise ValueError(f"unknown multi-field phrase context kind {kind!r}")
     # per-field kernel params (avgdl is per-field; scores are discarded
     # so only dl-norm shape differs — kept per-field for exactness)
     params = {f: (r.k1, r.b, r.avgdl) for f, r, _ in src.pairs}
@@ -2013,6 +2053,7 @@ def multifield_phrase_matcher(
         sets = []
         for f, frows in by_field.items():
             k1, b, avgdl = params[f]
+            slots = slots_of[f]
             if slop:
                 top = _phrase_slop_shard_topk(
                     frows, slots, slop, 1.0, 1 << 31, k1, b, avgdl, dels
@@ -2026,6 +2067,42 @@ def multifield_phrase_matcher(
         if not sets:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(sets))
+
+    return src, matcher
+
+
+def multifield_union_matcher(reader: "IndexReader", fields: list,
+                             terms_by_field: dict):
+    """(src, matcher) for OR-union multi-field query contexts whose
+    matched set is "any listed term in any listed field" — multi_match
+    type=bool_prefix (per-field analyzed head terms + the last token's
+    per-field prefix expansions; ES scores it as a dis_max of per-field
+    match_bool_prefix OR unions, round-5 lift). terms_by_field maps each
+    field to ITS OWN read list; a field absent (or empty) reads nothing.
+    Returns None when no field has a live term. needs_pos=False."""
+    names = [n for n, _ in parse_field_boosts(fields)]
+    for n in names:
+        if n not in reader.text_fields:
+            raise ValueError(
+                f"field {n!r} is not indexed (text_fields={reader.text_fields})"
+            )
+    src = MultiFieldPostings(reader, names, terms_by_field)
+    if src.total_postings == 0:
+        return None
+
+    def matcher(rows: list, dels) -> np.ndarray:
+        arrs = []
+        for r in rows:
+            d, _t, _l = P.decode_term_postings(
+                r.docs_bin, r.tfs_bin, r.dls_bin, _norm_blocks(r.blocks)
+            )
+            if d.size:
+                arrs.append(d)
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        m = np.unique(np.concatenate(arrs))
+        keep = _live_mask(m, dels)
+        return m if keep is None else m[keep]
 
     return src, matcher
 

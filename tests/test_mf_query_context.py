@@ -381,12 +381,24 @@ def test_scroll_over_multifield(spark, ctx_index):
             resp = scroll_next(spark, resp["_scroll_id"])
             got += [h["_id"] for h in resp["hits"]["hits"]]
         assert got == want
-    # unsupported shapes fail fast on page 1
-    with pytest.raises(ValueError, match="query context"):
-        scroll_search(reader, {
-            "query": {"multi_match": {"query": "web", "fields": ["text"],
-                                      "type": "bool_prefix"}},
-            "sort": [{"lang": "asc"}]})
+    # bool_prefix scroll (round-5 lift): union matched set — any head
+    # term or any last-token prefix expansion, in any field
+    exp_bp = {
+        u for u, t, ti, _ in rows
+        if any(w == "web" or w.startswith("s")
+               for w in _toks(t) + _toks(ti))
+    }
+    want_bp = sorted(exp_bp, key=lambda u: (lang[u], u))
+    resp = scroll_search(reader, {
+        "query": {"multi_match": {"query": "web s",
+                                  "fields": ["text", "title"],
+                                  "type": "bool_prefix"}},
+        "sort": [{"lang": "asc"}]}, size=40)
+    got = [h["_id"] for h in resp["hits"]["hits"]]
+    while resp.get("_scroll_id") and resp["hits"]["hits"]:
+        resp = scroll_next(spark, resp["_scroll_id"])
+        got += [h["_id"] for h in resp["hits"]["hits"]]
+    assert got == want_bp
 
 
 def test_guards(spark, ctx_index):
@@ -394,11 +406,28 @@ def test_guards(spark, ctx_index):
 
     out, rows = ctx_index
     reader = IndexReader(spark, out)
-    mm = {"query": "web search", "fields": ["text", "title"],
-          "type": "phrase_prefix"}
-    with pytest.raises(ValueError, match="query context"):
-        search(reader, {"query": {"multi_match": mm}, "size": 0,
-                        "aggs": {"l": {"terms": {"field": "lang"}}}})
+    # phrase_prefix context (round-5 lift): union of per-field phrase-
+    # prefix matches — head adjacency + per-field last-slot expansion
+    def _pp_hits(s):
+        w = _toks(s)
+        return any(
+            w[i] == "web" and w[i + 1].startswith("s")
+            for i in range(len(w) - 1)
+        )
+
+    exp_pp = {u for u, t, ti, _ in rows if _pp_hits(t) or _pp_hits(ti)}
+    resp = search(reader, {
+        "query": {"multi_match": {"query": "web s",
+                                  "fields": ["text", "title"],
+                                  "type": "phrase_prefix"}},
+        "size": 0, "track_total_hits": True,
+        "aggs": {"l": {"terms": {"field": "lang"}}}})
+    assert resp["hits"]["total"]["value"] == len(exp_pp)
+    lang_of = {u: l for u, _, _, l in rows}
+    want_counts = Counter(lang_of[u] for u in exp_pp)
+    got_counts = {b["key"]: b["doc_count"]
+                  for b in resp["aggregations"]["l"]["buckets"]}
+    assert got_counts == dict(want_counts)
     mmf = {"query": "web", "fields": ["text", "title"], "fuzziness": 1}
     with pytest.raises(ValueError, match="query context"):
         search(reader, {"query": {"multi_match": mmf}, "size": 0,
