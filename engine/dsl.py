@@ -1177,14 +1177,47 @@ def _phrase_context_spec(reader, query: dict):
 def _mm_context_matcher(reader, key: str, m: dict):
     """(src, matcher, needs_pos) for a multi_match / combined_fields
     query CONTEXT (aggs / sort / _count / scroll), or None when the
-    matched set is empty everywhere by construction. Raises for the
-    uncomposed shapes (fuzziness — documented divergence) and for
-    unindexed fields."""
+    matched set is empty everywhere by construction. Raises for
+    unindexed fields and for shapes whose SCORING path is a documented
+    divergence (fuzziness beyond best/most_fields operator=or)."""
     if m.get("fuzziness") is not None:
-        raise ValueError(
-            f"{key} fuzziness as a query context (aggs/sort/_count) is "
-            "not composed (documented divergence)"
+        # fuzzy context (round-5 lift): the fuzzy blend's leg is a
+        # ranked OR union of each token's per-FIELD dictionary
+        # expansions, so the matched set is "any expansion in any
+        # field" — the same union-matcher law as bool_prefix
+        from engine.oracle import analyze_query_py
+        from engine.query import multifield_union_matcher
+
+        if (
+            m.get("type", "best_fields") not in ("best_fields", "most_fields")
+            or m.get("operator", "or").lower() != "or"
+            or m.get("minimum_should_match")
+        ):
+            raise ValueError(
+                f"{key} fuzziness context composes with "
+                "best_fields/most_fields operator=or only (the scoring "
+                "path's documented divergence)"
+            )
+        toks = analyze_query_py(m["query"])
+        if not toks:
+            return None
+        me = (
+            None if str(m["fuzziness"]).upper() == "AUTO"
+            else int(m["fuzziness"])
         )
+        mx = int(m.get("max_expansions", 50))
+        tbf = {}
+        for spec_f in m.get("fields", [reader.field]):
+            f = spec_f.split("^")[0]
+            r = _text_reader(reader, f, key)
+            tbf[f] = list(dict.fromkeys(
+                e for t in toks
+                for e in r.expand_fuzzy(t, max_edits=me, max_expansions=mx)
+            ))
+        ctx = multifield_union_matcher(
+            reader, m.get("fields", [reader.field]), tbf
+        )
+        return None if ctx is None else (*ctx, False)
     if m.get("type") in ("phrase", "phrase_prefix"):
         # dis_max of per-field match_phrase / match_phrase_prefix: the
         # matched set is the UNION of the fields' matching docs

@@ -428,10 +428,35 @@ def test_guards(spark, ctx_index):
     got_counts = {b["key"]: b["doc_count"]
                   for b in resp["aggregations"]["l"]["buckets"]}
     assert got_counts == dict(want_counts)
+    # fuzziness context (round-5 lift): matched = any per-field fuzzy
+    # expansion in any field
+    def _lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, t = (a, b) if la < lb else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1:] == s:
+                return True
+        return False
+
     mmf = {"query": "web", "fields": ["text", "title"], "fuzziness": 1}
-    with pytest.raises(ValueError, match="query context"):
-        search(reader, {"query": {"multi_match": mmf}, "size": 0,
-                        "track_total_hits": True})
+    exp_fz = {
+        u for u, t, ti, _ in rows
+        if any(_lev1(w, "web") for w in _toks(t) + _toks(ti))
+    }
+    resp = search(reader, {"query": {"multi_match": mmf}, "size": 0,
+                           "track_total_hits": True})
+    assert resp["hits"]["total"]["value"] == len(exp_fz)
+    # cross_fields + fuzziness keeps the documented divergence gate
+    with pytest.raises(ValueError, match="fuzziness context"):
+        search(reader, {"query": {"multi_match": dict(
+            mmf, type="cross_fields")}, "size": 0,
+            "track_total_hits": True})
     # matcher-gated agg kinds fail closed under a multi-field query
     with pytest.raises(ValueError, match="not composed"):
         search(reader, {"query": _body("best_fields", "web search"), "size": 0,
