@@ -1295,10 +1295,70 @@ def _agg_context(reader, query: dict):
         if (
             len(must_c) == 1 and not b.get("should") and not b.get("must_not")
             and isinstance(must_c[0], dict)
-            and ("match_phrase" in must_c[0] or "multi_match" in must_c[0]
-                 or "combined_fields" in must_c[0])
+            and (
+                "match_phrase" in must_c[0] or "multi_match" in must_c[0]
+                or "combined_fields" in must_c[0]
+                or "match_bool_prefix" in must_c[0]
+                or (
+                    "match" in must_c[0]
+                    and isinstance(next(iter(must_c[0]["match"].values())), dict)
+                    and next(iter(must_c[0]["match"].values())).get("fuzziness")
+                    is not None
+                )
+            )
         ):
             return _agg_context(reader, must_c[0])
+    if "match" in query:
+        ((fld_, spec_),) = query["match"].items()
+        if isinstance(spec_, dict) and spec_.get("fuzziness") is not None:
+            # match + fuzziness context (round-5 fix: the exact-term path
+            # would SILENTLY drop the expansion): matched set = docs
+            # holding ANY of the tokens' dictionary expansions — the
+            # ranked-OR rewrite's matched set, as a plain term list
+            if (
+                spec_.get("operator", "or").lower() != "or"
+                or spec_.get("minimum_should_match")
+            ):
+                raise ValueError(
+                    "match fuzziness composes with operator=or only "
+                    "(no minimum_should_match; documented divergence)"
+                )
+            from engine.oracle import analyze_query_py
+
+            r = _text_reader(reader, fld_, "match")
+            me = (
+                None if str(spec_["fuzziness"]).upper() == "AUTO"
+                else int(spec_["fuzziness"])
+            )
+            mx = int(spec_.get("max_expansions", 50))
+            expanded = list(dict.fromkeys(
+                e for t in analyze_query_py(spec_["query"])
+                for e in r.expand_fuzzy(t, max_edits=me, max_expansions=mx)
+            ))
+            if not expanded:
+                return r, ["\x00dead\x00"], "and", None, False, None
+            return r, expanded, "or", None, False, None
+    if "match_bool_prefix" in query:
+        # single-field bool_prefix context: matched = any analyzed head
+        # term OR any last-token dictionary expansion (the OR-union law)
+        ((fld_, spec_),) = query["match_bool_prefix"].items()
+        from engine.oracle import analyze_query_py
+
+        r = _text_reader(reader, fld_, "match_bool_prefix")
+        text_ = spec_["query"] if isinstance(spec_, dict) else spec_
+        mx = (
+            int(spec_.get("max_expansions", 50))
+            if isinstance(spec_, dict) else 50
+        )
+        toks = analyze_query_py(text_)
+        if not toks:
+            return r, ["\x00dead\x00"], "and", None, False, None
+        expanded = list(dict.fromkeys(
+            toks[:-1] + list(r.expand_prefix(toks[-1], mx))
+        ))
+        if not expanded:
+            return r, ["\x00dead\x00"], "and", None, False, None
+        return r, expanded, "or", None, False, None
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
         reader = _text_reader(reader, fld, "match_phrase")

@@ -205,3 +205,45 @@ def test_mlt_multifield(spark, lift_index):  # noqa: F811
     with pytest.raises(ValueError, match="boost"):
         search(r, {"query": {"more_like_this": {
             "like": like, "fields": ["text", "title^2"]}}, "size": 10})
+
+
+def test_single_field_fuzzy_and_mbp_contexts(spark, lift_index):  # noqa: F811
+    """round-5 fix: match+fuzziness under aggs/_count uses the fuzzy
+    EXPANSION's matched set (the exact-term path silently dropped it);
+    match_bool_prefix composes as an OR-union context."""
+    r = IndexReader(spark, lift_index)
+
+    def _lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        s, t = (a, b) if la < lb else (b, a)
+        return any(t[:i] + t[i + 1:] == s for i in range(len(t)))
+
+    exp = {u for u, t, _ti in ROWS if any(_lev1(w, "alpa") for w in t.split())}
+    resp = search(r, {"query": {"match": {"text": {
+        "query": "alpa", "fuzziness": "AUTO"}}},
+        "size": 0, "track_total_hits": True,
+        "aggs": {"n": {"value_count": {"field": "nc"}}}})
+    assert resp["hits"]["total"]["value"] == len(exp) > 0
+    # bool-wrapped + filter composes too
+    filt_exp = {u for u in exp
+                if len(dict((x[0], x[1]) for x in ROWS)[u]) >= 18}
+    resp = search(r, {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "alpa",
+                                     "fuzziness": "AUTO"}}}],
+        "filter": [{"range": {"nc": {"gte": 18}}}]}},
+        "size": 0, "track_total_hits": True})
+    assert resp["hits"]["total"]["value"] == len(filt_exp)
+
+    exp_mbp = {
+        u for u, _t, ti in ROWS
+        if any(w == "red" or w.startswith("gr") for w in ti.split())
+    }
+    resp = search(r, {"query": {"match_bool_prefix": {"title": "red gr"}},
+                      "size": 0, "track_total_hits": True})
+    assert resp["hits"]["total"]["value"] == len(exp_mbp) > 0
