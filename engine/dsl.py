@@ -1299,6 +1299,8 @@ def _agg_context(reader, query: dict):
                 "match_phrase" in must_c[0] or "multi_match" in must_c[0]
                 or "combined_fields" in must_c[0]
                 or "match_bool_prefix" in must_c[0]
+                or "dis_max" in must_c[0]
+                or "more_like_this" in must_c[0]
                 or (
                     "match" in must_c[0]
                     and isinstance(next(iter(must_c[0]["match"].values())), dict)
@@ -1359,6 +1361,95 @@ def _agg_context(reader, query: dict):
         if not expanded:
             return r, ["\x00dead\x00"], "and", None, False, None
         return r, expanded, "or", None, False, None
+    if "dis_max" in query:
+        # dis_max context (round-5 lift): the matched set is the UNION
+        # of the legs' matched sets; composed for term-kind legs
+        # (match/term/terms, operator=or, any indexed fields) via the
+        # any-term-in-its-field union matcher. Non-term or and/msm legs
+        # fail closed (their matched set isn't a postings union).
+        from engine.query import multifield_union_matcher
+
+        af = tuple(reader.text_fields)
+        try:
+            parsed = [
+                _match_terms(c, allowed=af)
+                for c in query["dis_max"]["queries"]
+            ]
+        except ValueError:
+            raise ValueError(
+                "dis_max as a query context (aggs/sort/_count) composes "
+                "with term-kind legs only (match/term/terms)"
+            )
+        tbf: dict[str, list] = {}
+        for terms_l, op_l, msm_l, fld_l in parsed:
+            if op_l != "or" or msm_l:
+                raise ValueError(
+                    "dis_max context legs compose with operator=or only "
+                    "(an and/msm leg's matched set is not a term union)"
+                )
+            tbf.setdefault(fld_l, []).extend(terms_l)
+        tbf = {f: list(dict.fromkeys(ts)) for f, ts in tbf.items()}
+        if len(tbf) == 1:
+            ((fld_l, terms_l),) = tbf.items()
+            return (
+                _text_reader(reader, fld_l, "dis_max"), terms_l, "or",
+                None, False, None,
+            )
+        ctx = multifield_union_matcher(reader, list(tbf), tbf)
+        if ctx is None:
+            return reader, ["\x00dead\x00"], "and", None, False, None
+        src, matcher = ctx
+        return reader, [], "or", matcher, False, src
+    if "more_like_this" in query:
+        # more_like_this context: matched set = docs holding ANY of the
+        # globally-selected (field, term) pairs — the bool-should OR of
+        # per-field term queries (mlt_multifield_topk's selection)
+        import math
+        from collections import Counter
+
+        from engine.query import multifield_union_matcher
+        from engine.textnorm import standard_tokenize_py
+
+        m = query["more_like_this"]
+        mlf = [str(f) for f in m.get("fields", [reader.field])]
+        if any("^" in f for f in mlf):
+            raise ValueError(
+                "more_like_this fields do not take ^boosts (documented "
+                "divergence)"
+            )
+        like = m["like"] if isinstance(m["like"], str) else m["like"][0]
+        mqt = int(m.get("max_query_terms", 5))
+        ltf = Counter(standard_tokenize_py(like.lower()))
+        cands: list[tuple] = []
+        for f in mlf:
+            r = _text_reader(reader, f, "more_like_this")
+            stats = r.term_stats(list(ltf))
+            n = float(r.n_docs)
+            for t, c in ltf.items():
+                if t in stats:
+                    cands.append((
+                        c * math.log(
+                            1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5)
+                        ),
+                        f, t,
+                    ))
+        cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+        tbf2: dict[str, list] = {}
+        for _s, f, t in cands[:mqt]:
+            tbf2.setdefault(f, []).append(t)
+        if not tbf2:
+            return reader, ["\x00dead\x00"], "and", None, False, None
+        if len(tbf2) == 1:
+            ((fld_l, terms_l),) = tbf2.items()
+            return (
+                _text_reader(reader, fld_l, "more_like_this"), terms_l,
+                "or", None, False, None,
+            )
+        ctx = multifield_union_matcher(reader, list(tbf2), tbf2)
+        if ctx is None:
+            return reader, ["\x00dead\x00"], "and", None, False, None
+        src, matcher = ctx
+        return reader, [], "or", matcher, False, src
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
         reader = _text_reader(reader, fld, "match_phrase")

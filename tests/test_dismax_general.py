@@ -247,3 +247,51 @@ def test_single_field_fuzzy_and_mbp_contexts(spark, lift_index):  # noqa: F811
     resp = search(r, {"query": {"match_bool_prefix": {"title": "red gr"}},
                       "size": 0, "track_total_hits": True})
     assert resp["hits"]["total"]["value"] == len(exp_mbp) > 0
+
+
+def test_dismax_and_mlt_contexts(spark, lift_index):  # noqa: F811
+    """round-5 lift: dis_max and more_like_this as query contexts — the
+    matched set is the union of term-leg postings (per their fields);
+    verified against brute token scans; non-term legs stay fail-closed."""
+    r = IndexReader(spark, lift_index)
+    # dis_max cross-field term legs
+    exp = {u for u, t, ti in ROWS
+           if "alpha" in t.split() or "red" in ti.split()}
+    resp = search(r, {"query": {"dis_max": {"queries": [
+        {"match": {"text": "alpha"}}, {"match": {"title": "red"}}]}},
+        "size": 0, "track_total_hits": True,
+        "aggs": {"n": {"terms": {"field": "nc", "size": 20}}}})
+    assert resp["hits"]["total"]["value"] == len(exp) > 0
+    assert sum(b["doc_count"]
+               for b in resp["aggregations"]["n"]["buckets"]) == len(exp)
+    with pytest.raises(ValueError, match="term-kind legs"):
+        search(r, {"query": {"dis_max": {"queries": [
+            {"match_phrase": {"text": "alpha beta"}}]}},
+            "size": 0, "track_total_hits": True})
+
+    # more_like_this over both fields: selection then union
+    import math
+    from collections import Counter
+
+    rt = r.for_field("title")
+    like = "alpha beta red red green"
+    ltf = Counter(like.split())
+    cands = []
+    for name, view in (("text", r), ("title", rt)):
+        stats = view.term_stats(list(ltf))
+        n = float(view.n_docs)
+        for t, c in ltf.items():
+            if t in stats:
+                idf = math.log(1.0 + (n - stats[t] + 0.5) / (stats[t] + 0.5))
+                cands.append((c * idf, name, t))
+    cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+    sel = cands[:4]
+    exp2 = set()
+    for _s, f, t in sel:
+        for u, tx, ti in ROWS:
+            if t in (tx if f == "text" else ti).split():
+                exp2.add(u)
+    resp = search(r, {"query": {"more_like_this": {
+        "like": like, "fields": ["text", "title"], "max_query_terms": 4}},
+        "size": 0, "track_total_hits": True})
+    assert resp["hits"]["total"]["value"] == len(exp2) > 0
