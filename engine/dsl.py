@@ -2299,8 +2299,25 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
     ((fld, o),) = srt[0].items()
     order = o.get("order", "asc") if isinstance(o, dict) else o
     q = body.get("query", {"match_all": {}})
-    phrase = mm = None
-    if "multi_match" in q or "combined_fields" in q:
+    phrase = mm = ctxq = None
+    if (
+        "dis_max" in q or "more_like_this" in q
+        or "match_bool_prefix" in q
+        or (
+            "match" in q
+            and isinstance(next(iter(q["match"].values())), dict)
+            and next(iter(q["match"].values())).get("fuzziness") is not None
+        )
+    ):
+        # context-kind scroll (round-5 lift): the stateless token carries
+        # the query SPEC and every page rebuilds the matched set via
+        # _agg_context (dis_max term legs / mlt selection / fuzzy
+        # expansion / bool_prefix union — all deterministic against the
+        # pinned snapshot). Validation fails fast on page 1.
+        _agg_context(reader, q)
+        ctxq = q
+        terms, mode, tfield = None, "or", None
+    elif "multi_match" in q or "combined_fields" in q:
         # multi-field scroll: the stateless token carries the query SPEC
         # (matcher closures don't serialize); _scroll_page rebuilds the
         # multi-field matcher from it on every page. Validation happens
@@ -2333,6 +2350,7 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
         "dir": reader.dir,
         "snap": len(list_snapshots(reader.dir)),
         "terms": terms, "mode": mode, "phrase": phrase, "mm": mm,
+        "ctxq": ctxq,
         "field": fld, "asc": order == "asc", "size": int(size),
         "after": None, "tfield": tfield,
     }
@@ -2371,10 +2389,17 @@ def _scroll_page(spark, token: dict) -> dict:
             )
         after = (val, url)
     terms, matcher, needs_pos, mf_src = token["terms"], None, False, None
+    mode = token["mode"]
     tf_ = token.get("tfield")
     if tf_ and tf_ != r.field:
         r = r.for_field(tf_)
-    if token.get("mm"):
+    if token.get("ctxq"):
+        r, terms, mode, matcher, needs_pos, mf_src = _agg_context(
+            r, token["ctxq"]
+        )
+        if matcher is not None:
+            terms = []
+    elif token.get("mm"):
         ctx = _mm_context_matcher(r, token["mm"]["key"], token["mm"]["spec"])
         if ctx is None:
             return {"hits": {"hits": []}}  # dead everywhere: empty scroll
@@ -2393,7 +2418,7 @@ def _scroll_page(spark, token: dict) -> dict:
         needs_pos = True
     rows = search_sort(
         r, terms, token["field"], k=token["size"],
-        mode=token["mode"], ascending=token["asc"], search_after=after,
+        mode=mode, ascending=token["asc"], search_after=after,
         matcher=matcher, needs_pos=needs_pos, src=mf_src,
     ).collect()
     hits = [

@@ -295,3 +295,30 @@ def test_dismax_and_mlt_contexts(spark, lift_index):  # noqa: F811
         "like": like, "fields": ["text", "title"], "max_query_terms": 4}},
         "size": 0, "track_total_hits": True})
     assert resp["hits"]["total"]["value"] == len(exp2) > 0
+
+
+def test_scroll_over_context_kinds(spark, lift_index):  # noqa: F811
+    """scroll over dis_max / fuzzy-match / match_bool_prefix: the token
+    carries the query spec; full traversal equals the brute matched set
+    in (sort_val, _id) order."""
+    from engine.dsl import scroll_next, scroll_search
+
+    r = IndexReader(spark, lift_index)
+    nc = {u: len(t) for u, t, _ti in ROWS}
+    cases = [
+        ({"dis_max": {"queries": [{"match": {"text": "alpha"}},
+                                  {"match": {"title": "red"}}]}},
+         {u for u, t, ti in ROWS
+          if "alpha" in t.split() or "red" in ti.split()}),
+        ({"match_bool_prefix": {"title": "red gr"}},
+         {u for u, _t, ti in ROWS
+          if any(w == "red" or w.startswith("gr") for w in ti.split())}),
+    ]
+    for q, exp in cases:
+        want = sorted(exp, key=lambda u: (nc[u], u))
+        resp = scroll_search(r, {"query": q, "sort": [{"nc": "asc"}]}, size=2)
+        got = [h["_id"] for h in resp["hits"]["hits"]]
+        while resp.get("_scroll_id") and resp["hits"]["hits"]:
+            resp = scroll_next(spark, resp["_scroll_id"])
+            got += [h["_id"] for h in resp["hits"]["hits"]]
+        assert got == want, q
