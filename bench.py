@@ -149,6 +149,55 @@ def main() -> None:
         lat.append(time.time() - t0)
     lat.sort()
     aux["sqs_p50"] = round(lat[len(lat) // 2], 3)
+
+    # ---- multi-field index + blended query latency (round-5 surface) -------
+    # a bounded two-field (text + derived title) positional build, then
+    # multi_match best_fields (dis_max blend over per-field postings) and
+    # multi-field phrase latency — the title+body shape every migrating
+    # ES user's first query takes
+    from pyspark.sql import functions as F_
+
+    from engine.query import bm25_multifield_phrase_topk, bm25_multifield_topk
+
+    mf_docs = min(int(aux["index_docs"]), 30_000)
+    mf_src = (
+        spark.read.parquet(corpus)
+        .limit(mf_docs)
+        .withColumn(
+            "title",
+            F_.concat_ws(" ", F_.col("lang"), F_.substring("text", 1, 60)),
+        )
+        .select("url", "text", "title")
+    )
+    idx_mf = os.path.join(work, "idx_mf")
+    t0 = time.time()
+    build_index(
+        spark, mf_src, idx_mf, n_shards=n_shards, n_buckets=32,
+        bucket_chunk=32, text_fields=["text", "title"],
+        index_options="positions",
+    )
+    aux["mf_build_sec"] = round(time.time() - t0, 3)
+    aux["mf_docs"] = mf_docs
+    mreader = IndexReader(spark, idx_mf)
+    mf_fields = ["title^2", "text"]
+    mf_terms = [ph.split() for ph in phrases[:8]]
+    bm25_multifield_topk(mreader, mf_terms[0], mf_fields, k=10).collect()  # warm
+    lat = []
+    for ts in mf_terms:
+        t0 = time.time()
+        bm25_multifield_topk(
+            mreader, ts, mf_fields, k=10, tie_breaker=0.3
+        ).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    queries["mm_best_fields_p50"] = round(lat[len(lat) // 2], 3)
+    lat = []
+    for ph in phrases[:6]:
+        t0 = time.time()
+        bm25_multifield_phrase_topk(mreader, ph, mf_fields, k=10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    aux["mm_phrase_p50"] = round(lat[len(lat) // 2], 3)
     dt = freqs_build_sec  # restore for downstream readers of the build time
 
     # ---- BM25 top-10 latency over the built index --------------------------
