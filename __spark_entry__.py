@@ -2116,6 +2116,27 @@ def q_mm_ctx_count_msm(spark, sf_dir):
     return search_count(r, [], matcher=matcher, src=src)
 
 
+def q_dismax_ctx_count(spark, sf_dir):
+    """ES _count under a dis_max with CROSS-FIELD term legs (round-5
+    lift): the matched set is the union of each leg's postings in its
+    own field (engine/dsl.py _agg_context -> multifield_union_matcher),
+    driven through the DSL search() dispatcher."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _mf_index_dir(spark, sf_dir))
+    resp = search(r, {
+        "query": {"dis_max": {"queries": [
+            {"match": {"text": "data row"}},
+            {"match": {"title": "en"}},
+        ]}},
+        "size": 0, "track_total_hits": True,
+    })
+    return spark.createDataFrame(
+        [(int(resp["hits"]["total"]["value"]),)], "doc_count long"
+    )
+
+
 def q_mm_ctx_phrase_agg(spark, sf_dir):
     """terms agg on lang restricted to a multi_match type=phrase matched
     set over BOTH fields (ES: dis_max of per-field match_phrase, so the
@@ -5089,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qs_mf_topk": q_qs_mf,
         "agg_sampler_phrase": q_agg_sampler_phrase,
         "mm_ctx_pprefix_agg": q_mm_ctx_pprefix_agg,
+        "dismax_ctx_count": q_dismax_ctx_count,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6330,6 +6352,10 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
         ),
+        "dismax_ctx_count": _mf_ctx_cte(
+            "list_contains(xt, 'data') OR list_contains(xt, 'row') "
+            "OR list_contains(tt, 'en')"
+        ) + " SELECT count(*)::BIGINT AS doc_count FROM m",
         "mm_ctx_pprefix_agg": _mf_ctx_cte("TRUE") + f""",
 px AS (SELECT doc_id, unnest(xt) AS term, generate_subscripts(xt, 1) AS pos FROM base),
 pt AS (SELECT doc_id, unnest(tt) AS term, generate_subscripts(tt, 1) AS pos FROM base),
