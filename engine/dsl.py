@@ -772,46 +772,74 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         ((fld, rule),) = query["intervals"].items()
         r = _text_reader(reader, fld, "intervals")
 
-        def _rule_terms(r_: dict) -> tuple[list, int, bool]:
+        def _anyof_alts(a_: dict) -> list:
+            """any_of whose sub-intervals are single-term match rules ->
+            one slot of alternatives (Lucene: the interval matches where
+            ANY alternative does — exactly a span_or slot)."""
+            alts: list = []
+            for sub in a_["intervals"]:
+                st, sg, _so = _rule_slots(sub)
+                if (
+                    len(st) != 1 or not isinstance(st[0], str)
+                    or sg not in (-1, 0)
+                ):
+                    raise ValueError(
+                        "any_of sub-intervals must be single-term match "
+                        "rules (nested composites are a documented "
+                        "divergence)"
+                    )
+                alts.append(st[0])
+            return alts
+
+        def _rule_slots(r_: dict) -> tuple[list, int, bool]:
+            """rule -> (slots, max_gaps, ordered); a slot is a term (str)
+            or an alternatives list (from any_of)."""
             if "match" in r_:
                 m_ = r_["match"]
                 from engine.oracle import analyze_query_py as _an
 
                 return (
-                    _an(m_["query"]),
+                    list(_an(m_["query"])),
                     int(m_.get("max_gaps", -1)),
                     bool(m_.get("ordered", False)),
                 )
+            if "any_of" in r_:
+                return [_anyof_alts(r_["any_of"])], -1, False
             if "all_of" in r_:
                 a_ = r_["all_of"]
-                terms_: list = []
+                slots_: list = []
                 for sub in a_["intervals"]:
-                    st, sg, _so = _rule_terms(sub)
+                    st, sg, _so = _rule_slots(sub)
                     if len(st) != 1 or sg not in (-1, 0):
                         raise ValueError(
-                            "all_of sub-intervals must be single-term match "
-                            "rules (nested gaps are a documented divergence)"
+                            "all_of sub-intervals must be single-term "
+                            "match or any_of rules (nested gaps are a "
+                            "documented divergence)"
                         )
-                    terms_.extend(st)
+                    slots_.append(st[0])
                 return (
-                    terms_,
+                    slots_,
                     int(a_.get("max_gaps", -1)),
                     bool(a_.get("ordered", False)),
                 )
             raise ValueError(f"unsupported intervals rule: {sorted(r_)}")
 
-        iv_terms, max_gaps, ordered = _rule_terms(rule)
+        iv_slots, max_gaps, ordered = _rule_slots(rule)
+        from engine.spans import span_near_topk, span_or_topk
+
+        if len(iv_slots) == 1:
+            slot0 = iv_slots[0]
+            if isinstance(slot0, list):
+                # a lone any_of: matches where any alternative occurs
+                return span_or_topk(r, slot0, k=k, filters=filters)
+            return bm25_topk(r, [slot0], k=k, filters=filters)
         if max_gaps < 0:
             raise ValueError(
                 "intervals needs max_gaps >= 0 (unlimited gaps would make "
                 "the span count unbounded; use bool/match for conjunction)"
             )
-        from engine.spans import span_near_topk
-
-        if len(iv_terms) == 1:
-            return bm25_topk(r, iv_terms, k=k, filters=filters)
         return span_near_topk(
-            r, iv_terms, k=k, slop=max_gaps, in_order=ordered,
+            r, iv_slots, k=k, slop=max_gaps, in_order=ordered,
             filters=filters,
         )
     if "simple_query_string" in query:

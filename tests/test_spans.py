@@ -405,3 +405,50 @@ def test_dsl_intervals_dispatch(spark, pos_index):
                 {"match": {"query": "quick fox", "max_gaps": 3}},
             ]}
         }}}})
+
+
+def test_dsl_intervals_any_of(spark, pos_index):
+    """round-5 lift: intervals any_of — sub-intervals become span
+    ALTERNATIVE slots. A lone any_of equals span_or over the
+    alternatives; any_of inside all_of equals span_near with an
+    alternatives slot."""
+    from engine.dsl import search
+    from engine.spans import span_or_topk
+
+    r = IndexReader(spark, pos_index)
+
+    def ids(resp):
+        return [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]]
+
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in span_or_topk(r, ["red", "brown"], k=6).collect()
+    ]
+    got = search(r, {"query": {"intervals": {"text": {
+        "any_of": {"intervals": [
+            {"match": {"query": "red"}}, {"match": {"query": "brown"}},
+        ]}}}}, "size": 6})
+    assert ids(got) == want and want
+
+    want = [
+        (x["url"], round(x["score"], 9))
+        for x in span_near_topk(
+            r, ["quick", ["red", "brown"], "fox"], k=6, slop=1,
+            in_order=True,
+        ).collect()
+    ]
+    got = search(r, {"query": {"intervals": {"text": {
+        "all_of": {"ordered": True, "max_gaps": 1, "intervals": [
+            {"match": {"query": "quick"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "red"}}, {"match": {"query": "brown"}},
+            ]}},
+            {"match": {"query": "fox"}},
+        ]}}}}, "size": 6})
+    assert ids(got) == want and want
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="any_of sub-intervals"):
+        search(r, {"query": {"intervals": {"text": {
+            "any_of": {"intervals": [
+                {"match": {"query": "quick fox"}}]}}}}, "size": 3})
