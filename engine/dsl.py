@@ -944,6 +944,12 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         #    multi-field phrase kinds use). Shapes that previously
         #    raised ("legs must name ONE field") or silently dropped
         #    the filter context now compose.
+        # Scale note: the general path materializes FULL leg match sets
+        # driver-side (exactness contract). At 10^12 docs the per-shard
+        # blended kernel is the shape to use — multi_match best_fields
+        # (engine/query.py _mf_shard_topk) covers the common cross-field
+        # term-leg case with the blend computed NEXT TO the postings;
+        # the general path serves the long tail of heterogeneous legs.
         d = query["dis_max"]
         af = tuple(reader.text_fields)
         legs = d["queries"]
