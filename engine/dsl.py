@@ -1880,6 +1880,25 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 if corpus is None and any(f in stored for f in hfields):
                     src = reader.stored_source_df()
                 _ar2, terms, _mode, _matcher, _np_, _src_ = _agg_context(reader, query)
+                if not terms or terms == ["\x00dead\x00"]:
+                    # matcher-based contexts (multi-field phrase /
+                    # phrase_prefix / fuzzy unions) return an empty read
+                    # list — mark the ANALYZED raw query tokens instead
+                    # (plain-highlighter behavior: every occurrence of a
+                    # query term, field-blind)
+                    from engine.oracle import analyze_query_py
+
+                    def _raw_q(qd):
+                        for key_ in ("multi_match", "combined_fields"):
+                            if key_ in qd:
+                                return qd[key_].get("query", "")
+                        if "bool" in qd:
+                            mc = qd["bool"].get("must", [])
+                            mc = mc if isinstance(mc, list) else [mc]
+                            if len(mc) == 1 and isinstance(mc[0], dict):
+                                return _raw_q(mc[0])
+                        return ""
+                    terms = analyze_query_py(_raw_q(query)) or terms
                 for hf in hfields:
                     csrc = corpus if (
                         corpus is not None and hf in corpus.columns

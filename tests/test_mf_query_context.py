@@ -464,3 +464,29 @@ def test_guards(spark, ctx_index):
                                        "aggs": {"l": {"terms": {"field": "lang"}}}}}})
     with pytest.raises(ValueError, match="not indexed"):
         multifield_matcher(reader, ["text", "nope"], "web")
+
+
+def test_highlight_under_mm_phrase(spark, ctx_index):
+    """highlight under a multi_match type=phrase page marks the analyzed
+    query tokens (plain-highlighter behavior) instead of nothing."""
+    from engine.dsl import search
+    from pyspark.sql import functions as F
+
+    out, rows = ctx_index
+    reader = IndexReader(spark, out)
+    corpus = spark.createDataFrame(
+        [(u, t) for u, t, _ti, _l in rows], "url string, text string"
+    )
+    resp = search(reader, {
+        "query": {"multi_match": {"query": "web search",
+                                  "fields": ["text", "title"],
+                                  "type": "phrase"}},
+        "size": 5, "highlight": {"fields": {"text": {}}},
+    }, corpus=corpus)
+    hits = resp["hits"]["hits"]
+    assert hits, "weak corpus"
+    marked = [h for h in hits if "highlight" in h]
+    assert marked, "no fragments produced"
+    assert any("<em>web</em>" in h["highlight"]["text"][0]
+               or "<em>search</em>" in h["highlight"]["text"][0]
+               for h in marked)
