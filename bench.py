@@ -159,7 +159,10 @@ def main() -> None:
 
     from engine.query import bm25_multifield_phrase_topk, bm25_multifield_topk
 
-    mf_docs = min(int(aux["index_docs"]), 30_000)
+    # bounded probe corpus: a latency p50 needs a realistic dictionary,
+    # not the full bench corpus — 15k keeps the ADDED wall ~12 s so the
+    # headline total stays comparable with pre-round-5 records
+    mf_docs = min(int(aux["index_docs"]), 15_000)
     mf_src = (
         spark.read.parquet(corpus)
         .limit(mf_docs)
