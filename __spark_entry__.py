@@ -5092,23 +5092,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_range": q_agg_date_range,
         "pit_page_snapshot0": q_pit_page_snapshot0,
         "agg_string_stats": q_agg_string_stats,
+        # --- slots 45-50: the riskiest LATE-session machinery rotates
+        # INTO the gate (general dis_max blend, the two multi-field
+        # query-string evaluators, the scored-sampler matcher) beside
+        # the earlier round-5 additions; the displaced stats-family rows
+        # (mad/boxplot/matrix/ttest — their shared stats kernel stays
+        # gated via agg_string_stats/agg_extended_stats) move below it,
+        # still fully self-certified at both scale factors ---
+        "dismax_cross_topk": q_dismax_cross,
+        "sqs_mf_topk": q_sqs_mf,
+        "qs_mf_topk": q_qs_mf,
+        "agg_sampler_phrase": q_agg_sampler_phrase,
+        "bm25_combined_fields_topk": q_bm25_combined_fields,
+        "post_filter_topk": q_post_filter,
+        "title_prefix_topk": q_title_prefix,
         "agg_mad_nchars": q_agg_mad_nchars,
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
         "agg_ttest_paired": q_agg_ttest_paired,
-        # --- slots 45-50: the round-5 late additions (combined_fields +
-        # the filter-context/aggs-under-phrase composition lift) rotate
-        # INTO the driver gate; the displaced six (judge-replayed in r4)
-        # move below it, still fully self-certified ---
-        "bm25_combined_fields_topk": q_bm25_combined_fields,
-        "post_filter_topk": q_post_filter,
-        "title_prefix_topk": q_title_prefix,
-        "dismax_cross_topk": q_dismax_cross,
         "mm_fuzzy_blend_topk": q_mm_fuzzy_blend,
         "mlt_mf_topk": q_mlt_mf,
-        "sqs_mf_topk": q_sqs_mf,
-        "qs_mf_topk": q_qs_mf,
-        "agg_sampler_phrase": q_agg_sampler_phrase,
         "mm_ctx_pprefix_agg": q_mm_ctx_pprefix_agg,
         "dismax_ctx_count": q_dismax_ctx_count,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
