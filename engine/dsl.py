@@ -76,16 +76,39 @@ def _text_reader(reader, fld: str, kind: str):
     )
 
 
+def _clause_boost(clause: dict) -> float:
+    """The `boost` a match/term/terms clause carries (1.0 when absent)."""
+    for kk in ("match", "term", "terms"):
+        if kk in clause:
+            sp = next(iter(clause[kk].values()))
+            if isinstance(sp, dict) and sp.get("boost") is not None:
+                return float(sp["boost"])
+    return 1.0
+
+
 def _match_terms(
-    clause: dict, allowed: tuple[str, ...] = ("text",)
+    clause: dict, allowed: tuple[str, ...] = ("text",),
+    reject_boost: bool = False,
 ) -> tuple[list[str], str, int | None, str]:
     """(terms, operator, minimum_should_match, field) of a match/term/terms
     clause on an indexed text field. `allowed` is the index's text_fields
     for the paths that can route per-field (plain match); composite-kernel
     paths (bool/boosting/dis_max/rescore) keep the primary-field default —
-    cross-field composition there is a documented divergence that raises."""
+    cross-field composition there is a documented divergence that raises.
+
+    reject_boost: SCORING callers that flatten clauses into shared
+    kernels must pass True — a clause `boost` would be silently dropped
+    there (wrong scores), so it fails closed instead. Matched-SET
+    callers (aggs/sort/_count/by_query contexts) keep the default:
+    a positive boost never changes the matched set, so ignoring it is
+    exactly ES's behavior."""
     from engine.oracle import analyze_query_py
 
+    if reject_boost and _clause_boost(clause) != 1.0:
+        raise ValueError(
+            "clause boost is not composed in this context (it would be "
+            "silently dropped); use dis_max/multi_match field boosts"
+        )
     if "match" in clause:
         ((fld, spec),) = clause["match"].items()
         if fld not in allowed:
@@ -639,6 +662,8 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             if not any(kk in c for kk in ("match", "term", "terms")):
                 return False
             spec = next(iter(c["match"].values())) if "match" in c else None
+            if _clause_boost(c) != 1.0:
+                return False
             return not (
                 isinstance(spec, dict)
                 and (
@@ -659,9 +684,9 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             # divergence instead of _match_terms' misleading field error
             return _hits_df(reader, must_c[0], k, filt)
         af = tuple(reader.text_fields)
-        pm = [_match_terms(c, allowed=af) for c in must_c]
-        ps = [_match_terms(c, allowed=af) for c in should_c]
-        pn = [_match_terms(c, allowed=af) for c in not_c]
+        pm = [_match_terms(c, allowed=af, reject_boost=True) for c in must_c]
+        ps = [_match_terms(c, allowed=af, reject_boost=True) for c in should_c]
+        pn = [_match_terms(c, allowed=af, reject_boost=True) for c in not_c]
         bflds = {x[3] for x in pm + ps + pn}
         if len(bflds) > 1:
             raise ValueError(
@@ -911,8 +936,8 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "boosting" in query:
         bq = query["boosting"]
         af = tuple(reader.text_fields)
-        pos, _op, _m, pfld = _match_terms(bq["positive"], allowed=af)
-        neg, _op2, _m2, nfld = _match_terms(bq["negative"], allowed=af)
+        pos, _op, _m, pfld = _match_terms(bq["positive"], allowed=af, reject_boost=True)
+        neg, _op2, _m2, nfld = _match_terms(bq["negative"], allowed=af, reject_boost=True)
         if pfld != nfld:
             raise ValueError(
                 "boosting positive and negative clauses must name ONE "
@@ -956,7 +981,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         tb = float(d.get("tie_breaker", 0.0))
         if not filters:
             try:
-                parsed = [_match_terms(c, allowed=af) for c in legs]
+                parsed = [_match_terms(c, allowed=af, reject_boost=True) for c in legs]
             except ValueError:
                 parsed = None
             if parsed is not None and len({pf[3] for pf in parsed}) == 1:
@@ -999,7 +1024,8 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
     if "pinned" in query:
         p = query["pinned"]
         terms, op, _, ofld = _match_terms(
-            p["organic"], allowed=tuple(reader.text_fields)
+            p["organic"], allowed=tuple(reader.text_fields),
+            reject_boost=True,
         )
         from engine.aggs import pinned_topk
 
@@ -1011,7 +1037,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         f = query["script_score"]
         inner = f.get("query", {"match_all": {}})
         terms, op, _, sfld = (
-            _match_terms(inner, allowed=tuple(reader.text_fields))
+            _match_terms(inner, allowed=tuple(reader.text_fields), reject_boost=True)
             if "match_all" not in inner else ([], "or", None, reader.field)
         )
         if not terms:
@@ -1026,7 +1052,7 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         fvf = f["field_value_factor"]
         inner = f.get("query", {"match_all": {}})
         terms, op, _, ffld = (
-            _match_terms(inner, allowed=tuple(reader.text_fields))
+            _match_terms(inner, allowed=tuple(reader.text_fields), reject_boost=True)
             if "match_all" not in inner else ([], "or", None, reader.field)
         )
         if not terms:
@@ -1044,6 +1070,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             return bm25_topk(r, v, k=k, mode=kind, filters=filters)
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
+    qboost = _clause_boost(query)
+
+    def _scaled(df):
+        # ES clause boost on a TOP-LEVEL match/term/terms: multiply the
+        # scores (rank-identical for boost > 0, scores ES-parity);
+        # composite contexts fail closed in _match_terms instead
+        if qboost == 1.0:
+            return df
+        if qboost <= 0:
+            raise ValueError("boost must be > 0")
+        return df.withColumn("score", F.col("score") * F.lit(qboost))
+
     if "match" in query:
         spec_ = next(iter(query["match"].values()))
         fz = spec_.get("fuzziness") if isinstance(spec_, dict) else None
@@ -1066,14 +1104,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
                 e for t in terms
                 for e in r.expand_fuzzy(t, max_edits=me, max_expansions=mx)
             ))
-            return bm25_topk(r, expanded, k=k, mode="or", filters=filters)
+            return _scaled(bm25_topk(r, expanded, k=k, mode="or", filters=filters))
     if msm is not None:
         from engine.query import bm25_bool_topk as _bool
 
-        return _bool(
+        return _scaled(_bool(
             r, should=terms, k=k, minimum_should_match=msm, filters=filters
-        )
-    return bm25_topk(r, terms, k=k, mode=op, filters=filters)
+        ))
+    return _scaled(bm25_topk(r, terms, k=k, mode=op, filters=filters))
 
 
 def _rescore_df(reader, query: dict, spec, k: int, filters=()):
@@ -1098,7 +1136,7 @@ def _rescore_df(reader, query: dict, spec, k: int, filters=()):
     text = pspec["query"] if isinstance(pspec, dict) else pspec
     slop = int(pspec.get("slop", 0)) if isinstance(pspec, dict) else 0
     terms, op, msm, bfld = _match_terms(
-        query, allowed=tuple(reader.text_fields)
+        query, allowed=tuple(reader.text_fields), reject_boost=True
     )
     if msm is not None:
         raise ValueError("rescore over minimum_should_match is not composed")

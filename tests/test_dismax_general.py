@@ -322,3 +322,48 @@ def test_scroll_over_context_kinds(spark, lift_index):  # noqa: F811
             resp = scroll_next(spark, resp["_scroll_id"])
             got += [h["_id"] for h in resp["hits"]["hits"]]
         assert got == want, q
+
+
+def test_clause_boost(spark, lift_index):  # noqa: F811
+    """ES clause boost: a TOP-LEVEL match/term boost multiplies scores
+    (rank-identical); scoring compositions that would silently drop it
+    fail closed; matched-set contexts correctly ignore it (a positive
+    boost never changes the matched set); dis_max legs honor it through
+    the general per-leg path."""
+    r = IndexReader(spark, lift_index)
+    base = search(r, {"query": {"match": {"text": "alpha"}}, "size": 10})
+    boosted = search(r, {"query": {"match": {"text": {
+        "query": "alpha", "boost": 2.5}}}, "size": 10})
+    assert _ids(boosted) == _ids(base)
+    raw_b = [h["_score"] for h in boosted["hits"]["hits"]]
+    raw_a = [h["_score"] for h in base["hits"]["hits"]]
+    assert all(abs(b - a * 2.5) < 1e-9 for a, b in zip(raw_a, raw_b))
+    # single-must bool wrap recurses and still honors the boost
+    wrapped = search(r, {"query": {"bool": {"must": [{"match": {"text": {
+        "query": "alpha", "boost": 2.5}}}]}}, "size": 10})
+    assert _scores(wrapped) == _scores(boosted)
+    # multi-clause flatten fails closed instead of silently dropping
+    with pytest.raises(ValueError, match="boost is not composed"):
+        search(r, {"query": {"bool": {"should": [
+            {"match": {"text": {"query": "alpha", "boost": 2.0}}},
+            {"match": {"text": "beta"}}]}}, "size": 10})
+    # dis_max general path: a boosted leg's scores scale before the blend
+    legs_plain = search(r, {"query": {"dis_max": {"queries": [
+        {"match": {"text": "alpha"}},
+        {"match_phrase": {"title": "alpha beta"}}],
+        "tie_breaker": 0.0}}, "size": 10})
+    legs_boost = search(r, {"query": {"dis_max": {"queries": [
+        {"match": {"text": {"query": "alpha", "boost": 3.0}}},
+        {"match_phrase": {"title": "alpha beta"}}],
+        "tie_breaker": 0.0}}, "size": 10})
+    plain = dict(zip(_ids(legs_plain), _scores(legs_plain)))
+    boost = dict(zip(_ids(legs_boost), _scores(legs_boost)))
+    # every doc's boosted blend >= its plain blend (max over legs grows)
+    assert all(boost[u] >= plain[u] - 1e-9 for u in boost if u in plain)
+    # matched-set context: boost ignored, same total as unboosted
+    a = search(r, {"query": {"match": {"text": {
+        "query": "alpha", "boost": 9.0}}}, "size": 0,
+        "track_total_hits": True})
+    b = search(r, {"query": {"match": {"text": "alpha"}}, "size": 0,
+               "track_total_hits": True})
+    assert a["hits"]["total"] == b["hits"]["total"]
