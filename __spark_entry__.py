@@ -1418,6 +1418,7 @@ def MF_TITLE_SPARK():
 def _bm25_multifield_sql(
     terms: list[str], mtype: str, tb: float, k: int = 10,
     flt: str | None = None, op: str = "or",
+    text_expr: str = "text", title_expr: str | None = None,
 ) -> str:
     """Relational oracle for true multi-field multi_match over the
     two-field (text + derived title, title boost 2.0) index: per-field
@@ -1435,9 +1436,10 @@ def _bm25_multifield_sql(
         else ""
     )
     imp = f"tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))"
+    title_expr = MF_TITLE_SQL if title_expr is None else title_expr
     base = f"""
 WITH base AS (
-  SELECT doc_id, text, {MF_TITLE_SQL} AS title
+  SELECT doc_id, {text_expr} AS text, {title_expr} AS title
   FROM documents WHERE text IS NOT NULL AND text != ''
 ),
 dx AS (SELECT doc_id, {TOK.format(c='text')} AS toks FROM base),
@@ -3017,6 +3019,58 @@ def _upserted_index_dir(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
         os.rename(tmp, out)
     return out
+
+
+def _mf_upserted_index_dir(spark, sf_dir):
+    """upsert_docs over the two-field index (round-5 multi-field merge):
+    the UPSERT_MOD-rule docs are replaced with UPSERT_TEXT and a title
+    re-derived from the NEW text by the same frozen derivation the build
+    uses — each field's postings rewrite/encode/merge against its own
+    post-upsert avgdl. Built atomically, keyed off the base dir."""
+    import shutil
+
+    from engine.upsert import upsert_docs
+
+    base = _mf_index_dir(spark, sf_dir)
+    out = base + "_ups"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        batch = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % UPSERT_MOD == UPSERT_REM)
+            .select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.lit(UPSERT_TEXT).alias("text"),
+                F.concat_ws(
+                    " ", F.col("source"), F.col("lang"),
+                    F.substring(F.lit(UPSERT_TEXT), 1, 80),
+                ).alias("title"),
+                "lang", "n_chars",
+            )
+        )
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        upsert_docs(spark, base, batch, tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+    return out
+
+
+def q_bm25_mf_upserted(spark, sf_dir):
+    """multi_match best_fields over the UPSERTED two-field index: every
+    field's stats and scores must equal a fresh two-field build over the
+    corpus with the UPSERT_MOD-rule replacements applied — the oracle
+    recomputes the per-field BM25 blend over exactly that corpus (CASE
+    text; title re-derived from the CASE text)."""
+    from engine.query import IndexReader, bm25_multifield_topk
+
+    reader = IndexReader(spark, _mf_upserted_index_dir(spark, sf_dir))
+    top = bm25_multifield_topk(
+        reader, MF_TERMS, ["title^2", "text"], k=25, mtype="best_fields",
+        tie_breaker=MF_TB,
+    )
+    return _round_rerank(
+        top.select(F.col("url").cast("long").alias("doc_id"), "score")
+    )
 
 
 def q_bm25_upserted(spark, sf_dir):
@@ -5114,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_mf_topk": q_mlt_mf,
         "mm_ctx_pprefix_agg": q_mm_ctx_pprefix_agg,
         "dismax_ctx_count": q_dismax_ctx_count,
+        "bm25_mf_upserted_topk": q_bm25_mf_upserted,
         "bm25_mf_phrase_topk": q_bm25_mf_phrase,
         "bm25_mf_filtered_topk": q_bm25_mf_filtered,
         "bm25_bool_filtered_topk": q_bm25_bool_filtered,
@@ -6354,6 +6409,18 @@ SELECT neighbor_id, cos, rk::BIGINT AS rank FROM r WHERE rk <= 10
             _phrase_span_sql(PHRASE_Q.split(), 0, raw=True,
                              text_expr=MF_TITLE_SQL),
             MF_TB, k=10, title_boost=1.0,
+        ),
+        "bm25_mf_upserted_topk": _bm25_multifield_sql(
+            MF_TERMS, "best_fields", MF_TB, k=10,
+            text_expr=(
+                f"(CASE WHEN doc_id % {UPSERT_MOD} = {UPSERT_REM} "
+                f"THEN '{UPSERT_TEXT}' ELSE text END)"
+            ),
+            title_expr=(
+                f"concat_ws(' ', source, lang, substr("
+                f"(CASE WHEN doc_id % {UPSERT_MOD} = {UPSERT_REM} "
+                f"THEN '{UPSERT_TEXT}' ELSE text END), 1, 80))"
+            ),
         ),
         "dismax_ctx_count": _mf_ctx_cte(
             "list_contains(xt, 'data') OR list_contains(xt, 'row') "
