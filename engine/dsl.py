@@ -76,6 +76,23 @@ def _text_reader(reader, fld: str, kind: str):
     )
 
 
+def _spec_boost(spec) -> float:
+    """The boost a leaf spec dict carries (1.0 when absent/plain)."""
+    if isinstance(spec, dict) and spec.get("boost") is not None:
+        return float(spec["boost"])
+    return 1.0
+
+
+def _boost_scaled(df, b: float):
+    """ES leaf boost on a top-level query: multiply the scores
+    (rank-identical for b > 0, scores ES-parity)."""
+    if b == 1.0:
+        return df
+    if b <= 0:
+        raise ValueError("boost must be > 0")
+    return df.withColumn("score", F.col("score") * F.lit(b))
+
+
 def _clause_boost(clause: dict) -> float:
     """The `boost` a match/term/terms clause carries (1.0 when absent)."""
     for kk in ("match", "term", "terms"):
@@ -609,13 +626,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             reader, _clause_filters([query]) + filters, boost=1.0, k=k
         )
     if "term" in query and next(iter(query["term"])) not in reader.text_fields:
-        # term on a DOCVALUE (keyword-ish) field: constant score 1.0;
-        # term on any indexed text field falls through to the BM25
-        # scoring path (_match_terms) below
+        # term on a DOCVALUE (keyword-ish) field: constant score 1.0
+        # (x the clause boost); term on any indexed text field falls
+        # through to the BM25 scoring path (_match_terms) below
         from engine.aggs import constant_score_topk
 
         return constant_score_topk(
-            reader, _clause_filters([query]) + filters, boost=1.0, k=k
+            reader, _clause_filters([query]) + filters,
+            boost=_spec_boost(next(iter(query["term"].values()))), k=k
         )
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
@@ -627,7 +645,10 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         r = reader if fld == reader.field else reader.for_field(fld)
         text = spec["query"] if isinstance(spec, dict) else spec
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
-        return match_phrase_topk(r, text, k=k, slop=slop, filters=filters)
+        return _boost_scaled(
+            match_phrase_topk(r, text, k=k, slop=slop, filters=filters),
+            _spec_boost(spec),
+        )
     if "match_phrase_prefix" in query:
         ((fld, spec),) = query["match_phrase_prefix"].items()
         if fld not in reader.text_fields:
@@ -637,14 +658,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             )
         r = reader if fld == reader.field else reader.for_field(fld)
         text = spec["query"] if isinstance(spec, dict) else spec
-        return match_phrase_prefix_topk(
+        return _boost_scaled(match_phrase_prefix_topk(
             r, text, k=k,
             slop=int(spec.get("slop", 0)) if isinstance(spec, dict) else 0,
             max_expansions=(
                 int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50
             ),
             filters=filters,
-        )
+        ), _spec_boost(spec))
     if "bool" in query:
         b = query["bool"]
         filt = _clause_filters(b.get("filter", [])) + filters
@@ -1067,20 +1088,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             ((fld, spec),) = query[kind].items()
             r = _text_reader(reader, fld, kind)
             v = spec["value"] if isinstance(spec, dict) else spec
-            return bm25_topk(r, v, k=k, mode=kind, filters=filters)
+            return _boost_scaled(
+                bm25_topk(r, v, k=k, mode=kind, filters=filters),
+                _spec_boost(spec),
+            )
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
     qboost = _clause_boost(query)
 
     def _scaled(df):
-        # ES clause boost on a TOP-LEVEL match/term/terms: multiply the
-        # scores (rank-identical for boost > 0, scores ES-parity);
-        # composite contexts fail closed in _match_terms instead
-        if qboost == 1.0:
-            return df
-        if qboost <= 0:
-            raise ValueError("boost must be > 0")
-        return df.withColumn("score", F.col("score") * F.lit(qboost))
+        # ES clause boost on a TOP-LEVEL match/term/terms (composite
+        # contexts fail closed in _match_terms instead)
+        return _boost_scaled(df, qboost)
 
     if "match" in query:
         spec_ = next(iter(query["match"].values()))

@@ -367,3 +367,30 @@ def test_clause_boost(spark, lift_index):  # noqa: F811
     b = search(r, {"query": {"match": {"text": "alpha"}}, "size": 0,
                "track_total_hits": True})
     assert a["hits"]["total"] == b["hits"]["total"]
+
+
+def test_leaf_boost_other_kinds(spark, lift_index):  # noqa: F811
+    """leaf boost on match_phrase / prefix / fuzzy / docvalue term:
+    scores scale, ranks identical; constant-score docvalue term scores
+    the boost itself."""
+    r = IndexReader(spark, lift_index)
+    cases = [
+        ({"match_phrase": {"text": {"query": "alpha beta", "boost": 2.0}}},
+         {"match_phrase": {"text": "alpha beta"}}),
+        ({"prefix": {"title": {"value": "gre", "boost": 3.0}}},
+         {"prefix": {"title": {"value": "gre"}}}),
+        ({"fuzzy": {"title": {"value": "grean", "boost": 1.5}}},
+         {"fuzzy": {"title": {"value": "grean"}}}),
+    ]
+    for boosted_q, plain_q in cases:
+        b = next(iter(next(iter(boosted_q.values())).values()))["boost"]
+        got = search(r, {"query": boosted_q, "size": 10})
+        ref = search(r, {"query": plain_q, "size": 10})
+        assert _ids(got) == _ids(ref), boosted_q
+        gb = [h["_score"] for h in got["hits"]["hits"]]
+        ga = [h["_score"] for h in ref["hits"]["hits"]]
+        assert gb and all(abs(x - y * b) < 1e-9 for x, y in zip(gb, ga)), boosted_q
+    resp = search(r, {"query": {"term": {"nc": {
+        "value": len(ROWS[0][1]), "boost": 5.0}}}, "size": 10})
+    assert resp["hits"]["hits"]
+    assert all(h["_score"] == 5.0 for h in resp["hits"]["hits"])
