@@ -1878,6 +1878,26 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             {"_id": r["url"], "_score": None, "sort": [r["sort_val"], r["url"]]}
             for r in rows
         ]
+        if body.get("track_scores") and hits:
+            # ES track_scores: sorted hits carry their query _score.
+            # Uniform exactness path: the scoring query runs UNBOUNDED
+            # (the general-blend pattern) and the page's urls pick their
+            # scores from the full match set; match_all scores 1.0.
+            if "match_all" in query or (
+                "bool" in query and terms is None and matcher is None
+            ):
+                for h in hits:
+                    h["_score"] = 1.0
+            else:
+                # no extra filters: filter/post_filter context never
+                # changes a surviving doc's score, and the page already
+                # holds only survivors — the lookup map just needs values
+                smap = {
+                    row["url"]: row["score"]
+                    for row in _hits_df(reader, query, 1 << 31, ()).collect()
+                }
+                for h in hits:
+                    h["_score"] = smap.get(h["_id"])
     elif body.get("collapse"):
         from engine.aggs import collapse_topk
 
@@ -1984,13 +2004,14 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # ES min_score: drop hits scoring below the floor. The count path
         # is score-blind, so combining with track_total_hits (which ES
         # defines as the post-floor count) is not composed (frozen).
-        if body.get("sort"):
+        if body.get("sort") and not body.get("track_scores"):
             # sort-path hits carry _score=None; silently dropping every hit
             # would look like an empty index — fail closed like the
-            # track_total_hits guard below
+            # track_total_hits guard below. With track_scores the sorted
+            # hits DO carry scores and the floor applies (ES behavior).
             raise ValueError(
-                "min_score + sort is not composed (sorted hits are unscored); "
-                "drop one (documented divergence)"
+                "min_score + sort is not composed without track_scores "
+                "(sorted hits are unscored); drop one or set track_scores"
             )
         if body.get("track_total_hits"):
             raise ValueError(

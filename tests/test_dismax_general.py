@@ -394,3 +394,46 @@ def test_leaf_boost_other_kinds(spark, lift_index):  # noqa: F811
         "value": len(ROWS[0][1]), "boost": 5.0}}}, "size": 10})
     assert resp["hits"]["hits"]
     assert all(h["_score"] == 5.0 for h in resp["hits"]["hits"])
+
+
+def test_track_scores_on_sorted_page(spark, lift_index):  # noqa: F811
+    """ES track_scores: sorted hits carry the query's _score (looked up
+    from the unbounded scoring run); match_all scores 1.0; min_score
+    composes with sort once scores are tracked."""
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    want = {x["url"]: x["score"]
+            for x in bm25_topk(r, ["alpha"], k=1 << 31).collect()}
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "sort": [{"nc": "asc"}], "track_scores": True,
+                      "size": 10})
+    hits = resp["hits"]["hits"]
+    assert hits and all(
+        abs(h["_score"] - want[h["_id"]]) < 1e-12 for h in hits)
+    # phrase context too (matcher-based sort path)
+    from engine.query import match_phrase_topk
+
+    wantp = {x["url"]: x["score"]
+             for x in match_phrase_topk(r, "alpha beta", k=1 << 31).collect()}
+    resp = search(r, {"query": {"match_phrase": {"text": "alpha beta"}},
+                      "sort": [{"nc": "asc"}], "track_scores": True,
+                      "size": 10})
+    hits = resp["hits"]["hits"]
+    assert hits and all(
+        abs(h["_score"] - wantp[h["_id"]]) < 1e-12 for h in hits)
+    # match_all -> 1.0
+    resp = search(r, {"query": {"match_all": {}}, "sort": [{"nc": "asc"}],
+                      "track_scores": True, "size": 3})
+    assert [h["_score"] for h in resp["hits"]["hits"]] == [1.0, 1.0, 1.0]
+    # min_score + sort + track_scores: the floor applies
+    floor = sorted(want.values())[len(want) // 2]
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "sort": [{"nc": "asc"}], "track_scores": True,
+                      "min_score": floor, "size": 10})
+    got_ids = {h["_id"] for h in resp["hits"]["hits"]}
+    assert got_ids == {u for u, s in want.items() if s >= floor}
+    # without track_scores the old gate still fails closed
+    with pytest.raises(ValueError, match="track_scores"):
+        search(r, {"query": {"match": {"text": "alpha"}},
+                   "sort": [{"nc": "asc"}], "min_score": 0.1, "size": 10})
