@@ -1911,9 +1911,9 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             _clause_filters(query.get("bool", {}).get("filter", []))
             if "bool" in query else ()
         )
+        creader = _text_reader(reader, fl.pop(), "collapse") if fl else reader
         rows = collapse_topk(
-            _text_reader(reader, fl.pop(), "collapse") if fl else reader,
-            terms, body["collapse"]["field"], k=frm + size,
+            creader, terms, body["collapse"]["field"], k=frm + size,
             mode=mode, filters=filt + filters,
         ).collect()[frm:]
         fld = body["collapse"]["field"]
@@ -1922,6 +1922,33 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
              "fields": {fld: [r["collapse_val"]]}}
             for r in rows
         ]
+        ih = body["collapse"].get("inner_hits")
+        if ih and hits:
+            # ES collapse.inner_hits: per group, the top-`size` docs by
+            # the QUERY's score within that group — each group is one
+            # filtered kernel run (page-size x size, a handful of
+            # bucket-pruned reads; score order, url tiebreak; the same
+            # filter context the page used rides along so inner hits
+            # honor bool filters / post_filter like the representatives)
+            from engine.docvalues import TermFilter
+            from engine.query import bm25_topk
+
+            ih_name = ih.get("name", "inner")
+            ih_size = int(ih.get("size", 3))
+            for h, row_ in zip(hits, rows):
+                sub = bm25_topk(
+                    creader, terms, k=ih_size, mode=mode,
+                    filters=filt + filters
+                    + (TermFilter(fld, row_["collapse_val"]),),
+                ).collect()
+                h["inner_hits"] = {ih_name: {"hits": {
+                    "total": {"value": len(sub), "relation": "gte"
+                              if len(sub) == ih_size else "eq"},
+                    "hits": [
+                        {"_id": x["url"], "_score": x["score"]}
+                        for x in sub
+                    ],
+                }}}
     elif body.get("rescore"):
         df = _rescore_df(reader, query, body["rescore"], frm + size,
                          filters=filters)

@@ -437,3 +437,33 @@ def test_track_scores_on_sorted_page(spark, lift_index):  # noqa: F811
     with pytest.raises(ValueError, match="track_scores"):
         search(r, {"query": {"match": {"text": "alpha"}},
                    "sort": [{"nc": "asc"}], "min_score": 0.1, "size": 10})
+
+
+def test_collapse_inner_hits(spark, lift_index):  # noqa: F811
+    """ES collapse.inner_hits: per group, the top-size docs by the
+    query's score within that group (score desc, url tiebreak),
+    recomputed by brute from the unfiltered kernel + group partition."""
+    from engine.query import bm25_topk
+
+    r = IndexReader(spark, lift_index)
+    nc = {u: len(t) for u, t, _ti in ROWS}
+    full = {x["url"]: x["score"]
+            for x in bm25_topk(r, ["alpha"], k=1 << 31).collect()}
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "collapse": {"field": "nc",
+                                   "inner_hits": {"name": "grp", "size": 2}},
+                      "size": 10})
+    hits = resp["hits"]["hits"]
+    assert hits
+    for h in hits:
+        gval = h["fields"]["nc"][0]
+        members = sorted(
+            ((u, s) for u, s in full.items() if nc[u] == gval),
+            key=lambda t: (-t[1], t[0]),
+        )[:2]
+        inner = h["inner_hits"]["grp"]["hits"]["hits"]
+        assert [(x["_id"], round(x["_score"], 9)) for x in inner] == [
+            (u, round(s, 9)) for u, s in members
+        ]
+        # the representative is the group's best
+        assert inner[0]["_id"] == h["_id"]
