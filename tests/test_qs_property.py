@@ -126,3 +126,50 @@ def test_qs_single_field_collapse_law(spark, prop_index, q, op, tb):
     got = _rows(qs_multifield_topk(
         r, q, ["text"], k=10, default_operator=op, tie_breaker=tb))
     assert got == want, (q, op, tb)
+
+
+# general dis_max law: random term/phrase legs over either field, random
+# tie_breaker — the DSL blend equals a hand blend of the frozen kernels
+_leg = st.one_of(
+    st.tuples(st.just("match"), st.sampled_from(["text", "title"]),
+              st.lists(st.sampled_from(WORDS), min_size=1, max_size=2)),
+    st.tuples(st.just("match_phrase"), st.sampled_from(["text", "title"]),
+              st.tuples(st.sampled_from(WORDS), st.sampled_from(WORDS))),
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(legs=st.lists(_leg, min_size=1, max_size=3),
+       tb=st.sampled_from([0.0, 0.3, 1.0]))
+def test_dismax_blend_law(spark, prop_index, legs, tb):
+    from engine.dsl import search
+    from engine.query import bm25_topk, match_phrase_topk
+
+    r = IndexReader(spark, prop_index)
+    views = {"text": r, "title": r.for_field("title")}
+    clauses, hand = [], {}
+    all_term_same_field = (
+        all(k == "match" for k, _f, _p in legs)
+        and len({f for _k, f, _p in legs}) == 1
+    )
+    if all_term_same_field:
+        return  # the frozen scoring-variant fast path, tested elsewhere
+    for kind, fld, payload in legs:
+        if kind == "match":
+            clauses.append({"match": {fld: " ".join(payload)}})
+            leg_rows = bm25_topk(views[fld], list(payload), k=1 << 31).collect()
+        else:
+            clauses.append({"match_phrase": {fld: " ".join(payload)}})
+            leg_rows = match_phrase_topk(
+                views[fld], " ".join(payload), k=1 << 31).collect()
+        for x in leg_rows:
+            hand.setdefault(x["url"], []).append(x["score"])
+    want = sorted(
+        ((u, max(ss) + tb * (sum(ss) - max(ss))) for u, ss in hand.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    resp = search(r, {"query": {"dis_max": {
+        "queries": clauses, "tie_breaker": tb}}, "size": 10})
+    got = [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]]
+    assert got == [(u, round(s, 9)) for u, s in want], (legs, tb)
