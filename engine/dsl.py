@@ -1094,6 +1094,17 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
             )
     terms, op, msm, fld = _match_terms(query, allowed=tuple(reader.text_fields))
     r = reader if fld == reader.field else reader.for_field(fld)
+    if "match" in query and not terms:
+        spec0 = next(iter(query["match"].values()))
+        if (
+            isinstance(spec0, dict)
+            and spec0.get("zero_terms_query", "none") == "all"
+        ):
+            # ES zero_terms_query=all: a query that analyzes to nothing
+            # matches every doc (match_all semantics — None routes the
+            # caller onto the match_all paging path); default "none"
+            # falls through to the empty result below
+            return None
     qboost = _clause_boost(query)
 
     def _scaled(df):
@@ -2058,11 +2069,24 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 "_source needs a stored-source index — build with "
                 "store_source=True (or a column list)"
             )
-        want = (
-            stored
-            if spec_src is True
-            else [spec_src] if isinstance(spec_src, str) else list(spec_src)
-        )
+        if isinstance(spec_src, dict):
+            # ES object form: includes/excludes lists (literal column
+            # names; source-path wildcards are a documented divergence)
+            inc = spec_src.get("includes")
+            exc = set(spec_src.get("excludes") or [])
+            want = [
+                c for c in (
+                    stored if inc is None
+                    else ([inc] if isinstance(inc, str) else list(inc))
+                )
+                if c not in exc
+            ]
+        else:
+            want = (
+                stored
+                if spec_src is True
+                else [spec_src] if isinstance(spec_src, str) else list(spec_src)
+            )
         bad = [c for c in want if c not in stored]
         if bad:
             raise ValueError(f"_source field(s) {bad} not stored ({stored})")

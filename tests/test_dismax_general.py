@@ -467,3 +467,35 @@ def test_collapse_inner_hits(spark, lift_index):  # noqa: F811
         ]
         # the representative is the group's best
         assert inner[0]["_id"] == h["_id"]
+
+
+def test_source_includes_excludes_and_zero_terms(spark, tmp_path_factory):
+    """_source object form (includes/excludes) serves from stored
+    columns; zero_terms_query=all turns an analyzed-away match into
+    match_all (default none stays empty)."""
+    df = spark.createDataFrame(
+        [(u, t, ti) for u, t, ti in ROWS],
+        "url string, text string, title string",
+    )
+    out = str(tmp_path_factory.mktemp("zts") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text"], store_source=["text", "title"],
+    )
+    r = IndexReader(spark, out)
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "_source": {"excludes": ["text"]}, "size": 3})
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        assert set(h["_source"]) == {"title"}
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "_source": {"includes": ["text", "title"],
+                                  "excludes": ["text"]}, "size": 3})
+    for h in resp["hits"]["hits"]:
+        assert set(h["_source"]) == {"title"}
+    # zero_terms_query
+    allr = search(r, {"query": {"match": {"text": {
+        "query": "...", "zero_terms_query": "all"}}}, "size": 100})
+    assert len(allr["hits"]["hits"]) == len(ROWS)
+    noner = search(r, {"query": {"match": {"text": "..."}}, "size": 100})
+    assert noner["hits"]["hits"] == []
