@@ -2151,6 +2151,27 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                     {f: [r[f]] for f in flds if r[f] is not None}
                 )
 
+    sf_spec = body.get("stored_fields")
+    if sf_spec and hits:
+        # ES stored_fields: explicitly stored columns attached under
+        # hit.fields (served from the stored-source reads, one batched
+        # point fetch — never a corpus join)
+        want_sf = [sf_spec] if isinstance(sf_spec, str) else list(sf_spec)
+        stored = getattr(reader, "stored_cols", [])
+        bad = [c for c in want_sf if c not in stored]
+        if bad:
+            raise ValueError(
+                f"stored_fields {bad} not stored ({stored}); build the "
+                "index with store_source=..."
+            )
+        srcs = reader.get_source([h["_id"] for h in hits])
+        for h in hits:
+            row = srcs.get(h["_id"])
+            if row is not None:
+                h.setdefault("fields", {}).update(
+                    {c: [row[c]] for c in want_sf if row[c] is not None}
+                )
+
     if body.get("track_total_hits") or frm + size == 0:
         # ES reports hits.total even at size:0 (default track_total_hits
         # caps at 10k; our count path is exact, so relation is "eq") —

@@ -499,3 +499,27 @@ def test_source_includes_excludes_and_zero_terms(spark, tmp_path_factory):
     assert len(allr["hits"]["hits"]) == len(ROWS)
     noner = search(r, {"query": {"match": {"text": "..."}}, "size": 100})
     assert noner["hits"]["hits"] == []
+
+
+def test_stored_fields(spark, tmp_path_factory):
+    """ES stored_fields: stored columns attach under hit.fields; an
+    unstored name fails closed."""
+    df = spark.createDataFrame(
+        [(u, t, ti) for u, t, ti in ROWS],
+        "url string, text string, title string",
+    )
+    out = str(tmp_path_factory.mktemp("stf") / "idx")
+    build_index(
+        spark, df, out, n_shards=2, n_buckets=4,
+        text_fields=["text"], store_source=["title"],
+    )
+    r = IndexReader(spark, out)
+    titles = {u: ti for u, _t, ti in ROWS}
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "stored_fields": ["title"], "size": 5})
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        assert h["fields"]["title"] == [titles[h["_id"]]]
+    with pytest.raises(ValueError, match="not stored"):
+        search(r, {"query": {"match": {"text": "alpha"}},
+                   "stored_fields": ["nope"], "size": 5})
