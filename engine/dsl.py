@@ -2101,34 +2101,81 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
         # ES `"explain": true`: per-hit scoring breakdown. Frozen subset:
         # term-scored bodies get the per-term BM25 tree (same engine core
         # as _explain; one pruned point read per hit — k is page-sized);
-        # match_all gets the constant-score leaf; queries whose score is
-        # not a plain term sum (dis_max, function_score, knn, ...) raise
-        # through _query_terms_or_none, mirroring the agg/sort gate.
-        terms, _op = _query_terms_or_none(query)
-        from engine.query import explain_rows
+        # match_all gets the constant-score leaf; match_phrase (round-5)
+        # gets the pseudo-term tree (idf_sum x phrase-impact leaves whose
+        # product is the hit score — the frozen phrase formula); queries
+        # whose score is not a plain term sum (dis_max, function_score,
+        # knn, ...) raise through _query_terms_or_none, like the agg gate.
+        pc = _phrase_context_spec(reader, query)
+        if pc is not None:
+            import math as _math
 
-        for h in hits:
-            if terms is None:
-                h["_explanation"] = {
-                    "value": 1.0, "description": "*:*", "details": [],
-                }
-                continue
-            rows = explain_rows(reader, terms, h["_id"])
-            h["_explanation"] = {
-                "value": h["_score"],
-                "description": "sum of:",
-                "details": [
-                    {
-                        "value": c,
-                        "description": (
-                            f"weight(text:{t}) [tf={tf}, df={df}, "
-                            f"idf={idf}, impact={imp}]"
-                        ),
-                        "details": [],
-                    }
-                    for (t, tf, df, idf, imp, c) in rows
-                ],
+            from engine import postings as _P
+            from engine.query import match_phrase_topk
+
+            preader, ptext, pslop = pc
+            from engine.textnorm import standard_tokenize_py
+
+            slot_terms = standard_tokenize_py(ptext.lower())
+            stats = preader.term_stats(list(dict.fromkeys(slot_terms)))
+            idf_sum = float(sum(
+                _P.bm25_idf(stats[t], preader.n_docs)
+                for t in slot_terms if t in stats
+            ))
+            smap = {
+                x["url"]: x["score"]
+                for x in match_phrase_topk(
+                    preader, ptext, k=1 << 31, slop=pslop
+                ).collect()
             }
+            for h in hits:
+                sc = smap.get(h["_id"], h["_score"])
+                imp = (sc / idf_sum) if idf_sum else 0.0
+                h["_explanation"] = {
+                    "value": sc,
+                    "description": (
+                        f'weight({preader.field}:"{ptext}") '
+                        f"[phrase, slop={pslop}]"
+                    ),
+                    "details": [
+                        {"value": round(idf_sum, 6),
+                         "description": "idf, sum of slot terms",
+                         "details": []},
+                        {"value": round(imp, 6),
+                         "description": (
+                             "phrase freq impact pf / (pf + k1 * "
+                             "(1 - b + b * dl / avgdl))"
+                         ),
+                         "details": []},
+                    ],
+                }
+                assert sc is None or not _math.isnan(sc)
+        else:
+            terms, _op = _query_terms_or_none(query)
+            from engine.query import explain_rows
+
+            for h in hits:
+                if terms is None:
+                    h["_explanation"] = {
+                        "value": 1.0, "description": "*:*", "details": [],
+                    }
+                    continue
+                rows = explain_rows(reader, terms, h["_id"])
+                h["_explanation"] = {
+                    "value": h["_score"],
+                    "description": "sum of:",
+                    "details": [
+                        {
+                            "value": c,
+                            "description": (
+                                f"weight(text:{t}) [tf={tf}, df={df}, "
+                                f"idf={idf}, impact={imp}]"
+                            ),
+                            "details": [],
+                        }
+                        for (t, tf, df, idf, imp, c) in rows
+                    ],
+                }
 
     field_spec = body.get("fields") or body.get("docvalue_fields")
     if field_spec and hits:

@@ -523,3 +523,34 @@ def test_stored_fields(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="not stored"):
         search(r, {"query": {"match": {"text": "alpha"}},
                    "stored_fields": ["nope"], "size": 5})
+
+
+def test_explain_phrase(spark, lift_index):  # noqa: F811
+    """explain:true on a match_phrase page: the pseudo-term tree —
+    idf_sum x phrase impact == the hit score (kernel identity)."""
+    import math
+
+    from engine import postings as P
+    from engine.query import match_phrase_topk
+
+    r = IndexReader(spark, lift_index)
+    resp = search(r, {"query": {"match_phrase": {"text": "alpha beta"}},
+                      "size": 5, "explain": True})
+    hits = resp["hits"]["hits"]
+    assert hits
+    stats = r.term_stats(["alpha", "beta"])
+    idf_sum = sum(P.bm25_idf(stats[t], r.n_docs) for t in ("alpha", "beta"))
+    kernel = {x["url"]: x["score"]
+              for x in match_phrase_topk(r, "alpha beta", k=1 << 31).collect()}
+    for h in hits:
+        ex = h["_explanation"]
+        assert "phrase" in ex["description"]
+        assert abs(ex["value"] - kernel[h["_id"]]) < 1e-9
+        d_idf, d_imp = ex["details"]
+        assert abs(d_idf["value"] - round(idf_sum, 6)) < 1e-6
+        assert abs(d_idf["value"] * d_imp["value"] - ex["value"]) < 1e-4
+    # term explain unchanged
+    resp = search(r, {"query": {"match": {"text": "alpha"}},
+                      "size": 3, "explain": True})
+    for h in resp["hits"]["hits"]:
+        assert h["_explanation"]["description"] == "sum of:"
