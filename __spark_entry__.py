@@ -4648,6 +4648,38 @@ def q_rrf_hybrid_topk(spark, sf_dir):
     )
 
 
+KNNQ_PROBE, KNNQ_K, KNNQ_BOOST = 11, 12, 1.7
+
+
+def q_knn_query_hybrid(spark, sf_dir):
+    """ES top-level knn + query hybrid sum (engine/dsl.py search):
+    fused score = BM25 match score (the lexical leg runs UNBOUNDED, so
+    membership is exact) + knn.boost * cosine for docs in the knn
+    GLOBAL top KNNQ_K (frozen layout vec_id == doc_id; the probe's own
+    row rides at cos=1.0, as in the rrf leg); union of both sets, 6-dp
+    fused score desc then _id asc, top 15."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == KNNQ_PROBE).collect()[0]["embedding"]
+    ]
+    resp = search(
+        r,
+        {
+            "knn": {"query_vector": vec, "k": KNNQ_K, "boost": KNNQ_BOOST},
+            "query": {"match": {"text": " ".join(BM25_TERMS)}},
+            "size": 15,
+        },
+        embeddings=emb,
+    )
+    rows = [(h["_id"], float(h["_score"])) for h in resp["hits"]["hits"]]
+    return spark.createDataFrame(rows, "id string, score double")
+
+
 PIN_IDS = ["17", "no-such-doc", "3"]  # the dead id must be skipped
 
 
@@ -5143,7 +5175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_topk": q_rank_feature,
         "distance_feature_topk": q_distance_feature,
         "agg_adjacency": q_agg_adjacency,
-        "agg_date_range": q_agg_date_range,
+        # knn + query hybrid sum: the last round-5 composition lift
+        # takes a gate slot; agg_date_range (simple bucket agg, green
+        # in both two-scale self-cert runs) moves below slot 50
+        "knn_query_hybrid_topk": q_knn_query_hybrid,
         "pit_page_snapshot0": q_pit_page_snapshot0,
         "agg_string_stats": q_agg_string_stats,
         # --- slots 45-50: the riskiest LATE-session machinery rotates
@@ -5160,6 +5195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_combined_fields_topk": q_bm25_combined_fields,
         "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
+        "agg_date_range": q_agg_date_range,
         "agg_mad_nchars": q_agg_mad_nchars,
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -6326,6 +6362,43 @@ SELECT a.id,
        l.lr::BIGINT AS lex_rank, v.vr::BIGINT AS vec_rank
 FROM allids a LEFT JOIN lexr l USING (id) LEFT JOIN vecr v USING (id)
 ORDER BY score DESC, a.id ASC LIMIT 10""",
+        "knn_query_hybrid_topk": f"""
+{_toks_cte()},
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id::VARCHAR AS id,
+         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl))) AS ls
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id
+),
+p AS (SELECT embedding::DOUBLE[] AS pvec FROM embeddings
+      WHERE vec_id = {KNNQ_PROBE}),
+vs AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], pvec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pvec, pvec))), 6) AS cos
+  FROM embeddings, p
+),
+vtop AS (
+  SELECT id, cos FROM (
+    SELECT vec_id::VARCHAR AS id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+    FROM vs
+  ) WHERE r <= {KNNQ_K}
+)
+SELECT coalesce(s.id, v.id) AS id,
+       round(coalesce(s.ls, 0) + {KNNQ_BOOST} * coalesce(v.cos, 0), 6) AS score
+FROM scored s FULL OUTER JOIN vtop v ON s.id = v.id
+ORDER BY score DESC, id ASC LIMIT 15""",
         "script_score_topk": _bm25_sql(
             BM25_TERMS, k=12,
             score_sql=(

@@ -19,15 +19,14 @@ histogram / date_histogram / stats / cardinality / percentiles / missing
 / composite / filters), track_total_hits, rescore (match_phrase
 rescorer over a match/term base query — needs a positional index),
 knn (top-level vector search over the embeddings table: exact cosine,
-or the LSH-ANN scale path when num_candidates bounds the search).
+or the LSH-ANN scale path when num_candidates bounds the search;
+knn + query blends per ES hybrid sum — query score + knn.boost *
+cosine for docs in the knn global top-k, union of both sets).
 
 Deliberate divergences (documented, raise cleanly):
 - `highlight`/`_source` need the source text: an index built with
   store_source=... serves them from its own stored columns (ES parity);
   otherwise pass the corpus DataFrame via search(..., corpus=...).
-- bool bodies that combine `filter` context with `should`/`must_not`
-  scoring clauses are not composed (the filtered kernel and the bool
-  kernel are separate paths); ES users split these across two requests.
 - from+size paging is served by over-fetch (from+size <= 10k, the same
   guardrail ES ships); deep paging belongs to sort+search_after.
 """
@@ -1738,12 +1737,13 @@ def _knn_filter_pred(clause: dict, cols: list):
     return pred
 
 
-def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
-    """ES top-level `knn` block -> hits by cosine similarity over the
-    embeddings table (vec_id, embedding). Exact brute-force when
-    num_candidates is absent or >= the ES default ceiling; the
-    LSH-bucketed ANN path otherwise (the documented scale path —
-    candidates ~ bucket collisions, exact re-rank).
+def _knn_top_df(spark, spec: dict, embeddings):
+    """ES top-level `knn` block -> the (neighbor_id, cos, rank) top-k
+    DataFrame by cosine similarity over the embeddings table
+    (vec_id, embedding). Exact brute-force when num_candidates is
+    absent or >= the ES default ceiling; the LSH-bucketed ANN path
+    otherwise (the documented scale path — candidates ~ bucket
+    collisions, exact re-rank).
 
     `knn.filter` (ES PRE-filter: all k results satisfy it — not a
     post-filter that can return < k) compiles term/terms/range clauses
@@ -1767,9 +1767,13 @@ def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
     )
     nc = spec.get("num_candidates")
     if nc is not None and int(nc) < 10_000:
-        top = lsh_ann_topk(embeddings, probes, dim=len(vec), k=k)
-    else:
-        top = cosine_topk(embeddings, probes, k=k)
+        return lsh_ann_topk(embeddings, probes, dim=len(vec), k=k)
+    return cosine_topk(embeddings, probes, k=k)
+
+
+def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
+    """`knn`-only hits: the top-k DataFrame collected in rank order."""
+    top = _knn_top_df(spark, spec, embeddings)
     return [
         {"_id": r["neighbor_id"], "_score": r["cos"]}
         for r in top.orderBy("rank").collect()
@@ -1826,8 +1830,64 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             },
         }
     if "knn" in body:
+        # the knn paths serve HITS only: anything needing a doc-level
+        # matched set over the INDEX (aggs/sort/collapse/...) fails
+        # closed rather than silently running against the query alone
+        unserved = sorted(
+            {"aggs", "aggregations", "sort", "post_filter", "collapse",
+             "rescore", "suggest", "highlight", "search_after"} & set(body)
+        )
+        if unserved:
+            raise ValueError(
+                f"knn does not compose with {unserved} (vector hits "
+                "carry no index matched set; documented divergence)"
+            )
         if "query" in body:
-            raise ValueError("knn + query blending is not composed (divergence)")
+            # ES hybrid sum (top-level knn + query, ES 8.x): both legs
+            # run; fused score = query score (every doc the query
+            # matches — the leg runs UNBOUNDED so membership is exact)
+            # + knn.boost * cosine for docs in the knn GLOBAL top
+            # knn.k. Union of both sets, fused score 6-dp rounded desc
+            # then _id asc, page [from, from+size). total = union size.
+            # match_all is fail-closed (a constant-score leg over the
+            # whole corpus — same gate as dis_max).
+            q = body["query"]
+            if "match_all" in q:
+                raise ValueError(
+                    "knn + match_all is not composed (a constant-score "
+                    "leg over the whole corpus)"
+                )
+            size = int(body.get("size", 10))
+            frm = int(body.get("from", 0))
+            kb = float(body["knn"].get("boost", 1.0))
+            lex = _hits_df(reader, q, 1 << 31, ()).select(
+                F.col("url").cast("string").alias("_id"),
+                F.col("score").cast("double").alias("lscore"),
+            )
+            vec = _knn_top_df(reader.spark, body["knn"], embeddings).select(
+                F.col("neighbor_id").cast("string").alias("_id"),
+                (F.col("cos") * F.lit(kb)).alias("vscore"),
+            )
+            fused = lex.join(vec, "_id", "full_outer").select(
+                "_id",
+                F.round(
+                    F.coalesce("lscore", F.lit(0.0))
+                    + F.coalesce("vscore", F.lit(0.0)),
+                    6,
+                ).alias("_score"),
+            )
+            page = fused.orderBy(
+                F.desc("_score"), F.asc("_id")
+            ).limit(frm + size).collect()[frm:]
+            return {
+                "took": int((time.time() - t0) * 1000),
+                "hits": {
+                    "total": {"value": fused.count(), "relation": "eq"},
+                    "hits": [
+                        {"_id": r["_id"], "_score": r["_score"]} for r in page
+                    ],
+                },
+            }
         hits = _knn_hits(reader.spark, body["knn"], embeddings)
         return {
             "took": int((time.time() - t0) * 1000),

@@ -35,12 +35,18 @@ def cosine_topk(
     probe_id_col: str = "probe_id",
 ) -> DataFrame:
     """Exact cosine top-k per probe: (probe_id, neighbor_id, cos) with
-    rank by cos desc, neighbor_id asc. Excludes self-matches."""
+    rank by cos desc, neighbor_id asc. Excludes self-matches (compared
+    as STRINGS: id identity must not depend on the id column's type —
+    a string-vs-long compare would ANSI-cast and crash on non-numeric
+    ids, e.g. the hybrid layout where vec_id == url)."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     p = probes.select(F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
     scored = (
         c.crossJoin(F.broadcast(p))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .filter(
+            F.col("neighbor_id").cast("string")
+            != F.col("probe_id").cast("string")
+        )
         .withColumn(
             "cos",
             F.round(
@@ -253,7 +259,10 @@ def ivf_ann_topk(
     cand = (
         p_assign.select("probe_id", "list_id")
         .join(c_assign.select("neighbor_id", "list_id"), "list_id")
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .filter(
+            F.col("neighbor_id").cast("string")
+            != F.col("probe_id").cast("string")
+        )
         .select("probe_id", "neighbor_id")
         .distinct()
     )
@@ -295,7 +304,10 @@ def lsh_ann_topk(
     pb = lsh_buckets(probes, dim, n_bits, tables, probe_id_col, vec_col, seed)
     cand = (
         cb.join(pb.withColumnRenamed("vid", "probe_id"), ["table", "bucket"])
-        .filter(F.col("vid") != F.col("probe_id"))
+        .filter(
+            F.col("vid").cast("string")
+            != F.col("probe_id").cast("string")
+        )
         .select(F.col("probe_id"), F.col("vid").alias("neighbor_id"))
         .distinct()
     )
@@ -485,7 +497,10 @@ def ivf_pq_ann_topk(
     cand = (
         p_assign.select("probe_id", "list_id")
         .join(c_assign.select("neighbor_id", "list_id"), "list_id")
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .filter(
+            F.col("neighbor_id").cast("string")
+            != F.col("probe_id").cast("string")
+        )
         .select("probe_id", "neighbor_id")
         .distinct()
     )

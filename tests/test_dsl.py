@@ -243,8 +243,7 @@ def test_phrase_slop_and_prefix_dispatch(spark, tmp_path_factory):
 
 def test_knn_block(spark, dsl_index):
     """Top-level knn: dispatch identity with cosine_topk (exact path) and
-    lsh_ann_topk (num_candidates-bounded path); query+knn blending is a
-    documented divergence and raises."""
+    lsh_ann_topk (num_candidates-bounded path)."""
     import numpy as np
 
     from engine.dsl import search
@@ -278,11 +277,88 @@ def test_knn_block(spark, dsl_index):
 
     with _pt.raises(ValueError, match="embeddings"):
         search(r, {"knn": {"query_vector": q, "k": 5}})
-    with _pt.raises(ValueError, match="blending"):
-        search(
+
+
+def test_knn_query_hybrid(spark, dsl_index):
+    """ES top-level knn + query hybrid sum: fused score = query BM25
+    score (full match set — the lexical leg runs unbounded) +
+    knn.boost * cosine for docs in the knn GLOBAL top-k; union of both
+    sets, 6-dp fused score desc then _id asc. Laws: hand fusion of the
+    two independently-frozen legs is identical; lexical-only and
+    vector-only docs both appear with single-leg scores; knn.boost
+    scales only the vector contribution; match_all and agg bodies fail
+    closed."""
+    import numpy as np
+    import pytest as _pt
+
+    from engine.dsl import _hits_df, search
+    from engine.query import IndexReader
+    from engine.simsearch import cosine_topk
+
+    rng = np.random.default_rng(11)
+    r = IndexReader(spark, dsl_index)
+    # vec_id space == the doc id (url) space, the frozen hybrid layout
+    urls = [x["url"] for x in _hits_df(
+        reader=r, query={"match": {"text": "hash"}}, k=1 << 31, filters=()
+    ).collect()]
+    all_ids = sorted(set(urls) | {"zz-vec-only-1", "zz-vec-only-2"})
+    q = [float(x) for x in rng.normal(size=8)]
+    emb = spark.createDataFrame(
+        # zz-vec-only-1 IS the probe direction (cos=1): a non-numeric,
+        # lexically-unmatched id guaranteed into the knn top-k — the
+        # vector-only leg law below cannot pass by luck
+        [(u, q if u == "zz-vec-only-1" else [float(x) for x in rng.normal(size=8)])
+         for u in all_ids],
+        "vec_id string, embedding array<float>",
+    )
+
+    for boost in (1.0, 2.5):
+        resp = search(
             r,
-            {"knn": {"query_vector": q, "k": 2},
-             "query": {"match": {"text": "hash"}}},
+            {"knn": {"query_vector": q, "k": 4, "boost": boost},
+             "query": {"match": {"text": "hash"}}, "size": 2000},
+            embeddings=emb,
+        )
+        got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+
+        lex = {
+            x["url"]: x["score"]
+            for x in _hits_df(
+                reader=r, query={"match": {"text": "hash"}},
+                k=1 << 31, filters=(),
+            ).collect()
+        }
+        probes = spark.createDataFrame(
+            [(-1, q)], "probe_id long, embedding array<float>"
+        )
+        vec = {
+            x["neighbor_id"]: x["cos"] * boost
+            for x in cosine_topk(emb, probes, k=4).collect()
+        }
+        fused = sorted(
+            (
+                (i, round(lex.get(i, 0.0) + vec.get(i, 0.0), 6))
+                for i in set(lex) | set(vec)
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == fused[:2000]
+        assert resp["hits"]["total"]["value"] == len(fused)
+        # both single-leg kinds are present in the union
+        ids = {i for i, _ in got}
+        assert ids & (set(vec) - set(lex))  # vector-only
+        assert ids & (set(lex) - set(vec))  # lexical-only
+
+    with _pt.raises(ValueError, match="match_all"):
+        search(
+            r, {"knn": {"query_vector": q, "k": 2},
+                "query": {"match_all": {}}},
+            embeddings=emb,
+        )
+    with _pt.raises(ValueError, match="does not compose"):
+        search(
+            r, {"knn": {"query_vector": q, "k": 2},
+                "aggs": {"l": {"terms": {"field": "lang"}}}},
             embeddings=emb,
         )
 
