@@ -4680,6 +4680,54 @@ def q_knn_query_hybrid(spark, sf_dir):
     return spark.createDataFrame(rows, "id string, score double")
 
 
+TERMS_FLT_LANGS = ("en", "de")
+
+
+def q_bm25_terms_filtered(spark, sf_dir):
+    """ES `terms` filter (field IN a value set) on the scoring path:
+    restricts the top-k without changing surviving docs' scores
+    (engine/docvalues.py TermsFilter -> the shared filter-context
+    mask)."""
+    from engine.docvalues import TermsFilter
+    from engine.query import IndexReader, bm25_topk
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    top = bm25_topk(
+        r, BM25_TERMS, k=25, algo="taat",
+        filters=[TermsFilter("lang", TERMS_FLT_LANGS)],
+    )
+    return _round_rerank(top.select(F.col("url").cast("long").alias("doc_id"), "score"))
+
+
+def q_knn_ctx_agg_lang(spark, sf_dir):
+    """knn-only search + aggregations (ES: aggs are computed over the k
+    nearest documents): the knn top-k ids recurse through the standard
+    filter-context machinery as a `terms` filter on the docmap id
+    (engine/dsl.py) — one agg definition, no second matched-set path."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
+    vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == KNNQ_PROBE).collect()[0]["embedding"]
+    ]
+    resp = search(
+        r,
+        {
+            "knn": {"query_vector": vec, "k": KNNQ_K},
+            "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+        },
+        embeddings=emb,
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp["aggregations"]["l"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count long")
+
+
 PIN_IDS = ["17", "no-such-doc", "3"]  # the dead id must be skipped
 
 
@@ -5164,7 +5212,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_multi_terms": q_agg_multi_terms,
         "agg_subterms": q_agg_subterms,
         "agg_extended_stats": q_agg_extended_stats,
-        "agg_weighted_avg": q_agg_weighted_avg,
         "sample_stratified": q_sample_stratified,
         "pack_tokens": q_pack_tokens,
         "span_near_ordered_topk": q_span_near_ordered,
@@ -5174,11 +5221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "rank_feature_topk": q_rank_feature,
         "distance_feature_topk": q_distance_feature,
-        "agg_adjacency": q_agg_adjacency,
-        # knn + query hybrid sum: the last round-5 composition lift
-        # takes a gate slot; agg_date_range (simple bucket agg, green
-        # in both two-scale self-cert runs) moves below slot 50
+        # knn + query hybrid sum / knn-only aggs / the `terms` filter
+        # kind: the last round-5 composition lifts take gate slots;
+        # agg_date_range, agg_adjacency, and agg_weighted_avg (simple
+        # single-kernel aggs, green in both two-scale self-cert runs)
+        # move below slot 50
         "knn_query_hybrid_topk": q_knn_query_hybrid,
+        "knn_ctx_agg_lang": q_knn_ctx_agg_lang,
+        "bm25_terms_filtered_topk": q_bm25_terms_filtered,
         "pit_page_snapshot0": q_pit_page_snapshot0,
         "agg_string_stats": q_agg_string_stats,
         # --- slots 45-50: the riskiest LATE-session machinery rotates
@@ -5196,6 +5246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_filter_topk": q_post_filter,
         "title_prefix_topk": q_title_prefix,
         "agg_date_range": q_agg_date_range,
+        "agg_adjacency": q_agg_adjacency,
+        "agg_weighted_avg": q_agg_weighted_avg,
         "agg_mad_nchars": q_agg_mad_nchars,
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -6399,6 +6451,31 @@ SELECT coalesce(s.id, v.id) AS id,
        round(coalesce(s.ls, 0) + {KNNQ_BOOST} * coalesce(v.cos, 0), 6) AS score
 FROM scored s FULL OUTER JOIN vtop v ON s.id = v.id
 ORDER BY score DESC, id ASC LIMIT 15""",
+        "bm25_terms_filtered_topk": _bm25_sql(
+            BM25_TERMS,
+            docvalue_filter=(
+                "lang IN (" + ", ".join(f"'{x}'" for x in TERMS_FLT_LANGS) + ")"
+            ),
+        ),
+        "knn_ctx_agg_lang": f"""
+WITH p AS (SELECT embedding::DOUBLE[] AS pvec FROM embeddings
+           WHERE vec_id = {KNNQ_PROBE}),
+vs AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], pvec)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(pvec, pvec))), 6) AS cos
+  FROM embeddings, p
+),
+vtop AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+    FROM vs
+  ) WHERE r <= {KNNQ_K}
+)
+SELECT lang AS key, count(*)::BIGINT AS doc_count
+FROM vtop JOIN documents ON documents.doc_id = vtop.vec_id
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10""",
         "script_score_topk": _bm25_sql(
             BM25_TERMS, k=12,
             score_sql=(

@@ -72,6 +72,7 @@ from engine.docvalues import (  # noqa: F401  (filter clauses re-exported)
     ExistsFilter,
     RangeFilter,
     TermFilter,
+    TermsFilter,
     filter_fields,
     filter_mask,
     gather_docvalues,
@@ -456,6 +457,8 @@ def _spark_filter_conds(filters) -> list:
         c = F.col(f.field)
         if isinstance(f, TermFilter):
             conds.append(c.isNotNull() & (c == f.value))
+        elif isinstance(f, TermsFilter):
+            conds.append(c.isNotNull() & c.isin(list(f.values)))
         elif isinstance(f, RangeFilter):
             cond = c.isNotNull()
             if f.gte is not None:
@@ -1679,8 +1682,9 @@ def collapse_topk(
     oracle harness applies — raw parallel-sum near-ties inside a group
     would otherwise flip which doc represents it between runs); null
     field values form ONE group (SQL window semantics, what the DuckDB
-    twin computes); `inner_hits` is not implemented (divergence — the
-    collapsed group members are droppable by definition here).
+    twin computes). This kernel returns representatives only;
+    `collapse.inner_hits` (the collapsed group members) is served at
+    the DSL layer (engine/dsl.py — one filtered kernel per page group).
 
     Scale shape: each shard TAAT-scores its own matched docs (exact
     kernel, same decode path as bm25_topk), gathers the collapse

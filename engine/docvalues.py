@@ -39,6 +39,14 @@ class RangeFilter:
 
 
 @dataclass(frozen=True)
+class TermsFilter:
+    # ES `terms` filter: field value IN a fixed set (values is a tuple —
+    # the dataclass stays hashable/frozen like the other clauses)
+    field: str
+    values: tuple
+
+
+@dataclass(frozen=True)
 class ExistsFilter:
     field: str
 
@@ -56,6 +64,8 @@ def filter_mask(tbl: pa.Table, filters) -> np.ndarray:
         col = tbl.column(f.field)
         if isinstance(f, TermFilter):
             m = pc.equal(col, f.value)
+        elif isinstance(f, TermsFilter):
+            m = pc.is_in(col, value_set=pa.array(list(f.values)))
         elif isinstance(f, RangeFilter):
             m = pc.is_valid(col)
             if f.gte is not None:

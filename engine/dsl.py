@@ -37,7 +37,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from engine.docvalues import ExistsFilter, RangeFilter, TermFilter
+from engine.docvalues import ExistsFilter, RangeFilter, TermFilter, TermsFilter
 
 
 def _clause_filters(clauses: list) -> tuple:
@@ -50,6 +50,10 @@ def _clause_filters(clauses: list) -> tuple:
         elif "term" in c:
             ((f, v),) = c["term"].items()
             out.append(TermFilter(f, v["value"] if isinstance(v, dict) else v))
+        elif "terms" in c:
+            # ES `terms` filter: field IN a fixed value set
+            ((f, vals),) = c["terms"].items()
+            out.append(TermsFilter(f, tuple(vals)))
         elif "range" in c:
             ((f, spec),) = c["range"].items()
             out.append(RangeFilter(f, gte=spec.get("gte"), lt=spec.get("lt")))
@@ -719,6 +723,13 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         should = [t for x in ps for t in x[0]]
         must_not = [t for x in pn for t in x[0]]
         if not (should or must_not):
+            # FROZEN flatten contract (documented divergence): must
+            # clauses flatten to ONE conjunctive term list, so a single
+            # multi-term match under must is AND — stricter than the
+            # bare clause's operator=or default (ES intersects CLAUSE
+            # matched sets, not tokens). Deterministic, kernel-oracled
+            # (bm25_bool_filtered_topk twin), and frozen since round 1;
+            # write the bare match (or operator=and) for ES-default OR.
             return bm25_topk(br, must, k=k, mode="and", filters=filt)
         return bm25_bool_topk(
             br, must=must, should=should, must_not=must_not, k=k,
@@ -1830,18 +1841,53 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
             },
         }
     if "knn" in body:
-        # the knn paths serve HITS only: anything needing a doc-level
-        # matched set over the INDEX (aggs/sort/collapse/...) fails
-        # closed rather than silently running against the query alone
+        # the knn paths serve HITS (+ knn-only aggs below): anything
+        # else needing a doc-level matched set over the INDEX
+        # (sort/collapse/...) fails closed rather than silently running
+        # against the query alone
         unserved = sorted(
-            {"aggs", "aggregations", "sort", "post_filter", "collapse",
-             "rescore", "suggest", "highlight", "search_after"} & set(body)
+            {"sort", "post_filter", "collapse", "rescore", "suggest",
+             "highlight", "search_after"} & set(body)
         )
         if unserved:
             raise ValueError(
                 f"knn does not compose with {unserved} (vector hits "
                 "carry no index matched set; documented divergence)"
             )
+        aggs_spec = body.get("aggs") or body.get("aggregations")
+        if aggs_spec is not None and "query" in body:
+            raise ValueError(
+                "knn + query + aggs is not composed (the hybrid union "
+                "matched set is not a conjunctive filter; documented "
+                "divergence) — drop the query or the aggs"
+            )
+        if aggs_spec is not None:
+            # ES: with a knn-only search, aggregations are computed
+            # over the k nearest documents. The knn top-k ids (k rows,
+            # bounded) become a `terms` filter on the docmap id and the
+            # body recurses through the standard filter-context
+            # machinery — one definition of every agg kind, no second
+            # matched-set path.
+            hits = _knn_hits(reader.spark, body["knn"], embeddings)
+            sub = search(
+                reader,
+                {
+                    "query": {"bool": {"filter": [
+                        {"terms": {"url": [str(h["_id"]) for h in hits]}}
+                    ]}},
+                    "aggs": aggs_spec,
+                    "size": 0,
+                },
+                corpus=corpus,
+            )
+            return {
+                "took": int((time.time() - t0) * 1000),
+                "hits": {
+                    "total": {"value": len(hits), "relation": "eq"},
+                    "hits": hits,
+                },
+                "aggregations": sub["aggregations"],
+            }
         if "query" in body:
             # ES hybrid sum (top-level knn + query, ES 8.x): both legs
             # run; fused score = query score (every doc the query

@@ -756,3 +756,51 @@ def test_pinned_query_and_new_pipeline_aggs(spark, dsl_index):
     assert resp["aggregations"]["spread"]["buckets"][0]["p50"] == (
         pytest.approx(float(np.percentile(counts, 50, method="linear")))
     )
+
+
+def test_knn_aggs(spark, dsl_index):
+    """ES knn-only search with aggregations: aggs are computed over the
+    k nearest documents (the knn top-k ids recurse through the standard
+    filter-context machinery as a `terms` filter on the docmap id).
+    Laws: bucket counts == brute lang counts of the returned hits (and
+    sum to k); knn + query + aggs stays fail-closed (the hybrid union
+    matched set is not a conjunctive filter)."""
+    import numpy as np
+    import pytest as _pt
+
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    rng = np.random.default_rng(13)
+    r = IndexReader(spark, dsl_index)
+    dm = spark.read.parquet(f"{dsl_index}/docmap")
+    langs = {x["url"]: x["lang"] for x in dm.select("url", "lang").collect()}
+    ids = sorted(langs)[:50]
+    emb = spark.createDataFrame(
+        [(u, [float(x) for x in rng.normal(size=8)]) for u in ids],
+        "vec_id string, embedding array<float>",
+    )
+    q = [float(x) for x in rng.normal(size=8)]
+    resp = search(
+        r,
+        {"knn": {"query_vector": q, "k": 9},
+         "aggs": {"l": {"terms": {"field": "lang", "size": 10}}}},
+        embeddings=emb,
+    )
+    hits = [h["_id"] for h in resp["hits"]["hits"]]
+    assert len(hits) == 9
+    from collections import Counter
+
+    brute = Counter(langs[u] for u in hits)
+    got = {b["key"]: b["doc_count"] for b in resp["aggregations"]["l"]["buckets"]}
+    assert got == dict(brute)
+    assert sum(got.values()) == 9
+
+    with _pt.raises(ValueError, match="knn \\+ query \\+ aggs"):
+        search(
+            r,
+            {"knn": {"query_vector": q, "k": 3},
+             "query": {"match": {"text": "hash"}},
+             "aggs": {"l": {"terms": {"field": "lang"}}}},
+            embeddings=emb,
+        )

@@ -388,3 +388,49 @@ def test_match_fuzziness(spark, fc_index):
     with pytest.raises(ValueError, match="operator=or only"):
         search(reader, {"query": {"match": {"text": {
             "query": "hashh", "fuzziness": 1, "operator": "and"}}}})
+
+
+def test_terms_filter(spark, fc_index):
+    """ES `terms` filter: field IN a fixed value set. Laws: a one-value
+    terms filter == the term filter; the matched set is the UNION of the
+    per-value term-filter sets with scores untouched (restriction
+    identity); composes on the scoring path, the match_all/agg path, and
+    with the other clause kinds; unknown docvalue fields raise."""
+    out, rows = fc_index
+    reader = IndexReader(spark, out)
+    # single-term match: the frozen bool flatten is conjunctive over the
+    # must terms, so or/and coincide only for one token — keeps this a
+    # pure filter law, not a flatten-semantics test
+    q = {"match": {"text": "hash"}}
+
+    one_terms = search(reader, {"query": {"bool": {
+        "must": [q], "filter": [{"terms": {"grp": ["b"]}}]}}, "size": 300})
+    one_term = search(reader, {"query": {"bool": {
+        "must": [q], "filter": [{"term": {"grp": "b"}}]}}, "size": 300})
+    assert [(h["_id"], h["_score"]) for h in one_terms["hits"]["hits"]] == [
+        (h["_id"], h["_score"]) for h in one_term["hits"]["hits"]
+    ] and one_terms["hits"]["hits"]
+
+    both = search(reader, {"query": {"bool": {
+        "must": [q], "filter": [{"terms": {"grp": ["a", "b"]}}]}}, "size": 300})
+    unfiltered = search(reader, {"query": q, "size": 300})
+    allowed = {u for u, _t, g, _nc, _r in rows if g in ("a", "b")}
+    want = [(h["_id"], h["_score"]) for h in unfiltered["hits"]["hits"]
+            if h["_id"] in allowed]
+    assert [(h["_id"], h["_score"]) for h in both["hits"]["hits"]] == want
+    # composes with a range clause (conjunctive)
+    mix = search(reader, {"query": {"bool": {"must": [q], "filter": [
+        {"terms": {"grp": ["a", "b"]}}, {"range": {"nc": {"gte": 60}}},
+    ]}}, "size": 300})
+    allowed2 = {u for u, _t, g, nc, _r in rows if g in ("a", "b") and nc >= 60}
+    assert {h["_id"] for h in mix["hits"]["hits"]} == {
+        u for u, _ in want if u in allowed2}
+    # match_all path (Spark predicate) agrees with the python rows
+    ma = search(reader, {"query": {"bool": {"filter": [
+        {"terms": {"grp": ["a", "c"]}}]}}, "size": 300,
+        "track_total_hits": True})
+    assert ma["hits"]["total"]["value"] == sum(
+        1 for _u, _t, g, _nc, _r in rows if g in ("a", "c"))
+    with pytest.raises(ValueError, match="docvalue"):
+        search(reader, {"query": {"bool": {
+            "must": [q], "filter": [{"terms": {"nope": ["x"]}}]}}})
