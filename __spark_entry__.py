@@ -4681,6 +4681,45 @@ def q_knn_query_hybrid(spark, sf_dir):
 
 
 TERMS_FLT_LANGS = ("en", "de")
+IDS_CTX = [str(i) for i in range(0, 120, 2)]  # 60 fixed docmap ids
+
+
+def q_terms_dv_topk(spark, sf_dir):
+    """`terms` on a DOCVALUE field in query context (ES TermInSetQuery):
+    constant score 1.0 x boost over the value-set union, url-asc page
+    (engine/dsl.py -> engine/aggs.py constant_score_topk)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(
+        r,
+        {"query": {"terms": {"lang": list(TERMS_FLT_LANGS), "boost": 1.5}},
+         "size": 12},
+    )
+    rows = [(h["_id"], float(h["_score"])) for h in resp["hits"]["hits"]]
+    return spark.createDataFrame(rows, "id string, score double")
+
+
+def q_ids_ctx_agg_lang(spark, sf_dir):
+    """`ids` query as a CONTEXT: terms agg + exact total over the id
+    set's matched set (engine/dsl.py rewrites to a terms filter on the
+    docmap id; dead ids match nothing, ES behavior)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(
+        r,
+        {"query": {"ids": {"values": IDS_CTX + ["no-such-doc"]}},
+         "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+         "track_total_hits": True, "size": 0},
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]), int(resp["hits"]["total"]["value"]))
+        for b in resp["aggregations"]["l"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count long, total long")
 
 
 def q_bm25_terms_filtered(spark, sf_dir):
@@ -5248,6 +5287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_date_range": q_agg_date_range,
         "agg_adjacency": q_agg_adjacency,
         "agg_weighted_avg": q_agg_weighted_avg,
+        "terms_dv_topk": q_terms_dv_topk,
+        "ids_ctx_agg_lang": q_ids_ctx_agg_lang,
         "agg_mad_nchars": q_agg_mad_nchars,
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -6451,6 +6492,22 @@ SELECT coalesce(s.id, v.id) AS id,
        round(coalesce(s.ls, 0) + {KNNQ_BOOST} * coalesce(v.cos, 0), 6) AS score
 FROM scored s FULL OUTER JOIN vtop v ON s.id = v.id
 ORDER BY score DESC, id ASC LIMIT 15""",
+        "terms_dv_topk": (
+            "SELECT doc_id::VARCHAR AS id, 1.5 AS score FROM documents "
+            "WHERE lang IN ("
+            + ", ".join(f"'{x}'" for x in TERMS_FLT_LANGS)
+            + ") AND text IS NOT NULL AND text != '' "
+            "ORDER BY doc_id::VARCHAR ASC LIMIT 12"
+        ),
+        "ids_ctx_agg_lang": (
+            "WITH m AS (SELECT lang FROM documents WHERE doc_id::VARCHAR IN ("
+            + ", ".join(f"'{x}'" for x in IDS_CTX)
+            + ") AND text IS NOT NULL AND text != ''), "
+            "t AS (SELECT count(*)::BIGINT AS total FROM m) "
+            "SELECT lang AS key, count(*)::BIGINT AS doc_count, t.total "
+            "FROM m CROSS JOIN t GROUP BY lang, t.total "
+            "ORDER BY doc_count DESC, key ASC LIMIT 10"
+        ),
         "bm25_terms_filtered_topk": _bm25_sql(
             BM25_TERMS,
             docvalue_filter=(

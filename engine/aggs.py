@@ -1535,7 +1535,8 @@ def search_sort(
         gather_flds = [sort_field]
         vt = _vtype(reader, sort_field)
     missing = [
-        f for f in gather_flds + filter_fields(filters) if f not in dv_cols
+        f for f in gather_flds + filter_fields(filters)
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
     ]
     if missing:
         raise ValueError(
@@ -1695,7 +1696,10 @@ def collapse_topk(
     spark = reader.spark
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    missing = [f for f in [field] + filter_fields(filters) if f not in dv_cols]
+    missing = [
+        f for f in [field] + filter_fields(filters)
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
+    ]
     if missing:
         raise ValueError(
             f"collapse/filter field(s) {missing} not in index docvalues {dv_cols}"
@@ -1899,7 +1903,10 @@ def sampler_terms(
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
     need = [agg_field] + ([diversify_field] if diversify_field else [])
-    missing = [f for f in need + filter_fields(filters) if f not in dv_cols]
+    missing = [
+        f for f in need + filter_fields(filters)
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
+    ]
     if missing:
         raise ValueError(
             f"sampler field(s) {missing} not in index docvalues {dv_cols}"
@@ -2062,7 +2069,10 @@ def matched_urls(
     spark = reader.spark
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
-    missing = [f for f in filter_fields(filters) if f not in dv_cols]
+    missing = [
+        f for f in filter_fields(filters)
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
+    ]
     if missing:
         raise ValueError(
             f"filter field(s) {missing} not in index docvalues {dv_cols}"

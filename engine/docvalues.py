@@ -9,9 +9,12 @@ columns, the Lucene-docvalues analog).
 Filter context per ES bool-query `filter` clauses: predicates over
 docvalues that RESTRICT the matched set without affecting scores (idf /
 avgdl stay corpus-global, exactly like ES). Supported clauses:
-TermFilter (exact value), RangeFilter (gte/lt half-open, open ends), and
-ExistsFilter (field non-null). Filters are evaluated vectorized on the
-gathered docvalue table of candidate docs only — never on the corpus.
+TermFilter (exact value), TermsFilter (value IN a fixed set),
+RangeFilter (gte/lt half-open, open ends), and ExistsFilter (field
+non-null). Filters are evaluated vectorized on the gathered docvalue
+table of candidate docs only — never on the corpus. The docmap id
+column `url` passes every field validator (it is always gatherable),
+so id-set filters need no docvalue declaration.
 """
 
 from __future__ import annotations
@@ -131,7 +134,10 @@ def build_shard_filter(reader, filters):
     filters = tuple(filters)
     dv_cols = reader.manifest.get("docvalue_cols") or []
     fields = filter_fields(filters)
-    missing = [f for f in fields if f not in dv_cols]
+    missing = [
+        f for f in fields
+        if f not in dv_cols and f != "url"  # url = docmap id, always there
+    ]
     if missing:
         raise ValueError(
             f"filter field(s) {missing} not in index docvalues {dv_cols}; "

@@ -51,8 +51,11 @@ def _clause_filters(clauses: list) -> tuple:
             ((f, v),) = c["term"].items()
             out.append(TermFilter(f, v["value"] if isinstance(v, dict) else v))
         elif "terms" in c:
-            # ES `terms` filter: field IN a fixed value set
-            ((f, vals),) = c["terms"].items()
+            # ES `terms` filter: field IN a fixed value set (a clause
+            # `boost` sibling key is legal ES and scoreless here)
+            ((f, vals),) = tuple(
+                (f2, v2) for f2, v2 in c["terms"].items() if f2 != "boost"
+            )
             out.append(TermsFilter(f, tuple(vals)))
         elif "range" in c:
             ((f, spec),) = c["range"].items()
@@ -637,6 +640,18 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         return constant_score_topk(
             reader, _clause_filters([query]) + filters,
             boost=_spec_boost(next(iter(query["term"].values()))), k=k
+        )
+    if "terms" in query and next(
+        iter(f for f in query["terms"] if f != "boost")
+    ) not in reader.text_fields:
+        # terms on a DOCVALUE field in query context (ES TermInSetQuery):
+        # constant score 1.0 x the clause-level boost; terms on an
+        # indexed text field falls through to the scoring path below
+        from engine.aggs import constant_score_topk
+
+        return constant_score_topk(
+            reader, _clause_filters([query]) + filters,
+            boost=float(query["terms"].get("boost", 1.0)), k=k,
         )
     if "match_phrase" in query:
         ((fld, spec),) = query["match_phrase"].items()
@@ -1947,6 +1962,19 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     frm = int(body.get("from", 0))
     if frm + size > 10_000:
         raise ValueError("from+size > 10000; use sort + search_after")
+    if set(query) == {"ids"} and (
+        body.get("aggs") or body.get("aggregations") or body.get("sort")
+        or body.get("track_total_hits") or frm + size == 0
+    ):
+        # ids as a CONTEXT (aggs / sort / _count): a fixed id set is
+        # exactly a `terms` filter on the docmap id — rewrite to the
+        # filter-context shape so every downstream path composes
+        # unchanged. Semantics-preserving for hits too: ids_topk is
+        # live_docmap + id IN-list + url-asc constant-1.0 paging, the
+        # same plan the bool-filter path compiles.
+        query = {"bool": {"filter": [
+            {"terms": {"url": [str(v) for v in query["ids"]["values"]]}}
+        ]}}
     # ES post_filter: restricts the HITS (exact, pre-top-k — the shared
     # filter-context machinery), while aggregations and hits.total keep
     # the unfiltered query scope. Composes with the scoring-hits, sort,

@@ -355,10 +355,11 @@ def test_knn_query_hybrid(spark, dsl_index):
                 "query": {"match_all": {}}},
             embeddings=emb,
         )
+    # knn-only + aggs composes now (test_knn_aggs); sort stays gated
     with _pt.raises(ValueError, match="does not compose"):
         search(
             r, {"knn": {"query_vector": q, "k": 2},
-                "aggs": {"l": {"terms": {"field": "lang"}}}},
+                "sort": [{"lang": {"order": "asc"}}]},
             embeddings=emb,
         )
 
@@ -804,3 +805,51 @@ def test_knn_aggs(spark, dsl_index):
              "aggs": {"l": {"terms": {"field": "lang"}}}},
             embeddings=emb,
         )
+
+
+def test_terms_docvalue_query_and_ids_context(spark, dsl_index):
+    """Round-5 lifts: (1) `terms` on a DOCVALUE field in query context
+    scores constant 1.0 x boost over the value-set union (ES
+    TermInSetQuery), url-asc page order — one-value form identical to
+    the docvalue `term` query; (2) the `ids` query composes as a
+    CONTEXT: aggs / sort / _count see exactly the id set's matched
+    set (rewritten to a terms filter on the docmap id)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    dm = spark.read.parquet(f"{dsl_index}/docmap")
+    rows = {x["url"]: (x["lang"], x["n_chars"])
+            for x in dm.select("url", "lang", "n_chars").collect()}
+
+    # (1) terms docvalue query
+    got = search(r, {"query": {"terms": {"lang": ["de", "fr"], "boost": 2.0}},
+                     "size": 10_000})["hits"]["hits"]
+    want = sorted(u for u, (lg, _nc) in rows.items() if lg in ("de", "fr"))
+    assert [h["_id"] for h in got] == want and want
+    assert {h["_score"] for h in got} == {2.0}
+    one = search(r, {"query": {"terms": {"lang": ["de"]}}, "size": 10_000})
+    one_t = search(r, {"query": {"term": {"lang": "de"}}, "size": 10_000})
+    assert [h["_id"] for h in one["hits"]["hits"]] == [
+        h["_id"] for h in one_t["hits"]["hits"]] and one["hits"]["hits"]
+
+    # (2) ids as a context
+    ids = sorted(rows)[:25]
+    resp = search(r, {"query": {"ids": {"values": ids}},
+                      "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+                      "track_total_hits": True, "size": 0})
+    from collections import Counter
+
+    brute = Counter(rows[u][0] for u in ids)
+    got_b = {b["key"]: b["doc_count"]
+             for b in resp["aggregations"]["l"]["buckets"]}
+    assert got_b == dict(brute)
+    assert resp["hits"]["total"]["value"] == len(ids)
+    srt = search(r, {"query": {"ids": {"values": ids}},
+                     "sort": [{"n_chars": {"order": "desc"}}], "size": 8})
+    want_s = sorted(ids, key=lambda u: (-rows[u][1], u))[:8]
+    assert [h["_id"] for h in srt["hits"]["hits"]] == want_s
+    # plain ids hits path unchanged: url-asc constant 1.0
+    plain = search(r, {"query": {"ids": {"values": ids}}, "size": 30})
+    assert [h["_id"] for h in plain["hits"]["hits"]] == ids
+    assert {h["_score"] for h in plain["hits"]["hits"]} == {1.0}
