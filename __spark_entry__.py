@@ -4701,6 +4701,28 @@ def q_terms_dv_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "id string, score double")
 
 
+def q_range_ctx_agg_lang(spark, sf_dir):
+    """range query as a CONTEXT (the classic "range + aggs" body): the
+    filter-ish top-level query rewrites to the bool-filter shape
+    pre-dispatch (engine/dsl.py _filterish_clauses), so the terms agg
+    and the exact total see exactly the clause's matched set."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, _wand_index_dir(spark, sf_dir))
+    resp = search(
+        r,
+        {"query": {"range": {"n_chars": {"gte": 250, "lt": 700}}},
+         "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+         "track_total_hits": True, "size": 0},
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]), int(resp["hits"]["total"]["value"]))
+        for b in resp["aggregations"]["l"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count long, total long")
+
+
 def q_ids_ctx_agg_lang(spark, sf_dir):
     """`ids` query as a CONTEXT: terms agg + exact total over the id
     set's matched set (engine/dsl.py rewrites to a terms filter on the
@@ -5289,6 +5311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_avg": q_agg_weighted_avg,
         "terms_dv_topk": q_terms_dv_topk,
         "ids_ctx_agg_lang": q_ids_ctx_agg_lang,
+        "range_ctx_agg_lang": q_range_ctx_agg_lang,
         "agg_mad_nchars": q_agg_mad_nchars,
         "agg_boxplot_nchars": q_agg_boxplot_nchars,
         "agg_matrix_stats": q_agg_matrix_stats,
@@ -6498,6 +6521,14 @@ ORDER BY score DESC, id ASC LIMIT 15""",
             + ", ".join(f"'{x}'" for x in TERMS_FLT_LANGS)
             + ") AND text IS NOT NULL AND text != '' "
             "ORDER BY doc_id::VARCHAR ASC LIMIT 12"
+        ),
+        "range_ctx_agg_lang": (
+            "WITH m AS (SELECT lang FROM documents WHERE n_chars >= 250 "
+            "AND n_chars < 700 AND text IS NOT NULL AND text != ''), "
+            "t AS (SELECT count(*)::BIGINT AS total FROM m) "
+            "SELECT lang AS key, count(*)::BIGINT AS doc_count, t.total "
+            "FROM m CROSS JOIN t GROUP BY lang, t.total "
+            "ORDER BY doc_count DESC, key ASC LIMIT 10"
         ),
         "ids_ctx_agg_lang": (
             "WITH m AS (SELECT lang FROM documents WHERE doc_id::VARCHAR IN ("

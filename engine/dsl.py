@@ -1806,6 +1806,33 @@ def _knn_hits(spark, spec: dict, embeddings) -> list[dict]:
     ]
 
 
+def _filterish_clauses(query: dict, reader):
+    """Top-level filter-ish query -> the equivalent bool-filter clause
+    list (identical matched set), or None when the query is a scoring
+    kind. ids -> a `terms` filter on the docmap id; range / exists /
+    docvalue term / docvalue terms pass through as their own clause
+    (the clause boost is membership-neutral and drops — ES matched-set
+    semantics)."""
+    if set(query) == {"ids"}:
+        return [{"terms": {"url": [str(v) for v in query["ids"]["values"]]}}]
+    if set(query) in ({"range"}, {"exists"}):
+        return [query]
+    if set(query) == {"term"}:
+        ((fld, spec),) = query["term"].items()
+        if fld not in reader.text_fields and _spec_boost(spec) == 1.0:
+            # an explicit boost != 1 keeps the constant-score hits path
+            # (the rewritten page would score 1.0, not the boost)
+            return [query]
+    if set(query) == {"terms"}:
+        fld = next(iter(f for f in query["terms"] if f != "boost"))
+        if (
+            fld not in reader.text_fields
+            and float(query["terms"].get("boost", 1.0)) == 1.0
+        ):
+            return [{"terms": {fld: query["terms"][fld]}}]
+    return None
+
+
 def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     """Run an ES `_search`-shaped JSON body against the index; returns an
     ES-shaped response dict (hits + optional aggregations). corpus: the
@@ -1962,19 +1989,20 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     frm = int(body.get("from", 0))
     if frm + size > 10_000:
         raise ValueError("from+size > 10000; use sort + search_after")
-    if set(query) == {"ids"} and (
-        body.get("aggs") or body.get("aggregations") or body.get("sort")
-        or body.get("track_total_hits") or frm + size == 0
-    ):
-        # ids as a CONTEXT (aggs / sort / _count): a fixed id set is
-        # exactly a `terms` filter on the docmap id — rewrite to the
-        # filter-context shape so every downstream path composes
-        # unchanged. Semantics-preserving for hits too: ids_topk is
-        # live_docmap + id IN-list + url-asc constant-1.0 paging, the
-        # same plan the bool-filter path compiles.
-        query = {"bool": {"filter": [
-            {"terms": {"url": [str(v) for v in query["ids"]["values"]]}}
-        ]}}
+    if body.get("aggs") or body.get("aggregations") or body.get("sort") \
+            or body.get("track_total_hits") or frm + size == 0:
+        # filter-ish top-level queries as a CONTEXT (aggs / sort /
+        # _count — the classic "range query + aggs" shape): ids /
+        # range / exists / docvalue term / docvalue terms all have a
+        # filter-clause equivalent with the identical matched set, so
+        # the body rewrites to the bool-filter shape pre-dispatch and
+        # every downstream path composes unchanged. Matched sets ignore
+        # a clause boost (a positive boost never changes membership —
+        # ES); the pure-hits paths keep their own kernels (ids_topk /
+        # constant_score_topk compile the same live_docmap plan).
+        fc = _filterish_clauses(query, reader)
+        if fc is not None:
+            query = {"bool": {"filter": fc}}
     # ES post_filter: restricts the HITS (exact, pre-top-k — the shared
     # filter-context machinery), while aggregations and hits.total keep
     # the unfiltered query scope. Composes with the scoring-hits, sort,

@@ -853,3 +853,51 @@ def test_terms_docvalue_query_and_ids_context(spark, dsl_index):
     plain = search(r, {"query": {"ids": {"values": ids}}, "size": 30})
     assert [h["_id"] for h in plain["hits"]["hits"]] == ids
     assert {h["_score"] for h in plain["hits"]["hits"]} == {1.0}
+
+
+def test_filterish_query_contexts(spark, dsl_index):
+    """Filter-ish top-level queries compose as CONTEXTS (the classic
+    "range query + aggs" shape): range / exists / docvalue term /
+    docvalue terms rewrite to the bool-filter form pre-dispatch, so
+    aggs / sort / _count see exactly the clause's matched set. A
+    docvalue term/terms with an explicit boost keeps the constant-score
+    hits path (no rewrite — the page must score the boost)."""
+    from collections import Counter
+
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    dm = spark.read.parquet(f"{dsl_index}/docmap")
+    live = {x["url"]: (x["lang"], x["n_chars"])
+            for x in dm.select("url", "lang", "n_chars").collect()}
+
+    cases = [
+        ({"range": {"n_chars": {"gte": 300}}},
+         lambda lg, nc: nc is not None and nc >= 300),
+        ({"term": {"lang": "en"}}, lambda lg, nc: lg == "en"),
+        ({"terms": {"lang": ["en", "de"]}}, lambda lg, nc: lg in ("en", "de")),
+        ({"exists": {"field": "lang"}}, lambda lg, nc: lg is not None),
+    ]
+    for q, pred in cases:
+        resp = search(r, {
+            "query": q,
+            "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+            "track_total_hits": True, "size": 0,
+        })
+        brute = Counter(lg for lg, nc in live.values() if pred(lg, nc))
+        got = {b["key"]: b["doc_count"]
+               for b in resp["aggregations"]["l"]["buckets"]}
+        assert got == dict(brute.most_common(10)), q
+        assert resp["hits"]["total"]["value"] == sum(brute.values())
+        srt = search(r, {"query": q,
+                         "sort": [{"n_chars": {"order": "desc"}}], "size": 5})
+        want = sorted(
+            ((u, v) for u, v in live.items() if pred(*v)),
+            key=lambda t: (-t[1][1], t[0]),
+        )[:5]
+        assert [h["_id"] for h in srt["hits"]["hits"]] == [u for u, _ in want]
+
+    resp = search(r, {"query": {"term": {"lang": {"value": "en", "boost": 3.0}}},
+                      "size": 3})
+    assert {h["_score"] for h in resp["hits"]["hits"]} == {3.0}
