@@ -2698,11 +2698,14 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
     initial call pins the CURRENT delete snapshot and requires a
     single-field `sort` spec; each page returns `_scroll_id`, an opaque
     stateless continuation token (snapshot id + sort spec + analyzed
-    query + last (value, _id) cursor) — no server-side context to expire,
-    and any holder of the token resumes the exact point-in-time view
-    (tombstone batches after the pin are invisible). Frozen divergences:
-    a sort spec is required (no _doc default) and the filter context is
-    not carried in the token."""
+    query + raw filter clauses + last (value, _id) cursor) — no
+    server-side context to expire, and any holder of the token resumes
+    the exact point-in-time view (tombstone batches after the pin are
+    invisible). Frozen divergence: a sort spec is required (no _doc
+    default). Filter context rides the token as its raw clause JSON
+    (rebuilt via _clause_filters every page), and a filter-ish
+    top-level query (ids / range / exists / docvalue term / terms)
+    scrolls as its own filter clause."""
     from engine.deletes import list_snapshots
 
     srt = body.get("sort")
@@ -2711,6 +2714,17 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
     ((fld, o),) = srt[0].items()
     order = o.get("order", "asc") if isinstance(o, dict) else o
     q = body.get("query", {"match_all": {}})
+    filt_clauses = []
+    if "bool" in q and q["bool"].get("filter") is not None:
+        bf = q["bool"]["filter"]
+        filt_clauses = list(bf) if isinstance(bf, list) else [bf]
+        rest = {kk: v for kk, v in q["bool"].items() if kk != "filter"}
+        q = {"bool": rest} if rest else {"match_all": {}}
+    fc = _filterish_clauses(q, reader)
+    if fc is not None:
+        filt_clauses = filt_clauses + fc
+        q = {"match_all": {}}
+    _clause_filters(filt_clauses)  # validate, fail fast on page 1
     phrase = mm = ctxq = None
     if (
         "dis_max" in q or "more_like_this" in q
@@ -2762,7 +2776,7 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
         "dir": reader.dir,
         "snap": len(list_snapshots(reader.dir)),
         "terms": terms, "mode": mode, "phrase": phrase, "mm": mm,
-        "ctxq": ctxq,
+        "ctxq": ctxq, "filt": filt_clauses,
         "field": fld, "asc": order == "asc", "size": int(size),
         "after": None, "tfield": tfield,
     }
@@ -2831,6 +2845,7 @@ def _scroll_page(spark, token: dict) -> dict:
     rows = search_sort(
         r, terms, token["field"], k=token["size"],
         mode=mode, ascending=token["asc"], search_after=after,
+        filters=_clause_filters(token.get("filt") or []),
         matcher=matcher, needs_pos=needs_pos, src=mf_src,
     ).collect()
     hits = [

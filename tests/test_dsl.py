@@ -901,3 +901,44 @@ def test_filterish_query_contexts(spark, dsl_index):
     resp = search(r, {"query": {"term": {"lang": {"value": "en", "boost": 3.0}}},
                       "size": 3})
     assert {h["_score"] for h in resp["hits"]["hits"]} == {3.0}
+
+
+def test_scroll_filter_context_and_filterish(spark, dsl_index):
+    """Scroll lifts: filter context rides the stateless token as raw
+    clause JSON (previously a documented not-carried divergence), and
+    filter-ish top-level queries (range / ids / docvalue terms) scroll
+    as their own filter clause. Full traversal == the brute sorted
+    restriction; bool must + filter composes (the scoring matched set
+    intersected with the clauses)."""
+    from engine.dsl import scroll_next, scroll_search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    dm = spark.read.parquet(f"{dsl_index}/docmap")
+    live = {x["url"]: (x["lang"], x["n_chars"])
+            for x in dm.select("url", "lang", "n_chars").collect()}
+
+    def traverse(body):
+        resp = scroll_search(r, body, size=7)
+        got = [h["_id"] for h in resp["hits"]["hits"]]
+        while resp.get("_scroll_id") and resp["hits"]["hits"]:
+            resp = scroll_next(spark, resp["_scroll_id"])
+            got += [h["_id"] for h in resp["hits"]["hits"]]
+        return got
+
+    srt = {"sort": [{"n_chars": {"order": "asc"}}]}
+    # range query scroll
+    got = traverse({"query": {"range": {"n_chars": {"gte": 400}}}, **srt})
+    want = [u for u, v in sorted(live.items(), key=lambda t: (t[1][1], t[0]))
+            if v[1] >= 400]
+    assert got == want and want
+    # ids scroll
+    ids = sorted(live)[:20]
+    got = traverse({"query": {"ids": {"values": ids}}, **srt})
+    assert sorted(got) == ids and len(got) == 20
+    # bool must + filter: scoring matched set restricted by the clause
+    got = traverse({"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "filter": [{"terms": {"lang": ["en", "de"]}}]}}, **srt})
+    unfiltered = traverse({"query": {"match": {"text": "hash"}}, **srt})
+    assert got == [u for u in unfiltered if live[u][0] in ("en", "de")] and got
