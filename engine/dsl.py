@@ -1833,6 +1833,15 @@ def _filterish_clauses(query: dict, reader):
     return None
 
 
+_SEARCH_BODY_KEYS = frozenset({
+    "_source", "aggregations", "aggs", "collapse", "docvalue_fields",
+    "explain", "fields", "from", "highlight", "knn", "min_score",
+    "post_filter", "profile", "query", "rescore", "retriever",
+    "runtime_mappings", "search_after", "size", "sort", "stored_fields",
+    "suggest", "track_scores", "track_total_hits",
+})
+
+
 def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     """Run an ES `_search`-shaped JSON body against the index; returns an
     ES-shaped response dict (hits + optional aggregations). corpus: the
@@ -1843,6 +1852,14 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
     from engine.aggs import search_aggs, search_count, search_sort
 
     t0 = time.time()
+    unknown_keys = set(body) - _SEARCH_BODY_KEYS
+    if unknown_keys:
+        # ES rejects unknown top-level body keys; a typo'd "aggz" must
+        # not silently return the unaggregated response
+        raise ValueError(
+            f"unknown search body key(s) {sorted(unknown_keys)} "
+            f"(supported: {sorted(_SEARCH_BODY_KEYS)})"
+        )
     if "retriever" in body:
         # ES retriever tree (frozen subset): rrf over exactly one
         # `standard` (match/term) retriever + one `knn` retriever —

@@ -942,3 +942,17 @@ def test_scroll_filter_context_and_filterish(spark, dsl_index):
         "filter": [{"terms": {"lang": ["en", "de"]}}]}}, **srt})
     unfiltered = traverse({"query": {"match": {"text": "hash"}}, **srt})
     assert got == [u for u in unfiltered if live[u][0] in ("en", "de")] and got
+
+
+def test_unknown_body_keys_rejected(spark, dsl_index):
+    """ES rejects unknown top-level body keys: a typo'd "aggz" must not
+    silently return the unaggregated response."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    with pytest.raises(ValueError, match="unknown search body key"):
+        search(r, {"query": {"match": {"text": "hash"}},
+                   "aggz": {"l": {"terms": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="unknown search body key"):
+        search(r, {"query": {"match": {"text": "hash"}}, "szie": 3})
