@@ -1629,6 +1629,35 @@ def _query_terms_or_none(
         must_c = b.get("must", [])
         must_c = must_c if isinstance(must_c, list) else [must_c]
         must_c = [c for c in must_c if "match_all" not in c]
+        if b.get("must_not"):
+            # matched set = base MINUS the must_not union — not a plain
+            # term list; fail closed instead of silently aggregating
+            # the unexcluded set
+            raise ValueError(
+                "bool must_not is not composable as an aggs/sort/count "
+                "context (the exclusion is not a term-list matched set)"
+            )
+        should_c = b.get("should", [])
+        should_c = should_c if isinstance(should_c, list) else [should_c]
+        msm = b.get("minimum_should_match")
+        if should_c and msm is not None and int(str(msm)) != 1:
+            raise ValueError(
+                "bool minimum_should_match != 1 is not composable as an "
+                "aggs/sort/count context (the >=k-of-n matched set is "
+                "not a term-list union)"
+            )
+        if not must_c and should_c:
+            # ES: a bool with ONLY should clauses matches the UNION of
+            # the clauses' matched sets (minimum_should_match defaults
+            # to 1 with no must) — an OR term list. A should beside a
+            # must stays score-only (must alone decides membership).
+            parsed = [_match_terms(c, allowed=allowed) for c in should_c]
+            fo.update(x[3] for x in parsed)
+            if len(fo) > 1:
+                raise ValueError(
+                    f"term clauses must all name ONE field (got {sorted(fo)})"
+                )
+            return [t for x in parsed for t in x[0]], "or"
         if not must_c:  # pure filter-context bool: match_all semantics
             return None, "or"
         parsed = [_match_terms(c, allowed=allowed) for c in must_c]

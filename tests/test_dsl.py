@@ -956,3 +956,35 @@ def test_unknown_body_keys_rejected(spark, dsl_index):
                    "aggz": {"l": {"terms": {"field": "lang"}}}})
     with pytest.raises(ValueError, match="unknown search body key"):
         search(r, {"query": {"match": {"text": "hash"}}, "szie": 3})
+
+
+def test_bool_should_context(spark, dsl_index):
+    """bool with ONLY should clauses as an aggs/_count context: the
+    matched set is the UNION of the clauses' matched sets (ES, with
+    minimum_should_match defaulting to 1) — previously a silent
+    match_all. bool must_not and minimum_should_match != 1 fail closed
+    (their matched sets are not term-list unions)."""
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    union = search(r, {"query": {"bool": {"should": [
+        {"match": {"text": "hash"}}, {"term": {"text": "join"}},
+    ]}}, "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+        "track_total_hits": True, "size": 0})
+    flat = search(r, {"query": {"match": {"text": "hash join"}},
+                      "aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+                      "track_total_hits": True, "size": 0})
+    assert union["aggregations"]["l"]["buckets"] == flat["aggregations"]["l"]["buckets"]
+    assert union["hits"]["total"]["value"] == flat["hits"]["total"]["value"] > 0
+
+    with pytest.raises(ValueError, match="must_not is not composable"):
+        search(r, {"query": {"bool": {
+            "must": [{"match": {"text": "hash"}}],
+            "must_not": [{"term": {"text": "join"}}]}},
+            "aggs": {"l": {"terms": {"field": "lang"}}}, "size": 0})
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        search(r, {"query": {"bool": {"should": [
+            {"match": {"text": "hash"}}, {"term": {"text": "join"}}],
+            "minimum_should_match": 2}},
+            "aggs": {"l": {"terms": {"field": "lang"}}}, "size": 0})
