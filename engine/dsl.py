@@ -423,6 +423,19 @@ def _compile_agg_obj(spec: dict, sub: dict):
     raise ValueError(f"unsupported aggregation: {sorted(spec)}")
 
 
+def _unwrap(query: dict) -> dict:
+    """ES `wrapper` query: base64-encoded JSON dispatched as if written
+    inline (unwrapped repeatedly for nested wrappers)."""
+    import base64
+    import json as _json
+
+    while isinstance(query, dict) and set(query) == {"wrapper"}:
+        query = _json.loads(
+            base64.b64decode(query["wrapper"]["query"]).decode()
+        )
+    return query
+
+
 def _hits_df(reader, query: dict, k: int, filters: tuple):
     """Compile + run the scoring query -> (url, doc_id, score) DataFrame
     (None for match_all: the caller decides between sort/agg/id paging)."""
@@ -435,8 +448,14 @@ def _hits_df(reader, query: dict, k: int, filters: tuple):
         mlt_topk,
     )
 
+    query = _unwrap(query)
     if "match_all" in query:
         return None
+    if "match_none" in query:
+        # ES match_none: the empty matched set, served through a
+        # dead-term kernel run so the result schema matches every other
+        # scoring query
+        return bm25_topk(reader, ["\x00match_none\x00"], k=k)
     if "synonym_match" in query:
         # frozen surface for ES search-time synonym_graph analysis: the
         # caller supplies the expanded synonym groups explicitly (the
@@ -1412,6 +1431,7 @@ def _agg_context(reader, query: dict):
     docmap, so the matched doc set composes with the caller's sort/agg
     columns). The matched set is computed per shard next to its
     postings — never collected."""
+    query = _unwrap(query)
     if "bool" in query:
         # bool {must: [ONE non-term query], filter: [...]}: the filter is
         # extracted by the caller (_clause_filters) — recurse on the
@@ -1622,8 +1642,13 @@ def _query_terms_or_none(
     `allowed`/`fields_out` let field-lifted callers accept any indexed
     field and learn which ONE the clauses named (mixes raise)."""
     fo = set() if fields_out is None else fields_out
+    query = _unwrap(query)
     if "match_all" in query:
         return None, "or"
+    if "match_none" in query:
+        # the empty matched set: the dead-term conjunctive sentinel the
+        # phrase/multi-field contexts use (empty bucket table everywhere)
+        return ["\x00dead\x00"], "and"
     if "bool" in query:
         b = query["bool"]
         must_c = b.get("must", [])
@@ -2030,7 +2055,7 @@ def search(reader, body: dict, corpus=None, embeddings=None) -> dict:
                 "hits": hits,
             },
         }
-    query = body.get("query", {"match_all": {}})
+    query = _unwrap(body.get("query", {"match_all": {}}))
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
     if frm + size > 10_000:
@@ -2759,7 +2784,7 @@ def scroll_search(reader, body: dict, size: int = 10) -> dict:
         raise ValueError("scroll needs exactly one sort field")
     ((fld, o),) = srt[0].items()
     order = o.get("order", "asc") if isinstance(o, dict) else o
-    q = body.get("query", {"match_all": {}})
+    q = _unwrap(body.get("query", {"match_all": {}}))
     filt_clauses = []
     if "bool" in q and q["bool"].get("filter") is not None:
         bf = q["bool"]["filter"]

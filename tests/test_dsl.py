@@ -988,3 +988,39 @@ def test_bool_should_context(spark, dsl_index):
             {"match": {"text": "hash"}}, {"term": {"text": "join"}}],
             "minimum_should_match": 2}},
             "aggs": {"l": {"terms": {"field": "lang"}}}, "size": 0})
+
+
+def test_wrapper_and_match_none(spark, dsl_index):
+    """ES `wrapper` (base64-encoded JSON query, incl. nested) dispatches
+    identically to the inline query in hits AND context positions; ES
+    `match_none` is the empty matched set everywhere (hits, total,
+    aggs)."""
+    import base64
+    import json as _json
+
+    from engine.dsl import search
+    from engine.query import IndexReader
+
+    r = IndexReader(spark, dsl_index)
+    inner = {"match": {"text": "hash join"}}
+    b64 = base64.b64encode(_json.dumps(inner).encode()).decode()
+    wrapped = {"wrapper": {"query": b64}}
+    double = {"wrapper": {"query": base64.b64encode(
+        _json.dumps(wrapped).encode()).decode()}}
+    want = search(r, {"query": inner, "size": 7})
+    for q in (wrapped, double):
+        got = search(r, {"query": q, "size": 7})
+        assert _ids(got) == _ids(want) and got["hits"]["hits"]
+    # context position: aggs under a wrapper == aggs under the inline query
+    wa = search(r, {"query": wrapped, "size": 0,
+                    "aggs": {"l": {"terms": {"field": "lang", "size": 5}}}})
+    ia = search(r, {"query": inner, "size": 0,
+                    "aggs": {"l": {"terms": {"field": "lang", "size": 5}}}})
+    assert wa["aggregations"] == ia["aggregations"]
+
+    mn = search(r, {"query": {"match_none": {}}, "size": 10,
+                    "aggs": {"l": {"terms": {"field": "lang", "size": 5}}},
+                    "track_total_hits": True})
+    assert mn["hits"]["hits"] == []
+    assert mn["hits"]["total"]["value"] == 0
+    assert mn["aggregations"]["l"]["buckets"] == []
