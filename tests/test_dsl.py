@@ -355,6 +355,22 @@ def test_knn_query_hybrid(spark, dsl_index):
                 "query": {"match_all": {}}},
             embeddings=emb,
         )
+    # from-paging slices the fused ranking
+    pg = search(
+        r,
+        {"knn": {"query_vector": q, "k": 4},
+         "query": {"match": {"text": "hash"}}, "from": 3, "size": 5},
+        embeddings=emb,
+    )
+    full = search(
+        r,
+        {"knn": {"query_vector": q, "k": 4},
+         "query": {"match": {"text": "hash"}}, "size": 8},
+        embeddings=emb,
+    )
+    assert [(h["_id"], h["_score"]) for h in pg["hits"]["hits"]] == [
+        (h["_id"], h["_score"]) for h in full["hits"]["hits"]][3:8]
+
     # knn-only + aggs composes now (test_knn_aggs); sort stays gated
     with _pt.raises(ValueError, match="does not compose"):
         search(
