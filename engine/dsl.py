@@ -3150,3 +3150,64 @@ def rank_eval(reader, body: dict, corpus=None, embeddings=None) -> dict:
         "details": details,
         "failures": failures,
     }
+
+
+def analyze(text: str, analyzer: str = "standard") -> dict:
+    """ES `_analyze` endpoint: run a named analyzer over `text` and
+    return the ES-shaped token list — {"tokens": [{"token",
+    "start_offset", "end_offset", "position", "type"}]}.
+
+    Frozen scope (the engine's own analyzers, engine/textnorm.py):
+    - "standard": the index/document analyzer — standard tokenize
+      (\\w+ runs, the documented UAX#29 divergence) over the lowercased
+      input; duplicates kept (ES _analyze shows the raw stream — the
+      query-side first-seen dedupe belongs to analyze_query_py only).
+    - "simple": letter runs, lowercased.
+    - "whitespace": whitespace-delimited tokens, case preserved.
+    - "stop": simple + Lucene's public 33-word English stop list;
+      position increments are PRESERVED across removed words (ES stop
+      tokenfilter default), unlike the index-key twin analyzer_stop_py
+      whose plain stream is what a stop-analyzed field stores.
+    - "keyword": the whole input as one token.
+
+    Offsets index the LOWERCASED input for the lowercasing analyzers
+    (frozen: Python str.lower() may change length for a handful of
+    Unicode points; ES maps offsets through the filter chain instead —
+    documented divergence, harmless for the \\w token alphabet)."""
+    import re as _re
+
+    from engine.textnorm import (
+        _SIMPLE_TOKEN_RE,
+        _STANDARD_TOKEN_RE,
+        _STOPSET,
+    )
+
+    def toks(rx, s, ttype):
+        return [
+            {"token": m.group(0), "start_offset": m.start(),
+             "end_offset": m.end(), "position": i, "type": ttype}
+            for i, m in enumerate(rx.finditer(s))
+        ]
+
+    if analyzer == "standard":
+        return {"tokens": toks(_STANDARD_TOKEN_RE, text.lower(), "<ALPHANUM>")}
+    if analyzer == "simple":
+        return {"tokens": toks(_SIMPLE_TOKEN_RE, text.lower(), "<ALPHANUM>")}
+    if analyzer == "whitespace":
+        return {"tokens": toks(_re.compile(r"\S+"), text, "word")}
+    if analyzer == "stop":
+        out = [
+            t for t in toks(_SIMPLE_TOKEN_RE, text.lower(), "<ALPHANUM>")
+            if t["token"] not in _STOPSET
+        ]
+        return {"tokens": out}
+    if analyzer == "keyword":
+        if text == "":
+            return {"tokens": []}
+        return {"tokens": [{"token": text, "start_offset": 0,
+                            "end_offset": len(text), "position": 0,
+                            "type": "word"}]}
+    raise ValueError(
+        f"unknown analyzer {analyzer!r} "
+        "(supported: standard, simple, whitespace, stop, keyword)"
+    )

@@ -1040,3 +1040,46 @@ def test_wrapper_and_match_none(spark, dsl_index):
     assert mn["hits"]["hits"] == []
     assert mn["hits"]["total"]["value"] == 0
     assert mn["aggregations"]["l"]["buckets"] == []
+
+
+def test_analyze_endpoint():
+    """ES `_analyze`: token streams agree with the frozen *_py analyzer
+    twins; offsets slice back to the token; `stop` preserves position
+    increments across removed words (ES stop-filter default) while the
+    index-key twin keeps the plain stream; unknown analyzers raise."""
+    from engine.dsl import analyze
+    from engine.oracle import analyze_query_py
+    from engine.textnorm import (
+        analyzer_stop_py,
+        simple_tokenize_py,
+        standard_tokenize_py,
+    )
+
+    text = "The QUICK-brown  fox-7 jumps; the fox!"
+    std = analyze(text, "standard")["tokens"]
+    assert [t["token"] for t in std] == standard_tokenize_py(text.lower())
+    low = text.lower()
+    for t in std:
+        assert low[t["start_offset"]:t["end_offset"]] == t["token"]
+    assert [t["position"] for t in std] == list(range(len(std)))
+    # duplicates kept (query-side dedupe is analyze_query_py's job)
+    assert [t["token"] for t in std].count("fox") == 2
+    assert analyze_query_py(text) == list(dict.fromkeys(
+        t["token"] for t in std))
+
+    simple = analyze(text, "simple")["tokens"]
+    assert [t["token"] for t in simple] == simple_tokenize_py(text)
+
+    stop = analyze("The quick ran the", "stop")["tokens"]
+    assert [t["token"] for t in stop] == ["quick", "ran"]
+    assert [t["position"] for t in stop] == [1, 2]  # increments preserved
+    assert analyzer_stop_py("The quick ran the") == ["quick", "ran"]
+
+    ws = analyze("Ab  cD", "whitespace")["tokens"]
+    assert [t["token"] for t in ws] == ["Ab", "cD"]
+    assert analyze("", "keyword")["tokens"] == []
+    assert analyze("a b", "keyword")["tokens"][0]["token"] == "a b"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown analyzer"):
+        analyze("x", "nope")
